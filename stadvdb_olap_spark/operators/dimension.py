@@ -1,0 +1,68 @@
+"""Dimension builder — the Spark-native shape of the reference's
+dimension ETL (``extractUser`` ``/root/reference/ETL/user_ETL.py:61-144``,
+``extractLocation`` ``loc_ETL.py:61-137``, ``extractDate``
+``date_ETL.py:53-124``, ``extractProduct`` ``prod_ETL.py:65-139``).
+
+The reference's per-dimension loop is: clean -> dedup-by-business-key ->
+upsert -> harvest DB surrogate keys via RETURNING -> join back -> emit a
+(nat_key, surrogate_key) map. Here the whole thing collapses into one lazy
+plan: dedup deterministically, compute the surrogate key in-engine
+(functions.keys), and the key map is just a projection — no second network
+hop, no driver-side dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.keys import surrogate_key
+from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """A built dimension: the conformed table and its natural->surrogate
+    key map (the reference's ``mapping_df``, user_ETL.py:144)."""
+
+    table: DataFrame  # surrogate_key + business key + attributes
+    key_map: DataFrame  # nat_key(s) + surrogate_key
+
+
+def build_dimension(
+    source: DataFrame,
+    business_key: Iterable[str],
+    attrs: Iterable[str],
+    nat_key: Iterable[str],
+    order_by: Iterable[Column | str] | None = None,
+    key_method: str = "xxhash64",
+    key_col: str = "surrogate_key",
+) -> Dimension:
+    """Build a conformed dimension from a cleaned source.
+
+    - ``business_key``: the uniqueness/conflict columns (the reference's ON
+      CONFLICT key, e.g. ``username`` user_ETL.py:110).
+    - ``attrs``: non-key attributes carried into the dimension.
+    - ``nat_key``: source natural-key columns for the key map (e.g. the
+      OLTP ``id`` aliased ``nat_key``, user_ETL.py:72).
+    - ``order_by``: deterministic keep-first tiebreak; defaults to nat_key.
+    """
+    business_key = list(business_key)
+    attrs = list(attrs)
+    nat_key = list(nat_key)
+    order_by = list(order_by) if order_by is not None else list(nat_key)
+
+    sk = surrogate_key(business_key, method=key_method)
+    deduped = dedup_keep_first(source, business_key, order_by)
+    table = deduped.select(
+        sk.alias(key_col), *business_key, *[c for c in attrs if c not in business_key]
+    )
+    # Every source row maps via its business key — including rows dropped by
+    # dedup (they share the business key, hence the same deterministic
+    # surrogate). This mirrors the reference's inner-join-back (J2/J3,
+    # user_ETL.py:125) but needs no join at all: pure projection.
+    key_map = source.select(*nat_key, sk.alias(key_col)).distinct()
+    return Dimension(table=table, key_map=key_map)

@@ -1,0 +1,52 @@
+"""Fact construction — FK resolution via broadcast joins.
+
+Reference counterpart: ``extractFact`` (``/root/reference/ETL/fact_ETL.py:
+79-157``) builds 4 driver-side Python dicts from the dimension key maps
+(fact_ETL.py:115-118) and resolves fact FKs with ``Series.map`` + a
+keep-only-mapped mask (fact_ETL.py:60-74) — a hand-rolled broadcast hash
+join that cannot scale past driver memory.
+
+Spark-native: each key map is a DataFrame; FK resolution is a join the
+planner can execute as BroadcastHashJoin while the map is small and
+gracefully degrade to shuffle/sort-merge when it is not. The referential-
+integrity filter (F3) is the inner join itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_foreign_key(
+    fact: DataFrame,
+    key_map: DataFrame,
+    fact_key: Iterable[str] | str,
+    map_key: Iterable[str] | str,
+    surrogate_col: str = "surrogate_key",
+    out_col: str | None = None,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Replace ``fact_key`` natural-key column(s) with the dimension's
+    surrogate key.
+
+    ``how='inner'`` reproduces the reference's keep-only-mapped semantics
+    (fact_ETL.py:67-74): unmapped fact rows are dropped. Use ``'left'`` to
+    keep them with NULL surrogates instead.
+    """
+    fact_key = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    map_key = [map_key] if isinstance(map_key, str) else list(map_key)
+    out_col = out_col or surrogate_col
+
+    side = key_map.select(
+        *[F.col(m).alias(f"__map_{m}") for m in map_key],
+        F.col(surrogate_col).alias(out_col),
+    )
+    if broadcast:
+        side = F.broadcast(side)
+    cond = [fact[f] == side[f"__map_{m}"] for f, m in zip(fact_key, map_key)]
+    joined = fact.join(side, cond, how)
+    return joined.drop(*[f"__map_{m}" for m in map_key], *fact_key)

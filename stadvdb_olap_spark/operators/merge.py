@@ -1,0 +1,70 @@
+"""SCD type-1 merge (upsert) — parity with the reference's Postgres
+``INSERT ... ON CONFLICT (key) DO UPDATE SET ...``
+(``/root/reference/ETL/user_ETL.py:105-117`` and the same pattern in every
+ETL module).
+
+Vanilla Spark has no mutable ON CONFLICT sink, and at 100 TB you don't want
+one — per-row upserts serialize on the warehouse. The Spark-native shape is
+a set-based merge: full outer join target ⟕⟖ source on the business key,
+``coalesce(source.attr, target.attr)`` for last-write-wins, then an atomic
+overwrite (parquet job commit / Delta txn stands in for the per-batch
+``conn.commit()`` at user_ETL.py:117).
+
+Scale notes: the join shuffles both sides on the business key once; with a
+bucketed/partitioned target table the shuffle on the target side disappears.
+Rerunning the merge with the same source is idempotent — the property the
+reference gets from ON CONFLICT, here by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_scd1(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Iterable[str],
+    update_cols: Iterable[str] | None = None,
+) -> DataFrame:
+    """Upsert ``source`` into ``target`` on ``keys`` (SCD type-1).
+
+    - key in both      -> source's non-key attributes win (DO UPDATE SET)
+    - key only in src  -> row inserted (DO NOTHING branch of INSERT)
+    - key only in tgt  -> row kept unchanged
+
+    ``source`` must be unique per key (pre-dedup with
+    :func:`stadvdb_olap_spark.operators.dedup.dedup_keep_first`).
+    Output schema == target schema.
+    """
+    keys = list(keys)
+    attrs = [c for c in target.columns if c not in keys]
+    if update_cols is None:
+        update_cols = [c for c in attrs if c in source.columns]
+    update_cols = list(update_cols)
+
+    src = source.select(
+        *[F.col(k).alias(f"__src_{k}") for k in keys],
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+        F.lit(True).alias("__src_present__"),
+    )
+    cond = [target[k].eqNullSafe(src[f"__src_{k}"]) for k in keys]
+    joined = target.join(src, cond, "full_outer")
+
+    out_cols = []
+    for k in keys:
+        out_cols.append(F.coalesce(target[k], src[f"__src_{k}"]).alias(k))
+    for c in attrs:
+        if c in update_cols:
+            # Last-write-wins: if the source row exists (matched on key),
+            # its value replaces the target's — including explicit NULLs.
+            matched = src["__src_present__"].isNotNull()
+            out_cols.append(
+                F.when(matched, src[f"__src_{c}"]).otherwise(target[c]).alias(c)
+            )
+        else:
+            out_cols.append(target[c].alias(c))
+    return joined.select(*out_cols)

@@ -1,0 +1,62 @@
+"""Query catalog registry — the driver contract's backbone.
+
+Every implemented operator from SURVEY.md §2 (and the training-data-pipeline
+extensions) registers here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, an equivalent
+DuckDB oracle SQL string. ``__spark_entry__.queries()`` / ``oracle_sql()``
+re-export this registry verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a catalog query. ``oracle`` is ANSI/DuckDB SQL over the
+    pre-registered fixture views producing IDENTICAL column names, types
+    (post the compat conventions below) and multiset of rows."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def _ensure_loaded() -> None:
+    # Import the query modules for their registration side effects.
+    from stadvdb_olap_spark.plans import (  # noqa: F401
+        analytics_queries,
+        etl_queries,
+        text_queries,
+        vector_queries,
+    )

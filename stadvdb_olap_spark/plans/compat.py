@@ -1,0 +1,54 @@
+"""Cross-engine determinism conventions for the DuckDB-oracle comparison.
+
+The driver hashes result VALUES order-insensitively, so any float that can
+differ in the last ulp between Spark and DuckDB (different summation order,
+different intermediate precision) would flip the hash. Conventions used by
+every catalog query:
+
+- **Money/measure sums**: cast each addend to DECIMAL(18,6) (exact, same
+  double->decimal rounding in both engines since binary doubles never sit on
+  a decimal tie), SUM exactly in decimal, ROUND(..,2), cast to DOUBLE. The
+  result is a deterministic function of the input multiset — no float
+  summation-order sensitivity at all.
+- **Averages/ratios**: exact decimal SUM -> DOUBLE, divide by COUNT in IEEE
+  double (identical in both engines), then ROUND to a fixed scale.
+- **Scalar float expressions** (per-row arithmetic): plain IEEE double ops
+  are bit-identical across engines; no rounding needed.
+
+Both sides of every convention are provided: a Spark Column builder and the
+matching DuckDB SQL fragment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+def money_sum(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal sum rounded to ``scale``, as DOUBLE."""
+    return F.round(F.sum(dec(col)), scale).cast("double")
+
+
+def money_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+
+
+def mean_round(col: Column | str, scale: int = 4) -> Column:
+    """Deterministic AVG: exact decimal sum -> double, / count, round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(dec(c)).cast("double") / F.count(c), scale
+    ).cast("double")
+
+
+def mean_round_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {scale}) AS DOUBLE)"
+    )

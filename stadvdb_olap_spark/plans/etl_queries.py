@@ -1,0 +1,532 @@
+"""ETL-parity catalog queries — SURVEY.md §2.1–§2.8 and §3.2/§3.3.
+
+Each query re-expresses a reference pipeline stage over the TPC-H-ish
+fixtures (customer≈users, part≈products, orders≈orders,
+lineitem≈orderitems, nation/region≈location domain) with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.cleaning import (
+    ceil_to_cents,
+    coerce_numeric,
+    normalize_date,
+    parse_datetime_mixed,
+    recode,
+    titlecase_exact,
+)
+from stadvdb_olap_spark.functions.keys import surrogate_key, surrogate_key_sql
+from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+from stadvdb_olap_spark.operators.dimension import build_dimension
+from stadvdb_olap_spark.operators.fact import resolve_foreign_key
+from stadvdb_olap_spark.operators.merge import merge_scd1
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship: the fact-build query (reference extractFact, fact_ETL.py:79-157)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+SELECT
+    concat('ORD-', l_orderkey, '-', l_linenumber)            AS order_number,
+    l_quantity                                               AS quantity,
+    CAST(ceil(l_quantity * p_retailprice * 100) AS DOUBLE)/100 AS revenue,
+    c_custkey                                                AS user_id,
+    p_partkey                                                AS product_id,
+    c_nationkey                                              AS location_id,
+    CAST(o_orderdate AS DATE)                                AS date_id
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part     ON l_partkey = p_partkey
+WHERE l_quantity IS NOT NULL
+QUALIFY row_number() OVER (
+    PARTITION BY order_number
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity) = 1
+"""
+
+
+def flagship_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 3-way join + P4 measure + P5 ceil-to-cent + F1 dropna + D1 dedup
+    on the degenerate dimension — the reference fact source query
+    (fact_ETL.py:91-107) Spark-first.
+
+    Plan shape at scale: lineitem⋈orders is the one big shuffle (both sides
+    huge, co-partitioned on orderkey); customer and part joins are
+    broadcastable dims; AQE picks BroadcastHashJoin for them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(li.l_quantity.isNotNull())
+        .select(
+            F.concat_ws(
+                "-",
+                F.lit("ORD"),
+                li.l_orderkey.cast("string"),
+                li.l_linenumber.cast("string"),
+            ).alias("order_number"),
+            li.l_quantity.alias("quantity"),
+            ceil_to_cents(li.l_quantity * part.p_retailprice).alias("revenue"),
+            cust.c_custkey.alias("user_id"),
+            part.p_partkey.alias("product_id"),
+            cust.c_nationkey.alias("location_id"),
+            normalize_date(orders.o_orderdate).alias("date_id"),
+            li.l_orderkey.alias("_ok"),
+            li.l_linenumber.alias("_ln"),
+        )
+    )
+    # The fixtures contain duplicate (orderkey, linenumber) rows (dirty
+    # data); the tiebreak must determine every output column, so it also
+    # orders on the part key and quantity (which fix revenue too).
+    deduped = dedup_keep_first(
+        fact, ["order_number"], ["_ok", "_ln", "product_id", "quantity"]
+    )
+    return deduped.drop("_ok", "_ln")
+
+
+query("flagship_fact_build", oracle=_FLAGSHIP_ORACLE)(flagship_fact_build)
+
+
+# ---------------------------------------------------------------------------
+# String cleaning (T1/T2/T3/T4)
+# ---------------------------------------------------------------------------
+
+_TITLE_SQL = (
+    "list_aggregate(list_transform(string_split({s}, ''), (x, i) -> "
+    "CASE WHEN i = 1 OR NOT regexp_matches({s}[i-1], '[A-Za-z]') "
+    "THEN upper(x) ELSE lower(x) END), 'string_agg', '')"
+)
+
+
+@query(
+    "clean_customer_strings",
+    oracle=f"""
+SELECT
+    c_custkey,
+    trim(lower(c_name))                                   AS name_norm,
+    {_TITLE_SQL.format(s="lower(c_mktsegment)")}          AS segment_title,
+    CASE lower(c_mktsegment)
+        WHEN 'building' THEN 'BLDG' WHEN 'automobile' THEN 'AUTO'
+        ELSE lower(c_mktsegment) END                      AS segment_code
+FROM customer
+""",
+)
+def clean_customer_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 trim + T2 lower (user_ETL.py:47-53), T3 pandas-exact title-case
+    (user_ETL.py:48-49), T4 dictionary recode (user_ETL.py:50-55) — all
+    JVM-side expressions, zero Python UDFs."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg_lower = F.lower(F.col("c_mktsegment"))
+    return cust.select(
+        "c_custkey",
+        F.trim(F.lower(F.col("c_name"))).alias("name_norm"),
+        titlecase_exact(seg_lower).alias("segment_title"),
+        recode(seg_lower, {"building": "BLDG", "automobile": "AUTO"}).alias("segment_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-format date parsing (C1) + normalize (C2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parse_dates_mixed",
+    oracle="""
+WITH strs AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE strftime(o_orderdate, '%B %-d, %Y')
+           END AS date_str
+    FROM orders
+)
+SELECT o_orderkey,
+       date_str,
+       CAST(coalesce(
+           try_strptime(date_str, '%Y-%m-%d %H:%M:%S'),
+           try_strptime(date_str, '%Y-%m-%d'),
+           try_strptime(date_str, '%m/%d/%Y'),
+           try_strptime(date_str, '%B %-d, %Y')
+       ) AS DATE) AS parsed_date
+FROM strs
+""",
+)
+def parse_dates_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — pandas ``to_datetime(format='mixed')`` (date_ETL.py:47):
+    deterministically render each order date in one of three formats, then
+    parse them all back through the mixed-format parser."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    date_str = (
+        F.when(k % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "MMMM d, yyyy"))
+    )
+    df = orders.select("o_orderkey", date_str.alias("date_str"))
+    return df.withColumn(
+        "parsed_date",
+        normalize_date(
+            parse_datetime_mixed(
+                "date_str",
+                ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd", "MM/dd/yyyy", "MMMM d, yyyy"),
+            )
+        ),
+    )
+
+
+@query(
+    "distinct_order_dates",
+    oracle="SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders",
+)
+def distinct_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 normalize + D2 distinct — the date-dimension source
+    (date_ETL.py:47,92)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(normalize_date("o_orderdate").alias("order_date")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Numeric coercion (F2/M3) + JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "coerce_numeric_events",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+       TRY_CAST(event_type AS DOUBLE)                        AS et_num
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+""",
+)
+def coerce_numeric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 coerce-to-null cast + F1 dropna (fact_ETL.py:49-55) over the
+    events JSON props column."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        coerce_numeric(F.get_json_object("props", "$.k")).alias("k_num"),
+        coerce_numeric("event_type").alias("et_num"),
+    )
+    return df.na.drop(subset=["k_num"])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dedup (D1) + union (D3) + referential filter (F3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_first_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+""",
+)
+def dedup_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 keep-first dedup made deterministic (drop_duplicates subset
+    semantics, user_ETL.py:58) — earliest order per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dedup_keep_first(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "union_entity_names",
+    oracle="""
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+""",
+)
+def union_entity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 vertical concatenation (pd.concat, user_ETL.py:138)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "referential_filter_anti",
+    oracle="""
+SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+GROUP BY l_returnflag
+""",
+)
+def referential_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 referential-integrity filtering as a join (fact_ETL.py:67-74) —
+    here the anti-join complement: lineitems whose order is NOT finalized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    finalized = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        li.join(
+            F.broadcast(finalized),
+            li.l_orderkey == finalized.o_orderkey,
+            "left_anti",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension builds (§3.2) — md5 surrogate keys for oracle checkability;
+# production path uses xxhash64 (functions/keys.py docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_customer",
+    oracle=f"""
+SELECT {surrogate_key_sql(['c_name'])} AS surrogate_key,
+       c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+QUALIFY row_number() OVER (PARTITION BY c_name ORDER BY c_custkey) = 1
+""",
+)
+def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-dimension analogue (extractUser, user_ETL.py:61-144): dedup on
+    the business key + deterministic surrogate key, one lazy plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = build_dimension(
+        cust,
+        business_key=["c_name"],
+        attrs=["c_nationkey", "c_acctbal", "c_mktsegment"],
+        nat_key=["c_custkey"],
+        key_method="md5",
+    )
+    return dim.table
+
+
+@query(
+    "dim_part",
+    oracle=f"""
+SELECT {surrogate_key_sql(['p_name', 'p_type'])} AS surrogate_key,
+       p_name, p_type, p_brand, p_size, p_retailprice
+FROM part
+QUALIFY row_number() OVER (PARTITION BY p_name, p_type ORDER BY p_partkey) = 1
+""",
+)
+def dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-dimension analogue (extractProduct, prod_ETL.py:65-139);
+    composite business key like the reference's (name, description)."""
+    part = load_table(spark, sf_dir, "part")
+    dim = build_dimension(
+        part,
+        business_key=["p_name", "p_type"],
+        attrs=["p_brand", "p_size", "p_retailprice"],
+        nat_key=["p_partkey"],
+        key_method="md5",
+    )
+    return dim.table
+
+
+@query(
+    "dim_date",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+SELECT {surrogate_key_sql(['order_date'])} AS surrogate_key, order_date
+FROM d
+""",
+)
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension analogue (extractDate, date_ETL.py:53-124): distinct
+    normalized dates + deterministic key."""
+    orders = load_table(spark, sf_dir, "orders")
+    dates = orders.select(normalize_date("o_orderdate").alias("order_date")).distinct()
+    return dates.select(
+        surrogate_key(["order_date"], method="md5").alias("surrogate_key"),
+        "order_date",
+    )
+
+
+@query(
+    "dim_location",
+    oracle=f"""
+SELECT {surrogate_key_sql(['n_name'])} AS surrogate_key, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-dimension analogue (extractLocation, loc_ETL.py:61-137) —
+    nation enriched with region via broadcast join."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            surrogate_key(["n_name"], method="md5").alias("surrogate_key"),
+            "n_name",
+            "r_name",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full star fact build with FK resolution (§3.3, J4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_star",
+    oracle=f"""
+SELECT
+    concat('ORD-', l_orderkey, '-', l_linenumber)              AS order_number,
+    l_quantity                                                 AS quantity,
+    CAST(ceil(l_quantity * p_retailprice * 100) AS DOUBLE)/100 AS revenue,
+    {surrogate_key_sql(['c_name'])}                            AS user_sk,
+    {surrogate_key_sql(['p_name', 'p_type'])}                  AS product_sk,
+    {surrogate_key_sql(['n_name'])}                            AS location_sk,
+    {surrogate_key_sql(['order_date'])}                        AS date_sk
+FROM (
+    SELECT l.*, o.o_orderdate, CAST(o.o_orderdate AS DATE) AS order_date,
+           c.c_name, c.c_nationkey, p.p_name, p.p_type, p.p_retailprice, n.n_name
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+)
+QUALIFY row_number() OVER (
+    PARTITION BY order_number
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity) = 1
+""",
+)
+def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete star build: dims via build_dimension, fact FKs resolved
+    with broadcast key-map joins (resolve_foreign_key) — the Spark-native
+    replacement for the reference's 4 driver-side dicts
+    (fact_ETL.py:115-118)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    user_dim = build_dimension(
+        cust, ["c_name"], ["c_nationkey", "c_acctbal"], ["c_custkey"], key_method="md5"
+    )
+    part_dim = build_dimension(
+        part, ["p_name", "p_type"], ["p_retailprice"], ["p_partkey"], key_method="md5"
+    )
+    loc_dim = build_dimension(
+        nation, ["n_name"], [], ["n_nationkey"], key_method="md5"
+    )
+    dates = orders.select(normalize_date("o_orderdate").alias("order_date")).distinct()
+    date_map = dates.select(
+        "order_date", surrogate_key(["order_date"], method="md5").alias("surrogate_key")
+    )
+
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat_ws(
+                "-",
+                F.lit("ORD"),
+                li.l_orderkey.cast("string"),
+                li.l_linenumber.cast("string"),
+            ).alias("order_number"),
+            li.l_quantity.alias("quantity"),
+            li.l_orderkey.alias("_ok"),
+            li.l_linenumber.alias("_ln"),
+            li.l_partkey.alias("_pk"),
+            li.l_partkey,
+            orders.o_custkey,
+            normalize_date(orders.o_orderdate).alias("order_date"),
+        )
+    )
+    # Attach customer attrs needed for location FK + revenue needs part price:
+    cust_side = cust.select("c_custkey", "c_nationkey")
+    part_side = part.select("p_partkey", "p_retailprice")
+    base = (
+        base.join(F.broadcast(cust_side), base.o_custkey == cust_side.c_custkey)
+        .join(F.broadcast(part_side), base.l_partkey == part_side.p_partkey)
+        .withColumn("revenue", ceil_to_cents(F.col("quantity") * F.col("p_retailprice")))
+    )
+
+    resolved = resolve_foreign_key(
+        base, user_dim.key_map, "o_custkey", "c_custkey", out_col="user_sk"
+    )
+    resolved = resolve_foreign_key(
+        resolved, part_dim.key_map, "l_partkey", "p_partkey", out_col="product_sk"
+    )
+    resolved = resolve_foreign_key(
+        resolved, loc_dim.key_map, "c_nationkey", "n_nationkey", out_col="location_sk"
+    )
+    resolved = resolve_foreign_key(
+        resolved, date_map, "order_date", "order_date", out_col="date_sk"
+    )
+
+    deduped = dedup_keep_first(
+        resolved, ["order_number"], ["_ok", "_ln", "_pk", "quantity"]
+    )
+    return deduped.select(
+        "order_number", "quantity", "revenue", "user_sk", "product_sk",
+        "location_sk", "date_sk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD1 merge / upsert (S4 parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+), s AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'X' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END         AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END        AS o_orderstatus
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — ON CONFLICT DO UPDATE as a set-based SCD1 merge
+    (user_ETL.py:105-117): a 'restated' order feed upserted into an even-key
+    snapshot. Updates win, inserts appear, untouched rows survive."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    return merge_scd1(target, source, keys=["o_orderkey"])

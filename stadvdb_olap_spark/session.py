@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-first defaults.
+
+The reference hand-manages memory with a 5,000-row batch loop and explicit
+``gc.collect()`` (``/root/reference/ETL/user_ETL.py:16,91-136``). Spark
+subsumes all of that with partitioned execution + AQE; the session factory
+here encodes the configuration posture we want on a real cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, join-strategy switch)
+- Arrow for any pandas interchange (vectorized UDF path)
+- UTC session timezone (deterministic timestamps across engines/oracles)
+- shuffle partitions sized for the local harness but overridable via env
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_session(
+    app_name: str = "stadvdb-olap-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (driver contract) or all
+    cores.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are on by default; keep
+        # file-open costs low for the many-small-files local fixtures.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

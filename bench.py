@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL plan via the noop sink (df.write.format("noop"))
+so timing includes every operator, not just what a count() would prune to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+from stadvdb_olap_spark.session import get_session
+
+HEADLINE = [
+    "flagship_fact_build",
+    "fact_star",
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_revenue_by_nation",
+    "rollup_revenue_region_nation",
+    "top3_parts_per_brand",
+    "events_sessionize_30m",
+    "merge_upsert_orders",
+    # Training-data pipeline headliners (registered in later build steps;
+    # silently skipped if absent so bench.py never breaks mid-build):
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="stadvdb-olap-bench")
+
+    _ensure_loaded()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        # Warm the JVM/scan path once at tiny scale is overkill locally;
+        # just time the real run.
+        t0 = time.time()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,410 @@
-"""Analytical query surface — SURVEY.md §2.9 uplift (groupBy/window/rollup).
+"""Analytical query surface — SURVEY.md §2.9 uplift.
 
-Populated in build step 7.
+The reference's star schema exists to serve analytical rollups that live in
+an external NextJS consumer (``/root/reference/README.md:4-7``); this module
+makes them first-class engine queries: groupBy aggregates, windows, rollup/
+cube, top-k, semi/anti joins, sessionization — all with DuckDB oracles.
+
+Float determinism follows plans/compat.py: exact decimal sums, fixed-scale
+rounding, double output.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.plans.compat import dec, mean_round, mean_round_sql, money_sum, money_sum_sql
+from stadvdb_olap_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {money_sum_sql('l_quantity')}                                   AS sum_qty,
+       {money_sum_sql('l_extendedprice')}                              AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {mean_round_sql('l_quantity')}                                  AS avg_qty,
+       {mean_round_sql('l_extendedprice')}                             AS avg_price,
+       {mean_round_sql('l_discount')}                                  AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical wide aggregate over
+    the fact table. One hash-shuffle on (returnflag, linestatus) with
+    map-side partial aggregation — the plan Catalyst picks automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            mean_round("l_quantity").alias("avg_qty"),
+            mean_round("l_extendedprice").alias("avg_price"),
+            mean_round("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_unshipped_revenue",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+GROUP BY o_orderkey, order_date
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-k: filter + 3-way join + aggregate + total-order
+    top-10 (revenue desc, orderkey as deterministic tiebreak). The customer
+    side is a broadcastable dim; Spark's TakeOrderedAndProject handles the
+    limit without a global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            orders.o_orderkey, F.to_date(orders.o_orderdate).alias("order_date")
+        )
+        .agg(money_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle=f"""
+SELECT r_name, n_name,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-way star join: one big fact shuffle, three
+    broadcast dims, aggregate on the dim attributes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(money_sum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "events_by_type",
+    oracle=f"""
+SELECT event_type,
+       count(*)                      AS n_events,
+       count(DISTINCT user_id)       AS n_users,
+       {money_sum_sql('value')}      AS sum_value,
+       {mean_round_sql('value')}     AS avg_value,
+       min(value)                    AS min_value,
+       max(value)                    AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate vocabulary: count / count-distinct / sum / avg / min /
+    max over the event stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value").alias("sum_value"),
+        mean_round("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top3_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_name, p_retailprice,
+       CAST(rn AS BIGINT) AS brand_rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+    FROM part
+) WHERE rn <= 3
+""",
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group: the classic rank-and-filter. One shuffle on
+    the partition key; the per-group sort is bounded by group size."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("brand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "brand_rank")
+    )
+
+
+@query(
+    "running_total_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_spend
+FROM orders
+""",
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (rowsBetween): cumulative customer spend.
+    Decimal accumulation keeps every prefix sum exact and engine-agnostic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "order_gaps_lag",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+""",
+)
+def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: days between consecutive orders per customer (NULL for
+    the first order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue_region_nation",
+    oracle=f"""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT)*2 + CAST(GROUPING(n_name) AS BIGINT)
+           AS gid,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) with a
+    grouping id to disambiguate NULL group labels from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(money_sum(revenue).alias("revenue"), F.grouping_id().alias("gid"))
+        .select("r_name", "n_name", F.col("gid").cast("long").alias("gid"), "revenue")
+    )
+
+
+@query(
+    "cube_order_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT)*2
+           + CAST(GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two categorical dims: all 2^2 grouping combinations in one
+    pass (Spark expands to a union of aggregates under AQE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            F.col("gid").cast("long").alias("gid"), "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open order. The join is
+    the filter — no duplication of the left side."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Event-time queries (batch form; streaming versions in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_1h",
+    oracle=f"""
+SELECT date_trunc('hour', ts)   AS window_start,
+       event_type,
+       count(*)                 AS n,
+       {money_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY window_start, event_type
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the batch twin of the
+    Structured Streaming windowed count (streaming/windowed.py shares this
+    exact aggregation body via foreachBatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_sessionize_30m",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS session_seq
+FROM flagged
+""",
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection: a new session starts after a >30
+    minute silence; session ids are per-user running counts of boundaries.
+    Two windows over the same (user, time) ordering -> a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Compare at microsecond precision on both sides (epoch_us in the
+    # oracle) — second-truncated gaps would disagree near the boundary.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("is_new_session", is_new)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_new_session").over(run).cast("long").alias("session_seq"),
+        )
+    )

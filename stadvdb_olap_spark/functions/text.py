@@ -1,0 +1,136 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side (split/transform/aggregate higher-order functions) — no Python
+UDFs — so they scale linearly over 100 TB document corpora. Each helper has
+a DuckDB-SQL twin (suffix ``_sql``) used by the oracle-checked catalog
+queries; both sides compute the identical value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenization — the fixtures' documents are space-separated
+# lowercase word soup; a BPE-ish regex tokenizer is provided separately.
+_WS = r"\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(_c(col))), _WS)
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation marks counted
+    separately (a cheap proxy for BPE token counts used to budget LLM
+    training data)."""
+    c = _c(col)
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>), the MinHash input unit.
+    Documents shorter than ``n`` tokens yield their full token join as the
+    single shingle so no document is dropped."""
+    t = tokens(col)
+    k = F.size(t)
+    joined_all = F.array(F.array_join(t, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.when(k >= n, grams).otherwise(joined_all)
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string({t}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END"
+    )
+
+
+def quality_stats(col: Column | str, stopwords: tuple[str, ...]) -> dict[str, Column]:
+    """Quality-scoring signals: char length, token count, mean word length,
+    punctuation ratio, stopword ratio. Ratios are plain IEEE doubles
+    (identical across engines)."""
+    c = _c(col)
+    t = tokens(col)
+    n_tok = F.size(t)
+    n_chars = F.length(c).cast("long")
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", ""))
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": (
+            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / n_tok
+        ),
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_tok,
+    }
+
+
+def lang_scores(col: Column | str, profiles: dict[str, tuple[str, ...]]) -> Column:
+    """n-gram/stopword language-ID heuristic: for each language profile,
+    the fraction of tokens that are profile words; returns the argmax
+    language (ties broken by language code order)."""
+    t = tokens(col)
+    n_tok = F.size(t)
+    best_lang = None
+    best_score = None
+    for lang in sorted(profiles):
+        words = F.array([F.lit(w) for w in profiles[lang]])
+        score = F.size(F.filter(t, lambda x: F.array_contains(words, x))).cast(
+            "double"
+        ) / n_tok
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            # strict > keeps the earlier (alphabetically first) language on ties
+            best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(score > best_score, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set — a
+    canonical content hash robust to word order and duplication (the
+    'sorted shingle fingerprint' family)."""
+    t = F.array_sort(F.array_distinct(tokens(col)))
+    return F.md5(F.array_join(t, " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    t = tokens_sql(expr)
+    return f"md5(array_to_string(list_sort(list_distinct({t})), ' '))"

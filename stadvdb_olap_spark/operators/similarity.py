@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns.
+
+Three tiers, trading exactness for scale:
+
+1. ``brute_force_topk`` — exact: broadcast the (small) query set against
+   every candidate row, cosine per pair, windowed top-k. O(Q*N) but
+   embarrassingly parallel and shuffle-free until the final per-query
+   top-k (which TakeOrdered handles without a global sort). The baseline
+   and the oracle-checked path.
+2. ``lsh_bucketed_topk`` — approximate: random-hyperplane LSH signature
+   (sign bits of dot products with R fixed planes) buckets both sides;
+   cosine is computed only inside matching buckets. At 100 TB this is the
+   scale path: the shuffle key is the bucket signature, so comparisons
+   track collision counts, not Q*N. Recall is tunable via number of
+   planes / multi-probe tables.
+3. ``cosine_topk_pandas`` — the same exact math as (1) but executed as an
+   Arrow-batched numpy matmul per partition (mapInPandas): one BLAS GEMM
+   per batch instead of per-row expression trees. Wins when vectors are
+   wide; results are identical up to float-sum order (so it is NOT the
+   oracle path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for every query row, the k most similar
+    candidate rows (self-matches excluded). Query side is broadcast."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("__qv", "__cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Bit-signature column: bit r = 1 iff dot(vec, plane_r) > 0."""
+    sig = F.lit(0).cast("long")
+    for r, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(v)) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, plane_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(2**r)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only pairs whose random-hyperplane
+    signatures collide. The join key is the signature — at scale the
+    shuffle is on 2^n_planes buckets, never Q*N pairs."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    pairs = (
+        q.join(c, "__sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy GEMM (mapInPandas): queries are
+    collected once (small by contract), normalized, and matmul'd against
+    each candidate Arrow batch; per-batch top-k then a final global top-k
+    merge. ~10-100x the per-row expression path on wide vectors."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    spark = queries.sparkSession
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    def topk_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ids, mat = bq_ids.value, bq_mat.value
+        for pdf in it:
+            c_ids = pdf[cand_id].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T  # (Q, B)
+            top = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out = {
+                "query_id": np.repeat(ids, top),
+                "neighbor_id": c_ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = candidates.select(cand_id, vec_col).mapInPandas(
+        topk_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocking-key groups: the join
+    shuffles on the block key so only same-block pairs are compared (the
+    embedding analogue of LSH banding; at scale the block key would be an
+    LSH signature)."""
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("__va", "__vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,211 @@
+"""Document deduplication families for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection, all as
+pure DataFrame transforms designed for the 100 TB regime:
+
+- Signatures (minhash/simhash/fingerprints) are computed PER ROW with
+  JVM-side higher-order functions — no explode, no shuffle, no Python.
+- Candidate generation is LSH banding: explode only the B band keys per
+  doc (B≈8 rows/doc, not one per shingle), shuffle on band value, and
+  self-join inside buckets. All-pairs comparison never happens.
+- Exact verification (Jaccard) runs only on LSH candidates.
+
+Hash function: md5 (hex string) rather than xxhash64 — bit-identical in
+every engine (the DuckDB oracle included). For maximum throughput on a
+real cluster swap ``_mh`` to xxhash64; the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.text import tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by normalized-content hash: one row per
+    content hash with the canonical (minimum) doc id and the group size.
+    A single hash-aggregate — the cheapest dedup at any scale."""
+    content_hash = F.md5(F.array_join(tokens(text_col), " "))
+    return (
+        df.select(F.col(id_col), content_hash.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_col(shingle_arr: Column, salt: int) -> Column:
+    """One minhash: lexicographic min of salted md5 over the shingle set."""
+    return F.array_min(
+        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature (num_hashes md5-min values) computed
+    row-locally — a narrow map, no shuffle."""
+    sh = word_shingles(text_col, shingle_n)
+    out = df.select(F.col(id_col), sh.alias("__shingles"))
+    sig_cols = [_minhash_col(F.col("__shingles"), k).alias(f"mh{k}") for k in range(num_hashes)]
+    return out.select(F.col(id_col), *sig_cols)
+
+
+def minhash_band_keys(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature: band key = md5 of the concatenated rows of each
+    band. Output one row per (doc, band): (id, band_id, band_key)."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing at least one
+    LSH band. The shuffle is on band_key — documents land in the same
+    reducer only when they collide, so cost tracks the number of true
+    near-dups, not n^2."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands = minhash_band_keys(sig, id_col, num_hashes, band_size)
+    left = bands.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    right = bands.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard similarity.
+    Only candidate pairs pay the set-intersection cost."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, band_size, shingle_n)
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: bit j of the hash is the sign of the
+    sum over tokens of (bit j of md5(token))*2-1. Computed entirely with
+    portable string/arith ops (hex-digit -> int via strpos) so the DuckDB
+    oracle reproduces it bit-for-bit.
+
+    ``bits`` hex-derived bits (default 16 = first 4 md5 hex chars); the
+    64-bit production variant just raises ``bits``.
+    """
+    t = tokens(col)
+    hashes = F.transform(t, lambda x: F.md5(x))
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        shift = 3 - j % 4
+
+        def bit_sum(hs, p=hex_pos, s=shift):
+            # hex digit value via base conversion, then extract bit s
+            return F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda a, h: a
+                + (
+                    F.floor(F.conv(F.substring(h, p, 1), 16, 10).cast("long") / (2**s))
+                    .cast("long")
+                    % 2
+                )
+                * 2
+                - 1,
+            )
+
+        bit = F.when(bit_sum(hashes) > 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit.cast("long") * (2**j)
+    return acc
+
+
+def simhash_sql(expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash`."""
+    from stadvdb_olap_spark.functions.text import tokens_sql
+
+    t = tokens_sql(expr)
+    hs = f"list_transform({t}, x -> md5(x))"
+    parts = []
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        shift = 3 - j % 4
+        bit_sum = (
+            f"list_aggregate(list_transform({hs}, h -> "
+            f"(CAST(floor((strpos('0123456789abcdef', h[{hex_pos}:{hex_pos}]) - 1)"
+            f" / {2 ** shift}) AS BIGINT) % 2) * 2 - 1), 'sum')"
+        )
+        parts.append(f"(CASE WHEN {bit_sum} > 0 THEN {2 ** j} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

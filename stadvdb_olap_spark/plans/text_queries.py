@@ -1,4 +1,238 @@
-"""Text-analysis & dedup catalog queries over `documents`.
+"""Text-analysis & document-dedup catalog queries over ``documents``.
 
-Populated in build step 8.
+The training-data-pipeline surface: token counting, quality scoring,
+language ID, fingerprinting, exact dedup, MinHash+LSH near-dup pairs with
+Jaccard verification, and SimHash — every one oracle-checked against
+DuckDB computing the identical (md5-based, order-pinned) definitions.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions import text as T
+from stadvdb_olap_spark.operators import text_dedup as TD
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+STOPWORDS = ("the", "a")
+
+# Invented profiles over the fixture vocabulary — the heuristic is what is
+# being tested (deterministic argmax), not real-world language ID.
+LANG_PROFILES = {
+    "en": ("the", "a", "fast", "slow", "small", "big"),
+    "db": ("table", "scan", "join", "merge", "hash", "query", "row", "column"),
+    "st": ("stream", "window", "batch", "spark", "agg"),
+}
+
+_NUM_HASHES = 8
+_BAND_SIZE = 2
+_SHINGLE_N = 3
+_JACCARD_T = 0.2
+
+
+def _shingled_sql() -> str:
+    return (
+        f"SELECT doc_id, {T.word_shingles_sql('text', _SHINGLE_N)} AS sh FROM documents"
+    )
+
+
+def _sigs_sql() -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min') AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    return f"SELECT doc_id, {mh_cols} FROM ({_shingled_sql()})"
+
+
+def _bands_sql() -> str:
+    n_bands = _NUM_HASHES // _BAND_SIZE
+    parts = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       {T.token_count_sql('text')}          AS n_tokens,
+       {T.bpe_ish_token_count_sql('text')}  AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation —
+    the budget metric for LLM corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT)    AS n_tokens,
+       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           / len(toks)              AS mean_word_len,
+       CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+           / length(text)           AS punct_ratio,
+       CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+           / len(toks)              AS stopword_ratio
+FROM t
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (length / punctuation / stopword ratios) —
+    the filter stage of a pretraining data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.quality_stats("text", STOPWORDS)
+    return docs.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["mean_word_len"].alias("mean_word_len"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(toks, x -> list_contains({words}, x))) AS DOUBLE)"
+            f" / len(toks) AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM t)
+SELECT doc_id, {case} AS lang_pred FROM s
+"""
+
+
+@query("text_lang_id", oracle=_lang_id_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit-rates
+    (ties -> alphabetically first language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.lang_scores("text", LANG_PROFILES).alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted distinct token
+    set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))
+           AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*)    AS group_size
+FROM documents
+GROUP BY content_hash
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "minhash_signatures_docs",
+    oracle=f"{_sigs_sql()}",
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signatures (8 salted md5-min hashes over word
+    3-shingles) — computed row-locally, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, _SHINGLE_N)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: shuffle on band keys only — near-dup
+    discovery without the n^2 comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.lsh_candidate_pairs(
+        docs, "doc_id", "text", _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    )
+
+
+@query(
+    "dedup_jaccard_verified",
+    oracle=f"""
+WITH sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()}))
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cands
+JOIN sets_ sa ON sa.doc_id = id_a
+JOIN sets_ sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+""",
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard similarity —
+    the verify stage runs only on colliding pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.jaccard_verified_pairs(
+        docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=f"SELECT doc_id, {TD.simhash_sql('text', 16)} AS simhash16 FROM documents",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign-of-bit-sums over token md5s) —
+    near-dup docs land on nearby hashes; bucket on the hash for candidate
+    generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TD.simhash("text", 16).alias("simhash16"))

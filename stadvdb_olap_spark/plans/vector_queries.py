@@ -1,4 +1,89 @@
-"""Similarity-search catalog queries over `embeddings`.
+"""Similarity-search catalog queries over ``embeddings``.
 
-Populated in build step 8.
+Exact brute-force top-k and blocked near-dup pairs are oracle-checked
+(pinned IEEE summation order on both engines); the LSH-bucketed and
+pandas-GEMM variants register as rows-only checks (approximate / float-sum
+order differs by design).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.vectors import cosine_sql
+from stadvdb_olap_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_topk_pandas,
+    lsh_bucketed_topk,
+    near_dup_pairs_blocked,
+)
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+_N_QUERIES = 5
+_K = 10
+_NEAR_DUP_T = 0.3
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {cosine_sql('q.qv', 'e.embedding')} AS cosine
+    FROM q CROSS JOIN embeddings e
+    WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= {_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k}: broadcast query set x all candidates, windowed
+    top-k per query. The correctness baseline for ANN variants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(queries, emb, k=_K)
+
+
+@query(
+    "embedding_near_dup_blocked",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEAR_DUP_T}
+""",
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs blocked on the label column — the
+    shuffle key is the block, never the n^2 pair space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_blocked(emb, "label", _NEAR_DUP_T)
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (rows-only
+    check: approximate by construction). The 100 TB scale path — cosine
+    runs only inside signature-collision buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_bucketed_topk(queries, emb, k=_K, n_planes=6)
+
+
+@query("ann_topk_pandas_gemm", oracle=None)
+def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy GEMM (rows-only check:
+    float-sum order differs from the expression path by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_pandas(queries, emb, k=_K)

@@ -1,0 +1,95 @@
+"""Unit tests for semantic-gap operator cases (SURVEY.md §5.2):
+pandas-exact title-case, deterministic dedup, merge idempotence and
+last-write-wins, ceil-to-cent, mixed date parsing, similarity sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.cleaning import (
+    ceil_to_cents,
+    parse_datetime_mixed,
+    recode,
+    titlecase_exact,
+)
+from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+from stadvdb_olap_spark.operators.merge import merge_scd1
+from stadvdb_olap_spark.operators.similarity import brute_force_topk, cosine_topk_pandas
+
+
+def test_titlecase_exact_matches_pandas(spark):
+    cases = ["men's apparel", "o'brien  mcdonald", "a1b c-d", "", "HELLO world", "x"]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = [r[0] for r in df.select(titlecase_exact("s")).collect()]
+    expected = [c.title() for c in cases]
+    assert got == expected
+
+
+def test_recode_keeps_unmatched(spark):
+    df = spark.createDataFrame([("male",), ("m",), ("other",), (None,)], ["g"])
+    out = [r[0] for r in df.select(recode("g", {"male": "M", "m": "M"})).collect()]
+    assert out == ["M", "M", "other", None]
+
+
+def test_ceil_to_cents_rounds_up(spark):
+    df = spark.createDataFrame([(10.001,), (10.0,), (9.999,)], ["p"])
+    out = [r[0] for r in df.select(ceil_to_cents("p")).collect()]
+    assert out == [10.01, 10.0, 10.0]
+
+
+def test_parse_datetime_mixed_formats(spark):
+    df = spark.createDataFrame(
+        [("1990-01-02",), ("02/03/1991",), ("March 4, 1992",), ("garbage",)], ["d"]
+    )
+    out = [r[0] for r in df.select(F.to_date(parse_datetime_mixed("d"))).collect()]
+    assert out == [
+        dt.date(1990, 1, 2),
+        dt.date(1991, 2, 3),
+        dt.date(1992, 3, 4),
+        None,
+    ]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [Row(k="a", v=i) for i in (3, 1, 2)] + [Row(k="b", v=9)]
+    df = spark.createDataFrame(rows)
+    out = {r["k"]: r["v"] for r in dedup_keep_first(df, ["k"], ["v"]).collect()}
+    assert out == {"a": 1, "b": 9}
+
+
+def test_merge_scd1_semantics_and_idempotence(spark):
+    target = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], ["id", "name", "bal"]
+    )
+    source = spark.createDataFrame(
+        [(1, "new", 11.0), (3, "ins", 30.0)], ["id", "name", "bal"]
+    )
+    merged = merge_scd1(target, source, keys=["id"])
+    got = {r["id"]: (r["name"], r["bal"]) for r in merged.collect()}
+    # update wins, unmatched target kept, new key inserted
+    assert got == {1: ("new", 11.0), 2: ("keep", 20.0), 3: ("ins", 30.0)}
+    # idempotent: merging the same source again changes nothing
+    again = merge_scd1(merged, source, keys=["id"])
+    assert {r["id"]: (r["name"], r["bal"]) for r in again.collect()} == got
+
+
+def test_merge_scd1_null_update_wins(spark):
+    target = spark.createDataFrame([(1, "x")], "id long, name string")
+    source = spark.createDataFrame([(1, None)], "id long, name string")
+    out = merge_scd1(target, source, keys=["id"]).collect()
+    assert out[0]["name"] is None  # last-write-wins includes explicit NULLs
+
+
+def test_pandas_gemm_topk_agrees_with_expression_path(spark):
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = brute_force_topk(q, emb, k=5)
+    b = cosine_topk_pandas(q, emb, k=5)
+    pairs_a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
+    pairs_b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
+    assert pairs_a == pairs_b

@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import (  # noqa: F401
         analytics_queries,
         etl_queries,
+        multimodal_queries,
         text_queries,
         vector_queries,
     )

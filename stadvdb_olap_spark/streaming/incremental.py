@@ -1,0 +1,86 @@
+"""Incremental upsert loading via Structured Streaming foreachBatch.
+
+Reference counterpart: the chunked ``while True`` extract->clean->upsert
+loop with per-batch commits (``/root/reference/ETL/user_ETL.py:91-136``).
+Spark-native shape: a file/JDBC-CDC stream where every micro-batch runs the
+same clean -> dedup -> SCD1-merge body against the target table, and the
+checkpoint replaces the reference's implicit "resume from wherever the
+cursor died" (it had none — a crash restarted from scratch).
+
+The target here is a parquet directory swapped atomically (write new ->
+rename); on a cluster with a table format (Delta/Iceberg) the merge step
+becomes a native MERGE INTO and the swap disappears.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+from stadvdb_olap_spark.operators.merge import merge_scd1
+
+
+def _atomic_overwrite(df: DataFrame, target_path: str) -> None:
+    tmp = target_path + ".__new__"
+    df.write.mode("overwrite").parquet(tmp)
+    old = target_path + ".__old__"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def incremental_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    clean: Callable[[DataFrame], DataFrame] | None = None,
+    order_by: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream parquet files from ``source_dir`` and SCD1-upsert each
+    micro-batch into the parquet table at ``target_path``.
+
+    Per micro-batch (mirrors the reference loop body, set-based):
+      1. ``clean`` transform (caller-supplied column expressions)
+      2. deterministic dedup on ``keys`` (order_by tiebreak)
+      3. merge_scd1 into the current target state
+      4. atomic overwrite (the per-batch ``conn.commit()`` analogue)
+    """
+    order_by = order_by or keys
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        df = clean(batch) if clean else batch
+        df = dedup_keep_first(df, keys, order_by)
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_scd1(target, df, keys=keys)
+        else:
+            merged = df
+        # foreachBatch bodies must materialize eagerly; localCheckpoint
+        # cuts the lineage back to the merged result before the swap.
+        _atomic_overwrite(merged.localCheckpoint(), target_path)
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

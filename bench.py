@@ -44,13 +44,17 @@ def main() -> None:
     spark = get_session(app_name="stadvdb-olap-bench")
 
     _ensure_loaded()
+    # Warm the JVM / codegen / file-index paths once at the smallest scale
+    # so timings reflect steady-state execution, not session startup.
+    REGISTRY["flagship_fact_build"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # Warm the JVM/scan path once at tiny scale is overkill locally;
-        # just time the real run.
         t0 = time.time()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -47,13 +47,6 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_col(shingle_arr: Column, salt: int) -> Column:
-    """One minhash: lexicographic min of salted md5 over the shingle set."""
-    return F.array_min(
-        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s)))
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -61,11 +54,26 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature (num_hashes md5-min values) computed
-    row-locally — a narrow map, no shuffle."""
+    """Per-document MinHash signature computed row-locally — a narrow map,
+    no shuffle.
+
+    One-permutation style: ONE md5 per shingle, and hash k is the minimum
+    of the k-th disjoint 4-hex-char slice of the digests. 8x fewer hash
+    invocations than salted re-hashing with the same banding behavior
+    (md5's slices are independent uniform bits). num_hashes <= 8 with
+    4-char slices of the 32-char digest.
+    """
+    if num_hashes > 8:
+        raise ValueError("one-permutation slicing supports at most 8 hashes")
     sh = word_shingles(text_col, shingle_n)
-    out = df.select(F.col(id_col), sh.alias("__shingles"))
-    sig_cols = [_minhash_col(F.col("__shingles"), k).alias(f"mh{k}") for k in range(num_hashes)]
+    digests = F.transform(sh, lambda s: F.md5(s))
+    out = df.select(F.col(id_col), digests.alias("__digests"))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__digests"), lambda d: F.substring(d, 4 * k + 1, 4))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
     return out.select(F.col(id_col), *sig_cols)
 
 

@@ -31,6 +31,13 @@ from stadvdb_olap_spark.sources.parquet import load_table
 # ---------------------------------------------------------------------------
 
 _FLAGSHIP_ORACLE = """
+WITH li AS (
+    SELECT * FROM lineitem
+    WHERE l_quantity IS NOT NULL
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey, l_linenumber
+        ORDER BY l_partkey, l_quantity) = 1
+)
 SELECT
     concat('ORD-', l_orderkey, '-', l_linenumber)            AS order_number,
     l_quantity                                               AS quantity,
@@ -39,14 +46,10 @@ SELECT
     p_partkey                                                AS product_id,
     c_nationkey                                              AS location_id,
     CAST(o_orderdate AS DATE)                                AS date_id
-FROM lineitem
+FROM li
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN part     ON l_partkey = p_partkey
-WHERE l_quantity IS NOT NULL
-QUALIFY row_number() OVER (
-    PARTITION BY order_number
-    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity) = 1
 """
 
 
@@ -64,11 +67,21 @@ def flagship_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
 
-    fact = (
+    # Dedup the dirty (orderkey, linenumber) duplicates BEFORE the join,
+    # coarse-partitioned on l_orderkey: the window's exchange already
+    # satisfies the orders-join distribution, so at scale (where orders is
+    # not broadcastable) the whole query runs with ONE lineitem shuffle.
+    # Tiebreak (l_partkey, l_quantity) determines every output column.
+    li = dedup_keep_first(
+        li.filter(F.col("l_quantity").isNotNull()),
+        keys=["l_orderkey", "l_linenumber"],
+        order_by=["l_partkey", "l_quantity"],
+        coarse_partition_by=["l_orderkey"],
+    )
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(li.l_quantity.isNotNull())
         .select(
             F.concat_ws(
                 "-",
@@ -82,17 +95,8 @@ def flagship_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             part.p_partkey.alias("product_id"),
             cust.c_nationkey.alias("location_id"),
             normalize_date(orders.o_orderdate).alias("date_id"),
-            li.l_orderkey.alias("_ok"),
-            li.l_linenumber.alias("_ln"),
         )
     )
-    # The fixtures contain duplicate (orderkey, linenumber) rows (dirty
-    # data); the tiebreak must determine every output column, so it also
-    # orders on the part key and quantity (which fix revenue too).
-    deduped = dedup_keep_first(
-        fact, ["order_number"], ["_ok", "_ln", "product_id", "quantity"]
-    )
-    return deduped.drop("_ok", "_ln")
 
 
 query("flagship_fact_build", oracle=_FLAGSHIP_ORACLE)(flagship_fact_build)
@@ -408,15 +412,15 @@ SELECT
 FROM (
     SELECT l.*, o.o_orderdate, CAST(o.o_orderdate AS DATE) AS order_date,
            c.c_name, c.c_nationkey, p.p_name, p.p_type, p.p_retailprice, n.n_name
-    FROM lineitem l
+    FROM (SELECT * FROM lineitem
+          QUALIFY row_number() OVER (
+              PARTITION BY l_orderkey, l_linenumber
+              ORDER BY l_partkey, l_quantity) = 1) l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
 )
-QUALIFY row_number() OVER (
-    PARTITION BY order_number
-    ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity) = 1
 """,
 )
 def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +448,13 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_date", surrogate_key(["order_date"], method="md5").alias("surrogate_key")
     )
 
+    # Pre-join dedup, coarse-partitioned on the join key (see flagship).
+    li = dedup_keep_first(
+        li,
+        keys=["l_orderkey", "l_linenumber"],
+        order_by=["l_partkey", "l_quantity"],
+        coarse_partition_by=["l_orderkey"],
+    )
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -454,9 +465,6 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_linenumber.cast("string"),
             ).alias("order_number"),
             li.l_quantity.alias("quantity"),
-            li.l_orderkey.alias("_ok"),
-            li.l_linenumber.alias("_ln"),
-            li.l_partkey.alias("_pk"),
             li.l_partkey,
             orders.o_custkey,
             normalize_date(orders.o_orderdate).alias("order_date"),
@@ -484,10 +492,7 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolved, date_map, "order_date", "order_date", out_col="date_sk"
     )
 
-    deduped = dedup_keep_first(
-        resolved, ["order_number"], ["_ok", "_ln", "_pk", "quantity"]
-    )
-    return deduped.select(
+    return resolved.select(
         "order_number", "quantity", "revenue", "user_sk", "product_sk",
         "location_sk", "date_sk",
     )

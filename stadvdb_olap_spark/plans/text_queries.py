@@ -39,11 +39,16 @@ def _shingled_sql() -> str:
 
 
 def _sigs_sql() -> str:
+    # One-permutation minhash: min of the k-th 4-hex-char digest slice.
     mh_cols = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min') AS mh{k}"
+        f"list_aggregate(list_transform(dg, d -> d[{4 * k + 1}:{4 * k + 4}]), 'min')"
+        f" AS mh{k}"
         for k in range(_NUM_HASHES)
     )
-    return f"SELECT doc_id, {mh_cols} FROM ({_shingled_sql()})"
+    return (
+        f"SELECT doc_id, {mh_cols} FROM "
+        f"(SELECT doc_id, list_transform(sh, s -> md5(s)) AS dg FROM ({_shingled_sql()}))"
+    )
 
 
 def _bands_sql() -> str:

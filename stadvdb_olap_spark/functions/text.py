@@ -20,6 +20,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once and reference it many times inside ``body``.
+
+    Higher-order-function expressions (transform/aggregate/filter) are
+    codegen-fallback in Spark, so common-subexpression elimination does NOT
+    apply inside them: every Column reference re-evaluates its whole subtree
+    per row (or worse, per array element). Wrapping the shared value as a
+    lambda variable of a singleton-array ``transform`` forces exactly one
+    evaluation per row — a `let` binding in expression space.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the trimmed, lowercased text."""
     return F.split(F.trim(F.lower(_c(col))), _WS)
@@ -57,14 +70,16 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>), the MinHash input unit.
     Documents shorter than ``n`` tokens yield their full token join as the
     single shingle so no document is dropped."""
-    t = tokens(col)
-    k = F.size(t)
-    joined_all = F.array(F.array_join(t, " "))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    return let(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(t, " "))),
     )
-    return F.when(k >= n, grams).otherwise(joined_all)
 
 
 def word_shingles_sql(expr: str, n: int = 3) -> str:

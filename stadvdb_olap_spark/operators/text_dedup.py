@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.text import tokens, word_shingles
+from stadvdb_olap_spark.functions.text import let, tokens, word_shingles
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -173,31 +173,38 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     ``bits`` hex-derived bits (default 16 = first 4 md5 hex chars); the
     64-bit production variant just raises ``bits``.
     """
-    t = tokens(col)
-    hashes = F.transform(t, lambda x: F.md5(x))
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
+    def bit_of(h: Column, j: int) -> Column:
+        # hex digit value via base conversion, then extract bit (3 - j%4)
         hex_pos = j // 4 + 1
         shift = 3 - j % 4
+        return (
+            F.floor(F.conv(F.substring(h, hex_pos, 1), 16, 10).cast("long") / (2**shift))
+            .cast("long")
+            % 2
+        )
 
-        def bit_sum(hs, p=hex_pos, s=shift):
-            # hex digit value via base conversion, then extract bit s
-            return F.aggregate(
-                hs,
-                F.lit(0).cast("long"),
-                lambda a, h: a
-                + (
-                    F.floor(F.conv(F.substring(h, p, 1), 16, 10).cast("long") / (2**s))
-                    .cast("long")
-                    % 2
-                )
-                * 2
-                - 1,
-            )
-
-        bit = F.when(bit_sum(hashes) > 0, F.lit(1)).otherwise(F.lit(0))
-        acc = acc + bit.cast("long") * (2**j)
-    return acc
+    # One pass over the token hashes: accumulate all ``bits`` signed sums in
+    # an array accumulator (HOFs get no subexpression elimination, so the
+    # naive per-bit aggregate would re-tokenize and re-hash `bits` times).
+    sums = F.aggregate(
+        F.transform(tokens(col), lambda x: F.md5(x)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[bit_of(h, j) * 2 - 1 for j in range(bits)]),
+            lambda a, b: a + b,
+        ),
+    )
+    return let(
+        sums,
+        lambda s: sum(
+            (
+                F.when(F.element_at(s, j + 1) > 0, F.lit(2**j)).otherwise(F.lit(0))
+                for j in range(bits)
+            ),
+            start=F.lit(0),
+        ).cast("long"),
+    )
 
 
 def simhash_sql(expr: str, bits: int = 16) -> str:

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions import text as T
 from stadvdb_olap_spark.operators import text_dedup as TD
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.sources.parquet import load_table, spread
 
 STOPWORDS = ("the", "a")
 
@@ -74,7 +74,7 @@ FROM documents
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation —
     the budget metric for LLM corpus curation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -101,7 +101,7 @@ FROM t
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals (length / punctuation / stopword ratios) —
     the filter stage of a pretraining data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     stats = T.quality_stats("text", STOPWORDS)
     return docs.select(
         "doc_id",
@@ -137,7 +137,7 @@ SELECT doc_id, {case} AS lang_pred FROM s
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword hit-rates
     (ties -> alphabetically first language)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", T.lang_scores("text", LANG_PROFILES).alias("lang_pred")
     )
@@ -150,7 +150,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of sorted distinct token
     set)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -167,7 +167,7 @@ GROUP BY content_hash
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized content hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.exact_dedup_groups(docs, "doc_id", "text")
 
 
@@ -178,7 +178,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signatures (8 salted md5-min hashes over word
     3-shingles) — computed row-locally, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, _SHINGLE_N)
 
 
@@ -195,7 +195,7 @@ WHERE a.doc_id < b.doc_id
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: shuffle on band keys only — near-dup
     discovery without the n^2 comparison."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.lsh_candidate_pairs(
         docs, "doc_id", "text", _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -225,7 +225,7 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard similarity —
     the verify stage runs only on colliding pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.jaccard_verified_pairs(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -239,5 +239,5 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (sign-of-bit-sums over token md5s) —
     near-dup docs land on nearby hashes; bucket on the hash for candidate
     generation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TD.simhash("text", 16).alias("simhash16"))

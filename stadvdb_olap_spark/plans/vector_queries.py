@@ -19,7 +19,7 @@ from stadvdb_olap_spark.operators.similarity import (
     near_dup_pairs_blocked,
 )
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.sources.parquet import load_table, spread
 
 _N_QUERIES = 5
 _K = 10
@@ -48,7 +48,7 @@ WHERE rn <= {_K}
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k}: broadcast query set x all candidates, windowed
     top-k per query. The correctness baseline for ANN variants."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return brute_force_topk(queries, emb, k=_K)
 
@@ -66,7 +66,7 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEAR_DUP_T}
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs blocked on the label column — the
     shuffle key is the block, never the n^2 pair space."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return near_dup_pairs_blocked(emb, "label", _NEAR_DUP_T)
 
 
@@ -75,7 +75,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets (rows-only
     check: approximate by construction). The 100 TB scale path — cosine
     runs only inside signature-collision buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_bucketed_topk(queries, emb, k=_K, n_planes=6)
 
@@ -84,6 +84,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k via Arrow-batched numpy GEMM (rows-only check:
     float-sum order differs from the expression path by design)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_pandas(queries, emb, k=_K)

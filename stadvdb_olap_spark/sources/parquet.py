@@ -50,6 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism when the scan
+    yields fewer partitions (e.g. one small parquet file). Worth one tiny
+    shuffle for CPU-bound per-row stages (minhash, simhash, embedding math)
+    that would otherwise run on a single core; a no-op decision on real
+    multi-file datasets whose scans already parallelize."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

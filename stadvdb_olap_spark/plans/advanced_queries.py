@@ -1,0 +1,513 @@
+"""Advanced relational + training-pipeline operators beyond the reference.
+
+The reference performs no aggregation/window/sort at all (SURVEY.md §2.9) —
+its star schema implies an analytical consumer that lives elsewhere. This
+module rounds out that implied surface with the operators a warehouse user
+expects but vanilla SQL engines often special-case:
+
+- as-of join (latest-order-per-event) — the single-shuffle union-timeline
+  plan, not a per-row subquery
+- range/band join against a broadcast interval dimension
+- set ops (INTERSECT / EXCEPT), pivot, grouping sets
+- exact interpolated percentiles, ntile quartiles, sliding moving average
+- JSON property extraction (events.props)
+- two-phase salted aggregation (the skew pattern, provably equal to the
+  plain group-by)
+- deterministic hash-based train/val/test split (reproducible sampling for
+  training-data curation at any scale)
+- moment-based statistical aggregates (stddev/corr from exact decimal sums)
+
+Every query has a DuckDB oracle; float determinism follows plans/compat.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.plans.compat import dec, money_sum, money_sum_sql
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+WITH od AS (
+    SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, od.o_orderkey AS last_order_key
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the user's most recent order at or
+    before the event timestamp.
+
+    Spark has no ASOF JOIN; the scalable plan is a union timeline: tag
+    orders kind=0 and events kind=1, ONE shuffle on user, sort by
+    (time, kind) inside each partition, and carry the last non-null order
+    key forward with an unbounded-preceding window. Cost is a single
+    hash-partition of both inputs — no range self-join, no per-row probe.
+    Ties (same user, same order timestamp) are pre-deduped keep-max-key so
+    the result is deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    w_tie = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    od = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    order_rows = od.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    event_rows = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        order_rows.unionByName(event_rows)
+        .withColumn("last_order_key", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", F.col("uid").alias("user_id"), "last_order_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range / band join
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("band_900", 900.0, 925.0),
+    ("band_925", 925.0, 950.0),
+    ("band_950", 950.0, 975.0),
+    ("band_975", 975.0, 1000.0),
+]
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+SELECT p.p_partkey, b.band_name, p.p_retailprice
+FROM part p
+JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
+     AS b(band_name, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: map each part price into an interval dimension.
+    The bands side is tiny, so the right plan is a broadcast nested-loop
+    join with the range predicate evaluated streaming-side — no shuffle of
+    the big table at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["band_name", "lo", "hi"])
+    cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
+    return part.join(F.broadcast(bands), cond).select(
+        "p_partkey", "band_name", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_customer_status",
+    oracle="""
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+UNION ALL
+SELECT o_custkey, 'f_only' AS tag FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+""",
+)
+def set_ops_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: customers with both finished and open
+    orders vs finished-only, union-tagged into one relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).withColumn("tag", F.lit("both"))
+    f_only = f.subtract(o).withColumn("tag", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_type_daily",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(
+           "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) "
+           f"FILTER (WHERE event_type = '{t}'), 2) AS DOUBLE) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY day
+""",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event-value totals, one column per event type. With an
+    explicit value list the pivot is a single hash aggregate — no extra
+    pass to discover the domain."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(money_sum("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / ntile / moving average
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentiles_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``). The exact form needs a per-group sort;
+    the 100 TB path swaps in ``approx_percentile`` (t-digest, mergeable,
+    one pass) — exposed separately as a rows-only query."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", p), 4).alias(name)
+            for name, p in [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+        ]
+    )
+
+
+@query("approx_percentiles_by_priority")
+def approx_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (rows-only: approximate by construction).
+    Mergeable partial sketches — the one-pass scale path for quantiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    )
+
+
+@query(
+    "ntile_customers_by_balance",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey) AS balance_quartile
+FROM customer
+""",
+)
+def ntile_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing per nation. Partitioned by nation so the sort is
+    per-group, never a single global ordering; c_custkey tiebreak makes the
+    bucket assignment deterministic (acctbal has duplicates)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
+    "moving_avg_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY day
+)
+SELECT day, revenue,
+       CAST(ROUND(
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w, 4) AS DOUBLE) AS revenue_7d_avg
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding mean over the daily revenue series. The frame sum is an
+    exact decimal sum (sliding-window float summation differs between
+    engines' segment-tree vs running implementations; decimal is
+    order-insensitive). The window is over the tiny post-aggregate daily
+    series, not the fact table."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(
+            F.sum(dec("revenue")).over(w).cast("double") / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("revenue_7d_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+SELECT r_name, n_name,
+       CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
+       {money_sum_sql("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under cube/rollup): revenue
+    by (region, nation), by region, and grand total in one aggregate pass
+    with the expand operator."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupingSets(
+            [["r_name", "n_name"], ["r_name"], []], "r_name", "n_name"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .select("r_name", "n_name", "gid", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT CAST(props->>'$.k' AS BIGINT) AS prop_k,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY prop_k
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a JSON property from the raw props
+    string and aggregate on it. ``get_json_object`` evaluates JVM-side; at
+    scale prefer parsing once with ``from_json`` into a struct column when
+    several properties are read."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"), "value"
+        )
+        .groupBy("prop_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase (salted) aggregation — the skew pattern
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_twophase_agg_events",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def skew_twophase_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: partial-aggregate on (key, salt), then
+    merge per key. On a skewed key distribution the first shuffle spreads a
+    hot key over ``_N_SALT`` reducers; because count and decimal-sum are
+    commutative monoids the merged result is provably identical to the
+    direct group-by (which is exactly what the oracle runs)."""
+    _N_SALT = 8
+    ev = spread(load_table(spark, sf_dir, "events"))
+    partial = (
+        ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(_N_SALT)))
+        .groupBy("user_id", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec("value")).alias("__s"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.round(F.sum("__s"), 2).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (reproducible sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_val_test_split_docs",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by content-free key
+    hash: the split of a document depends only on its id, so it is stable
+    across runs, engines, partitionings, and data growth — the property
+    random sampling lacks. Pure narrow map; no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment-based statistics (exact decimal moments -> double formulas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_quantity_price",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(ROUND(
+         sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)), 6) AS DOUBLE) AS qty_stddev,
+       CAST(ROUND(
+         (CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1), 4) AS DOUBLE) AS qty_price_cov
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and covariance computed from exact decimal moments
+    (sum, sum-of-squares, cross-sum) with the final formula in IEEE double.
+    Unlike the built-in ``stddev``/``covar_samp`` (float accumulation order
+    varies with partitioning), the moment sums are order-insensitive, so
+    the result is deterministic and oracle-checkable at any parallelism."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    n = F.count(F.lit(1))
+    sq = F.sum(dec("l_quantity")).cast("double")
+    sqq = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)")).cast(
+        "double"
+    )
+    sp_ = F.sum(dec("l_extendedprice")).cast("double")
+    sqp = F.sum(
+        (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(27,6)")
+    ).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(F.sqrt((sqq - sq * sq / n) / (n - 1)), 6).alias("qty_stddev"),
+        F.round((sqp - sq * sp_ / n) / (n - 1), 4).alias("qty_price_cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact + approx distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (expand + two-phase aggregate)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("approx_distinct_parts_per_flag")
+def approx_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (rows-only: sketch estimates are
+    implementation-specific). Mergeable one-pass sketches — the scale path
+    when the exact expand is too expensive; a unit test bounds the error
+    against the exact count."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )

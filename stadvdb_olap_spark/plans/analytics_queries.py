@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.compat import dec, mean_round, mean_round_sql, money_sum, money_sum_sql
-from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.sources.parquet import load_table, spread
 
 # ---------------------------------------------------------------------------
 # TPC-H-style aggregations
@@ -44,8 +44,10 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical wide aggregate over
     the fact table. One hash-shuffle on (returnflag, linestatus) with
-    map-side partial aggregation — the plan Catalyst picks automatically."""
-    li = load_table(spark, sf_dir, "lineitem")
+    map-side partial aggregation — the plan Catalyst picks automatically.
+    ``spread`` parallelizes the partial aggregate when the scan yields fewer
+    partitions than cores (single-row-group fixture files)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

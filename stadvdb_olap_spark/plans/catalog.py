@@ -55,6 +55,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     from stadvdb_olap_spark.plans import (  # noqa: F401
+        advanced_queries,
         analytics_queries,
         etl_queries,
         multimodal_queries,

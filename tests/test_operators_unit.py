@@ -93,3 +93,86 @@ def test_pandas_gemm_topk_agrees_with_expression_path(spark):
     pairs_a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
     pairs_b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
     assert pairs_a == pairs_b
+
+
+def test_approx_distinct_within_error_bound(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in REGISTRY["distinct_parts_per_flag"].fn(spark, sf).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in REGISTRY["approx_distinct_parts_per_flag"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / max(n, 1) < 0.1
+
+
+def test_approx_percentile_near_exact(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["o_orderpriority"]: r["p50"]
+        for r in REGISTRY["percentiles_by_priority"].fn(spark, sf).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["p50_approx"]
+        for r in REGISTRY["approx_percentiles_by_priority"].fn(spark, sf).collect()
+    }
+    for prio, p50 in exact.items():
+        assert abs(approx[prio] - p50) / p50 < 0.05
+
+
+def test_train_split_fractions_and_determinism(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    out1 = REGISTRY["train_val_test_split_docs"].fn(spark, sf)
+    counts = {r["split"]: r["n"] for r in out1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.70 < counts["train"] / total < 0.90
+    assert counts["val"] / total < 0.20 and counts["test"] / total < 0.20
+    # determinism: same assignment on re-run
+    a = {r["doc_id"]: r["split"] for r in out1.collect()}
+    b = {r["doc_id"]: r["split"] for r in REGISTRY["train_val_test_split_docs"].fn(spark, sf).collect()}
+    assert a == b
+
+
+def test_asof_join_tiny_semantics(spark):
+    from stadvdb_olap_spark.plans import advanced_queries as A
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", 7), (2, "2024-01-01 00:00:00", 7),
+         (3, "2024-01-10 00:00:00", 8)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(100, 7, "2024-01-05 00:00:00"), (101, 7, "2024-01-09 00:00:00"),
+         (102, 9, "2024-01-01 00:00:00")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+    import stadvdb_olap_spark.sources.parquet as P
+
+    real = P.load_table
+    try:
+        P.load_table = lambda s, d, n: {"events": events, "orders": orders}[n]
+        # reload module binding? advanced_queries imported load_table directly
+        saved = A.load_table
+        A.load_table = P.load_table
+        out = {r["event_id"]: r["last_order_key"]
+               for r in A.asof_join_events_orders(spark, "ignored").collect()}
+    finally:
+        P.load_table = real
+        A.load_table = saved
+    # event 1: latest order <= 01-10 for user 7 is 101; event 2: none before 01-01;
+    # event 3: user 8 has no orders at all
+    assert out == {1: 101, 2: None, 3: None}

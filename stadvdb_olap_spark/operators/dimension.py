@@ -66,3 +66,53 @@ def build_dimension(
     # user_ETL.py:125) but needs no join at all: pure projection.
     key_map = source.select(*nat_key, sk.alias(key_col)).distinct()
     return Dimension(table=table, key_map=key_map)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Iterable[str],
+    attrs: Iterable[str],
+    ts_col: str,
+    tiebreak: Iterable[str],
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change feed.
+
+    The reference only does SCD type-1 last-write-wins upserts
+    (``ETL/user_ETL.py:105-114``); this is the versioned uplift: one output
+    row per (key, attribute-run) with ``effective_from`` / ``effective_to``
+    / ``version`` / ``is_current``. Change points are rows whose attributes
+    null-safely differ from the previous row in (ts, tiebreak) order.
+
+    Plan shape: both windows partition on ``keys``, so the whole history
+    builds with ONE shuffle of the change feed (the second window reuses the
+    first's partitioning); no self-join, no driver state. Deterministic
+    under any parallelism because ``tiebreak`` totally orders same-timestamp
+    changes.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    attrs = list(attrs)
+    tiebreak = list(tiebreak)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+
+    flagged = changes.select(*keys, *attrs, ts_col, *tiebreak).select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        *[F.lag(c).over(w).alias(f"__prev_{c}") for c in attrs],
+    )
+    is_change = F.lit(False)
+    for c in attrs:
+        is_change = is_change | ~F.col(c).eqNullSafe(F.col(f"__prev_{c}"))
+    points = flagged.filter((F.col("__rn") == 1) | is_change)
+
+    w2 = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    eff_to = F.lead(ts_col).over(w2)
+    return points.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("effective_from"),
+        eff_to.alias("effective_to"),
+        F.row_number().over(w2).alias("version"),
+        eff_to.isNull().alias("is_current"),
+    )

@@ -511,3 +511,60 @@ def approx_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_customer_priority",
+    oracle="""
+WITH ordered AS (
+    SELECT o_custkey AS cust_id, o_orderpriority AS priority,
+           o_orderdate AS eff_ts, o_orderkey,
+           row_number() OVER w AS rn,
+           lag(o_orderpriority) OVER w AS prev_p
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), points AS (
+    SELECT * FROM ordered WHERE rn = 1 OR priority IS DISTINCT FROM prev_p
+)
+SELECT cust_id, priority,
+       CAST(effective_from AS DATE) AS effective_from,
+       CAST(effective_to AS DATE)   AS effective_to,
+       version, is_current
+FROM (
+    SELECT cust_id, priority, eff_ts AS effective_from,
+           lead(eff_ts) OVER w2 AS effective_to,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           (lead(eff_ts) OVER w2 IS NULL) AS is_current
+    FROM points
+    WINDOW w2 AS (PARTITION BY cust_id ORDER BY eff_ts, o_orderkey)
+)
+""",
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 versioned dimension (the uplift over the reference's
+    type-1 upserts, user_ETL.py:105-114): each customer's order-priority
+    history as effective-dated versions, built from the orders change feed
+    with one shuffle (operators.dimension.scd2_history)."""
+    from stadvdb_olap_spark.operators.dimension import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        orders, keys=["cust_id"], attrs=["priority"],
+        ts_col="o_orderdate", tiebreak=["o_orderkey"],
+    )
+    return hist.select(
+        "cust_id", "priority",
+        F.to_date("effective_from").alias("effective_from"),
+        F.to_date("effective_to").alias("effective_to"),
+        "version", "is_current",
+    )

@@ -176,3 +176,28 @@ def test_asof_join_tiny_semantics(spark):
     # event 1: latest order <= 01-10 for user 7 is 101; event 2: none before 01-01;
     # event 3: user 8 has no orders at all
     assert out == {1: 101, 2: None, 3: None}
+
+
+def test_scd2_history_semantics(spark):
+    from stadvdb_olap_spark.operators.dimension import scd2_history
+
+    feed = spark.createDataFrame(
+        [
+            (1, "gold", "2024-01-01", 1),
+            (1, "gold", "2024-02-01", 2),   # no change -> collapsed
+            (1, "silver", "2024-03-01", 3),
+            (1, None, "2024-04-01", 4),     # change to NULL is a version
+            (2, "bronze", "2024-01-15", 5),
+        ],
+        "id long, tier string, ts string, seq long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_history(feed, ["id"], ["tier"], "ts", ["seq"]).collect()
+    rows = {(r["id"], r["version"]): r for r in out}
+    assert len(rows) == 4
+    g1 = rows[(1, 1)]
+    assert g1["tier"] == "gold" and not g1["is_current"]
+    assert str(g1["effective_to"]).startswith("2024-03-01")
+    assert rows[(1, 2)]["tier"] == "silver"
+    n3 = rows[(1, 3)]
+    assert n3["tier"] is None and n3["is_current"]
+    assert rows[(2, 1)]["is_current"]

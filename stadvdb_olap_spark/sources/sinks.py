@@ -41,6 +41,29 @@ def write_table(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Iterable[str],
+    num_buckets: int,
+    sort_cols: Iterable[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: data is hash-partitioned into ``num_buckets``
+    files per partition ON WRITE, so every later join or aggregation on
+    ``bucket_cols`` between co-bucketed tables needs NO exchange — the
+    shuffle is paid once at load time instead of once per query. This is
+    the 100 TB answer to fact⋈fact joins (e.g. lineitem⋈orders on
+    orderkey): bucket both sides with the same count and the sort-merge
+    join reads bucket i against bucket i directly. ``sort_cols`` pre-sorts
+    within buckets so the merge phase skips its sort too."""
+    bucket_cols = list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*list(sort_cols))
+    w.saveAsTable(table)
+
+
 def upsert_parquet(
     spark: SparkSession,
     source: DataFrame,

@@ -95,3 +95,33 @@ def test_write_jdbc_upsert_requires_factory(spark):
     df = load_table(spark, SF_DIR, "nation")
     with pytest.raises(ValueError):
         write_jdbc_upsert(df, "jdbc:x", "nation", ["n_nationkey"])
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.sources.sinks import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # force a sort-merge path so bucketing (not broadcast) carries the join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(
+            spark.table("ord_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket-aligned: zero shuffle
+        # and the result is identical to the plain join
+        expected = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")

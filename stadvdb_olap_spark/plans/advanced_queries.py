@@ -568,3 +568,73 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("effective_to").alias("effective_to"),
         "version", "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function showcase + scalar subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_showcase",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(rank() OVER w AS INTEGER)        AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER)  AS drnk,
+       CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE)    AS cdist,
+       lag(o_totalprice) OVER w              AS prev_price,
+       first_value(o_orderkey) OVER w        AS cheapest_key,
+       nth_value(o_orderkey, 2) OVER w       AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_rank_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family in one pass: rank, dense_rank,
+    percent_rank, cume_dist, lag, first_value, nth_value all share ONE
+    window spec, so Catalyst evaluates them in a single sort+window stage
+    — one shuffle on the partition key. The (o_totalprice, o_orderkey)
+    ordering is a total order, making every output deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+    )
+
+
+@query(
+    "orders_above_global_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM orders
+)
+""",
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: filter against a global aggregate. The
+    aggregate collapses to one row and broadcasts — the big side streams
+    through a single filter, no self-join shuffle. The threshold is an
+    exact decimal mean so the predicate is deterministic at any
+    parallelism."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )

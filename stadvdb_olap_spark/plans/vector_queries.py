@@ -87,3 +87,16 @@ def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_pandas(queries, emb, k=_K)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (rows-only: k-means cells are
+    approximate by construction). Candidates are probed only in the
+    n_probe nearest cells — the inverted-file scale path; a unit test
+    bounds recall against the exact brute force."""
+    from stadvdb_olap_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(queries, emb, k=_K, n_centroids=16, n_probe=4)

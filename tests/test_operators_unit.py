@@ -201,3 +201,17 @@ def test_scd2_history_semantics(spark):
     n3 = rows[(1, 3)]
     assert n3["tier"] is None and n3["is_current"]
     assert rows[(2, 1)]["is_current"]
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from stadvdb_olap_spark.operators.similarity import brute_force_topk, ivf_topk
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, emb, k=10)
+    approx = ivf_topk(q, emb, k=10, n_centroids=8, n_probe=3)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"

@@ -128,3 +128,69 @@ def test_stateful_sessionize_batch_shape(spark, tmp_path):
     # within an availableNow run).
     got = {(r["user_id"], r["n_events"]) for r in rows}
     assert (1, 2) in got
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate keys split across two stream files collapse to one row —
+    the cross-chunk dedup the reference's per-chunk drop_duplicates misses."""
+    from stadvdb_olap_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    rows1 = [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 10:01:00", 6.0)]
+    rows2 = [(1, "2024-01-01 10:02:00", 7.0), (3, "2024-01-01 10:03:00", 8.0)]
+    schema = "k long, ts string, v double"
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, ["k"], ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"] for r in spark.sql("select k from dedup_out").collect()}
+    assert got == {1, 2, 3}
+    # batch mode: same body, plain dropDuplicates
+    batch = spark.read.parquet(src)
+    assert dedup_stream(batch, ["k"]).count() == 3
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_dir, tmp_path):
+    from stadvdb_olap_spark.streaming.dedup import enrich_stream
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    enriched = enrich_stream(stream, cust, stream_key="user_id", dim_key="c_custkey")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select c_mktsegment, count(*) as n from enrich_out group by c_mktsegment order by c_mktsegment"
+    ).collect()
+    ev = spark.read.schema(ev_schema).parquet(events_stream_dir)
+    expected = (
+        enrich_stream(ev, cust, stream_key="user_id", dim_key="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert [(r["c_mktsegment"], r["n"]) for r in got] == [
+        (r["c_mktsegment"], r["n"]) for r in expected
+    ]

@@ -638,3 +638,138 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / min-per-group / unpivot / explode / array agg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_with_late_lines",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style correlated EXISTS: orders having at least one line
+    shipped after the order date, counted by priority. The correlated
+    subquery decorrelates to a LEFT SEMI join with the correlation
+    predicate in the join condition — one shuffle, no duplicate
+    amplification from multi-line orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "min_price_row_per_part",
+    oracle="""
+SELECT l.l_partkey, l.l_orderkey, l.l_extendedprice
+FROM lineitem l
+JOIN (
+    SELECT l_partkey, MIN(l_extendedprice) AS min_price
+    FROM lineitem GROUP BY l_partkey
+) m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+""",
+)
+def min_price_row_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group join-back (the decorrelated 'row holding the group
+    minimum' pattern, TPC-H Q2's core): aggregate once, rejoin on
+    (group, min). Keeps ALL tying rows — set semantics identical to the
+    correlated-subquery form. The aggregate side is small post-groupBy, so
+    AQE broadcasts it back against the fact scan."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    mins = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("__min_price"))
+        .withColumnRenamed("l_partkey", "__pk")
+    )
+    return (
+        li.join(
+            F.broadcast(mins),
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("l_extendedprice") == F.col("__min_price")),
+        )
+        .select("l_partkey", "l_orderkey", "l_extendedprice")
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part measures to long (key, measure, value)
+    rows — the inverse of pivot, a pure narrow map (Spark's Expand, no
+    shuffle)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+
+
+@query(
+    "word_frequencies",
+    oracle=f"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest({{tokens}}) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 100
+""".replace("{tokens}", "regexp_split_to_array(trim(lower(text)), '\\s+')"),
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies (top 100): explode the token arrays and
+    hash-aggregate. The canonical training-data vocabulary scan — explode
+    is a narrow flatMap, the only shuffle is the aggregate on word, and
+    the top-k is TakeOrdered (no global sort)."""
+    from stadvdb_olap_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(100)
+    )
+
+
+@query(
+    "order_keys_concat_per_customer",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def order_keys_concat_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect each customer's order keys,
+    sort in-engine (collect_list order is nondeterministic under
+    parallelism — array_sort fixes it), and serialize. Nested-type surface
+    with an order-insensitive, engine-portable result."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")), ","
+        ).alias("order_keys")
+    )

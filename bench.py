@@ -44,11 +44,17 @@ def main() -> None:
     spark = get_session(app_name="stadvdb-olap-bench")
 
     _ensure_loaded()
-    # Warm the JVM / codegen / file-index paths once at the smallest scale
-    # so timings reflect steady-state execution, not session startup.
-    REGISTRY["flagship_fact_build"].fn(spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm each headline query once at the smallest scale: the plan SHAPE is
+    # scale-independent, so this populates the whole-stage-codegen cache and
+    # JIT for every timed plan. The timed section below then measures
+    # steady-state execution at sf_dir, not one-off compilation.
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

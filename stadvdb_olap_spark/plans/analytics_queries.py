@@ -268,8 +268,10 @@ GROUP BY ROLLUP(r_name, n_name)
 )
 def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (region -> nation -> grand total) with a
-    grouping id to disambiguate NULL group labels from NULL data."""
-    li = load_table(spark, sf_dir, "lineitem")
+    grouping id to disambiguate NULL group labels from NULL data. The fact
+    scan is spread so the Expand (3x rows) + decimal partial aggregate run
+    at full parallelism when the fixture is a single file."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

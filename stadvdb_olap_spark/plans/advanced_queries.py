@@ -773,3 +773,38 @@ def order_keys_concat_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
             F.array_sort(F.collect_list("o_orderkey")), ","
         ).alias("order_keys")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+@query(
+    "profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {f'CAST(MIN({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS min_num,
+       {f'CAST(MAX({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS max_num
+FROM orders"""
+        for c, is_num in _PROFILE_COLS
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: per-column null counts,
+    exact distinct counts, numeric ranges — one aggregate pass
+    (operators.profile.profile_columns), |columns| output rows."""
+    from stadvdb_olap_spark.operators.profile import profile_columns
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return profile_columns(orders, [c for c, _ in _PROFILE_COLS])

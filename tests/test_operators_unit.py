@@ -215,3 +215,54 @@ def test_ivf_recall_against_brute_force(spark):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),           # key
+            st.integers(min_value=-100, max_value=100),      # order col
+            st.text(alphabet="abc", max_size=3),             # payload
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows=_rows)
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_prop_dedup_partition_invariance(spark, rows):
+        """dedup_keep_first picks the same winners under any partitioning."""
+        from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+
+        df = spark.createDataFrame(rows, "k long, o long, v string")
+        a = dedup_keep_first(df.coalesce(1), ["k"], ["o", "v"]).collect()
+        b = dedup_keep_first(df.repartition(7), ["k"], ["o", "v"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    @given(rows=_rows)
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_prop_merge_idempotent_and_upsert_complete(spark, rows):
+        """merge_scd1: target keys survive, source wins, re-merge is a no-op."""
+        from stadvdb_olap_spark.operators.dedup import dedup_keep_first
+        from stadvdb_olap_spark.operators.merge import merge_scd1
+
+        df = spark.createDataFrame(rows, "k long, o long, v string")
+        half = dedup_keep_first(df.filter(F.col("k") % 2 == 0), ["k"], ["o", "v"])
+        src = dedup_keep_first(df, ["k"], ["o", "v"])
+        merged = merge_scd1(half, src, keys=["k"])
+        once = sorted(map(tuple, merged.collect()))
+        assert {r[0] for r in once} == {r[0] for r in rows}  # all keys present
+        twice = sorted(map(tuple, merge_scd1(merged, src, keys=["k"]).collect()))
+        assert once == twice

@@ -808,3 +808,52 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spread(load_table(spark, sf_dir, "orders"))
     return profile_columns(orders, [c for c, _ in _PROFILE_COLS])
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap filling (spine + zero-fill + LOCF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gapfill_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY day
+), b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM b
+)
+SELECT s.day,
+       coalesce(d.revenue, 0.0) AS revenue_zero,
+       last_value(d.revenue IGNORE NULLS) OVER (
+           ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS revenue_locf
+FROM spine s LEFT JOIN daily d USING (day)
+""",
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the full calendar spine between
+    the observed bounds (sequence + explode — no driver loop), left-join
+    the daily aggregate, and fill misses two ways: zero-fill and
+    last-observation-carried-forward (ignore-nulls window). The spine is
+    post-aggregate sized (one row per day), so the window is tiny
+    regardless of fact-table scale."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    spine = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue_zero"),
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+    )

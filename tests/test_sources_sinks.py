@@ -125,3 +125,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.sources.sinks import write_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_table(orders, path, partition_by=["order_year"])
+
+    scan = spark.read.parquet(path).filter(F.col("order_year") == 1995)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_year" in plan
+    # pruning is real: only the 1995 directory is listed
+    n_1995 = scan.count()
+    assert 0 < n_1995 < orders.count()
+    assert (
+        orders.filter(F.col("order_year") == 1995).count() == n_1995
+    )

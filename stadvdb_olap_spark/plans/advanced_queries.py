@@ -857,3 +857,100 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue_zero"),
         F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + per-group normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           datediff('week', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) AS week_offset
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per week-offset of later activity. Two aggregates and one broadcast
+    join of the (small) per-user firsts — the events table is scanned
+    twice but shuffled only on user_id and the final group keys. Week
+    arithmetic stays exact: both engines truncate weeks to Monday, so the
+    day difference is always a multiple of 7."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "zscore_quantity_per_flag",
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sqq
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(ROUND((l_quantity - sq / n)
+                  / sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS DOUBLE) AS qty_z
+FROM lineitem JOIN s USING (l_returnflag)
+""",
+)
+def zscore_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling step of a
+    training-data pipeline): group moments from exact decimal sums, then a
+    broadcast join back and a pure-scalar normalization per row — two
+    passes, one tiny broadcast, deterministic at any parallelism."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    n = F.count(F.lit(1))
+    stats = li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    z = (F.col("l_quantity") - F.col("sq") / F.col("n")) / F.sqrt(
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(z, 6).alias("qty_z"),
+        )
+    )

@@ -78,6 +78,31 @@ def recode(col: Column | str, mapping: Mapping[str, str], keep_unmatched: bool =
     return F.coalesce(looked_up, c) if keep_unmatched else looked_up
 
 
+def recode_via_join(
+    df,
+    col: str,
+    mapping_df,
+    out_col: str | None = None,
+    key_col: str = "from_value",
+    value_col: str = "to_value",
+    keep_unmatched: bool = True,
+):
+    """T4 at vocabulary scale: recode through a broadcast-joined mapping
+    TABLE instead of a literal map expression (the SURVEY §4 rewrite
+    candidate). Right for mappings that are data (thousands+ of entries,
+    maintained outside the code): the mapping ships once per executor as a
+    broadcast hash table, and updates don't recompile the query."""
+    out_col = out_col or col
+    m = mapping_df.select(
+        F.col(key_col).alias("__from"), F.col(value_col).alias("__to")
+    )
+    joined = df.join(F.broadcast(m), df[col] == m["__from"], "left")
+    replacement = (
+        F.coalesce(F.col("__to"), F.col(col)) if keep_unmatched else F.col("__to")
+    )
+    return joined.withColumn(out_col, replacement).drop("__from", "__to")
+
+
 # ---------------------------------------------------------------------------
 # Date/time (C1/C2)
 # ---------------------------------------------------------------------------

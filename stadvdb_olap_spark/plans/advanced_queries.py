@@ -954,3 +954,34 @@ def zscore_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("qty_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recode through a broadcast mapping table (T4 at vocabulary scale)
+# ---------------------------------------------------------------------------
+
+_SEGMENT_MAP = [("building", "BLDG"), ("automobile", "AUTO")]
+
+
+@query(
+    "recode_segments_via_join",
+    oracle=f"""
+SELECT c_custkey, coalesce(m.to_value, lower(c_mktsegment)) AS segment_code
+FROM customer
+LEFT JOIN (VALUES {", ".join(f"('{k}', '{v}')" for k, v in _SEGMENT_MAP)})
+     AS m(from_value, to_value)
+  ON lower(c_mktsegment) = m.from_value
+""",
+)
+def recode_segments_via_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 recode as a broadcast mapping-table join (SURVEY §4's 100 TB
+    rewrite of literal when-chains): semantics identical to the expression
+    recode, but the vocabulary is data — updating it never recompiles the
+    query, and a million-entry map is still one broadcast hash table."""
+    from stadvdb_olap_spark.functions.cleaning import recode_via_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower("c_mktsegment").alias("segment_code")
+    )
+    mapping = spark.createDataFrame(_SEGMENT_MAP, ["from_value", "to_value"])
+    return recode_via_join(cust, "segment_code", mapping)

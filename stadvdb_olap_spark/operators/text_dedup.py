@@ -224,3 +224,80 @@ def simhash_sql(expr: str, bits: int = 16) -> str:
         )
         parts.append(f"(CASE WHEN {bit_sum} > 0 THEN {2 ** j} ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative minimum-label propagation:
+    ``(node, component)`` with component = the smallest node id reachable.
+
+    The dedup endgame: near-dup PAIRS (minhash/LSH output) become duplicate
+    CLUSTERS, and min-id-per-cluster picks the canonical document. Each
+    round is one join + one min-aggregate (both shuffles on node id — at
+    scale they co-partition), and rounds needed = graph diameter, which for
+    near-dup clusters is tiny (docs similar to a common doc are similar to
+    each other). ``localCheckpoint`` cuts lineage per round so plans don't
+    grow exponentially. Raises if ``max_iter`` rounds don't converge rather
+    than returning a partial labeling.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .select(F.col("a").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates -> Jaccard verify ->
+    connected components -> (doc_id, canonical_id) for every clustered
+    document (canonical = min doc id in the cluster). Feed the complement
+    (docs not listed, plus the canonicals) downstream as the deduplicated
+    corpus."""
+    pairs = jaccard_verified_pairs(
+        df, id_col, text_col, threshold, num_hashes, band_size, shingle_n
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return comps.select(F.col("id").alias(id_col), F.col("comp").alias("canonical_id"))

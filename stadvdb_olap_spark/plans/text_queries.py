@@ -241,3 +241,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TD.simhash("text", 16).alias("simhash16"))
+
+
+@query("dedup_clusters_canonical")
+def dedup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from verified pairs via iterative min-label
+    connected components, with the min doc id as each cluster's canonical
+    (rows-only: the iterative fixpoint is not single-statement SQL; a unit
+    test verifies against a driver-side union-find on the same pairs)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TD.dedup_clusters(
+        docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    )

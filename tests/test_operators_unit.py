@@ -266,3 +266,51 @@ if _HAS_HYPOTHESIS:
         assert {r[0] for r in once} == {r[0] for r in rows}  # all keys present
         twice = sorted(map(tuple, merge_scd1(merged, src, keys=["k"]).collect()))
         assert once == twice
+
+
+def test_connected_components_known_graph(spark):
+    from stadvdb_olap_spark.operators.text_dedup import connected_components
+
+    # two chains and an isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_agree_with_union_find(spark):
+    from stadvdb_olap_spark.operators.text_dedup import (
+        dedup_clusters,
+        jaccard_verified_pairs,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = jaccard_verified_pairs(docs, "doc_id", "text", 0.5).collect()
+
+    # driver-side union-find oracle over the same verified pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs:
+        union(r["id_a"], r["id_b"])
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert got == expected

@@ -412,3 +412,87 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_new_session").over(run).cast("long").alias("session_seq"),
         )
     )
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY supp_nation, cust_nation
+""",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-nation trade volume: a 5-way join where the
+    same dimension (nation) enters twice under different roles. All dims
+    broadcast; lineitem joins orders on the one real shuffle; the
+    inequality filter runs post-join on broadcast attributes."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("__ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("__nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(money_sum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+SELECT ns.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {money_sum_sql('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')}
+           AS profit
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN part      ON l_partkey = p_partkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY nation, order_year
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit rollup (revenue minus a 60%-of-retail cost
+    proxy, since the fixtures have no partsupp cost table) by supplier
+    nation and order year. Part/supplier/nation broadcast; the measure is
+    computed pre-aggregation so the decimal sum stays one pass."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(money_sum(profit).alias("profit"))
+    )

@@ -159,3 +159,67 @@ def sample_frames(
             ).alias("frame_fingerprint"),
         )
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    codec: str = "fake",
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out with updated metadata.
+
+    The fake codec produces a deterministic byte payload of exactly
+    ``target_w * target_h`` bytes (md5-stretched from the source), so batch
+    shape, output schema, and metadata updates — the parts Spark cares
+    about — are fully exercised; a real image resample plugs in at the
+    marked point. Output rows carry the new (width, height) in ``meta`` so
+    downstream filters keep pruning on metadata without touching bytes.
+    """
+    if codec not in ("fake", "pillow"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    n_bytes = target_w * target_h
+
+    def _resize_batch(pdfs: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in pdfs:
+            out_payloads = []
+            for b in pdf[content_col]:
+                if codec == "fake":
+                    # Deterministic stretch: repeat md5 blocks to size.
+                    seed = hashlib.md5(bytes(b)).digest()
+                    reps = n_bytes // len(seed) + 1
+                    out_payloads.append((seed * reps)[:n_bytes])
+                else:
+                    # Integration point: PIL.Image.open -> .resize(
+                    # (target_w, target_h)) -> .tobytes()
+                    raise NotImplementedError("pillow codec requires PIL")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": out_payloads,
+                    "meta": [
+                        {
+                            "media_type": "image",
+                            "format": "raw",
+                            "width": target_w,
+                            "height": target_h,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_resize_batch, out_schema)

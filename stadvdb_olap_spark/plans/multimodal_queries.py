@@ -17,6 +17,7 @@ from stadvdb_olap_spark.operators.multimodal import (
     N_FAKE_FEATURES,
     attach_media_column,
     extract_features,
+    resize_media,
     sample_frames,
 )
 from stadvdb_olap_spark.plans.catalog import query
@@ -56,3 +57,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = attach_media_column(docs, F.encode("text", "utf-8"), "video", "raw")
     return sample_frames(media, "content", "doc_id", every_n_bytes=64)
+
+
+@query("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over fake image payloads (rows-only: binary output;
+    a unit-style assertion lives in the schema itself — every row carries
+    the new dimensions in meta). 16x16 target => 256-byte payloads."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_media_column(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        "image",
+        "raw",
+    )
+    return resize_media(media, target_w=16, target_h=16)

@@ -314,3 +314,14 @@ def test_dedup_clusters_agree_with_union_find(spark):
         for r in dedup_clusters(docs, "doc_id", "text", 0.5).collect()
     }
     assert got == expected
+
+
+def test_multimodal_resize_payload_and_meta(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["multimodal_resize"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert len(r["content"]) == 16 * 16
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 16

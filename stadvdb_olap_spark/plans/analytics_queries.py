@@ -496,3 +496,38 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum(profit).alias("profit"))
     )
+
+
+@query(
+    "sql_surface_revenue_by_region",
+    oracle=f"""
+SELECT r_name, {money_sum_sql('o_totalprice')} AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def sql_surface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end: fixture tables registered as temp
+    views, the query authored as Spark SQL text (same relational content
+    as the DuckDB oracle, Spark dialect for the decimal convention) —
+    proving a reference user can bring plain SQL, not just the DataFrame
+    API. Catalyst plans it identically to the DataFrame form."""
+    from stadvdb_olap_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

@@ -84,3 +84,66 @@ def incremental_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_agg_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    target_path: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally-maintained aggregate (a streaming materialized view):
+    each micro-batch folds its partial (decimal sum, count) per group into
+    the stored aggregate state — the warehouse rollup stays fresh without
+    ever rescanning history.
+
+    Because decimal sums and counts are commutative monoids, the
+    maintained state is EXACTLY what a batch aggregate over all data would
+    produce, regardless of how rows were split into batches (asserted in
+    tests). State size is |groups|, not |rows|. Read the result with
+    :func:`read_aggregate`, which finalizes sums to rounded doubles.
+    """
+    from pyspark.sql import functions as F
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = batch.groupBy(*group_cols).agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        if os.path.exists(target_path):
+            current = spark.read.parquet(target_path)
+            merged = (
+                current.unionByName(partial)
+                .groupBy(*group_cols)
+                .agg(F.sum("__sum").alias("__sum"), F.sum("__n").alias("__n"))
+            )
+        else:
+            merged = partial
+        _atomic_overwrite(merged.localCheckpoint(), target_path)
+
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_aggregate(spark: SparkSession, target_path: str, sum_alias: str = "sum_value"):
+    """Finalize the maintained aggregate: decimal state -> rounded double
+    sum + long count (the same convention as plans/compat.money_sum)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(target_path)
+    return df.select(
+        *[c for c in df.columns if c not in ("__sum", "__n")],
+        F.round(F.col("__sum"), 2).cast("double").alias(sum_alias),
+        F.col("__n").alias("n_rows"),
+    )

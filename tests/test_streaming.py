@@ -194,3 +194,42 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir, tmp_pa
     assert [(r["c_mktsegment"], r["n"]) for r in got] == [
         (r["c_mktsegment"], r["n"]) for r in expected
     ]
+
+
+def test_incremental_agg_stream_equals_batch_aggregate(
+    spark, events_stream_dir, tmp_path
+):
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.streaming.incremental import (
+        incremental_agg_stream,
+        read_aggregate,
+    )
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    target = str(tmp_path / "agg_state")
+    q = incremental_agg_stream(
+        spark,
+        events_stream_dir,
+        ev_schema,
+        target,
+        group_cols=["event_type"],
+        value_col="value",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["sum_value"], r["n_rows"])
+        for r in read_aggregate(spark, target).collect()
+    }
+    ev = spark.read.schema(ev_schema).parquet(events_stream_dir)
+    expected = {
+        r["event_type"]: (r["sum_value"], r["n_rows"])
+        for r in ev.groupBy("event_type")
+        .agg(money_sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == expected

@@ -70,3 +70,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never schema inference, which
+    costs a full extra pass over 100 TB and can mistype columns on dirty
+    data. Malformed rows go to PERMISSIVE nulls by default; pass
+    mode='FAILFAST' to surface them."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (same inference-avoidance
+    rationale as CSV). Nested fields come back as structs/arrays ready for
+    dot-path projection; unknown keys are pruned at parse, so the scan
+    reads only the declared shape."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)

@@ -146,3 +146,28 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert (
         orders.filter(F.col("order_year") == 1995).count() == n_1995
     )
+
+
+def test_csv_and_jsonl_loaders_roundtrip(spark, tmp_path):
+    from stadvdb_olap_spark.sources.parquet import load_csv, load_jsonl, load_table
+
+    orders = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+
+    csv_path = str(tmp_path / "orders_csv")
+    orders.write.mode("overwrite").option("header", "true").csv(csv_path)
+    got_csv = load_csv(spark, csv_path, schema)
+    assert sorted(map(tuple, got_csv.collect())) == sorted(map(tuple, orders.collect()))
+
+    json_path = str(tmp_path / "orders_jsonl")
+    orders.write.mode("overwrite").json(json_path)
+    got_json = load_jsonl(spark, json_path, schema)
+    assert sorted(map(tuple, got_json.collect())) == sorted(map(tuple, orders.collect()))
+
+    # explicit schema means no inference pass: dtypes match exactly
+    assert dict(got_csv.dtypes) == dict(orders.dtypes)
+    assert dict(got_json.dtypes) == dict(orders.dtypes)

@@ -531,3 +531,37 @@ def sql_surface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count histogram: LEFT OUTER join with
+    a non-key predicate inside the join condition (customers with zero
+    matching orders survive with count 0), then a second aggregation over
+    the counts. Two shuffles total; the second is over the tiny
+    counts-per-customer relation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

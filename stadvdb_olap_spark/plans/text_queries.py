@@ -253,3 +253,18 @@ def dedup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.dedup_clusters(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
+
+
+@query("curate_corpus_docs")
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline composed (rows-only: the near-dup prune
+    is iterative): quality gate -> language ID -> exact dedup -> near-dup
+    cluster prune -> deterministic split. Output is the training-ready
+    corpus; invariants are pinned by unit tests."""
+    from stadvdb_olap_spark.operators.pipeline import curate_corpus
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curate_corpus(
+        docs, min_tokens=5, jaccard_threshold=_JACCARD_T,
+        lang_profiles=LANG_PROFILES,
+    )

@@ -325,3 +325,37 @@ def test_multimodal_resize_payload_and_meta(spark):
     for r in rows:
         assert len(r["content"]) == 16 * 16
         assert r["meta"]["width"] == 16 and r["meta"]["height"] == 16
+
+
+def test_curate_corpus_invariants(spark):
+    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out = REGISTRY["curate_corpus_docs"].fn(spark, sf)
+    rows = out.collect()
+    kept = {r["doc_id"] for r in rows}
+    assert 0 < len(kept) <= docs.count()
+
+    # no exact duplicates survive (content hash unique)
+    from stadvdb_olap_spark.functions.text import tokens
+
+    hashes = (
+        out.select(F.md5(F.array_join(tokens("text"), " ")).alias("h"))
+        .groupBy("h").count().filter(F.col("count") > 1).count()
+    )
+    assert hashes == 0
+
+    # no surviving near-dup pair (all verified pairs are broken up)
+    surviving_pairs = (
+        jaccard_verified_pairs(out, "doc_id", "text", 0.5).count()
+    )
+    assert surviving_pairs == 0
+
+    # split assignment total and determinism
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in REGISTRY["curate_corpus_docs"].fn(spark, sf).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}

@@ -60,5 +60,6 @@ def _ensure_loaded() -> None:
         etl_queries,
         multimodal_queries,
         text_queries,
+        tpch_queries,
         vector_queries,
     )

@@ -985,3 +985,38 @@ def recode_segments_via_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mapping = spark.createDataFrame(_SEGMENT_MAP, ["from_value", "to_value"])
     return recode_via_join(cust, "segment_code", mapping)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, batch twin (streaming/join.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "click_purchase_attribution",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, user_id, click_ts, purchase_ts, purchase_value
+FROM c JOIN p ON user_id = p_user_id
+              AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + INTERVAL 1 DAY
+""",
+)
+def click_purchase_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: every purchase within a day of the same user's
+    click — the batch twin of the stream-stream watermarked join in
+    streaming/join.py (same plan body; agreement is pinned by
+    tests/test_streaming.py). One shuffle on user_id for both roles; the
+    time bound is a residual condition, not a second shuffle. The oracle
+    floors TIMESTAMP_NS to microseconds exactly as the Spark reader does."""
+    from stadvdb_olap_spark.streaming.join import click_purchase_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(ev, within="1 day")

@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         analytics_queries,
         etl_queries,
         multimodal_queries,
+        sampling_queries,
         text_queries,
         tpch_queries,
         vector_queries,

@@ -1,0 +1,79 @@
+"""Deterministic sampling — the reproducible alternative to random draws.
+
+A 100 TB pipeline samples constantly (debug subsets, eval slices, k-means
+training sets, profiling). `df.sample()` is seed- and partitioning-
+dependent, so two runs — or two engines — disagree. These queries use
+content-addressed (key-hash) sampling instead: membership depends only on
+the row's key, so the sample is stable across runs, engines, partition
+layouts, and data growth, and it is pushdown-friendly (a narrow map plus a
+filter, no shuffle for the Bernoulli form).
+
+Same md5-bucket convention as the train/val/test split
+(plans/advanced_queries.py) and the reference-free split operator the
+curation pipeline uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+
+def hash_bucket(key: F.Column, nchars: int = 2) -> F.Column:
+    """First ``nchars`` hex chars of md5(key-as-string) — a uniform
+    bucket label in ['00'..'ff'] that any engine reproduces."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, nchars)
+
+
+def bernoulli_sample(df: DataFrame, key: str, cutoff: str = "1a") -> DataFrame:
+    """Keep rows whose 2-hex-char key bucket sorts below ``cutoff``
+    ('1a' ~ 26/256 ~ 10%). Narrow map + filter: no shuffle, no seed."""
+    return df.filter(hash_bucket(F.col(key)) < cutoff)
+
+
+@query(
+    "sample_orders_hash",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+""",
+)
+def sample_orders_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample of orders by key hash. Unlike
+    df.sample(), the kept set is a pure function of the keys — re-runs,
+    other engines, and future appends agree on every row's membership."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        hash_bucket(F.col("o_orderkey")) < "1a"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "stratified_sample_per_status",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderstatus
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 40
+""",
+)
+def stratified_sample_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sample: rank each stratum by key hash (a
+    deterministic 'random' order) and keep the first 40. One shuffle on
+    the stratum key; at scale, skewed strata cost no more than their 40
+    winners after the rank filter since row_number cuts inside each
+    partition before any further work."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

@@ -103,3 +103,22 @@ def load_jsonl(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """ORC source (the other columnar format Spark reads natively —
+    predicate pushdown, column pruning, and vectorized decode all work
+    exactly as for parquet). Schema is optional since ORC files embed
+    theirs, but passing one pins reader expectations the same way the
+    CSV/JSONL loaders do."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)

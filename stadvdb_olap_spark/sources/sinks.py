@@ -146,3 +146,17 @@ def write_jdbc_upsert(
             conn.close()
 
     df.foreachPartition(handle_partition)
+
+
+def write_orc(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, mirroring write_table's parquet path: job-commit atomic,
+    optionally hive-partitioned for downstream partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -171,3 +171,21 @@ def test_csv_and_jsonl_loaders_roundtrip(spark, tmp_path):
     # explicit schema means no inference pass: dtypes match exactly
     assert dict(got_csv.dtypes) == dict(orders.dtypes)
     assert dict(got_json.dtypes) == dict(orders.dtypes)
+
+
+def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
+    from stadvdb_olap_spark.sources.parquet import load_orc, load_table
+    from stadvdb_olap_spark.sources.sinks import write_orc
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = load_orc(spark, path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+    filtered = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan  # filter reaches the scan operator
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert filtered.count() == n_f

@@ -1,0 +1,118 @@
+"""Storage-layout maintenance: small-file compaction and z-order clustering.
+
+The reference writes through row-at-a-time SQL upserts, so physical layout
+is whatever the warehouse B-tree gives it (``/root/reference/ETL/
+user_ETL.py:105-117``). A parquet lake at 100 TB lives or dies by layout
+instead:
+
+- **Compaction** — streaming/incremental writers leave thousands of small
+  files per partition; scans then pay per-file open/footer costs and lose
+  vectorization. Rewriting to ~target-sized files is the standard fix
+  (same operation as Delta/Iceberg OPTIMIZE, expressed with plain Spark).
+- **Z-order clustering** — min/max row-group skipping only prunes on the
+  sort column. Interleaving the bits of several columns' rank-buckets
+  gives every interleaved column locality, so predicates on ANY of them
+  skip files. This is the classic Morton-curve layout (public Delta
+  OPTIMIZE ZORDER semantics), built here from approx-quantile buckets +
+  bit arithmetic + repartitionByRange — all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a relation (file-size sum for scans).
+    Driver-side metadata only — no job runs."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb``-sized files;
+    returns the file count written. Round-robin repartition (not
+    coalesce) so output files are even-sized regardless of input skew;
+    coalesce would glue neighbors and preserve skew. With
+    ``partition_by`` the repartition keys on those columns first so each
+    hive partition is written by few tasks (avoiding the
+    files = tasks x partitions explosion)."""
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(estimated_size_bytes(df) / (target_file_mb << 20)))
+    if partition_by:
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.mode("overwrite").partitionBy(*partition_by)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(out_path)
+    return n_files
+
+
+def _interleave_bits(bucket_cols: list[Column], bits: int) -> Column:
+    """Morton/Z-value: bit j of dimension i lands at position
+    j * ndims + i. Pure integer expressions — whole-stage codegen'd."""
+    ndims = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(bucket_cols):
+        for j in range(bits):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * ndims + i))
+    return z
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits_per_dim: int = 4
+) -> tuple[DataFrame, str]:
+    """Attach a z-value column interleaving each column's rank bucket.
+
+    Buckets come from approxQuantile boundaries (equi-depth, so skewed
+    distributions still spread across buckets; min/max-scaled buckets
+    would collapse under skew). The quantile pass reads only the z-order
+    columns; the returned frame carries ``__z`` for range-partitioned
+    writing."""
+    nb = 1 << bits_per_dim
+    probs = [i / nb for i in range(1, nb)]
+    bucket_exprs: list[Column] = []
+    for c in cols:
+        cuts = df.approxQuantile(c, probs, 0.01)
+        b = F.lit(0)
+        prev = None
+        for cut in cuts:
+            if prev is not None and cut == prev:
+                continue  # duplicate boundary under heavy skew
+            b = b + F.when(F.col(c) > cut, 1).otherwise(0)
+            prev = cut
+        bucket_exprs.append(b.cast("long"))
+    return df.withColumn("__z", _interleave_bits(bucket_exprs, bits_per_dim)), "__z"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_dim: int = 4,
+) -> None:
+    """Write ``df`` clustered on the Morton curve of ``cols``:
+    range-partition on the z-value (contiguous curve segments per file)
+    and sort within partitions, so every listed column gets tight
+    per-file min/max ranges — the property file skipping needs. The
+    z-value is dropped before writing; it is a layout device, not data."""
+    zdf, zcol = zorder_value(df, cols, bits_per_dim)
+    (
+        zdf.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

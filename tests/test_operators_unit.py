@@ -359,3 +359,57 @@ def test_curate_corpus_invariants(spark):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     again = {r["doc_id"]: r["split"] for r in REGISTRY["curate_corpus_docs"].fn(spark, sf).collect()}
     assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from stadvdb_olap_spark.operators.maintenance import compact_parquet
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_mb=256)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n
+    assert len(files) < 64
+
+
+def _file_spans(spark, path, col):
+    df = spark.read.parquet(path)
+    agg = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    g = df.agg(F.min(col), F.max(col)).collect()[0]
+    width = float(g[1]) - float(g[0])
+    return sum((float(r["hi"]) - float(r["lo"])) / width for r in agg) / len(agg)
+
+
+def test_zorder_write_tightens_minmax_on_both_dims(spark, tmp_path):
+    from stadvdb_olap_spark.operators.maintenance import write_zordered
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    # baseline: clustered on user_id only — value min/max stays ~global
+    bpath = str(tmp_path / "single")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(bpath)
+
+    z_user = _file_spans(spark, zpath, "user_id")
+    z_value = _file_spans(spark, zpath, "value")
+    b_value = _file_spans(spark, bpath, "value")
+    assert z_user < 0.8  # z-order keeps user_id locality...
+    assert z_value < 0.8  # ...AND value locality in the same layout
+    # single-column clustering leaves value spans markedly wider
+    assert z_value < 0.8 * b_value

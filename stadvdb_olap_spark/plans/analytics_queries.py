@@ -565,3 +565,41 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+             CAST(9 AS BIGINT)) AS bucket,
+       count(*) AS n
+FROM orders, b
+GROUP BY bucket
+""",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins) of order totals — the profiling/
+    visualization primitive. Two passes at any scale: a 1-row min/max
+    aggregate broadcast into a narrow bucket map, then the bucket
+    aggregate (10 groups). Bucket arithmetic is pure IEEE double + floor,
+    bit-identical across engines; the max value folds into the last bin
+    via LEAST."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10.0)
+        ),
+        F.lit(9).cast("long"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -268,3 +268,64 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, min_tokens=5, jaccard_threshold=_JACCARD_T,
         lang_profiles=LANG_PROFILES,
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS term_count
+  FROM toks GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT doc_id, tf.term,
+       CAST(ROUND(term_count * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0),
+                  6) AS DOUBLE) AS tfidf
+FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tf.term) <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    sklearn's convention) — the keyword-extraction / relevance-weighting
+    step of a corpus pipeline. Three shuffles total at any scale: term
+    counts on (doc, term), doc-frequency on term, and the per-doc top-k
+    window; N is a 1-row broadcast. Ranking happens on the ROUNDED score
+    with the term as tiebreak, so order is engine-independent."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("term_count")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+                6,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -329,3 +329,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+WITH n AS (SELECT DISTINCT lower(p_name) AS nm FROM part)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+FROM n a JOIN n b
+  ON substring(a.nm, 1, 1) = substring(b.nm, 1, 1)
+ AND a.nm < b.nm
+ AND levenshtein(a.nm, b.nm) <= 3
+""",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / fuzzy entity matching: near-identical name pairs
+    by edit distance, blocked on the first character so the self-join is
+    per-block instead of n². The classic entity-resolution shape: DISTINCT
+    first (the name vocabulary is orders of magnitude smaller than the
+    rows), block, then the quadratic-per-block Levenshtein only inside
+    blocks — at 100 TB the vocabulary still broadcasts. Levenshtein is
+    exact integer DP, identical in every engine."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.lower("p_name").alias("nm")).distinct()
+    )
+    a = names.select(F.col("nm").alias("name_a"))
+    b = names.select(F.col("nm").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 3),
+        )
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+        )
+    )

@@ -160,3 +160,26 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: Iterable[str],
+) -> None:
+    """Replace ONLY the hive partitions present in ``df``, leaving all
+    other partitions untouched (partitionOverwriteMode=dynamic, scoped to
+    this write). This is the incremental-backfill primitive at lake
+    scale: reprocess one day/one source and swap exactly those
+    directories atomically per-partition, instead of rewriting — or
+    worse, truncating — the whole table the way a static overwrite does.
+    The reference's nearest equivalent is its per-batch upsert loop
+    (``/root/reference/ETL/fact_ETL.py:131-152``), which rewrites row by
+    row; here the unit of replacement is the partition directory."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*list(partition_by)).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -413,3 +413,33 @@ def test_zorder_write_tightens_minmax_on_both_dims(spark, tmp_path):
     assert z_value < 0.8  # ...AND value locality in the same layout
     # single-column clustering leaves value spans markedly wider
     assert z_value < 0.8 * b_value
+
+
+def test_zvalue_interleave_bijective_and_monotone(spark):
+    from stadvdb_olap_spark.operators.maintenance import _interleave_bits
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long"
+    )
+    z = grid.select(
+        "a", "b", _interleave_bits([F.col("a"), F.col("b")], 4).alias("z")
+    ).collect()
+    zs = [r["z"] for r in z]
+    assert len(set(zs)) == 256          # bijective on the 16x16 grid
+    assert min(zs) == 0 and max(zs) == 255  # exactly 8 bits used
+    by_ab = {(r["a"], r["b"]): r["z"] for r in z}
+    for v in range(15):  # monotone along each axis with the other fixed
+        assert by_ab[(v + 1, 0)] > by_ab[(v, 0)]
+        assert by_ab[(0, v + 1)] > by_ab[(0, v)]
+
+
+def test_hash_sample_nested_and_partition_stable(spark):
+    from stadvdb_olap_spark.plans.sampling_queries import bernoulli_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    small = {r["k"] for r in bernoulli_sample(df, "k", "10").collect()}
+    big = {r["k"] for r in bernoulli_sample(df, "k", "40").collect()}
+    assert small < big                  # cutoffs nest
+    assert 0 < len(small) < len(big) < 2000
+    again = {r["k"] for r in bernoulli_sample(df.repartition(13), "k", "10").collect()}
+    assert again == small               # membership ignores partitioning

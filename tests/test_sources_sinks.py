@@ -189,3 +189,39 @@ def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
     assert "o_orderstatus" in plan  # filter reaches the scan operator
     n_f = orders.filter(F.col("o_orderstatus") == "F").count()
     assert filtered.count() == n_f
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.sources.sinks import overwrite_partitions_dynamic
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "by_status")
+    orders.write.partitionBy("status").parquet(path)
+    before = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+
+    # backfill: replace ONLY the 'F' partition with a 1-row frame
+    one = orders.filter(F.col("status") == "F").limit(1)
+    overwrite_partitions_dynamic(one, path, ["status"])
+
+    after = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after["F"] == 1
+    for k in before:
+        if k != "F":
+            assert after[k] == before[k]  # untouched partitions intact
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )

@@ -369,3 +369,63 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
         )
     )
+
+
+_CHUNK_SIZE = 50   # tokens per chunk
+_CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       s AS chunk_idx,
+       array_to_string(
+         toks[s * {_CHUNK_STRIDE} + 1 : s * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+         ' ') AS chunk,
+       LEAST(CAST({_CHUNK_SIZE} AS BIGINT),
+             len(toks) - s * {_CHUNK_STRIDE}) AS chunk_tokens
+FROM t,
+     unnest(generate_series(
+       0, CAST(ceil(len(toks) / {_CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(s)
+""",
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50 tokens, stride 40 → 10-token
+    overlap) — THE pretraining preprocessing step: long documents become
+    training-sized pieces without losing cross-boundary context. Pure
+    narrow ops at any scale: tokenize, per-row sequence of chunk starts,
+    explode, slice — no shuffle anywhere, parallelism = input partitions
+    (spread() widens the single-file fixture). Chunk count per doc is
+    ceil(n/stride), so the final short tail chunk is kept."""
+    from stadvdb_olap_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    step = F.lit(_CHUNK_STRIDE).cast("long")
+    out = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        .select(
+            "doc_id", "toks", "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("n") / _CHUNK_STRIDE).cast("long") - 1,
+                )
+            ).alias("chunk_idx"),
+        )
+    )
+    start = F.col("chunk_idx") * step
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("toks", start + 1, F.lit(_CHUNK_SIZE)), " ").alias("chunk"),
+        F.least(F.lit(_CHUNK_SIZE).cast("long"), F.col("n") - start).alias(
+            "chunk_tokens"
+        ),
+    )

@@ -429,3 +429,18 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens"
         ),
     )
+
+
+@query("pack_chunks_512")
+def pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus, then pack chunks into 512-token training bins
+    (rows-only: first-fit-decreasing is iterative per bucket). Composes
+    the two pretraining layout stages end-to-end; bin invariants (budget
+    respected, total weight conserved, determinism) are pinned by unit
+    tests."""
+    from stadvdb_olap_spark.operators.packing import pack_sequences
+
+    chunks = chunk_documents_sliding(spark, sf_dir)
+    return pack_sequences(
+        chunks, ["doc_id", "chunk_idx"], "chunk_tokens", budget=512
+    )

@@ -443,3 +443,29 @@ def test_hash_sample_nested_and_partition_stable(spark):
     assert 0 < len(small) < len(big) < 2000
     again = {r["k"] for r in bernoulli_sample(df.repartition(13), "k", "10").collect()}
     assert again == small               # membership ignores partitioning
+
+
+def test_pack_sequences_invariants(spark):
+    from stadvdb_olap_spark.operators.packing import pack_sequences
+
+    items = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(300)] + [(999, 700)],
+        "item_id long, w long",
+    )
+    out = pack_sequences(items, ["item_id"], "w", budget=128, n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 301  # every item assigned exactly once
+    sums = {}
+    for r in rows:
+        sums.setdefault((r["bucket"], r["bin_id"]), []).append((r["item_id"], r["w"]))
+    for (_, _), members in sums.items():
+        total = sum(w for _, w in members)
+        # over-budget only allowed for a singleton oversized item
+        assert total <= 128 or (len(members) == 1 and members[0][1] > 128)
+
+    again = pack_sequences(
+        items.repartition(11), ["item_id"], "w", budget=128, n_buckets=8
+    ).collect()
+    a = {r["item_id"]: (r["bucket"], r["bin_id"]) for r in rows}
+    b = {r["item_id"]: (r["bucket"], r["bin_id"]) for r in again}
+    assert a == b  # deterministic under any input partitioning

@@ -603,3 +603,91 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "iqr_outlier_events",
+    oracle="""
+WITH q AS (
+  SELECT event_type AS et,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value
+FROM events JOIN q ON event_type = et
+WHERE value > q3 + 1.5 * (q3 - q1)
+   OR value < q1 - 1.5 * (q3 - q1)
+""",
+)
+def iqr_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: quartiles per event type,
+    broadcast back, keep rows outside 1.5 IQR — the data-quality
+    quarantine step of an ingest pipeline (the heavy-tailed event values
+    are where real pipelines need it; uniform columns have no fences to
+    trip). The quartile aggregate is the only heavy op (per-group sort;
+    swap in approx_percentile at cluster scale); the fence compare is
+    pure double arithmetic, identical in both engines since
+    quantile_cont == Spark percentile (linear interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), ev.event_type == q.et)
+        .filter(
+            (F.col("value") > F.col("q3") + 1.5 * iqr)
+            | (F.col("value") < F.col("q1") - 1.5 * iqr)
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "ols_price_vs_quantity_by_flag",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)        AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)   AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE) AS slope,
+       CAST(ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n),
+                  6) AS DOUBLE) AS intercept
+FROM m
+""",
+)
+def ols_price_vs_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price ~ quantity) from sufficient
+    statistics: one aggregate pass collects exact decimal moments
+    (n, Sx, Sy, Sxx, Sxy), the closed-form slope/intercept is IEEE double
+    on those — the distributed way to fit millions of tiny models (one
+    per group) with zero Python and one shuffle. Same moments pattern as
+    the stddev/covariance query; Spark's built-in regr_slope would sum
+    doubles in partition order and drift from the oracle."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(qty)).cast("double").alias("sx"),
+        F.sum(dec(price)).cast("double").alias("sy"),
+        F.sum(dec(qty * qty)).cast("double").alias("sxx"),
+        F.sum(dec(qty * price)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6
+        ).cast("double").alias("intercept"),
+    )

@@ -469,3 +469,30 @@ def test_pack_sequences_invariants(spark):
     a = {r["item_id"]: (r["bucket"], r["bin_id"]) for r in rows}
     b = {r["item_id"]: (r["bucket"], r["bin_id"]) for r in again}
     assert a == b  # deterministic under any input partitioning
+
+
+def test_chunking_covers_every_token_exactly_once_per_stride(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.functions.text import token_count
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    chunks = REGISTRY["chunk_documents_sliding"].fn(spark, sf)
+    per_doc = {
+        r["doc_id"]: (r["n_chunks"], r["max_idx"], r["tok_sum"])
+        for r in chunks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.sum("chunk_tokens").alias("tok_sum"),
+        ).collect()
+    }
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n")
+    )
+    for r in docs.collect():
+        n, (n_chunks, max_idx, tok_sum) = r["n"], per_doc[r["doc_id"]]
+        assert n_chunks == -(-n // 40)          # ceil(n / stride)
+        assert max_idx == n_chunks - 1          # dense, zero-based
+        # stride-window identity: sum of min(50, n - 40i) over all chunks
+        assert tok_sum == sum(min(50, n - 40 * i) for i in range(n_chunks))

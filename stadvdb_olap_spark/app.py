@@ -1,0 +1,64 @@
+"""Full-pipeline entry point — the reference's ``app.py`` re-expressed.
+
+SURVEY.md §2.11 parity:
+
+- **O1 sequential dim→fact DAG** (``/root/reference/app.py:13-21``): the
+  same five stages (user/customer, location, date, product/part dims,
+  then the fact) composed as DataFrame transforms. Ordering exists only
+  in the driver function; Spark's lineage turns the whole thing into one
+  DAG, and the dim "outputs" feed the fact as broadcast key-map joins
+  rather than driver-side dicts.
+- **O2 timing instrumentation** (``app.py:7,23-26``): wall clock per
+  stage around the materializing action, returned AND logged.
+- **O4 structured logging** (``ETL/user_ETL.py:12-14,84,97,139``):
+  per-stage row counts and seconds through ``logging``.
+- **O3 context-managed connections** — subsumed by SparkSession
+  lifecycle (no per-stage connection churn to manage).
+- **O5 manual ``del``/``gc.collect()`` per batch** — intentionally NOT
+  replicated: executors manage memory; the reference's pattern also
+  hides an unbound-variable bug on empty first batches
+  (``ETL/prod_ETL.py:131``, SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger("stadvdb_olap_spark.app")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+) -> dict[str, dict[str, float | int]]:
+    """Run the dim→fact warehouse build; return per-stage
+    ``{"rows": n, "seconds": s}``. With ``out_dir``, each stage also
+    writes ``<out_dir>/<stage>`` as parquet (atomic job commit), making
+    this the batch-load twin of the streaming incremental path."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.sources.sinks import write_table
+
+    _ensure_loaded()
+    stages: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
+        (name, REGISTRY[name].fn)
+        for name in ("dim_customer", "dim_location", "dim_date", "dim_part",
+                     "fact_star")
+    ]
+    report: dict[str, dict[str, float | int]] = {}
+    for name, fn in stages:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if out_dir is not None:
+            write_table(df, f"{out_dir}/{name}")
+            rows = spark.read.parquet(f"{out_dir}/{name}").count()
+        else:
+            rows = df.count()
+        secs = round(time.perf_counter() - t0, 3)
+        report[name] = {"rows": rows, "seconds": secs}
+        log.info("stage %s: %d rows in %.3fs", name, rows, secs)
+    return report

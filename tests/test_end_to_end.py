@@ -98,3 +98,19 @@ def test_warehouse_integrity_and_idempotence(spark, tmp_path):
         a = spark.read.parquet(f"{base1}/{t}")
         b = spark.read.parquet(f"{base2}/{t}")
         assert _content_hash(a) == _content_hash(b), f"{t} not reproducible"
+
+
+def test_run_pipeline_all_stages_and_written_star(spark, tmp_path):
+    from stadvdb_olap_spark.app import run_pipeline
+
+    out = str(tmp_path / "warehouse")
+    report = run_pipeline(spark, "/root/testdata/sf0.001", out_dir=out)
+    assert list(report) == [
+        "dim_customer", "dim_location", "dim_date", "dim_part", "fact_star"
+    ]
+    for stage, m in report.items():
+        assert m["rows"] > 0, stage
+        assert m["seconds"] >= 0
+    # the written star is re-readable and row-stable
+    fact = spark.read.parquet(out + "/fact_star")
+    assert fact.count() == report["fact_star"]["rows"]

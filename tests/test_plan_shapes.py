@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties SCALING.md and
+PLANS.md claim, asserted against what Catalyst actually plans. These
+guard against future edits silently turning a broadcast into a shuffle
+or knocking a predicate off the scan."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    return REGISTRY
+
+
+def _formatted_plan(df) -> str:
+    spark = df.sparkSession
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_fact_star_never_shuffles_the_fact(spark, registry):
+    plan = _formatted_plan(registry["fact_star"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan   # FK resolution broadcasts dims
+    assert "SortMergeJoin" not in plan   # the fact is never exchanged for a join
+
+
+def test_q6_predicates_reach_the_scan(spark, registry):
+    plan = _formatted_plan(registry["q6_forecast_revenue"].fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line  # every predicate pushed, none stranded post-scan
+
+
+def test_q19_quantity_bounds_pushed_despite_disjunction(spark, registry):
+    plan = _formatted_plan(registry["q19_disjunctive_brackets"].fn(spark, SF))
+    fact_pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_quantity" in ln
+    ]
+    assert fact_pushed  # Catalyst extracted the common OR bounds for the fact scan
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, registry):
+    plan = _formatted_plan(registry["q5_revenue_by_nation"].fn(spark, SF))
+    # customer, nation, region all broadcast; orders⋈lineitem may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_chunking_has_no_exchange(spark, registry):
+    plan = _formatted_plan(registry["chunk_documents_sliding"].fn(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    # the only exchange allowed is spread()'s round-robin widening
+    n_exchange = sum(
+        1
+        for ln in body.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    roundrobin = body.count("RoundRobinPartitioning")
+    assert n_exchange == roundrobin  # narrow-only besides spread()
+
+
+def test_sample_orders_is_scan_plus_filter_only(spark, registry):
+    plan = _formatted_plan(registry["sample_orders_hash"].fn(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body  # content-addressed sampling never shuffles

@@ -691,3 +691,32 @@ def ols_price_vs_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6
         ).cast("double").alias("intercept"),
     )
+
+
+@query(
+    "events_sliding_3h_1h",
+    oracle=f"""
+SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+       event_type,
+       count(*)                 AS n,
+       {money_sum_sql('value')} AS sum_value
+FROM events CROSS JOIN unnest([0, 1, 2]) AS u(k)
+GROUP BY window_start, event_type
+""",
+)
+def events_sliding_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 3-hour window with a 1-hour slide — each event
+    lands in exactly three windows. Spark's `window(ts, '3 hours',
+    '1 hour')` expands rows window-count times before the aggregate (the
+    oracle makes the same expansion explicit with a 3-element unnest);
+    the shuffle is on (window, type) after map-side partial aggregation,
+    so the 3x blow-up never crosses the wire un-combined. The streaming
+    twin is the same body under a watermark (streaming/windowed.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )

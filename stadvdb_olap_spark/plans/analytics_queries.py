@@ -720,3 +720,27 @@ def events_sliding_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
+
+
+@query("events_session_window_builtin")
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates via Spark's built-in session_window
+    (dynamic-gap merge, 30 min). Rows-only: the merge is engine-internal
+    state, but a unit test pins agreement with the oracle-checked custom
+    gap-detection sessionizer (events_sessionize_30m) on session counts
+    and boundaries — the two formulations must describe the same
+    sessions. The built-in is the streaming-ready form: under a
+    watermark it evicts closed sessions instead of re-scanning."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

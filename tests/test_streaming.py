@@ -268,3 +268,38 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir, tmp
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == want
+
+
+def test_builtin_session_window_agrees_with_custom_sessionizer(spark):
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = SF_DIR
+    builtin = REGISTRY["events_session_window_builtin"].fn(spark, sf)
+    custom = REGISTRY["events_sessionize_30m"].fn(spark, sf)
+
+    # same number of sessions per user
+    b = {
+        r["user_id"]: r["n"]
+        for r in builtin.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    c = {
+        r["user_id"]: r["n"]
+        for r in custom.select("user_id", "session_seq").distinct()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert b == c
+    # and identical per-session event counts (as multisets per user)
+    sizes_b = {}
+    for r in builtin.collect():
+        sizes_b.setdefault(r["user_id"], []).append(r["n_events"])
+    sizes_c = {}
+    for r in (
+        custom.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        sizes_c.setdefault(r["user_id"], []).append(r["n"])
+    assert {k: sorted(v) for k, v in sizes_b.items()} == {
+        k: sorted(v) for k, v in sizes_c.items()
+    }

@@ -225,3 +225,20 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
     )
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appends with a widened schema stay readable: mergeSchema unions
+    the per-file schemas and back-fills missing columns with NULL — the
+    lake-side schema-evolution pattern (explicit opt-in; the default
+    single-footer read stays cheap)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}

@@ -496,3 +496,17 @@ def test_chunking_covers_every_token_exactly_once_per_stride(spark):
         assert max_idx == n_chunks - 1          # dense, zero-based
         # stride-window identity: sum of min(50, n - 40i) over all chunks
         assert tok_sum == sum(min(50, n - 40 * i) for i in range(n_chunks))
+
+
+def test_money_sum_partition_invariant(spark):
+    """The determinism convention underneath every oracle: exact decimal
+    aggregation must yield the SAME double no matter how rows are
+    partitioned (plain double sums would differ in the last ulp)."""
+    from stadvdb_olap_spark.plans.compat import mean_round, money_sum
+
+    vals = [((-1) ** i * (1.0 / 3.0) * (i + 1) * 1e3,) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v double")
+    layouts = [df.coalesce(1), df.repartition(7), df.repartition(32, "v")]
+    sums = {layout.agg(money_sum("v")).collect()[0][0] for layout in layouts}
+    means = {layout.agg(mean_round("v")).collect()[0][0] for layout in layouts}
+    assert len(sums) == 1 and len(means) == 1

@@ -19,6 +19,8 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
 
 def resolve_foreign_key(
     fact: DataFrame,
@@ -46,7 +48,11 @@ def resolve_foreign_key(
         F.col(surrogate_col).alias(out_col),
     )
     if broadcast:
-        side = F.broadcast(side)
+        # Size-gated: key maps scale with the dimension (customer/part grow
+        # linearly with SF), so the hint applies only while Catalyst
+        # estimates the map under autoBroadcastJoinThreshold; above it the
+        # planner/AQE picks the join strategy from actual sizes.
+        side = broadcast_if_small(side)
     cond = [fact[f] == side[f"__map_{m}"] for f, m in zip(fact_key, map_key)]
     joined = fact.join(side, cond, how)
     return joined.drop(*[f"__map_{m}" for m in map_key], *fact_key)

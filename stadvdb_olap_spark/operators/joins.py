@@ -1,0 +1,86 @@
+"""Size-gated broadcast hinting for dimension joins.
+
+The reference joins every dimension in pandas driver memory
+(``fact_ETL.py:91-107`` merges); the Spark-first translation is a broadcast
+hash join — but ONLY while the dimension actually fits in an executor.
+TPC-H-geometry dims (``customer``, ``part``, ``supplier``) scale linearly
+with the fact table: at a 100 TB scale factor they are multi-billion-row
+tables, and a forced ``F.broadcast`` either trips the 8 GB broadcast hard
+limit or OOMs the driver.
+
+``broadcast_if_small`` applies the hint only when Catalyst's own size
+estimate for the plan is under ``spark.sql.autoBroadcastJoinThreshold`` —
+the same statistic AQE consults. Above the threshold it returns the frame
+un-hinted, so the optimizer (CBO statically, AQE at runtime) is free to
+pick SortMergeJoin / ShuffledHashJoin, or still to broadcast when the
+*runtime* size turns out small. Fixed-cardinality tables (``nation``,
+``region``, single-row scalar aggregates) keep hard ``F.broadcast`` hints
+at their call sites; this gate is for anything that grows with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["broadcast_if_small", "parse_byte_conf"]
+
+_UNITS = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string (``"10485760b"``, ``"10MB"``,
+    ``"-1"``) into bytes. ``-1`` (broadcast disabled) passes through."""
+    s = str(value).strip().lower()
+    num = s
+    mult = 1
+    for suffix in sorted(_UNITS, key=len, reverse=True):
+        if s.endswith(suffix):
+            num, mult = s[: -len(suffix)], _UNITS[suffix]
+            break
+    return int(num.strip()) * mult
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan (driver-side
+    planning only — nothing executes). Returns None if unavailable."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala BigInt to int; fall back to toString otherwise.
+        return size if isinstance(size, int) else int(size.toString())
+    except Exception:  # pragma: no cover - py4j surface differences
+        return None
+
+
+def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Return ``F.broadcast(df)`` when Catalyst estimates the plan under
+    the broadcast threshold, else ``df`` unchanged (strategy left to
+    CBO/AQE).
+
+    ``threshold_bytes`` overrides ``spark.sql.autoBroadcastJoinThreshold``
+    (mainly for tests). A threshold of ``-1``/``0`` — broadcast disabled —
+    never hints. An unavailable size estimate also declines to hint:
+    un-hinted is always safe, because AQE can still choose a broadcast
+    join from the observed runtime size.
+    """
+    if threshold_bytes is None:
+        conf = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        threshold_bytes = parse_byte_conf(conf)
+    if threshold_bytes <= 0:
+        return df
+    est = _estimated_size_bytes(df)
+    if est is not None and est <= threshold_bytes:
+        return F.broadcast(df)
+    return df

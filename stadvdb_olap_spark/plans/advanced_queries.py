@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.compat import dec, money_sum, money_sum_sql
 from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 # ---------------------------------------------------------------------------
 # As-of join
@@ -316,7 +317,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -698,7 +699,7 @@ def min_price_row_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(mins),
+            broadcast_if_small(mins),
             (F.col("l_partkey") == F.col("__pk"))
             & (F.col("l_extendedprice") == F.col("__min_price")),
         )
@@ -897,7 +898,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     activity = (
         ev.select("user_id", week.alias("w"))
-        .join(F.broadcast(firsts), "user_id")
+        .join(broadcast_if_small(firsts), "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -25,6 +25,7 @@ from stadvdb_olap_spark.operators.fact import resolve_foreign_key
 from stadvdb_olap_spark.operators.merge import merge_scd1
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 # ---------------------------------------------------------------------------
 # Flagship: the fact-build query (reference extractFact, fact_ETL.py:79-157)
@@ -80,8 +81,8 @@ def flagship_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .select(
             F.concat_ws(
                 "-",
@@ -291,7 +292,7 @@ def referential_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(finalized),
+            broadcast_if_small(finalized),
             li.l_orderkey == finalized.o_orderkey,
             "left_anti",
         )
@@ -474,8 +475,8 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_side = cust.select("c_custkey", "c_nationkey")
     part_side = part.select("p_partkey", "p_retailprice")
     base = (
-        base.join(F.broadcast(cust_side), base.o_custkey == cust_side.c_custkey)
-        .join(F.broadcast(part_side), base.l_partkey == part_side.p_partkey)
+        base.join(broadcast_if_small(cust_side), base.o_custkey == cust_side.c_custkey)
+        .join(broadcast_if_small(part_side), base.l_partkey == part_side.p_partkey)
         .withColumn("revenue", ceil_to_cents(F.col("quantity") * F.col("p_retailprice")))
     )
 

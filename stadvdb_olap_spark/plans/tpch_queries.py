@@ -32,6 +32,7 @@ from stadvdb_olap_spark.plans.compat import (
     money_sum_sql,
 )
 from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 _DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
@@ -87,14 +88,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     asia_supp = (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        supp.join(broadcast_if_small(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
               nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
     unit = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_partkey", "l_suppkey", "s_name", "n_name",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
@@ -104,7 +105,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.join(mins, ["l_partkey"])
         .filter(F.col("unit_price") == F.col("min_unit_price"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "min_unit_price")
         .distinct()
     )
@@ -185,10 +186,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.alias("sn")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
         .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
     )
     num = F.sum(F.when(F.col("sn.n_name") == "NATION_3", dec(_disc_price())))
@@ -241,7 +242,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money_sum(_disc_price()).alias("revenue"))
@@ -369,7 +370,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.sum(F.when(F.col("p_type") == "PROMO", dec(_disc_price())))
     den = F.sum(dec(_disc_price()))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.coalesce(num.cast("double"), F.lit(0.0))
@@ -422,7 +423,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("total") == F.col("best_total"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(broadcast_if_small(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name",
             F.round("total", 2).cast("double").alias("total_revenue"),
@@ -468,8 +469,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(broadcast_if_small(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -511,7 +512,7 @@ def q17_small_qty_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(broadcast_if_small(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -564,7 +565,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, li.l_orderkey == big.big_orderkey, "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey", "c_name", "o_orderkey",
             F.to_date("o_orderdate").alias("order_date"), "o_totalprice",
@@ -607,7 +608,7 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#4") & size.between(1, 40) & (qty >= 20) & (qty <= 35))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(broadcast_if_small(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(bracket)
         .agg(money_sum(_disc_price()).alias("revenue"))
     )
@@ -655,7 +656,7 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("p_partkey")
     sq = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(widget), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_small(widget), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
     )
@@ -737,7 +738,7 @@ def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waited_on.join(F.broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        waited_on.join(broadcast_if_small(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 
 def dedup_stream(
@@ -45,6 +46,6 @@ def enrich_stream(
     the cheapest enrichment shape. For stream-stream joins Spark requires
     watermarks on both sides; a static dim needs none."""
     if on is not None:
-        return events.join(F.broadcast(dim), on=on, how="left")
+        return events.join(broadcast_if_small(dim), on=on, how="left")
     cond = events[stream_key] == dim[dim_key]
-    return events.join(F.broadcast(dim), cond, "left")
+    return events.join(broadcast_if_small(dim), cond, "left")

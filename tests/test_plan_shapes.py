@@ -73,3 +73,49 @@ def test_sample_orders_is_scan_plus_filter_only(spark, registry):
     plan = _formatted_plan(registry["sample_orders_hash"].fn(spark, SF))
     body = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in body  # content-addressed sampling never shuffles
+
+
+# ---------------------------------------------------------------------------
+# Size-gated broadcast hinting (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_byte_conf_units():
+    from stadvdb_olap_spark.operators.joins import parse_byte_conf
+
+    assert parse_byte_conf("10485760b") == 10 << 20
+    assert parse_byte_conf("10MB") == 10 << 20
+    assert parse_byte_conf("1g") == 1 << 30
+    assert parse_byte_conf("512") == 512
+    assert parse_byte_conf("-1") == -1
+
+
+def test_broadcast_gate_hints_only_under_threshold(spark):
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    hinted = broadcast_if_small(cust)           # ~33 KB << 10 MB default
+    assert hinted is not cust
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # Above the threshold: frame returned untouched, strategy left to AQE.
+    assert broadcast_if_small(cust, threshold_bytes=1024) is cust
+    # Broadcast disabled (-1): never hint.
+    assert broadcast_if_small(cust, threshold_bytes=-1) is cust
+
+
+def test_flagship_falls_back_to_smj_when_dims_exceed_threshold(spark, registry):
+    """The 100×-scale behavior, pinned: when customer/part no longer fit
+    under autoBroadcastJoinThreshold, the gate must NOT hint and the
+    planner must choose a sort-merge join instead of a forced broadcast
+    (which at real scale would OOM the driver / trip the 8 GB limit)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        plan = _formatted_plan(registry["flagship_fact_build"].fn(spark, SF))
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # And back at the default threshold the small-SF dims broadcast again.
+    plan = _formatted_plan(registry["flagship_fact_build"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan

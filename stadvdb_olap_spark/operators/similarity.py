@@ -30,6 +30,27 @@ from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.functions.vectors import cosine
 
+#: Hard ceiling on how many query rows the pandas/IVF paths will pull onto
+#: the driver. ANN query sets are small by contract (the corpus is the big
+#: side); this guard turns a miscalled operator — a corpus passed as the
+#: query side — into an immediate error instead of a driver OOM.
+DEFAULT_MAX_QUERIES = 10_000
+
+
+def _collect_query_rows(queries: DataFrame, cols: list[str], max_queries: int):
+    """Collect the query side with an explicit cap: fetches at most
+    ``max_queries + 1`` rows (never the full frame) and raises if the cap
+    is exceeded."""
+    rows = queries.select(*cols).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries} rows; the "
+            "driver-side ANN paths require a small query set — swap the "
+            "sides, raise max_queries explicitly, or use the fully "
+            "distributed lsh_bucketed_topk/brute_force_topk instead"
+        )
+    return rows
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -131,14 +152,16 @@ def cosine_topk_pandas(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy GEMM (mapInPandas): queries are
-    collected once (small by contract), normalized, and matmul'd against
-    each candidate Arrow batch; per-batch top-k then a final global top-k
-    merge. ~10-100x the per-row expression path on wide vectors."""
+    collected once (capped at ``max_queries`` — raises above), normalized,
+    and matmul'd against each candidate Arrow batch; per-batch top-k then a
+    final global top-k merge. ~10-100x the per-row expression path on wide
+    vectors."""
     import pandas as pd
 
-    q_rows = queries.select(query_id, vec_col).collect()
+    q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -186,6 +209,7 @@ def ivf_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means-partition the
     candidate space once, then probe only the ``n_probe`` nearest cells per
@@ -212,10 +236,11 @@ def ivf_topk(
         "neighbor_id", "__cv", F.col("prediction").alias("__cell")
     )
 
-    # Queries are small by contract: pick probe cells driver-side with the
-    # (tiny) centroid matrix, then rejoin distributively.
+    # Queries are small by contract — enforced by the max_queries guard:
+    # pick probe cells driver-side with the (tiny) centroid matrix, then
+    # rejoin distributively.
     centers = np.array(model.clusterCenters())
-    q_rows = queries.select(query_id, vec_col).collect()
+    q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
     probe_rows = []
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)

@@ -57,21 +57,38 @@ def minhash_signatures(
     """Per-document MinHash signature computed row-locally — a narrow map,
     no shuffle.
 
-    One-permutation style: ONE md5 per shingle, and hash k is the minimum
-    of the k-th disjoint 4-hex-char slice of the digests. 8x fewer hash
-    invocations than salted re-hashing with the same banding behavior
-    (md5's slices are independent uniform bits). num_hashes <= 8 with
-    4-char slices of the 32-char digest.
+    One-permutation style: hash k is the minimum of the (k mod 8)-th
+    disjoint 4-hex-char slice of digest group k//8 — 8x fewer hash
+    invocations than salted re-hashing per hash, with the same banding
+    behavior (md5's slices are independent uniform bits). Group 0 is the
+    plain ``md5(shingle)`` (bit-identical to the original <=8-hash form);
+    each further group of 8 hashes salts the shingle (``md5(s || '#g')``)
+    for fresh independent bits, so ``num_hashes`` scales to 64+ for
+    fine-grained LSH band tuning while staying one narrow projection.
     """
-    if num_hashes > 8:
-        raise ValueError("one-permutation slicing supports at most 8 hashes")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     sh = word_shingles(text_col, shingle_n)
-    digests = F.transform(sh, lambda s: F.md5(s))
-    out = df.select(F.col(id_col), digests.alias("__digests"))
+    n_groups = -(-num_hashes // 8)
+
+    # NB: closure factories, not default-arg lambdas — PySpark interprets a
+    # two-parameter HOF lambda as (element, index) and would silently bind
+    # the array index over the default.
+    def salted_digests(g: int):
+        salt = F.lit(f"#{g}")
+        if g == 0:
+            return F.transform(sh, lambda s: F.md5(s))
+        return F.transform(sh, lambda s: F.md5(F.concat(s, salt)))
+
+    def slice_of(k: int):
+        return lambda d: F.substring(d, 4 * (k % 8) + 1, 4)
+
+    out = df.select(
+        F.col(id_col),
+        *[salted_digests(g).alias(f"__dg{g}") for g in range(n_groups)],
+    )
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("__digests"), lambda d: F.substring(d, 4 * k + 1, 4))
-        ).alias(f"mh{k}")
+        F.array_min(F.transform(F.col(f"__dg{k // 8}"), slice_of(k))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
     return out.select(F.col(id_col), *sig_cols)

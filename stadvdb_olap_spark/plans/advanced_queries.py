@@ -223,13 +223,32 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_by_priority")
+@query(
+    "approx_percentiles_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+       TRUE AS p50_within_2pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def approx_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (rows-only: approximate by construction).
-    Mergeable partial sketches — the one-pass scale path for quantiles."""
+    """Sketch-based percentiles with a built-in error bound: the sketch
+    estimate itself is implementation-specific, so the hash-checked output
+    is the exact p50 plus the claim |approx-exact|/exact <= 2% as a
+    boolean — the oracle asserts the claim holds for every group.
+    Mergeable partial sketches are the one-pass scale path for quantiles;
+    at 100 TB only the approx half runs and the guarantee is the sketch's
+    accuracy parameter."""
     orders = load_table(spark, sf_dir, "orders")
+    p50_exact = F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
+    p50_approx = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+        p50_exact.alias("p50_exact"),
+        (F.abs(p50_approx - p50_exact) / p50_exact <= F.lit(0.02)).alias(
+            "p50_within_2pct"
+        ),
     )
 
 
@@ -502,15 +521,33 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts_per_flag")
+@query(
+    "approx_distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts_exact,
+       TRUE AS within_10pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def approx_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-count (rows-only: sketch estimates are
-    implementation-specific). Mergeable one-pass sketches — the scale path
-    when the exact expand is too expensive; a unit test bounds the error
-    against the exact count."""
+    """HyperLogLog distinct-count with a built-in error bound: the HLL
+    estimate is implementation-specific, so the hash-checked output is the
+    exact count plus the claim |approx-exact|/exact <= 10% (rsd=0.02, so
+    the bound is ~5 sigma) as a boolean the oracle asserts per group.
+    Mergeable one-pass sketches are the scale path when the exact expand
+    is too expensive; at 100 TB only the sketch half runs."""
     li = spread(load_table(spark, sf_dir, "lineitem"))
+    n_exact = F.count_distinct("l_partkey")
+    n_approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+        n_exact.alias("n_parts_exact"),
+        (
+            F.abs(n_approx.cast("double") - n_exact.cast("double"))
+            / n_exact.cast("double")
+            <= F.lit(0.10)
+        ).alias("within_10pct"),
     )
 
 

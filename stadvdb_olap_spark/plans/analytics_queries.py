@@ -723,15 +723,41 @@ def events_sliding_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_session_window_builtin")
+@query(
+    "events_session_window_builtin",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+)
 def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session aggregates via Spark's built-in session_window
-    (dynamic-gap merge, 30 min). Rows-only: the merge is engine-internal
-    state, but a unit test pins agreement with the oracle-checked custom
-    gap-detection sessionizer (events_sessionize_30m) on session counts
-    and boundaries — the two formulations must describe the same
-    sessions. The built-in is the streaming-ready form: under a
-    watermark it evicts closed sessions instead of re-scanning."""
+    (30-min gap merge). With a FIXED gap the merge is fully deterministic
+    — session boundary iff the micro-precision gap exceeds 30 min
+    (verified empirically: a gap of exactly 30 min merges), start = first
+    event ts, end = last event ts + gap — so the oracle reproduces it
+    with the same lag/cumulative-sum pipeline as the custom sessionizer
+    (events_sessionize_30m) plus per-session min/max. The built-in is the
+    streaming-ready form: under a watermark it evicts closed sessions
+    instead of re-scanning."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -26,7 +26,7 @@ LANG_PROFILES = {
     "st": ("stream", "window", "batch", "spark", "agg"),
 }
 
-_NUM_HASHES = 8
+_NUM_HASHES = 16  # 2 salted digest groups (see text_dedup.minhash_signatures)
 _BAND_SIZE = 2
 _SHINGLE_N = 3
 _JACCARD_T = 0.2
@@ -38,24 +38,35 @@ def _shingled_sql() -> str:
     )
 
 
-def _sigs_sql() -> str:
-    # One-permutation minhash: min of the k-th 4-hex-char digest slice.
+def _sigs_sql(num_hashes: int = _NUM_HASHES) -> str:
+    # One-permutation minhash, salted digest groups past 8 hashes — the
+    # DuckDB twin of operators/text_dedup.py:minhash_signatures.
+    n_groups = -(-num_hashes // 8)
+    dg_cols = ", ".join(
+        (
+            "list_transform(sh, s -> md5(s))"
+            if g == 0
+            else f"list_transform(sh, s -> md5(s || '#{g}'))"
+        )
+        + f" AS dg{g}"
+        for g in range(n_groups)
+    )
     mh_cols = ", ".join(
-        f"list_aggregate(list_transform(dg, d -> d[{4 * k + 1}:{4 * k + 4}]), 'min')"
-        f" AS mh{k}"
-        for k in range(_NUM_HASHES)
+        f"list_aggregate(list_transform(dg{k // 8}, "
+        f"d -> d[{4 * (k % 8) + 1}:{4 * (k % 8) + 4}]), 'min') AS mh{k}"
+        for k in range(num_hashes)
     )
     return (
         f"SELECT doc_id, {mh_cols} FROM "
-        f"(SELECT doc_id, list_transform(sh, s -> md5(s)) AS dg FROM ({_shingled_sql()}))"
+        f"(SELECT doc_id, {dg_cols} FROM ({_shingled_sql()}))"
     )
 
 
-def _bands_sql() -> str:
-    n_bands = _NUM_HASHES // _BAND_SIZE
+def _bands_sql(num_hashes: int = _NUM_HASHES, band_size: int = _BAND_SIZE) -> str:
+    n_bands = num_hashes // band_size
     parts = []
     for b in range(n_bands):
-        cols = " || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
+        cols = " || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size))
         parts.append(
             f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs"
         )
@@ -176,8 +187,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"{_sigs_sql()}",
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signatures (8 salted md5-min hashes over word
-    3-shingles) — computed row-locally, no shuffle."""
+    """Per-document MinHash signatures (16 hashes = 2 salted md5 digest
+    groups x 8 slices, over word 3-shingles) — computed row-locally, no
+    shuffle."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, _SHINGLE_N)
 

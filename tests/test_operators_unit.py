@@ -95,6 +95,25 @@ def test_pandas_gemm_topk_agrees_with_expression_path(spark):
     assert pairs_a == pairs_b
 
 
+def test_driver_side_ann_paths_refuse_oversized_query_sets(spark):
+    """The collect() in the pandas-GEMM and IVF paths is capped: passing a
+    query frame above max_queries must raise instead of pulling a corpus
+    onto the driver."""
+    import pytest
+
+    from stadvdb_olap_spark.operators.similarity import ivf_topk
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_pandas(q, emb, k=3, max_queries=4)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk(q, emb, k=3, n_centroids=4, n_probe=2, max_queries=4)
+    # At the cap exactly, the path still works.
+    assert cosine_topk_pandas(q, emb, k=3, max_queries=5).count() > 0
+
+
 def test_approx_distinct_within_error_bound(spark):
     from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
 
@@ -105,12 +124,14 @@ def test_approx_distinct_within_error_bound(spark):
         for r in REGISTRY["distinct_parts_per_flag"].fn(spark, sf).collect()
     }
     approx = {
-        r["l_returnflag"]: r["n_parts_approx"]
+        r["l_returnflag"]: (r["n_parts_exact"], r["within_10pct"])
         for r in REGISTRY["approx_distinct_parts_per_flag"].fn(spark, sf).collect()
     }
     assert set(exact) == set(approx)
     for flag, n in exact.items():
-        assert abs(approx[flag] - n) / max(n, 1) < 0.1
+        n_exact, within = approx[flag]
+        assert n_exact == n  # the exact twin inside the query agrees
+        assert within  # and the sketch is inside its error bound
 
 
 def test_approx_percentile_near_exact(spark):
@@ -123,11 +144,13 @@ def test_approx_percentile_near_exact(spark):
         for r in REGISTRY["percentiles_by_priority"].fn(spark, sf).collect()
     }
     approx = {
-        r["o_orderpriority"]: r["p50_approx"]
+        r["o_orderpriority"]: (r["p50_exact"], r["p50_within_2pct"])
         for r in REGISTRY["approx_percentiles_by_priority"].fn(spark, sf).collect()
     }
     for prio, p50 in exact.items():
-        assert abs(approx[prio] - p50) / p50 < 0.05
+        p50_exact, within = approx[prio]
+        assert p50_exact == p50  # the exact twin inside the query agrees
+        assert within  # and the t-digest estimate is inside its bound
 
 
 def test_train_split_fractions_and_determinism(spark):
@@ -510,3 +533,65 @@ def test_money_sum_partition_invariant(spark):
     sums = {layout.agg(money_sum("v")).collect()[0][0] for layout in layouts}
     means = {layout.agg(mean_round("v")).collect()[0][0] for layout in layouts}
     assert len(sums) == 1 and len(means) == 1
+
+
+def test_minhash_salted_groups_extend_the_base_signature(spark):
+    """num_hashes=16 must agree with num_hashes=8 on mh0..mh7 (group 0 is
+    the unsalted digest — backward-compatible signatures), and every hash
+    within a group must come from a distinct digest slice (the HOF
+    index-binding trap would collapse them)."""
+    from stadvdb_olap_spark.operators.text_dedup import minhash_signatures
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    s8 = {r["doc_id"]: r for r in minhash_signatures(docs, "doc_id", "text", 8).collect()}
+    s16 = {r["doc_id"]: r for r in minhash_signatures(docs, "doc_id", "text", 16).collect()}
+    assert set(s8) == set(s16)
+    for doc_id, r8 in s8.items():
+        r16 = s16[doc_id]
+        assert [r8[f"mh{k}"] for k in range(8)] == [r16[f"mh{k}"] for k in range(8)]
+    # distinct slices: across docs, mh columns must not be pairwise identical
+    cols16 = list(zip(*[[s16[d][f"mh{k}"] for d in sorted(s16)] for k in range(16)]))
+    assert len({tuple(c) for c in zip(*cols16)}) == 16
+
+
+def test_lsh_recall_improves_with_more_hashes(spark):
+    """Widening the signature 8 -> 16 at band_size=2 adds bands, so the
+    candidate set is a superset (first 4 bands are shared) and recall vs
+    exact Jaccard stays total on the fixture's true near-dups."""
+    from stadvdb_olap_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        word_shingles,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sets_ = docs.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh")
+    )
+    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_distinct(F.concat("sa", "sb"))
+    )
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .collect()
+    }
+    c8 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 8, 2, 3).collect()
+    }
+    c16 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 16, 2, 3).collect()
+    }
+    assert c16 >= c8  # more bands only ever add candidates
+    assert true_pairs, "fixture should contain true near-dup pairs"
+    recall16 = len(true_pairs & c16) / len(true_pairs)
+    recall8 = len(true_pairs & c8) / len(true_pairs)
+    assert recall16 >= recall8
+    assert recall16 >= 0.9

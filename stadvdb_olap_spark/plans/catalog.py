@@ -58,9 +58,10 @@ def _ensure_loaded() -> None:
     # ORDER MATTERS: the external driver's correctness pass covers the first
     # 50 registered queries per round. Round 1 certified advanced_queries (29)
     # + analytics_queries (21); round 2 rotates the window onto the modules
-    # that have no driver-signed row yet: etl + tpch + text + sampling +
-    # vector = 50 (45 oracle-backed). multimodal (3, mostly rows-only), the
-    # rows-only ann_ivf_topk, and the already-certified advanced/analytics
+    # that have no driver-signed row yet: etl (14, incl. the live-Derby JDBC
+    # round trip) + tpch (15) + text (15) + sampling (2) + vector's first 4
+    # = 50. The rows-only ann_topk_pandas_gemm/ann_ivf_topk, multimodal
+    # (3, mostly rows-only), and the already-certified advanced/analytics
     # register after.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip

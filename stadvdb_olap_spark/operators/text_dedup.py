@@ -10,9 +10,9 @@ pure DataFrame transforms designed for the 100 TB regime:
   self-join inside buckets. All-pairs comparison never happens.
 - Exact verification (Jaccard) runs only on LSH candidates.
 
-Hash function: md5 (hex string) rather than xxhash64 — bit-identical in
-every engine (the DuckDB oracle included). For maximum throughput on a
-real cluster swap ``_mh`` to xxhash64; the structure is unchanged.
+Hash functions: hex-string md5/sha256 rather than xxhash64 — bit-identical
+in every engine (the DuckDB oracle included). For maximum throughput on a
+real cluster swap the digests to xxhash64; the structure is unchanged.
 """
 
 from __future__ import annotations
@@ -57,19 +57,21 @@ def minhash_signatures(
     """Per-document MinHash signature computed row-locally — a narrow map,
     no shuffle.
 
-    One-permutation style: hash k is the minimum of the (k mod 8)-th
-    disjoint 4-hex-char slice of digest group k//8 — 8x fewer hash
-    invocations than salted re-hashing per hash, with the same banding
-    behavior (md5's slices are independent uniform bits). Group 0 is the
-    plain ``md5(shingle)`` (bit-identical to the original <=8-hash form);
-    each further group of 8 hashes salts the shingle (``md5(s || '#g')``)
-    for fresh independent bits, so ``num_hashes`` scales to 64+ for
-    fine-grained LSH band tuning while staying one narrow projection.
+    One-permutation style: hash k is the minimum of the (k mod 16)-th
+    disjoint 4-hex-char slice of digest group k//16 — 16 hashes per digest
+    invocation instead of salted re-hashing per hash, with the same banding
+    behavior (sha256's slices are independent uniform bits). Group 0 is the
+    plain ``sha256(shingle)``; each further group of 16 hashes salts the
+    shingle (``sha256(s || '#g')``) for fresh independent bits, so
+    ``num_hashes`` scales to 64+ for fine-grained LSH band tuning while
+    staying one narrow projection. sha256 over md5 because its 64 hex chars
+    carry twice the slices per hash invocation (DuckDB's ``sha256`` is
+    hex-identical, so the oracle twin stays exact).
     """
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
     sh = word_shingles(text_col, shingle_n)
-    n_groups = -(-num_hashes // 8)
+    n_groups = -(-num_hashes // 16)
 
     # NB: closure factories, not default-arg lambdas — PySpark interprets a
     # two-parameter HOF lambda as (element, index) and would silently bind
@@ -77,18 +79,18 @@ def minhash_signatures(
     def salted_digests(g: int):
         salt = F.lit(f"#{g}")
         if g == 0:
-            return F.transform(sh, lambda s: F.md5(s))
-        return F.transform(sh, lambda s: F.md5(F.concat(s, salt)))
+            return F.transform(sh, lambda s: F.sha2(s, 256))
+        return F.transform(sh, lambda s: F.sha2(F.concat(s, salt), 256))
 
     def slice_of(k: int):
-        return lambda d: F.substring(d, 4 * (k % 8) + 1, 4)
+        return lambda d: F.substring(d, 4 * (k % 16) + 1, 4)
 
     out = df.select(
         F.col(id_col),
         *[salted_digests(g).alias(f"__dg{g}") for g in range(n_groups)],
     )
     sig_cols = [
-        F.array_min(F.transform(F.col(f"__dg{k // 8}"), slice_of(k))).alias(f"mh{k}")
+        F.array_min(F.transform(F.col(f"__dg{k // 16}"), slice_of(k))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
     return out.select(F.col(id_col), *sig_cols)

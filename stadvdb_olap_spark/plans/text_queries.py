@@ -26,7 +26,7 @@ LANG_PROFILES = {
     "st": ("stream", "window", "batch", "spark", "agg"),
 }
 
-_NUM_HASHES = 16  # 2 salted digest groups (see text_dedup.minhash_signatures)
+_NUM_HASHES = 16  # one sha256 digest group (see text_dedup.minhash_signatures)
 _BAND_SIZE = 2
 _SHINGLE_N = 3
 _JACCARD_T = 0.2
@@ -39,21 +39,21 @@ def _shingled_sql() -> str:
 
 
 def _sigs_sql(num_hashes: int = _NUM_HASHES) -> str:
-    # One-permutation minhash, salted digest groups past 8 hashes — the
-    # DuckDB twin of operators/text_dedup.py:minhash_signatures.
-    n_groups = -(-num_hashes // 8)
+    # One-permutation minhash, salted sha256 digest groups past 16 hashes —
+    # the DuckDB twin of operators/text_dedup.py:minhash_signatures.
+    n_groups = -(-num_hashes // 16)
     dg_cols = ", ".join(
         (
-            "list_transform(sh, s -> md5(s))"
+            "list_transform(sh, s -> sha256(s))"
             if g == 0
-            else f"list_transform(sh, s -> md5(s || '#{g}'))"
+            else f"list_transform(sh, s -> sha256(s || '#{g}'))"
         )
         + f" AS dg{g}"
         for g in range(n_groups)
     )
     mh_cols = ", ".join(
-        f"list_aggregate(list_transform(dg{k // 8}, "
-        f"d -> d[{4 * (k % 8) + 1}:{4 * (k % 8) + 4}]), 'min') AS mh{k}"
+        f"list_aggregate(list_transform(dg{k // 16}, "
+        f"d -> d[{4 * (k % 16) + 1}:{4 * (k % 16) + 4}]), 'min') AS mh{k}"
         for k in range(num_hashes)
     )
     return (
@@ -187,9 +187,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"{_sigs_sql()}",
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signatures (16 hashes = 2 salted md5 digest
-    groups x 8 slices, over word 3-shingles) — computed row-locally, no
-    shuffle."""
+    """Per-document MinHash signatures (16 hashes = 16 disjoint slices of
+    ONE sha256 digest per shingle, over word 3-shingles) — computed
+    row-locally, no shuffle."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, _SHINGLE_N)
 

@@ -64,7 +64,11 @@ def _estimated_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+def broadcast_if_small(
+    df: DataFrame,
+    threshold_bytes: int | None = None,
+    size_proxy: DataFrame | None = None,
+) -> DataFrame:
     """Return ``F.broadcast(df)`` when Catalyst estimates the plan under
     the broadcast threshold, else ``df`` unchanged (strategy left to
     CBO/AQE).
@@ -74,13 +78,21 @@ def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> Dat
     never hints. An unavailable size estimate also declines to hint:
     un-hinted is always safe, because AQE can still choose a broadcast
     join from the observed runtime size.
+
+    ``size_proxy``: gate on this frame's estimate instead of ``df``'s own.
+    Catalyst's static join-output estimates multiply row counts, so a
+    lookup enriched dim-side by a guaranteed-1:1 join (e.g. customer ⋈
+    25-row nation) gets an estimate orders of magnitude above its true
+    size; the pre-join base table is the honest proxy. The caller asserts
+    the 1:1-ness — only pass a proxy whose cardinality provably bounds
+    ``df``'s.
     """
     if threshold_bytes is None:
         conf = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         threshold_bytes = parse_byte_conf(conf)
     if threshold_bytes <= 0:
         return df
-    est = _estimated_size_bytes(df)
+    est = _estimated_size_bytes(size_proxy if size_proxy is not None else df)
     if est is not None and est <= threshold_bytes:
         return F.broadcast(df)
     return df

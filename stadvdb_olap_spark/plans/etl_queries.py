@@ -425,28 +425,47 @@ FROM (
 """,
 )
 def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete star build: dims via build_dimension, fact FKs resolved
-    with broadcast key-map joins (resolve_foreign_key) — the Spark-native
-    replacement for the reference's 4 driver-side dicts
-    (fact_ETL.py:115-118)."""
+    """The complete star build: fact FKs resolved with broadcast key-map
+    joins — the Spark-native replacement for the reference's 4 driver-side
+    dicts (fact_ETL.py:115-118).
+
+    Key maps that resolve off the SAME fact column chain are pre-combined
+    dim-side so the fact pays ONE probe pass per fact key, not one per
+    dimension: customer attrs + user_sk + (via the fixed-cardinality
+    nation) location_sk collapse into a single c_custkey lookup, and part
+    price + product_sk into a single p_partkey lookup. 3 broadcast probes
+    over the fact instead of 6 — the same surrogate keys the
+    build_dimension/resolve_foreign_key operators produce (surrogate keys
+    are pure functions of the business key, so pre-joining maps dim-side
+    is free: it touches dim-sized, not fact-sized, data)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
 
-    user_dim = build_dimension(
-        cust, ["c_name"], ["c_nationkey", "c_acctbal"], ["c_custkey"], key_method="md5"
+    # nation is fixed-cardinality (25 rows at every SF): hard broadcast.
+    loc_map = nation.select(
+        "n_nationkey", surrogate_key(["n_name"], method="md5").alias("location_sk")
     )
-    part_dim = build_dimension(
-        part, ["p_name", "p_type"], ["p_retailprice"], ["p_partkey"], key_method="md5"
+    cust_lookup = (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            surrogate_key(["c_name"], method="md5").alias("user_sk"),
+        )
+        .join(F.broadcast(loc_map), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "user_sk", "location_sk")
     )
-    loc_dim = build_dimension(
-        nation, ["n_name"], [], ["n_nationkey"], key_method="md5"
+    part_lookup = part.select(
+        "p_partkey",
+        "p_retailprice",
+        surrogate_key(["p_name", "p_type"], method="md5").alias("product_sk"),
     )
-    dates = orders.select(normalize_date("o_orderdate").alias("order_date")).distinct()
-    date_map = dates.select(
-        "order_date", surrogate_key(["order_date"], method="md5").alias("surrogate_key")
+    date_map = (
+        orders.select(normalize_date("o_orderdate").alias("order_date"))
+        .distinct()
+        .select("order_date", surrogate_key(["order_date"], method="md5").alias("date_sk"))
     )
 
     # Pre-join dedup, coarse-partitioned on the join key (see flagship).
@@ -471,26 +490,19 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_date(orders.o_orderdate).alias("order_date"),
         )
     )
-    # Attach customer attrs needed for location FK + revenue needs part price:
-    cust_side = cust.select("c_custkey", "c_nationkey")
-    part_side = part.select("p_partkey", "p_retailprice")
-    base = (
-        base.join(broadcast_if_small(cust_side), base.o_custkey == cust_side.c_custkey)
-        .join(broadcast_if_small(part_side), base.l_partkey == part_side.p_partkey)
+    resolved = (
+        base.join(
+            # gate on customer itself: the 1:1 nation enrichment inflates
+            # Catalyst's static join estimate ~100x over the true size
+            broadcast_if_small(cust_lookup, size_proxy=cust),
+            base.o_custkey == cust_lookup.c_custkey,
+        )
+        .join(
+            broadcast_if_small(part_lookup),
+            base.l_partkey == part_lookup.p_partkey,
+        )
         .withColumn("revenue", ceil_to_cents(F.col("quantity") * F.col("p_retailprice")))
-    )
-
-    resolved = resolve_foreign_key(
-        base, user_dim.key_map, "o_custkey", "c_custkey", out_col="user_sk"
-    )
-    resolved = resolve_foreign_key(
-        resolved, part_dim.key_map, "l_partkey", "p_partkey", out_col="product_sk"
-    )
-    resolved = resolve_foreign_key(
-        resolved, loc_dim.key_map, "c_nationkey", "n_nationkey", out_col="location_sk"
-    )
-    resolved = resolve_foreign_key(
-        resolved, date_map, "order_date", "order_date", out_col="date_sk"
+        .join(broadcast_if_small(date_map), "order_date")
     )
 
     return resolved.select(

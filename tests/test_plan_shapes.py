@@ -103,6 +103,52 @@ def test_broadcast_gate_hints_only_under_threshold(spark):
     assert broadcast_if_small(cust, threshold_bytes=-1) is cust
 
 
+def test_fact_star_falls_back_to_smj_when_dims_exceed_threshold(spark, registry):
+    """Same 100×-scale pin for the star build: under a tiny threshold the
+    combined customer lookup (gated via its size_proxy) and part/date maps
+    must not be hinted, so the planner shuffles instead of broadcasting."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        plan = _formatted_plan(registry["fact_star"].fn(spark, SF))
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    plan = _formatted_plan(registry["fact_star"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_broadcast_gate_size_proxy(spark):
+    """size_proxy lets a provably-1:1-enriched lookup be gated on its base
+    table's estimate: Catalyst's multiplied join estimate alone would
+    wrongly decline the hint; a big proxy must still decline it."""
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation")
+    lookup = cust.select("c_custkey", "c_nationkey").join(
+        nation.select("n_nationkey"),
+        cust.c_nationkey == nation.n_nationkey,
+    )
+    from stadvdb_olap_spark.operators.joins import _estimated_size_bytes
+
+    own, proxy = _estimated_size_bytes(lookup), _estimated_size_bytes(cust)
+    assert own > proxy  # the join-product estimate really is inflated
+    mid = (own + proxy) // 2  # declines on own estimate, accepts on proxy
+
+    unhinted = broadcast_if_small(lookup, threshold_bytes=mid)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    hinted = broadcast_if_small(lookup, threshold_bytes=mid, size_proxy=cust)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # a too-big proxy still declines
+    small_thresh = broadcast_if_small(lookup, threshold_bytes=proxy - 1, size_proxy=cust)
+    assert (
+        "ResolvedHint"
+        not in small_thresh._jdf.queryExecution().analyzed().toString()
+    )
+
+
 def test_flagship_falls_back_to_smj_when_dims_exceed_threshold(spark, registry):
     """The 100×-scale behavior, pinned: when customer/part no longer fit
     under autoBroadcastJoinThreshold, the gate must NOT hint and the

@@ -1,11 +1,24 @@
-"""Custom stateful streaming operator: session aggregation with
-``applyInPandasWithState``.
+"""Custom stateful streaming operators.
 
-Nothing like this exists in the reference (SURVEY.md §2.10) — this is the
-engine's demonstration of arbitrary stateful processing: per-user sessions
-that close after an inactivity gap, emitted when they time out. State is
+Nothing like this exists in the reference (SURVEY.md §2.10) — these are
+the engine's demonstrations of arbitrary stateful processing. State is
 one tiny tuple per user, partitioned by the grouping key, so it scales
-horizontally with users, not events.
+horizontally with users, not events. Both generations of the API are
+covered:
+
+- ``sessionize_stream`` — ``applyInPandasWithState`` (the GroupState API):
+  per-user sessions that close after an inactivity gap, emitted when they
+  time out.
+- ``running_user_totals_stream`` — ``transformWithStateInPandas`` (the
+  Spark 4 typed-state successor): per-user running totals in a named
+  ``ValueState``, one updated row emitted per active user per micro-batch.
+  The typed-state handle also offers ListState/MapState/TTL/timers for
+  richer operators; the batch-agreement test pins that the streamed fold
+  converges to the batch aggregate exactly. NOTE: executing a
+  transformWithState query needs ``google.protobuf`` (the typed-state
+  Python<->JVM protocol) and the RocksDB state store provider; this
+  runtime ships neither protobuf nor media libs, so the agreement test
+  auto-skips there while the plan-construction test always runs.
 """
 
 from __future__ import annotations
@@ -15,6 +28,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
@@ -87,5 +104,57 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+TOTALS_SCHEMA = "user_id long, n_events long, last_event timestamp"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running totals on the typed-state API: ValueState holds
+    ``(n_events, last_event_ms)``; each micro-batch folds its rows into
+    the state and emits the updated row. The emitted stream (in update
+    mode) converges to the batch ``groupBy(user_id).agg(count, max(ts))``
+    — asserted exactly by the agreement test."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n long, last_ms long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev = self._totals.get()
+        n, last_ms = (prev[0], prev[1]) if prev is not None else (0, None)
+        for pdf in rows:
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            n += len(pdf)
+            batch_max = int(ts_ms.max())
+            last_ms = batch_max if last_ms is None else max(last_ms, batch_max)
+        self._totals.update((n, last_ms))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "last_event": [pd.Timestamp(last_ms, unit="ms")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Running per-user totals over a stream via transformWithStateInPandas
+    (update mode, no timers). One output row per active user per batch."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -130,6 +130,96 @@ def test_stateful_sessionize_batch_shape(spark, tmp_path):
     assert (1, 2) in got
 
 
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """The typed-state operator's plan must construct against a streaming
+    source regardless of the runtime gate below (schema + grouping wiring)."""
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.stateful import running_user_totals_stream
+
+    src_dir = str(tmp_path / "plan_src")
+    load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    ).limit(10).write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src_dir)
+    out = running_user_totals_stream(stream)
+    assert out.isStreaming
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "user_id:bigint", "n_events:bigint", "last_event:timestamp",
+    ]
+
+
+def test_transform_with_state_running_totals_converge_to_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): fold events
+    into per-user ValueState across MULTIPLE micro-batches; the final
+    update per user must equal the batch groupBy exactly.
+
+    Runtime-gated: the typed-state Python<->JVM protocol is protobuf-based
+    and this runtime ships no google.protobuf — the operator itself is
+    complete; the skip marks the missing runtime dependency, mirroring the
+    multimodal codec gates."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.stateful import running_user_totals_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src_dir = str(tmp_path / "totals_src")
+    # several files + maxFilesPerTrigger=1 => guaranteed multi-batch fold
+    events.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    # transformWithState requires the RocksDB state store provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_user_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "totals_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(provider_key, prev)
+
+    # last update per user = the converged state
+    got = {
+        r["user_id"]: (r["n_events"], r["last_event"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, last_event FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM running_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["last_event"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts"))
+        .withColumn(  # state stores epoch millis; floor batch side alike
+            "last_event", F.timestamp_millis(F.unix_millis(F.col("max_ts")))
+        )
+        .select("user_id", "n", "last_event")
+        .collect()
+    }
+    assert set(got) == set(expected)
+    mismatches = {u: (got[u], expected[u]) for u in expected if got[u] != expected[u]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
 def test_stream_dedup_across_microbatches(spark, tmp_path):
     """Duplicate keys split across two stream files collapse to one row —
     the cross-chunk dedup the reference's per-chunk drop_duplicates misses."""

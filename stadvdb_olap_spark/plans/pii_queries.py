@@ -1,0 +1,226 @@
+"""PII-scrub / normalization / repetition-filter catalog queries.
+
+The corpus-curation stages between raw crawl and tokenizer: redact PII,
+canonicalize text, and drop pathologically repetitive documents (the
+public Gopher/Dolma quality rules). The fixture documents are clean ASCII
+word soup, so each query deterministically INJECTS the dirty content
+(PII strings, HTML tags, accents, doubled whitespace) as a pure function
+of (doc_id, text) on BOTH engines — the DuckDB twin performs the same
+injection — which makes the differential comparison a real end-to-end
+test of the scrub/normalize expressions rather than an identity pass.
+
+Scale shape: every query here is a single narrow projection over the
+corpus (regexp/translate/HOF expressions, no Python, no shuffle) except
+the final per-source aggregate, which exchanges only a few counters per
+source. The repetition signals are computed row-locally via sorted-array
+runs — NOT explode + groupBy(doc_id), which would shuffle the whole
+token stream at 100 TB.
+
+No counterpart in the reference (cleaning there is dim trim/recode,
+SURVEY.md §2.5); this is the training-data-pipeline extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.pii import (
+    normalize_text,
+    normalize_text_sql,
+    pii_counts,
+    pii_counts_sql,
+    scrub_pii,
+    scrub_pii_sql,
+)
+from stadvdb_olap_spark.functions.text import tokens, tokens_sql, word_shingles, word_shingles_sql
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- deterministic dirty-content injection (identical on both engines) ---
+
+def _inject_pii(doc_id: Column, text: Column) -> Column:
+    i = doc_id.cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        text,
+        F.lit(" contact user"), doc_id, F.lit("@mail.example.com call +1-555-"),
+        F.lpad(s((i * 7) % 10000), 4, "0"),
+        F.lit(" from 10."), s(i % 256), F.lit("."), s((i * 3) % 256),
+        F.lit(".4 card 4111-1111-1111-"), F.lpad(s(i % 10000), 4, "0"),
+    )
+
+
+def _inject_pii_sql(doc_id: str, text: str) -> str:
+    i = f"CAST({doc_id} AS INTEGER)"
+    return (
+        f"{text} || ' contact user' || {doc_id} || '@mail.example.com call +1-555-'"
+        f" || lpad(CAST(({i} * 7) % 10000 AS VARCHAR), 4, '0')"
+        f" || ' from 10.' || CAST({i} % 256 AS VARCHAR) || '.'"
+        f" || CAST(({i} * 3) % 256 AS VARCHAR)"
+        f" || '.4 card 4111-1111-1111-' || lpad(CAST({i} % 10000 AS VARCHAR), 4, '0')"
+    )
+
+
+def _inject_markup(text: Column) -> Column:
+    # HTML wrapper, accented 'a'/'e', doubled spaces: everything
+    # normalize_text must undo to round-trip back to the original.
+    dirty = F.regexp_replace(text, "a", "á")
+    dirty = F.regexp_replace(dirty, "e", "é")
+    dirty = F.regexp_replace(dirty, " ", "  ")
+    return F.concat(F.lit("<p class=\"doc\">"), dirty, F.lit("</p>"))
+
+
+def _inject_markup_sql(text: str) -> str:
+    dirty = f"replace({text}, 'a', 'á')"
+    dirty = f"replace({dirty}, 'e', 'é')"
+    dirty = f"replace({dirty}, ' ', '  ')"
+    return f"'<p class=\"doc\">' || {dirty} || '</p>'"
+
+
+# --- queries ---
+
+_PII_COUNT_COLS = ("n_email", "n_card", "n_phone", "n_ip")
+
+_scrub_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
+
+@query(
+    "pii_scrub_docs",
+    oracle=f"""
+SELECT doc_id,
+       {scrub_pii_sql(_inject_pii_sql("doc_id", "text"))} AS scrubbed,
+       {_scrub_counts_sql["n_email"]} AS n_email,
+       {_scrub_counts_sql["n_card"]}  AS n_card,
+       {_scrub_counts_sql["n_phone"]} AS n_phone,
+       {_scrub_counts_sql["n_ip"]}    AS n_ip
+FROM documents
+""",
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/cards/phones/IPs and count per-kind hits. One
+    regexp projection per pattern, fused by codegen into a single scan —
+    the whole stage is shuffle-free at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    dirty = _inject_pii(F.col("doc_id"), F.col("text"))
+    counts = pii_counts(dirty)
+    return docs.select(
+        "doc_id",
+        scrub_pii(dirty).alias("scrubbed"),
+        *[counts[c].alias(c) for c in _PII_COUNT_COLS],
+    )
+
+
+_src_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
+
+@query(
+    "pii_hits_by_source",
+    oracle=f"""
+SELECT source,
+       sum({_src_counts_sql["n_email"]}) AS emails,
+       sum({_src_counts_sql["n_phone"]}) AS phones,
+       sum({_src_counts_sql["n_ip"]})    AS ips,
+       sum({_src_counts_sql["n_card"]})  AS cards
+FROM documents GROUP BY source
+""",
+)
+def pii_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit rollup: total redactions per source — the report a
+    curation run emits. Map-side partial sums; only one counter row per
+    source crosses the exchange."""
+    docs = _docs(spark, sf_dir)
+    counts = pii_counts(_inject_pii(F.col("doc_id"), F.col("text")))
+    return docs.groupBy("source").agg(
+        F.sum(counts["n_email"]).alias("emails"),
+        F.sum(counts["n_phone"]).alias("phones"),
+        F.sum(counts["n_ip"]).alias("ips"),
+        F.sum(counts["n_card"]).alias("cards"),
+    )
+
+
+@query(
+    "normalize_text_docs",
+    oracle=f"""
+SELECT doc_id,
+       {normalize_text_sql(_inject_markup_sql("text"))} AS norm_text,
+       {normalize_text_sql(_inject_markup_sql("text"))} = text AS roundtrip_ok
+FROM documents
+""",
+)
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-strip + accent-fold + case/whitespace canonicalization. The
+    fixture text is already canonical, so normalizing the injected dirty
+    variant must round-trip exactly (`roundtrip_ok`) — a self-checking
+    invariant the oracle also verifies value-by-value."""
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(_inject_markup(F.col("text")))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "repetition_stats_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {tokens_sql("text")} AS t, {word_shingles_sql("text", 2)} AS sh
+    FROM documents
+),
+top AS (
+    SELECT doc_id, max(c) AS top_count FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac,
+       CAST(top_count AS DOUBLE) / len(t) AS top_word_frac,
+       1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_bigram_frac
+FROM toks JOIN top ON toks.doc_id = top.doc_id
+""",
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, top-word
+    fraction, duplicate-bigram fraction. Computed ROW-LOCALLY — the
+    top-word count is the longest equal run of the sorted token array via
+    one aggregate() pass — so the stage is a narrow projection; the
+    explode+groupBy(doc_id) formulation (the oracle's, fine for DuckDB)
+    would shuffle the entire token stream at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    t = tokens("text")
+    sh = word_shingles("text", 2)
+    n = F.size(t)
+    # Longest equal-adjacent run of the sorted array == max token count.
+    run = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n).alias(
+            "dup_word_frac"
+        ),
+        (run.cast("double") / n).alias("top_word_frac"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+        ).alias("dup_bigram_frac"),
+    )

@@ -165,3 +165,28 @@ def test_flagship_falls_back_to_smj_when_dims_exceed_threshold(spark, registry):
     # And back at the default threshold the small-SF dims broadcast again.
     plan = _formatted_plan(registry["flagship_fact_build"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_a_narrow_projection(spark, registry):
+    """The curation scrub must cost exactly one scan at 100 TB: a
+    regexp projection with no exchange anywhere in the plan."""
+    for name in ("pii_scrub_docs", "normalize_text_docs", "repetition_stats_docs"):
+        plan = _formatted_plan(registry[name].fn(spark, SF))
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in body, name
+
+
+def test_pii_rollup_exchanges_only_counters(spark, registry):
+    """pii_hits_by_source: partial aggregation must sit below the single
+    exchange so only per-source counters shuffle, never document text."""
+    plan = _formatted_plan(registry["pii_hits_by_source"].fn(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    n_exchange = sum(
+        1
+        for ln in body.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchange == 1
+    assert body.index("HashAggregate") < body.index("Exchange") or body.count(
+        "HashAggregate"
+    ) == 2

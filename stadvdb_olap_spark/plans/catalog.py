@@ -23,33 +23,53 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None => driver does rows-only check
     doc: str = ""
+    defer: bool = False  # True => register after every oracle-backed query
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, defer: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Register a catalog query. ``oracle`` is ANSI/DuckDB SQL over the
     pre-registered fixture views producing IDENTICAL column names, types
-    (post the compat conventions below) and multiset of rows."""
+    (post the compat conventions below) and multiset of rows.
+
+    ``defer=True`` pushes the query after every non-deferred one in the
+    exported ordering: the external driver hash-checks the FIRST 50
+    registered queries per round, so rows-only queries (no oracle by
+    design) defer to keep the window spent on hash-certifiable entries.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", defer=defer
+        )
         return fn
 
     return deco
 
 
+def _ordered_specs() -> list[QuerySpec]:
+    specs = list(REGISTRY.values())
+    return [s for s in specs if not s.defer] + [s for s in specs if s.defer]
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        spec.name: spec.oracle
+        for spec in _ordered_specs()
+        if spec.oracle is not None
+    }
 
 
 def _ensure_loaded() -> None:
@@ -58,18 +78,19 @@ def _ensure_loaded() -> None:
     # ORDER MATTERS: the external driver's correctness pass covers the first
     # 50 registered queries per round. Round 1 certified advanced_queries (29)
     # + analytics_queries (21); round 2 rotates the window onto the modules
-    # that have no driver-signed row yet: etl (14, incl. the live-Derby JDBC
-    # round trip) + tpch (15) + text (15) + sampling (2) + vector's first 4
-    # = 50. The rows-only ann_topk_pandas_gemm/ann_ivf_topk, multimodal
-    # (3, mostly rows-only), and the already-certified advanced/analytics
-    # register after.
+    # that have no driver-signed row yet: etl (15, incl. the live-Derby JDBC
+    # round trip) + tpch (15) + text + sampling + vector + multimodal + the
+    # new sketch/pii modules. Rows-only queries register with ``defer=True``
+    # so every window slot goes to a hash-certifiable oracle query; the
+    # already-certified advanced/analytics import second-to-last (before the
+    # deferred tail) and soak up positions past 50.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import text_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import sampling_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import vector_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import multimodal_queries  # noqa: F401  # isort: skip
-    from stadvdb_olap_spark.plans import advanced_queries  # noqa: F401  # isort: skip
-    from stadvdb_olap_spark.plans import analytics_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import sketch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import pii_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import advanced_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import analytics_queries  # noqa: F401  # isort: skip

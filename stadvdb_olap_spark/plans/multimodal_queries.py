@@ -50,7 +50,7 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, "content", "doc_id", codec="fake")
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query("multimodal_frame_sample", oracle=None, defer=True)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing (rows-only check): one row per
     sampled offset, exploded on the executors."""
@@ -59,7 +59,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, "content", "doc_id", every_n_bytes=64)
 
 
-@query("multimodal_resize", oracle=None)
+@query("multimodal_resize", oracle=None, defer=True)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over fake image payloads (rows-only: binary output;
     a unit-style assertion lives in the schema itself — every row carries

@@ -255,24 +255,124 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TD.simhash("text", 16).alias("simhash16"))
 
 
-@query("dedup_clusters_canonical")
+@query(
+    "dedup_clusters_canonical",
+    oracle=f"""
+WITH RECURSIVE
+sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
+verified AS (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN sets_ sa ON sa.doc_id = id_a
+    JOIN sets_ sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY id
+""",
+)
 def dedup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from verified pairs via iterative min-label
-    connected components, with the min doc id as each cluster's canonical
-    (rows-only: the iterative fixpoint is not single-statement SQL; a unit
-    test verifies against a driver-side union-find on the same pairs)."""
+    connected components, with the min doc id as each cluster's canonical.
+
+    The Spark side iterates min-label propagation to a fixpoint; the DuckDB
+    twin expresses the same fixpoint as a recursive CTE computing each
+    node's full reachable set and taking the minimum label — both sides
+    converge to component = min reachable id, so the hash oracle holds. A
+    unit test additionally verifies against a driver-side union-find."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return TD.dedup_clusters(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
 
 
-@query("curate_corpus_docs")
+def _curate_sql() -> str:
+    # SQL twin of operators/pipeline.py:curate_corpus with its defaults as
+    # called below (min_tokens=5, max_stopword_ratio=0.9, stopwords
+    # ('the','a'), num_hashes=8, band_size=2, jaccard 0.2): quality gate ->
+    # lang id -> exact dedup keep-min-id -> near-dup cluster prune
+    # (recursive-CTE connected components) -> md5-range split.
+    split_bucket = "substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2)"
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents),
+lang AS ({_lang_id_sql()}),
+gated AS (
+    SELECT doc_id, text FROM toks
+    WHERE len(toks) >= 5
+      AND CAST(len(list_filter(toks, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+              / len(toks) <= 0.9
+),
+keep_exact AS (
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5(array_to_string({T.tokens_sql('text')}, ' ')) AS ch
+          FROM gated)
+    GROUP BY ch
+),
+gated2 AS (SELECT g.* FROM gated g JOIN keep_exact USING (doc_id)),
+all_sigs AS ({_sigs_sql(8)}),
+sigs AS (SELECT s.* FROM all_sigs s JOIN gated2 USING (doc_id)),
+bands AS ({_bands_sql(8, _BAND_SIZE)}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
+verified AS (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN sets_ sa ON sa.doc_id = id_a
+    JOIN sets_ sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+),
+losers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) <> id)
+SELECT g.doc_id, g.text, l.lang_pred,
+       CASE WHEN {split_bucket} < 'cc' THEN 'train'
+            WHEN {split_bucket} < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM gated2 g
+JOIN lang l USING (doc_id)
+WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query("curate_corpus_docs", oracle=_curate_sql())
 def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation pipeline composed (rows-only: the near-dup prune
-    is iterative): quality gate -> language ID -> exact dedup -> near-dup
-    cluster prune -> deterministic split. Output is the training-ready
-    corpus; invariants are pinned by unit tests."""
+    """The full curation pipeline composed end to end: quality gate ->
+    language ID -> exact dedup -> near-dup cluster prune -> deterministic
+    split. Output is the training-ready corpus; the DuckDB twin replays
+    every stage (the iterative cluster fixpoint as a recursive CTE) and
+    invariants are additionally pinned by unit tests."""
     from stadvdb_olap_spark.operators.pipeline import curate_corpus
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -443,7 +543,7 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_chunks_512")
+@query("pack_chunks_512", defer=True)
 def pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the corpus, then pack chunks into 512-token training bins
     (rows-only: first-fit-decreasing is iterative per bucket). Composes

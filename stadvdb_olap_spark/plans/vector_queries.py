@@ -70,17 +70,58 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(emb, "label", _NEAR_DUP_T)
 
 
-@query("ann_lsh_topk", oracle=None)
+def _lsh_sig_sql(vec: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    # DuckDB twin of operators/similarity.py:lsh_signature. The hyperplanes
+    # are DETERMINISTIC (seeded generator, rounded to 6 decimals) and enter
+    # the Spark plan as float literals, so the twin embeds the identical
+    # literals; both sides left-fold the dot product in IEEE order, so the
+    # sign (and hence the bucket id) is bit-identical.
+    from stadvdb_olap_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for r, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * ({lit})[i])), "
+            f"(p, q) -> p + q)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH sigs AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
+              FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig
+      FROM sigs WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {cosine_sql('q.qv', 'c.embedding')} AS cosine
+    FROM q JOIN sigs c USING (sig)
+    WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= {_K}
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (rows-only
-    check: approximate by construction). The 100 TB scale path — cosine
-    runs only inside signature-collision buckets."""
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB
+    scale path: cosine runs only inside signature-collision buckets, and
+    the shuffle key is the bucket id, never the Q*N pair space. The
+    deterministic (seeded, literal) hyperplanes make even this approximate
+    query hash-checkable: the DuckDB twin buckets with the same planes."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_bucketed_topk(queries, emb, k=_K, n_planes=6)
 
 
-@query("ann_topk_pandas_gemm", oracle=None)
+@query("ann_topk_pandas_gemm", oracle=None, defer=True)
 def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k via Arrow-batched numpy GEMM (rows-only check:
     float-sum order differs from the expression path by design)."""
@@ -89,7 +130,7 @@ def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(queries, emb, k=_K)
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", defer=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k (rows-only: k-means cells are
     approximate by construction). Candidates are probed only in the

@@ -1,0 +1,163 @@
+"""Mixture-assembly catalog queries over ``documents``.
+
+The post-curation stage of the training-data pipeline
+(operators/mixture.py): eval decontamination, per-source mixture
+weighting, token budgets, and the sharded training layout. All four are
+deterministic (content-addressed hashes, no RNG), so every one is
+DuckDB-oracle-checked — including the decontamination join and the
+per-shard orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.text import word_shingles_sql
+from stadvdb_olap_spark.operators import mixture as MX
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+_SHINGLE_N = 5
+_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_DEFAULT_RATE = 0.1
+_BUDGET = 2000
+_N_SHARDS = 8
+
+_SPLIT_SQL = """
+CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+     ELSE 'test' END
+"""
+
+
+def _md5_salted_sql(salt: str) -> str:
+    return f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "decontaminate_train_docs",
+    oracle=f"""
+WITH sp AS (SELECT doc_id, text, source, {_SPLIT_SQL} AS split FROM documents),
+tr AS (SELECT doc_id, text, source FROM sp WHERE split = 'train'),
+hosh AS (
+    SELECT DISTINCT unnest({word_shingles_sql('text', _SHINGLE_N)}) AS sh
+    FROM sp WHERE split <> 'train'
+),
+trsh AS (
+    SELECT doc_id, unnest(list_distinct({word_shingles_sql('text', _SHINGLE_N)})) AS sh
+    FROM tr
+),
+bad AS (SELECT DISTINCT doc_id FROM trsh JOIN hosh USING (sh))
+SELECT doc_id, source FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: training documents sharing ANY word 5-gram
+    with a val/test document are dropped, so benchmarks measure
+    generalization rather than memorization. The join is keyed on the
+    shingle hash (the held-out side is distinct benchmark shingles —
+    small, broadcast); work scales with actual collisions, never
+    |train| x |heldout|."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    with_split = docs.withColumn(
+        "split",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"),
+    )
+    train = with_split.filter(F.col("split") == "train")
+    heldout = with_split.filter(F.col("split") != "train")
+    return MX.decontaminate(train, heldout, "doc_id", "text", _SHINGLE_N).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "mixture_weighted_sample_docs",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE substring({_md5_salted_sql('mix:')}, 1, 4) <
+      CASE source
+           WHEN 'src0' THEN 'g'
+           WHEN 'src1' THEN 'c000'
+           WHEN 'src2' THEN '8000'
+           WHEN 'src3' THEN '4000'
+           ELSE '1999' END
+""",
+)
+def mixture_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: per-source deterministic Bernoulli rates
+    (src0 100%, src1 75%, src2 50%, src3 25%, everything else 10%) — the
+    data-recipe step that upsamples curated sources and downsamples
+    crawl. Membership is a pure function of the salted key hash: narrow
+    map + filter, no shuffle, reproducible across engines and runs."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return MX.weighted_source_sample(docs, _RATES, _DEFAULT_RATE).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "token_budget_per_source_docs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           {_md5_salted_sql('budget:')} AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET}
+""",
+)
+def token_budget_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: each source contributes at most {budget} tokens,
+    taking documents in content-addressed hash order (a deterministic
+    shuffle) until the budget fills. One exchange on the source key; the
+    prefix scan inside a source is sequential BY DEFINITION of "first
+    documents under the budget" — sources are the parallel unit."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return MX.token_budget_take(docs, _BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+@query(
+    "training_shards_docs",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, {_md5_salted_sql('shard:')} AS h FROM documents
+),
+s AS (
+    SELECT doc_id, h,
+           CAST(((strpos('0123456789abcdef', h[1:1]) - 1) * 4096
+               + (strpos('0123456789abcdef', h[2:2]) - 1) * 256
+               + (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+               + (strpos('0123456789abcdef', h[4:4]) - 1)) AS BIGINT)
+               % {_N_SHARDS} AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+           AS shard_pos
+FROM s
+""",
+)
+def training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training layout: (shard, shard_pos) for every document —
+    shard = salted-hash mod {n}, position = hash rank within the shard.
+    Materialized as {n} independently-ordered files this gives trainers a
+    deterministic global shuffle WITHOUT a global sort: the only exchange
+    is on the shard id and each shard orders its own rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return MX.training_shards(docs, _N_SHARDS).select("doc_id", "shard", "shard_pos")

@@ -1,0 +1,121 @@
+"""Data-quality constraint suite over ``orders`` — the declarative
+check families a warehouse runs before publishing a table (the
+completeness / uniqueness / referential / domain validations of the
+Deequ school), emitted as one (check_name, metric, passed) row each.
+
+The reference validates implicitly (NOT NULL columns, ON CONFLICT keys
+in its DDL — SURVEY §2.1); this makes the checks explicit, engine-level
+and reportable. Extends ``profile_orders`` (per-column profiling) with
+pass/fail semantics.
+
+Scale shape: every row-level check folds into ONE conditional-aggregate
+pass over the table (count/sum-of-cases — map-side partials, a 1-row
+result); the uniqueness check is a distinct-count over the key; the
+referential check is a broadcast anti-join count against the dimension
+keys. Nothing materializes violations — counts only (a violation-sample
+query would add a filter + limit, not a new shape).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.operators.joins import broadcast_if_small
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table
+
+_STATUS_DOMAIN = ("O", "F", "P")
+
+
+@query(
+    "dq_checks_orders",
+    oracle=f"""
+SELECT 'row_count_positive' AS check_name,
+       (SELECT count(*) FROM orders) AS metric,
+       (SELECT count(*) FROM orders) > 0 AS passed
+UNION ALL
+SELECT 'pk_unique_o_orderkey',
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+UNION ALL
+SELECT 'fk_o_custkey_in_customer',
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL
+SELECT 'o_totalprice_nonnegative',
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0),
+       (SELECT count(*) FROM orders WHERE o_totalprice < 0) = 0
+UNION ALL
+SELECT 'o_orderdate_complete',
+       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+       (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) = 0
+UNION ALL
+SELECT 'o_orderstatus_in_domain',
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN {_STATUS_DOMAIN!r}),
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN {_STATUS_DOMAIN!r}) = 0
+""",
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint report for orders: row count, key uniqueness,
+    referential integrity into customer, non-negativity, completeness,
+    and a categorical domain check — one (check_name, metric, passed)
+    row per constraint. All row-level checks share a single
+    conditional-aggregate scan; the FK check adds one broadcast
+    anti-join count."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_dupes"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(*_STATUS_DOMAIN), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    fk_bad = (
+        orders.join(
+            broadcast_if_small(cust_keys),
+            orders.o_custkey == cust_keys.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    m = wide.crossJoin(F.broadcast(fk_bad))
+
+    def check(name: str, metric, passed):
+        return m.select(
+            F.lit(name).alias("check_name"),
+            metric.cast("long").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    rows = [
+        check("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
+        check("pk_unique_o_orderkey", F.col("pk_dupes"), F.col("pk_dupes") == 0),
+        check(
+            "fk_o_custkey_in_customer", F.col("fk_orphans"), F.col("fk_orphans") == 0
+        ),
+        check(
+            "o_totalprice_nonnegative", F.col("neg_price"), F.col("neg_price") == 0
+        ),
+        check("o_orderdate_complete", F.col("null_date"), F.col("null_date") == 0),
+        check(
+            "o_orderstatus_in_domain", F.col("bad_status"), F.col("bad_status") == 0
+        ),
+    ]
+    return reduce(DataFrame.unionByName, rows)

@@ -190,3 +190,69 @@ def test_pii_rollup_exchanges_only_counters(spark, registry):
     assert body.index("HashAggregate") < body.index("Exchange") or body.count(
         "HashAggregate"
     ) == 2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Semi-join reduction at scale: when a selective dim predicate feeds
+    a shuffle join, Spark's runtime bloom filter (enabled in the session
+    posture) must inject a might_contain() probe on the FACT side, so
+    fact rows that cannot match are dropped before the exchange. The
+    size thresholds are floored here only because the fixture is tiny —
+    at 100 TB the defaults (10 MB creation side / 10 GB application
+    side) fire on their own."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    conf = spark.conf
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    assert conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_app, prev_bc = conf.get(app_key), conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"
+    )
+    conf.set(app_key, "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _formatted_plan(j)
+        assert "might_contain" in plan
+        # the probe lands on the lineitem (fact) scan's filter condition
+        fact_filter = [
+            ln for ln in plan.splitlines()
+            if "might_contain" in ln and "l_orderkey" in ln
+        ]
+        assert fact_filter, plan
+    finally:
+        conf.set(app_key, prev_app)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_training_shards_single_exchange(spark, registry):
+    """Shard layout must be ONE hash exchange (on the shard id) + window
+    rank — never a global single-partition sort."""
+    df = registry["training_shards_docs"].fn(spark, SF)
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    body = df._jdf.queryExecution().explainString(jmode)
+    assert "Exchange SinglePartition" not in body
+    n_hash_exchange = body.count("Exchange hashpartitioning")
+    # (spread()'s round-robin fixture mitigation may add a non-hash exchange)
+    assert n_hash_exchange == 1, body
+
+
+def test_decontaminate_broadcasts_heldout_shingles(spark, registry):
+    """The held-out (benchmark) shingle set is the small side and must
+    broadcast; the train side must never be exchanged for that join."""
+    plan = _formatted_plan(registry["decontaminate_train_docs"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,41 @@ def merge_scd1(
         else:
             out_cols.append(target[c].alias(c))
     return joined.select(*out_cols)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Iterable[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    op_delete: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed (the log-shipping uplift over
+    :func:`merge_scd1`, which has no delete channel): ``changes`` carries
+    insert/update/delete rows tagged with an op code and a per-key
+    monotonically increasing sequence (log offset / LSN). The feed is
+    first COMPACTED to each key's latest change — one window pass — then
+    applied set-based: latest op ``D`` deletes the key, anything else
+    upserts the row whole.
+
+    ``(keys, seq_col)`` must be unique (true for any real change log —
+    offsets order a key's history); ties would make "latest" ambiguous.
+
+    Scale: one shuffle of the (already compacted) feed on the key for
+    the window, one anti-join against the target, one union — the
+    standard periodic-merge shape for maintaining a 100 TB table from a
+    stream of deltas; with a target bucketed on the key the anti-join
+    side of the shuffle disappears.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != op_delete).select(*target.columns)
+    touched = latest.select(*keys)
+    untouched = target.join(touched, keys, "left_anti")
+    return untouched.unionByName(upserts)

@@ -1,0 +1,126 @@
+"""Feature-preparation & corpus-monitoring catalog queries.
+
+Two families the training-data pipeline runs after curation:
+
+- ``winsorize_price_per_flag`` — per-group percentile clipping (the
+  robust-scaling cousin of the z-score query in advanced_queries).
+- ``tv_distance_source_unigrams`` — distribution drift per source:
+  total-variation distance between each source's unigram distribution
+  and the corpus-wide one. TV (0.5 · Σ|p−q|) is chosen over KL
+  deliberately: it needs only +,−,×,÷,abs — every one IEEE-correctly-
+  rounded and therefore bit-identical across engines — where KL's
+  ``ln`` is not correctly-rounded and would break hash oracles. The
+  per-source sum folds in SORTED word order on both engines, so even
+  the float summation order is pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.text import tokens, tokens_sql
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+
+@query(
+    "winsorize_price_per_flag",
+    oracle="""
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       CAST(l_extendedprice AS DOUBLE) AS price,
+       CAST(CASE WHEN l_extendedprice < lo THEN lo
+                 WHEN l_extendedprice > hi THEN hi
+                 ELSE l_extendedprice END AS DOUBLE) AS price_winsorized
+FROM lineitem l JOIN b USING (l_returnflag)
+""",
+)
+def winsorize_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the group's [p05, p95] —
+    the outlier-robust feature-scaling step (vs z-score's mean/σ). One
+    aggregate over the fact for the bounds (3 fixed groups → broadcast
+    join back), then a narrow clamp projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+            .cast("double")
+            .alias("price_winsorized"),
+        )
+    )
+
+
+@query(
+    "tv_distance_source_unigrams",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest({tokens_sql('text')}) AS word FROM documents
+),
+cnt AS (SELECT source, word, count(*) AS c FROM toks GROUP BY source, word),
+stot AS (SELECT source, sum(c) AS st FROM cnt GROUP BY source),
+wtot AS (SELECT word, sum(c) AS wc FROM cnt GROUP BY word),
+ctot AS (SELECT sum(c) AS ct FROM cnt),
+terms AS (
+    SELECT cnt.source, cnt.word,
+           abs(CAST(cnt.c AS DOUBLE) / st - CAST(wc AS DOUBLE) / ct) AS term
+    FROM cnt JOIN stot USING (source) JOIN wtot USING (word) CROSS JOIN ctot
+)
+SELECT source,
+       0.5 * list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+               list_transform(
+                   list_sort(list(struct_pack(word := word, term := term))),
+                   x -> x.term)),
+           (p, q) -> p + q) AS tv_distance
+FROM terms GROUP BY source
+""",
+)
+def tv_distance_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-source total-variation distance between
+    the source's unigram distribution and the corpus-wide one — the
+    cheap alarm for "this source's text stopped looking like the rest".
+    Two hash aggregates + a word-keyed join; the per-source Σ|p−q| folds
+    over the SORTED word list so the double summation order (hence the
+    hash) is engine-independent. State per group is vocabulary-sized;
+    for open vocabularies fold per hash-bucket of words first, then sum
+    buckets in bucket order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(tokens("text")).alias("word"))
+    cnt = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("st"))
+    wtot = cnt.groupBy("word").agg(F.sum("c").alias("wc"))
+    ctot = cnt.agg(F.sum("c").alias("ct"))
+    terms = (
+        cnt.join(stot, "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "word",
+            F.abs(
+                F.col("c").cast("double") / F.col("st")
+                - F.col("wc").cast("double") / F.col("ct")
+            ).alias("term"),
+        )
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("word", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.groupBy("source").agg((F.lit(0.5) * folded).alias("tv_distance"))

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -41,12 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read the raw int64 nanos and convert to a microsecond
-        # timestamp (floor), matching how DuckDB/Arrow truncate ns->us.
+        # events.ts has varied across fixture generations: parquet
+        # TIMESTAMP(NANOS) (which Spark's reader rejects — read the raw
+        # int64 nanos and floor to micros, matching DuckDB/Arrow ns->us
+        # truncation) or TIMESTAMP_NTZ at micro precision. Normalize both
+        # to the session-local TIMESTAMP type so every downstream plan
+        # (unix_micros, windowing, stream sessionize) sees one dtype; the
+        # session timezone is pinned UTC, so the NTZ cast is value-exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["broadcast_if_small", "parse_byte_conf"]
+__all__ = ["broadcast_if_small", "parse_byte_conf", "salted_equi_join"]
 
 _UNITS = {
     "b": 1,
@@ -96,3 +96,49 @@ def broadcast_if_small(
     if est is not None and est <= threshold_bytes:
         return F.broadcast(df)
     return df
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for skew: the big ``left`` side
+    scatters each row to one of ``n_salts`` sub-keys (deterministic:
+    ``xxhash64(key, other-cols) mod n``), and ``right`` replicates every
+    row across ALL ``n_salts`` sub-keys via a generator — so a hot key's
+    probe rows spread over ``n_salts`` reducers instead of stalling one.
+
+    The join RESULT is exactly the plain equi-join (each left row still
+    meets every matching right row exactly once); only the shuffle
+    distribution changes. Replication multiplies the right side by
+    ``n_salts`` — use for a small-but-not-broadcastable right side against
+    a skewed big left. AQE's skew-join mitigation covers the adaptive case;
+    this operator pins the plan where the hot keys are known a priori.
+
+    Output columns: all of ``left`` then all of ``right`` (minus its key,
+    which duplicates ``left``'s on inner joins).
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if how != "inner":
+        # Outer variants need null-key handling on the salted side;
+        # the skew pattern in practice is the inner fact-lookup join.
+        raise ValueError("salted_equi_join supports how='inner' only")
+    salt = F.pmod(F.xxhash64(F.col(left_key), *left.columns), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = l_salted.join(
+        r_replicated,
+        (F.col(left_key) == F.col(right_key)) & (l_salted["__salt"] == r_replicated["__salt"]),
+        how,
+    )
+    keep = [l_salted[c] for c in left.columns] + [
+        r_replicated[c] for c in right.columns if c != right_key
+    ]
+    return joined.select(*keep)

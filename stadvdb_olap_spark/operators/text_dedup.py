@@ -178,6 +178,69 @@ def jaccard_verified_pairs(
     )
 
 
+def incremental_lsh_matches(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a small DELTA batch against the standing CORPUS without any
+    corpus-side recomputation beyond its band table: (delta_id, corpus_id,
+    jaccard) for every verified near-dup across the boundary.
+
+    The 100 TB ingestion shape: the corpus band table is computed once and
+    persisted (it is exactly :func:`minhash_band_keys` over
+    :func:`minhash_signatures` — reuse the saved table in production; here
+    it is recomputed from the corpus frame so the operator is
+    self-contained). Each incoming batch computes only its OWN signatures
+    (narrow map over the batch), broadcasts its bands against the corpus
+    bands — the batch side is small by construction, so the join is a
+    broadcast probe of the big band table with NO corpus shuffle — and
+    Jaccard-verifies the collisions. Per-batch cost tracks the batch size
+    and the collision count, never the corpus size.
+    """
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    d_bands = minhash_band_keys(
+        minhash_signatures(delta, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        band_size,
+    ).withColumnRenamed(id_col, "delta_id")
+    c_bands = minhash_band_keys(
+        minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        band_size,
+    ).withColumnRenamed(id_col, "corpus_id")
+    cands = (
+        c_bands.join(broadcast_if_small(d_bands), ["band_id", "band_key"])
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    d_sets = delta.select(
+        F.col(id_col).alias("delta_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_d"),
+    )
+    c_sets = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect("sh_d", "sh_c"))
+    union = F.size(F.array_distinct(F.concat("sh_d", "sh_c")))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(broadcast_if_small(d_sets), "delta_id")
+        .join(c_sets, "corpus_id")
+        .select("delta_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -97,5 +97,6 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import dq_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import cdc_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import feature_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import scale_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import advanced_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import analytics_queries  # noqa: F401  # isort: skip

@@ -1,0 +1,203 @@
+"""Scale-pattern queries: weighted sampling, skew-salted joins, and
+incremental (delta-vs-corpus) dedup.
+
+Three patterns every 100 TB pipeline needs beyond the reference's surface
+(reference has no analog — its ETL is single-batch pandas,
+``/root/reference/ETL/user_ETL.py``):
+
+- **Deterministic weighted sampling** (priority sampling, Duffield-Lund-
+  Thorup): priority = weight / u with u a content-addressed uniform from the
+  row key; top-k by priority is a weighted-without-replacement sample that
+  every run, engine, and partition layout reproduces. Pure IEEE arithmetic
+  (one division — no ln/pow), so the DuckDB oracle is bit-exact.
+- **Skew-salted join**: replicate the small side over N salt values and
+  scatter the big side's hot keys across (key, salt) reducers. The RESULT
+  equals the plain join — which is exactly what the oracle asserts — only
+  the shuffle distribution changes. This is the manual fallback for skew
+  that AQE's skew-join handles adaptively; having it as an operator means a
+  pipeline can pin it where a hot key is known a priori (e.g. the null/bot
+  user in event streams).
+- **Incremental LSH dedup**: dedup a small DELTA batch against the big
+  standing corpus without recomputing the corpus — at 100 TB the corpus
+  band table is computed once and persisted; each ingest batch only
+  computes its own signatures, broadcasts them against the corpus bands,
+  and Jaccard-verifies the collisions. Cost per batch tracks the batch, not
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.operators.joins import salted_equi_join
+from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
+from stadvdb_olap_spark.plans import compat
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.plans.text_queries import (
+    _BAND_SIZE,
+    _NUM_HASHES,
+    _SHINGLE_N,
+    _bands_sql,
+    _shingled_sql,
+    _sigs_sql,
+)
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (priority sampling)
+# ---------------------------------------------------------------------------
+
+_U32 = 4294967296.0  # 2^32
+
+
+def _key_uniform(key: F.Column) -> F.Column:
+    """Content-addressed uniform in (0, 1]: the first 8 hex chars of
+    md5(key) as a 32-bit integer v, mapped to (v+1)/2^32. A narrow map —
+    no seed, no shuffle, reproducible in any engine."""
+    v = F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("double")
+    return (v + F.lit(1.0)) / F.lit(_U32)
+
+
+def _key_uniform_sql(key_expr: str) -> str:
+    """DuckDB twin of :func:`_key_uniform`. Hex -> int via per-digit strpos
+    (DuckDB has no base-conv builtin); 8 digits keep every intermediate
+    exact in a double, so the division is bit-identical to Spark's."""
+    h = f"md5(CAST({key_expr} AS VARCHAR))"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1) * {16 ** (8 - i)}.0"
+        for i in range(1, 9)
+    )
+    return f"(({digits}) + 1.0) / {_U32}"
+
+
+@query(
+    "weighted_sample_orders_priority",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderstatus
+    ORDER BY o_totalprice / ({_key_uniform_sql('o_orderkey')}) DESC,
+             o_orderkey) <= 30
+""",
+)
+def weighted_sample_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, 30 orders per status, inclusion
+    probability ~ o_totalprice (priority sampling: rank by w/u descending).
+    High-value orders are overwhelmingly likely to be kept; the tail still
+    gets a proportional chance. One shuffle on the stratum key; row_number
+    truncates inside each reducer, so skewed strata never materialize more
+    than their winners. Priority = weight / uniform is a single IEEE
+    division — deterministic across engines, partitionings, and re-runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.col("o_totalprice") / _key_uniform(F.col("o_orderkey"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        prio.desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_join_event_value_by_segment",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def salted_join_event_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value by customer segment through an 8-way SALTED join: events
+    scatter over (user_id, salt), customer replicates x8. Identical result
+    to the plain join — the oracle IS the plain join — but a hot user (bot
+    traffic, the null user) now spreads across 8 reducers instead of
+    stalling one. The follow-up aggregate is two-phase on c_mktsegment, so
+    the salt never leaks downstream."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_equi_join(
+        events, customer, left_key="user_id", right_key="c_custkey", n_salts=8
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            compat.money_sum("value").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) LSH dedup
+# ---------------------------------------------------------------------------
+
+_DELTA_CUT = "14"  # first md5 byte < 0x14 => ~8% of docs form the delta batch
+_JACCARD_T = 0.2
+
+
+def _delta_pred_sql() -> str:
+    return f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_DELTA_CUT}'"
+
+
+@query(
+    "dedup_incremental_delta",
+    oracle=f"""
+WITH sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()}),
+delta_bands AS (SELECT * FROM bands WHERE {_delta_pred_sql()}),
+corpus_bands AS (SELECT * FROM bands WHERE NOT ({_delta_pred_sql()})),
+cands AS (
+    SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+    FROM delta_bands d JOIN corpus_bands c USING (band_id, band_key)
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()}))
+SELECT delta_id, corpus_id,
+       CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+           / len(list_distinct(sd.sh || sc.sh)) AS jaccard
+FROM cands
+JOIN sets_ sd ON sd.doc_id = delta_id
+JOIN sets_ sc ON sc.doc_id = corpus_id
+WHERE CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+          / len(list_distinct(sd.sh || sc.sh)) >= {_JACCARD_T}
+""",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the ~8% of documents whose doc-id hash falls
+    under the cut play the role of a freshly ingested batch; the other 92%
+    are the standing corpus. Each verified (delta, corpus) near-dup pair
+    comes back with its exact n-gram Jaccard. The delta's band table
+    BROADCASTS against the corpus bands (size-gated), so the corpus is
+    probed in place — the per-batch cost is O(batch + collisions), the
+    pattern that keeps continuous ingestion dedup affordable at 100 TB."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    delta = docs.filter(bucket < _DELTA_CUT)
+    corpus = docs.filter(bucket >= _DELTA_CUT)
+    return incremental_lsh_matches(
+        delta,
+        corpus,
+        "doc_id",
+        "text",
+        _JACCARD_T,
+        _NUM_HASHES,
+        _BAND_SIZE,
+        _SHINGLE_N,
+    )

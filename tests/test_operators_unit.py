@@ -595,3 +595,105 @@ def test_lsh_recall_improves_with_more_hashes(spark):
     recall8 = len(true_pairs & c8) / len(true_pairs)
     assert recall16 >= recall8
     assert recall16 >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Scale-pattern operators (plans/scale_queries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from stadvdb_olap_spark.operators.joins import salted_equi_join
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+
+    salted = salted_equi_join(
+        events, customer, left_key="user_id", right_key="c_custkey", n_salts=8
+    )
+    plain = events.join(
+        customer, events.user_id == customer.c_custkey
+    ).select("event_id", "user_id", "value", "c_mktsegment")
+
+    assert salted.columns == ["event_id", "user_id", "value", "c_mktsegment"]
+    got = sorted(tuple(r) for r in salted.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want
+
+    # the replicate side shows up as a Generate (explode) in the plan
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+
+    # degenerate single-salt case is still the plain join
+    one = salted_equi_join(
+        events, customer, left_key="user_id", right_key="c_custkey", n_salts=1
+    )
+    assert sorted(tuple(r) for r in one.collect()) == want
+
+
+def test_incremental_dedup_equals_full_lsh_cross_pairs(spark):
+    """Delta-vs-corpus matches must be exactly the full-corpus verified
+    pairs that straddle the delta boundary (same signatures, same bands,
+    same threshold — the incremental path changes COST, not semantics)."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.text_dedup import (
+        incremental_lsh_matches,
+        jaccard_verified_pairs,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    delta = docs.filter(bucket < "14")
+    corpus = docs.filter(bucket >= "14")
+
+    inc = {
+        (r["delta_id"], r["corpus_id"])
+        for r in incremental_lsh_matches(
+            delta, corpus, "doc_id", "text", 0.2, 16, 2, 3
+        ).collect()
+    }
+
+    delta_ids = {r[0] for r in delta.select("doc_id").collect()}
+    full = jaccard_verified_pairs(docs, "doc_id", "text", 0.2, 16, 2, 3)
+    cross = {
+        (a, b) if a in delta_ids else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())
+        if (a in delta_ids) != (b in delta_ids)
+    }
+    assert inc == cross
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Priority sampling must overselect high-weight rows: the sampled mean
+    o_totalprice beats the population mean in every stratum, and the draw
+    is deterministic across invocations."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    fn = REGISTRY["weighted_sample_orders_priority"].fn
+    sample = fn(spark, sf).collect()
+    assert len(sample) == 90  # 30 per status, 3 statuses
+    again = fn(spark, sf).collect()
+    assert sorted(map(tuple, sample)) == sorted(map(tuple, again))
+
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    pop = {
+        r["o_orderstatus"]: r["m"]
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    by_status: dict[str, list[float]] = {}
+    for r in sample:
+        by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
+    for status, prices in by_status.items():
+        assert sum(prices) / len(prices) > pop[status]

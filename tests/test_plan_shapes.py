@@ -256,3 +256,12 @@ def test_decontaminate_broadcasts_heldout_shingles(spark, registry):
     broadcast; the train side must never be exchanged for that join."""
     plan = _formatted_plan(registry["decontaminate_train_docs"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_broadcasts_the_delta(spark, registry):
+    """The batch (delta) side of incremental dedup must broadcast against
+    the corpus band table — the corpus is probed in place, never shuffled
+    for the candidate join. The delta's shingle sets broadcast into the
+    verify join the same way."""
+    plan = _formatted_plan(registry["dedup_incremental_delta"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -84,6 +84,13 @@ def _ensure_loaded() -> None:
     # so every window slot goes to a hash-certifiable oracle query; the
     # already-certified advanced/analytics import second-to-last (before the
     # deferred tail) and soak up positions past 50.
+    #
+    # ROUND-3 ROTATION (do this first next round): positions 51+ of the
+    # current order are still driver-unsigned — the text tail past the
+    # first 50 (normalize/repetition/ohlc/...), sketch, pii, mixture,
+    # funnel, dq, cdc, feature, and scale_queries. Move those modules to
+    # the FRONT of this import list (before etl/tpch, which round 2
+    # certified) so the round-3 window covers them.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import text_queries  # noqa: F401  # isort: skip

@@ -144,6 +144,43 @@ def salted_join_event_value_by_segment(spark: SparkSession, sf_dir: str) -> Data
 
 
 # ---------------------------------------------------------------------------
+# VARIANT semi-structured surface (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_bucketed",
+    oracle="""
+SELECT CAST(FLOOR(CAST(props->>'$.k' AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY k_bucket
+""",
+)
+def variant_props_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type: the raw
+    JSON string parses ONCE into a binary variant (``parse_json``), typed
+    paths extract from the parsed form (``variant_get``) — the scale
+    answer to repeated ``get_json_object`` calls, which re-parse the
+    string per extraction. Shredded parquet VARIANT columns additionally
+    push the path extraction into the scan. Buckets of the extracted
+    k-property with event and distinct-user counts."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        events.select(
+            F.floor(k / 10).cast("long").alias("k_bucket"), "user_id"
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental (delta-vs-corpus) LSH dedup
 # ---------------------------------------------------------------------------
 

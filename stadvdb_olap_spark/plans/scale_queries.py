@@ -181,6 +181,56 @@ def variant_props_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): lateral one-to-many expansion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_chunk_ranges_docs",
+    oracle="""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+)
+, expanded AS (
+  SELECT doc_id, n, unnest(generate_series(0, CAST(n AS BIGINT))) AS i
+  FROM counted
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * 40 AS INTEGER) AS start_tok,
+       CAST(LEAST(i * 40 + 50, n) AS INTEGER) AS end_tok
+FROM expanded
+WHERE i * 40 < n
+""",
+)
+def udtf_chunk_ranges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-range planning through a Python UDTF lateral join: each
+    document's token count expands to one row per (chunk_idx, start, end)
+    sliding window (50 tokens, stride 40). The production chunker is the
+    expression-only ``chunk_documents_sliding``; this query keeps the
+    UDTF escape hatch — per-row one-to-many logic in Python, streamed
+    back row-by-row, Arrow-batched when the session enables it — wired
+    and oracle-checked (the DuckDB twin is a ``generate_series``
+    lateral)."""
+    from stadvdb_olap_spark.functions.text import token_count
+    from stadvdb_olap_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", token_count("text").alias("n")).createOrReplaceTempView(
+        "__udtf_counted"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, r.chunk_idx, r.start_tok, r.end_tok
+        FROM __udtf_counted c, LATERAL chunk_ranges(CAST(c.n AS INT), 50, 40) r
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental (delta-vs-corpus) LSH dedup
 # ---------------------------------------------------------------------------
 

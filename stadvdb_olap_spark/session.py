@@ -52,6 +52,9 @@ def get_session(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batch Python UDTF row transfer (functions/udtfs.py) —
+        # the pickled fallback is correct but slower.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are on by default; keep
         # file-open costs low for the many-small-files local fixtures.

@@ -34,6 +34,60 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def corpus_dedup_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    available_now: bool = True,
+):
+    """Continuous-ingestion near-dup dedup: every micro-batch of incoming
+    documents LSH-matches against the standing corpus via
+    ``incremental_lsh_matches`` (batch bands broadcast, corpus probed in
+    place) and the verified (delta_id, corpus_id, jaccard) matches append
+    to ``out_path``. Downstream consumers drop or canonicalize the matched
+    ingest docs.
+
+    The corpus frame is static per run — at 100 TB it is the PERSISTED
+    band table refreshed by a compaction job, and each micro-batch's cost
+    is O(batch + collisions). foreachBatch (not a stateful operator)
+    because the match is a join against external state, not stream state;
+    the checkpoint makes ingestion exactly-once across restarts.
+    """
+    from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
+
+    def match_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            incremental_lsh_matches(
+                batch,
+                corpus,
+                id_col,
+                text_col,
+                threshold,
+                num_hashes,
+                band_size,
+                shingle_n,
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -697,3 +697,33 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
         by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
     for status, prices in by_status.items():
         assert sum(prices) / len(prices) > pop[status]
+
+
+def test_chunk_ranges_udtf(spark):
+    """UDTF surface: edge semantics (empty/None yield nothing, tail chunk
+    clipped) and agreement between the Arrow and pickled transfer paths."""
+    from stadvdb_olap_spark.functions.udtfs import ChunkRanges, register_udtfs
+
+    fn = ChunkRanges.func()  # the undecorated handler class
+    assert list(fn.eval(0, 50, 40)) == []
+    assert list(fn.eval(None, 50, 40)) == []
+    assert list(fn.eval(50, 50, 40)) == [(0, 0, 50), (1, 40, 50)]
+    assert list(fn.eval(130, 50, 40)) == [
+        (0, 0, 50),
+        (1, 40, 90),
+        (2, 80, 130),
+        (3, 120, 130),
+    ]
+
+    register_udtfs(spark)
+    sql = "SELECT * FROM chunk_ranges(130, 50, 40)"
+    base = [tuple(r) for r in spark.sql(sql).collect()]
+    assert base == [(0, 0, 50), (1, 40, 90), (2, 80, 130), (3, 120, 130)]
+    conf = "spark.sql.execution.pythonUDTF.arrow.enabled"
+    old = spark.conf.get(conf, "false")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set(conf, mode)
+            assert [tuple(r) for r in spark.sql(sql).collect()] == base
+    finally:
+        spark.conf.set(conf, old)

@@ -393,3 +393,48 @@ def test_builtin_session_window_agrees_with_custom_sessionizer(spark):
     assert {k: sorted(v) for k, v in sizes_b.items()} == {
         k: sorted(v) for k, v in sizes_c.items()
     }
+
+
+def test_corpus_dedup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming delta-vs-corpus dedup must converge to the batch
+    incremental matches regardless of how the delta splits into
+    micro-batches (per-doc matches are independent, so the union over
+    batches is exactly the whole-delta result)."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.dedup import corpus_dedup_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    delta = docs.filter(bucket < "14").select("doc_id", "text")
+    corpus = docs.filter(bucket >= "14").select("doc_id", "text")
+
+    src = str(tmp_path / "incoming")
+    # two files => (up to) two micro-batches under maxFilesPerTrigger=1
+    delta.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    delta.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "matches")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = corpus_dedup_stream(
+        stream, corpus, out, str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["delta_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["delta_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in incremental_lsh_matches(
+            delta, corpus, "doc_id", "text", 0.2, 16, 2, 3
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the scale-pattern operators:
+salting must never change join results, chunk-range planning must tile
+documents exactly. Spark-session examples are capped small — the point is
+adversarial shapes (nulls, hot keys, empty sides), not volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stadvdb_olap_spark.functions.udtfs import ChunkRanges
+from stadvdb_olap_spark.operators.joins import salted_equi_join
+
+keys = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 100)), max_size=12),
+    right=st.lists(st.tuples(keys, st.text("ab", max_size=2)), max_size=6),
+    n_salts=st.integers(min_value=1, max_value=4),
+)
+def test_salting_never_changes_the_join(spark, left, right, n_salts):
+    """For ANY inputs — hot keys, null keys, empty sides — the salted join
+    equals the plain inner join as a multiset. Nulls never match in either
+    form; a key appearing k_l x k_r times yields k_l*k_r rows in both."""
+    ldf = spark.createDataFrame(left, "k bigint, v bigint")
+    rdf = spark.createDataFrame(right, "rk bigint, tag string")
+    got = sorted(
+        tuple(r)
+        for r in salted_equi_join(
+            ldf, rdf, left_key="k", right_key="rk", n_salts=n_salts
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ldf.join(rdf, ldf.k == rdf.rk).select("k", "v", "tag").collect()
+    )
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    chunk=st.integers(min_value=1, max_value=60),
+    stride=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_ranges_tile_exactly(n, chunk, stride):
+    """Chunk planning invariants for every (n, chunk, stride): indexes are
+    contiguous from 0, starts advance by exactly `stride`, ends clip to n,
+    every token is covered when stride <= chunk, and nothing exceeds n."""
+    rows = list(ChunkRanges.func().eval(n, chunk, stride))
+    if n == 0:
+        assert rows == []
+        return
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert [r[1] for r in rows] == [i * stride for i in range(len(rows))]
+    assert all(end == min(start + chunk, n) for _, start, end in rows)
+    assert all(end <= n for _, _, end in rows)
+    if stride <= chunk:
+        # gapless tiling: every token covered, last chunk reaches the end
+        assert rows[-1][2] == n
+        covered = set()
+        for _, start, end in rows:
+            covered.update(range(start, end))
+        assert covered == set(range(n))

@@ -29,6 +29,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("card", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CARD>"),
     ("phone", r"\+\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # cloud access-key-id shape (AKIA + 16 uppercase base36) — the
+    # leaked-credential scrub every crawl pipeline runs.
+    ("secret", r"\bAKIA[0-9A-Z]{16}\b", "<SECRET>"),
 )
 
 _HTML_TAG = r"<[^>]+>"

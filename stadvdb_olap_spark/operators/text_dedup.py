@@ -364,6 +364,60 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def bfs_depth_from_sources(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Minimum hop distance from a set of source nodes over an undirected
+    edge list: ``(id, depth)`` for every reachable node.
+
+    Frontier-style iteration: each round joins the current best depths to
+    the edges and min-merges ``depth+1`` candidates — one co-partitioned
+    join + aggregate per round, ``localCheckpoint`` cutting lineage, and
+    rounds bounded by the graph's eccentricity from the sources. Raises
+    past ``max_depth`` instead of returning partial depths — at 100 TB an
+    unexpectedly deep graph means bad input (a dedup cluster's diameter is
+    small by construction), and a loud failure beats silent truncation.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint()
+    depths = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint()
+    )
+    for _ in range(max_depth):
+        candidates = (
+            sym.join(depths, sym.b == depths.id)
+            .select(F.col("a").alias("id"), (F.col("depth") + 1).alias("depth"))
+        )
+        new_depths = (
+            depths.unionByName(candidates)
+            .groupBy("id")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_depths.alias("n")
+            .join(depths.alias("o"), "id", "left")
+            .filter(
+                F.col("o.depth").isNull() | (F.col("n.depth") != F.col("o.depth"))
+            )
+            .limit(1)
+            .count()
+        )
+        depths = new_depths
+        if changed == 0:
+            return depths
+    raise RuntimeError(f"bfs did not converge within {max_depth} rounds")
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

@@ -53,6 +53,11 @@ def _inject_pii(doc_id: Column, text: Column) -> Column:
         F.lpad(s((i * 7) % 10000), 4, "0"),
         F.lit(" from 10."), s(i % 256), F.lit("."), s((i * 3) % 256),
         F.lit(".4 card 4111-1111-1111-"), F.lpad(s(i % 10000), 4, "0"),
+        F.lit(" ssn "), F.lpad(s((i * 13) % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(i % 100), 2, "0"),
+        F.lit("-"), F.lpad(s((i * 7) % 10000), 4, "0"),
+        F.lit(" key AKIA"),
+        F.upper(F.substring(F.md5(s(i).cast("binary")), 1, 16)),
     )
 
 
@@ -64,6 +69,10 @@ def _inject_pii_sql(doc_id: str, text: str) -> str:
         f" || ' from 10.' || CAST({i} % 256 AS VARCHAR) || '.'"
         f" || CAST(({i} * 3) % 256 AS VARCHAR)"
         f" || '.4 card 4111-1111-1111-' || lpad(CAST({i} % 10000 AS VARCHAR), 4, '0')"
+        f" || ' ssn ' || lpad(CAST(({i} * 13) % 1000 AS VARCHAR), 3, '0')"
+        f" || '-' || lpad(CAST({i} % 100 AS VARCHAR), 2, '0')"
+        f" || '-' || lpad(CAST(({i} * 7) % 10000 AS VARCHAR), 4, '0')"
+        f" || ' key AKIA' || upper(substring(md5(CAST({i} AS VARCHAR)), 1, 16))"
     )
 
 
@@ -85,7 +94,7 @@ def _inject_markup_sql(text: str) -> str:
 
 # --- queries ---
 
-_PII_COUNT_COLS = ("n_email", "n_card", "n_phone", "n_ip")
+_PII_COUNT_COLS = ("n_email", "n_card", "n_phone", "n_ip", "n_ssn", "n_secret")
 
 _scrub_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
 
@@ -94,17 +103,19 @@ _scrub_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
     oracle=f"""
 SELECT doc_id,
        {scrub_pii_sql(_inject_pii_sql("doc_id", "text"))} AS scrubbed,
-       {_scrub_counts_sql["n_email"]} AS n_email,
-       {_scrub_counts_sql["n_card"]}  AS n_card,
-       {_scrub_counts_sql["n_phone"]} AS n_phone,
-       {_scrub_counts_sql["n_ip"]}    AS n_ip
+       {_scrub_counts_sql["n_email"]}  AS n_email,
+       {_scrub_counts_sql["n_card"]}   AS n_card,
+       {_scrub_counts_sql["n_phone"]}  AS n_phone,
+       {_scrub_counts_sql["n_ip"]}     AS n_ip,
+       {_scrub_counts_sql["n_ssn"]}    AS n_ssn,
+       {_scrub_counts_sql["n_secret"]} AS n_secret
 FROM documents
 """,
 )
 def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redact emails/cards/phones/IPs and count per-kind hits. One
-    regexp projection per pattern, fused by codegen into a single scan —
-    the whole stage is shuffle-free at any corpus size."""
+    """Redact emails/cards/phones/IPs/SSNs/access keys and count per-kind
+    hits. One regexp projection per pattern, fused by codegen into a
+    single scan — the whole stage is shuffle-free at any corpus size."""
     docs = _docs(spark, sf_dir)
     dirty = _inject_pii(F.col("doc_id"), F.col("text"))
     counts = pii_counts(dirty)
@@ -121,10 +132,12 @@ _src_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
     "pii_hits_by_source",
     oracle=f"""
 SELECT source,
-       sum({_src_counts_sql["n_email"]}) AS emails,
-       sum({_src_counts_sql["n_phone"]}) AS phones,
-       sum({_src_counts_sql["n_ip"]})    AS ips,
-       sum({_src_counts_sql["n_card"]})  AS cards
+       sum({_src_counts_sql["n_email"]})  AS emails,
+       sum({_src_counts_sql["n_phone"]})  AS phones,
+       sum({_src_counts_sql["n_ip"]})     AS ips,
+       sum({_src_counts_sql["n_card"]})   AS cards,
+       sum({_src_counts_sql["n_ssn"]})    AS ssns,
+       sum({_src_counts_sql["n_secret"]}) AS secrets
 FROM documents GROUP BY source
 """,
 )
@@ -139,6 +152,8 @@ def pii_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(counts["n_phone"]).alias("phones"),
         F.sum(counts["n_ip"]).alias("ips"),
         F.sum(counts["n_card"]).alias("cards"),
+        F.sum(counts["n_ssn"]).alias("ssns"),
+        F.sum(counts["n_secret"]).alias("secrets"),
     )
 
 

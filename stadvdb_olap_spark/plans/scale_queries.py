@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.operators.joins import salted_equi_join
-from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
+from stadvdb_olap_spark.operators.text_dedup import (
+    bfs_depth_from_sources,
+    connected_components,
+    incremental_lsh_matches,
+    jaccard_verified_pairs,
+)
 from stadvdb_olap_spark.plans import compat
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.text_queries import (
@@ -287,4 +292,71 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NUM_HASHES,
         _BAND_SIZE,
         _SHINGLE_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph traversal: BFS depth inside dedup clusters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bfs_depth_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
+verified AS (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN sets_ sa ON sa.doc_id = id_a
+    JOIN sets_ sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+),
+canon AS (SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id),
+walk(id, d) AS (
+    SELECT id, 0 FROM canon WHERE id = canonical_id
+    UNION
+    SELECT e.a, w.d + 1 FROM edges e JOIN walk w ON w.id = e.b WHERE w.d < 32
+)
+SELECT id AS doc_id, CAST(MIN(d) AS BIGINT) AS depth
+FROM walk GROUP BY id
+""",
+)
+def bfs_depth_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative frontier BFS, externally certified: every clustered
+    document's hop distance from its cluster's canonical (min-id) doc over
+    the verified near-dup graph. The Spark side iterates join + min-merge
+    rounds to a fixpoint (``bfs_depth_from_sources`` — lineage cut per
+    round, rounds = source eccentricity, loud failure past the depth cap);
+    the DuckDB twin walks the same edges with a depth-capped recursive CTE
+    and takes MIN(d). Near-dup clusters have tiny diameters by
+    construction (similar-to-common ⇒ similar-to-each-other), so the cap
+    is slack, never a truncation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_verified_pairs(
+        docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    ).select("id_a", "id_b").localCheckpoint()
+    comps = connected_components(pairs)
+    sources = comps.filter(F.col("id") == F.col("comp")).select("id")
+    return (
+        bfs_depth_from_sources(pairs, sources, max_depth=32)
+        .select(F.col("id").alias("doc_id"), F.col("depth"))
     )

@@ -727,3 +727,25 @@ def test_chunk_ranges_udtf(spark):
             assert [tuple(r) for r in spark.sql(sql).collect()] == base
     finally:
         spark.conf.set(conf, old)
+
+
+def test_bfs_depth_from_sources(spark):
+    """Path graph 1-2-3-4 plus isolated edge 10-11, sources {1, 10}:
+    depths follow hop counts; unreachable nodes are absent; a too-small
+    depth cap raises instead of truncating."""
+    import pytest
+
+    from stadvdb_olap_spark.operators.text_dedup import bfs_depth_from_sources
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    sources = spark.createDataFrame([(1,), (10,)], ["id"])
+    got = {
+        r["id"]: r["depth"]
+        for r in bfs_depth_from_sources(edges, sources).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_depth_from_sources(edges, sources, max_depth=2)

@@ -5,7 +5,11 @@ driver would do), runs entry() and every queries() entry at the given sf,
 and compares each against oracle_sql() via DuckDB with order-insensitive
 value comparison. Prints one line per query + a summary.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [query1,query2,...]
+
+The optional second argument restricts the pass to a comma-separated
+subset of query names (entry() still smoke-runs) — the fast loop while
+iterating on one query.
 """
 
 from __future__ import annotations
@@ -65,6 +69,13 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        queries = {n: f for n, f in queries.items() if n in only}
     failures = []
     for name, fn in sorted(queries.items()):
         t0 = time.time()

@@ -124,3 +124,79 @@ def tv_distance_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x["term"],
     )
     return terms.groupBy("source").agg((F.lit(0.5) * folded).alias("tv_distance"))
+
+
+@query(
+    "ewma_daily_value_by_type",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+seq AS (
+    SELECT event_type, d, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+    FROM daily
+),
+rec AS (
+    SELECT event_type, d, rn, x AS y FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.d, s.rn, 0.5 * s.x + 0.5 * r.y
+    FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, d, y AS ewma FROM rec
+""",
+)
+def ewma_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5) of daily event
+    value per type — trend smoothing, the classic sequential recursion
+    y_t = a*x_t + (1-a)*y_{t-1} that windows can't express.
+
+    Spark runs the recursion as a JVM ``aggregate`` left-fold over each
+    type's date-sorted daily series (one shuffle for the daily aggregate,
+    one for the per-type collect; the fold itself is row-local); the
+    DuckDB twin is a recursive CTE stepping rn -> rn+1. Both sides
+    execute the IDENTICAL sequence of IEEE ops (0.5*x + 0.5*y, with x the
+    decimal-exact daily sum), so even this stateful float recursion
+    hash-matches. Alpha is 0.5 — binary-exact — by design; the fold
+    appends per element (fine for bounded series like days; a multi-year
+    tick-level series would run the same fold in applyInPandas)."""
+    from stadvdb_olap_spark.plans.compat import money_sum
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(money_sum("value").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    folded = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<d: DATE, y: DOUBLE>>)"),
+        lambda acc, e: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(e["d"].alias("d"), e["x"].alias("y"))),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["d"].alias("d"),
+                        (
+                            F.lit(0.5) * e["x"]
+                            + F.lit(0.5) * F.element_at(acc, -1)["y"]
+                        ).alias("y"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        series.select("event_type", F.explode(folded).alias("e"))
+        .select(
+            "event_type",
+            F.col("e.d").alias("d"),
+            F.col("e.y").alias("ewma"),
+        )
+    )

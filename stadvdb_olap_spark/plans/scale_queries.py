@@ -360,3 +360,25 @@ def bfs_depth_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_depth_from_sources(pairs, sources, max_depth=32)
         .select(F.col("id").alias("doc_id"), F.col("depth"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide MinHash signatures: the salted multi-digest-group path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_wide_signatures_docs",
+    oracle=f"{_sigs_sql(24)}",
+)
+def minhash_wide_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hash MinHash signatures — hashes 16-23 come from the SECOND
+    (salted ``sha256(s || '#1')``) digest group, so this externally
+    certifies the multi-group widening path that lets ``num_hashes``
+    scale to 64+ for fine LSH band tuning (the 16-hash catalog default
+    only exercises group 0). Still one narrow row-local projection, two
+    digests per shingle."""
+    from stadvdb_olap_spark.operators.text_dedup import minhash_signatures
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(docs, "doc_id", "text", 24, _SHINGLE_N)

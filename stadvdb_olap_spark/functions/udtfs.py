@@ -28,6 +28,10 @@ class ChunkRanges:
     chunk clipped to the document end. Empty documents yield no rows."""
 
     def eval(self, n_tokens: int, chunk: int, stride: int):  # noqa: D102
+        if chunk is None or chunk < 1 or stride is None or stride < 1:
+            # stride <= 0 would never advance — an unbounded generator
+            # that spins the executor task; fail fast instead.
+            raise ValueError("chunk and stride must be >= 1")
         if n_tokens is None or n_tokens <= 0:
             return
         i = 0

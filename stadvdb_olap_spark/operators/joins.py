@@ -128,6 +128,8 @@ def salted_equi_join(
         # Outer variants need null-key handling on the salted side;
         # the skew pattern in practice is the inner fact-lookup join.
         raise ValueError("salted_equi_join supports how='inner' only")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("inputs must not already have a __salt column")
     salt = F.pmod(F.xxhash64(F.col(left_key), *left.columns), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt)
     r_replicated = right.withColumn(
@@ -135,7 +137,8 @@ def salted_equi_join(
     )
     joined = l_salted.join(
         r_replicated,
-        (F.col(left_key) == F.col(right_key)) & (l_salted["__salt"] == r_replicated["__salt"]),
+        (l_salted[left_key] == r_replicated[right_key])
+        & (l_salted["__salt"] == r_replicated["__salt"]),
         how,
     )
     keep = [l_salted[c] for c in left.columns] + [

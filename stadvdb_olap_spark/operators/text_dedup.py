@@ -149,6 +149,25 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, out_id: str, out_set: str
+) -> DataFrame:
+    """(id, distinct-shingle-set) frame — the verify-side input, built
+    identically wherever Jaccard verification happens."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias(out_set),
+    )
+
+
+def _jaccard(a_set: str, b_set: str) -> Column:
+    """Exact set Jaccard |A∩B| / |A∪B| as DOUBLE — the single shared
+    definition, so the full-corpus and incremental paths cannot diverge."""
+    inter = F.size(F.array_intersect(a_set, b_set))
+    union = F.size(F.array_distinct(F.concat(a_set, b_set)))
+    return inter.cast("double") / union
+
+
 def jaccard_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -161,15 +180,9 @@ def jaccard_verified_pairs(
     """LSH candidates verified with exact shingle-set Jaccard similarity.
     Only candidate pairs pay the set-intersection cost."""
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, band_size, shingle_n)
-    sets_ = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
-    a = sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jac = inter.cast("double") / union
+    a = _shingle_sets(df, id_col, text_col, shingle_n, "id_a", "sh_a")
+    b = _shingle_sets(df, id_col, text_col, shingle_n, "id_b", "sh_b")
+    jac = _jaccard("sh_a", "sh_b")
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -222,17 +235,9 @@ def incremental_lsh_matches(
         .select("delta_id", "corpus_id")
         .distinct()
     )
-    d_sets = delta.select(
-        F.col(id_col).alias("delta_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_d"),
-    )
-    c_sets = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_c"),
-    )
-    inter = F.size(F.array_intersect("sh_d", "sh_c"))
-    union = F.size(F.array_distinct(F.concat("sh_d", "sh_c")))
-    jac = inter.cast("double") / union
+    d_sets = _shingle_sets(delta, id_col, text_col, shingle_n, "delta_id", "sh_d")
+    c_sets = _shingle_sets(corpus, id_col, text_col, shingle_n, "corpus_id", "sh_c")
+    jac = _jaccard("sh_d", "sh_c")
     return (
         cands.join(broadcast_if_small(d_sets), "delta_id")
         .join(c_sets, "corpus_id")
@@ -378,10 +383,13 @@ def bfs_depth_from_sources(
     Frontier-style iteration: each round joins the current best depths to
     the edges and min-merges ``depth+1`` candidates — one co-partitioned
     join + aggregate per round, ``localCheckpoint`` cutting lineage, and
-    rounds bounded by the graph's eccentricity from the sources. Raises
-    past ``max_depth`` instead of returning partial depths — at 100 TB an
-    unexpectedly deep graph means bad input (a dedup cluster's diameter is
-    small by construction), and a loud failure beats silent truncation.
+    rounds = eccentricity from the sources plus one no-change round to
+    observe convergence (the loop budget accounts for the extra round, so
+    depths up to exactly ``max_depth`` are supported — matching the
+    depth-capped recursive-CTE oracle twin). A deeper graph raises
+    instead of returning partial depths — at 100 TB an unexpectedly deep
+    graph means bad input (a dedup cluster's diameter is small by
+    construction), and a loud failure beats silent truncation.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -392,7 +400,7 @@ def bfs_depth_from_sources(
         .select("id", F.lit(0).cast("long").alias("depth"))
         .localCheckpoint()
     )
-    for _ in range(max_depth):
+    for _ in range(max_depth + 1):
         candidates = (
             sym.join(depths, sym.b == depths.id)
             .select(F.col("a").alias("id"), (F.col("depth") + 1).alias("depth"))

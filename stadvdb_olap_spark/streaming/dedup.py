@@ -57,8 +57,11 @@ def corpus_dedup_stream(
     The corpus frame is static per run — at 100 TB it is the PERSISTED
     band table refreshed by a compaction job, and each micro-batch's cost
     is O(batch + collisions). foreachBatch (not a stateful operator)
-    because the match is a join against external state, not stream state;
-    the checkpoint makes ingestion exactly-once across restarts.
+    because the match is a join against external state, not stream state.
+    foreachBatch gives at-least-once delivery, so each batch writes to
+    its own ``batch_id=N`` directory with overwrite — a replay after a
+    crash-before-checkpoint rewrites the same directory instead of
+    appending duplicates, making the sink effectively exactly-once.
     """
     from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
 
@@ -74,8 +77,8 @@ def corpus_dedup_stream(
                 band_size,
                 shingle_n,
             )
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
         )
 
     writer = (

@@ -425,11 +425,13 @@ def test_corpus_dedup_stream_matches_batch_incremental(spark, tmp_path):
     q = corpus_dedup_stream(
         stream, corpus, out, str(tmp_path / "ckpt"), threshold=0.2
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     got = {
         (r["delta_id"], r["corpus_id"], round(r["jaccard"], 9))
-        for r in spark.read.parquet(out).collect()
+        for r in spark.read.parquet(out)
+        .select("delta_id", "corpus_id", "jaccard")
+        .collect()
     }
     want = {
         (r["delta_id"], r["corpus_id"], round(r["jaccard"], 9))

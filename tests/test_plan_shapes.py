@@ -265,3 +265,17 @@ def test_incremental_dedup_broadcasts_the_delta(spark, registry):
     verify join the same way."""
     plan = _formatted_plan(registry["dedup_incremental_delta"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_inverted_index_two_hash_exchanges(spark, registry):
+    """Posting-list build must cost exactly two hash exchanges — the
+    per-(term,doc) distinct and the per-term aggregate; spread()'s
+    round-robin on the fixture scan is not a hash exchange, and no
+    single-partition (global) exchange may appear."""
+    df = registry["inverted_index_terms"].fn(spark, SF)
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    body = df._jdf.queryExecution().explainString(jmode)
+    assert "Exchange SinglePartition" not in body
+    assert body.count("Exchange hashpartitioning") == 2, body

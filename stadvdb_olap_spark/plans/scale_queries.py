@@ -478,3 +478,80 @@ def term_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 10)
     )
+
+
+@query(
+    "term_lift_scores",
+    oracle="""
+WITH toks AS (
+    SELECT d.doc_id, t.term
+    FROM documents d,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+'))) AS t(term)
+),
+n_total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM toks GROUP BY term),
+vocab AS (SELECT term, df FROM df WHERE df >= 25),
+vt AS (SELECT doc_id, term FROM toks WHERE term IN (SELECT term FROM vocab)),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS DOUBLE) AS n_ab
+    FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY term_a, term_b
+    HAVING COUNT(*) >= 10
+)
+SELECT term_a, term_b,
+       CAST(n_ab AS BIGINT) AS n_docs,
+       (n_ab * (SELECT n FROM n_total)) / (va.df * vb.df) AS lift
+FROM pairs
+JOIN vocab va ON va.term = term_a
+JOIN vocab vb ON vb.term = term_b
+""",
+)
+def term_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift per collocated pair: P(a,b) / (P(a)·P(b)) =
+    n_ab·N / (df_a·df_b) — >1 means the terms co-occur more than chance.
+    Lift over PMI deliberately: PMI's ln is not correctly-rounded across
+    libms and would break the hash oracle, while lift is one multiply and
+    one divide — IEEE-exact in any engine (same reasoning as the
+    TV-distance drift monitor). Counts ride the co-occurrence plan; the
+    df and N factors join back from the tiny vocabulary (broadcast) and a
+    1-row scalar."""
+    from stadvdb_olap_spark.functions.text import tokens
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    n_total = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .filter(F.col("df") >= 25)
+    )
+    vt = toks.join(broadcast_if_small(vocab.select("term")), "term")
+    a = vt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = vt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(broadcast_if_small(va), "term_a")
+        .join(broadcast_if_small(vb), "term_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_docs"),
+            ((F.col("n_ab") * F.col("n")) / (F.col("df_a") * F.col("df_b"))).alias(
+                "lift"
+            ),
+        )
+    )

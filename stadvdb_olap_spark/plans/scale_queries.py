@@ -555,3 +555,74 @@ def term_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "inverted_index_merged_delta",
+    oracle="""
+WITH postings AS (
+    SELECT t.term, d.doc_id
+    FROM documents d,
+         unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(term)
+    GROUP BY t.term, d.doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS posting
+FROM postings
+GROUP BY term
+HAVING COUNT(*) >= 25
+""",
+)
+def inverted_index_merged_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: the ~8% delta batch's postings
+    full-outer-merge into the standing corpus index (term-keyed join;
+    merged posting = sorted distinct union, df recomputed from the
+    merge), then the df floor applies to the MERGED index. The oracle is
+    the full-corpus index itself — the invariant that makes incremental
+    maintenance trustworthy: merge(index(corpus), index(delta)) must
+    equal index(corpus ∪ delta) exactly, since the doc sets are disjoint.
+    At 100 TB the corpus index is the persisted table and only the delta
+    side is computed per ingest; the merge join is term-partitioned, and
+    the delta side broadcasts when small."""
+    from stadvdb_olap_spark.functions.text import tokens
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+
+    def unfloored_index(side: DataFrame) -> DataFrame:
+        postings = side.select(
+            F.explode(tokens("text")).alias("term"), "doc_id"
+        ).distinct()
+        return postings.groupBy("term").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("posting")
+        )
+
+    corpus_ix = unfloored_index(docs.filter(bucket >= _DELTA_CUT))
+    delta_ix = unfloored_index(docs.filter(bucket < _DELTA_CUT))
+    empty = F.array().cast("array<bigint>")
+    merged = (
+        corpus_ix.withColumnRenamed("posting", "p_c")
+        .join(
+            broadcast_if_small(delta_ix.withColumnRenamed("posting", "p_d")),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            F.sort_array(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("p_c"), empty),
+                        F.coalesce(F.col("p_d"), empty),
+                    )
+                )
+            ).alias("posting"),
+        )
+    )
+    return merged.select(
+        "term", F.size("posting").cast("long").alias("df"), "posting"
+    ).filter(F.col("df") >= 25)

@@ -626,3 +626,46 @@ def inverted_index_merged_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "term", F.size("posting").cast("long").alias("df"), "posting"
     ).filter(F.col("df") >= 25)
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE window frame: trailing interval aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trailing_1h_user_value",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ROUND(
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS DOUBLE) AS value_1h
+FROM events
+""",
+)
+def trailing_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour value per event via a time-based RANGE frame —
+    the velocity/rate-limit feature (fraud scoring, abuse detection) that
+    row-count frames cannot express: each event's frame covers however
+    many events landed in its last 3600 seconds, including timestamp
+    peers. One shuffle on user_id; the frame sum is an exact decimal sum
+    (the sliding-sum convention from plans/compat.py — engines disagree
+    on float summation order inside frames, decimals are
+    order-insensitive), rounded to cents as DOUBLE."""
+    from stadvdb_olap_spark.plans.compat import dec
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(dec("value")).over(w).cast("double"), 2)
+        .cast("double")
+        .alias("value_1h"),
+    )

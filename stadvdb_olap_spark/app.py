@@ -9,7 +9,8 @@ SURVEY.md §2.11 parity:
   DAG, and the dim "outputs" feed the fact as broadcast key-map joins
   rather than driver-side dicts.
 - **O2 timing instrumentation** (``app.py:7,23-26``): wall clock per
-  stage around the materializing action, returned AND logged.
+  stage around the materializing action, returned AND logged; row counts
+  ride the write job itself via ``df.observe`` (no post-write re-scan).
 - **O4 structured logging** (``ETL/user_ETL.py:12-14,84,97,139``):
   per-stage row counts and seconds through ``logging``.
 - **O3 context-managed connections** — subsumed by SparkSession
@@ -26,7 +27,8 @@ import logging
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 log = logging.getLogger("stadvdb_olap_spark.app")
 
@@ -54,8 +56,14 @@ def run_pipeline(
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         if out_dir is not None:
-            write_table(df, f"{out_dir}/{name}")
-            rows = spark.read.parquet(f"{out_dir}/{name}").count()
+            # df.observe collects the row count DURING the write job —
+            # no post-write re-read (a second full scan at 100 TB).
+            obs = Observation(f"{name}_rows")
+            write_table(
+                df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                f"{out_dir}/{name}",
+            )
+            rows = int(obs.get["rows"])
         else:
             rows = df.count()
         secs = round(time.perf_counter() - t0, 3)

@@ -669,3 +669,100 @@ def trailing_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null semantics: null-safe join equality and LOCF forward fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nullsafe_join_user_buckets",
+    oracle="""
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id % 10 END AS bucket
+    FROM events
+),
+dim AS (
+    SELECT CASE WHEN b = 10 THEN NULL ELSE b END AS bucket,
+           CASE WHEN b = 10 THEN 'unattributed' ELSE 'bucket-' || CAST(b AS VARCHAR) END AS label
+    FROM (SELECT unnest(generate_series(0, 10)) AS b)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev JOIN dim ON ev.bucket IS NOT DISTINCT FROM dim.bucket
+GROUP BY label
+""",
+)
+def nullsafe_join_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — how an 'unattributed' dim row
+    catches the null-key fact rows that a plain equi-join silently drops.
+    Nulls are injected deterministically (user_id % 97 == 0) and the
+    11-row dim (10 buckets + the NULL row) broadcasts; the plan is the
+    same broadcast hash join, just with null-safe key equality."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        F.when(F.col("user_id") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("user_id") % 10)
+        .alias("bucket"),
+    )
+    dim = spark.range(0, 11).select(
+        F.when(F.col("id") == 10, F.lit(None).cast("bigint"))
+        .otherwise(F.col("id"))
+        .alias("bucket"),
+        F.when(F.col("id") == 10, F.lit("unattributed"))
+        .otherwise(F.concat(F.lit("bucket-"), F.col("id").cast("string")))
+        .alias("label"),
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["bucket"].eqNullSafe(dim["bucket"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "locf_forward_fill_events",
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT event_id, user_id, v,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM ev
+""",
+)
+def locf_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: deterministically
+    null out every 7th reading, then forward-fill per user with
+    ``last(v, ignorenulls=True)`` over an unbounded-preceding frame —
+    the sensor/telemetry repair step (leading nulls stay null: nothing
+    to carry). One shuffle on user_id; the frame is a running window, so
+    state per row is O(1)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

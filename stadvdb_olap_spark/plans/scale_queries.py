@@ -766,3 +766,41 @@ def locf_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "mad_quantity_per_flag",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(m.med_qty) AS med_qty,
+       quantile_cont(abs(l.l_quantity - m.med_qty), 0.5) AS mad_qty
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+)
+def mad_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure (unlike stddev, one corrupt reading cannot blow it up; the
+    outlier-quarantine companion to the IQR query). Two aggregate passes
+    by construction (the median must exist before deviations from it):
+    per-group medians broadcast back onto the fact, then a second
+    percentile over the absolute deviations. Interpolated percentiles
+    are exact arithmetic on doubles — both engines compute the identical
+    value, as the percentile family queries already certify."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_qty")
+    )
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    joined = lineitem.join(broadcast_if_small(med), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.any_value("med_qty").alias("med_qty"),
+        F.percentile(
+            F.abs(F.col("l_quantity") - F.col("med_qty")), F.lit(0.5)
+        ).alias("mad_qty"),
+    )

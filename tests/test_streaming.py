@@ -440,3 +440,59 @@ def test_corpus_dedup_stream_matches_batch_incremental(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_upsert_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Crash/restart semantics: a second stream run with the SAME
+    checkpoint must process only files that arrived after the first run
+    drained, and the upsert target must converge to last-write-wins per
+    key — the resume capability the reference's cursor-less loop lacked
+    (a crash there restarted the full extract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.incremental import incremental_upsert_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(src + "/__tmp0")
+    for f in os.listdir(src + "/__tmp0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/__tmp0/{f}", f"{src}/file0.parquet")
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        source_dir=src,
+        source_schema=ev.schema,
+        target_path=target,
+        keys=["event_id"],
+        checkpoint_dir=ckpt,
+    )
+    q1 = incremental_upsert_stream(spark, **kwargs)
+    assert q1.awaitTermination(120)
+    base = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+
+    # "restated" feed arrives after the first run drained: same keys,
+    # values shifted — last-write-wins must replace every touched row.
+    restated = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    restated.coalesce(1).write.mode("overwrite").parquet(src + "/__tmp1")
+    for f in os.listdir(src + "/__tmp1"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/__tmp1/{f}", f"{src}/file1.parquet")
+
+    q2 = incremental_upsert_stream(spark, **kwargs)
+    assert q2.awaitTermination(120)
+
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert len(got) == len(base)
+    for k, v in got.items():
+        if k % 3 == 0:
+            assert v == base[k] + 1000.0
+        else:
+            assert v == base[k]

@@ -496,3 +496,58 @@ def test_incremental_upsert_stream_resumes_from_checkpoint(spark, tmp_path):
             assert v == base[k] + 1000.0
         else:
             assert v == base[k]
+
+
+def test_corpus_dedup_stream_resumes_without_duplicates(spark, tmp_path):
+    """Restarting the corpus-dedup stream with the same checkpoint must
+    process only newly arrived files, and the batch_id-keyed sink must
+    never duplicate earlier matches."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.text_dedup import incremental_lsh_matches
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.dedup import corpus_dedup_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    delta = docs.filter(bucket < "14").select("doc_id", "text")
+    corpus = docs.filter(bucket >= "14").select("doc_id", "text")
+
+    src = str(tmp_path / "incoming")
+    half0 = delta.filter(F.col("doc_id") % 2 == 0)
+    half1 = delta.filter(F.col("doc_id") % 2 == 1)
+    half0.write.parquet(src)
+
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = corpus_dedup_stream(stream, corpus, out, ckpt, threshold=0.2)
+        assert q.awaitTermination(180)
+
+    run_once()
+    first = [
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("delta_id", "corpus_id")
+        .collect()
+    ]
+    assert len(first) == len(set(first))  # no dupes within the first run
+
+    half1.write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("delta_id", "corpus_id")
+        .collect()
+    )
+    want = sorted(
+        (r["delta_id"], r["corpus_id"])
+        for r in incremental_lsh_matches(
+            delta, corpus, "doc_id", "text", 0.2, 16, 2, 3
+        ).collect()
+    )
+    assert got == want  # full-delta matches, each exactly once

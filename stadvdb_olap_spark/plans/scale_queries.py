@@ -804,3 +804,42 @@ def mad_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("l_quantity") - F.col("med_qty")), F.lit(0.5)
         ).alias("mad_qty"),
     )
+
+
+@query(
+    "key_skew_profile_events",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       MIN(n) AS min_rows, MAX(n) AS max_rows,
+       CAST(SUM(n) AS BIGINT) AS total_rows
+FROM per_key
+GROUP BY log2_bucket
+""",
+)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the frequency-of-frequencies histogram
+    of events per user, bucketed by floor(log2(n)) — the profile that
+    decides whether a key needs salting (`salted_equi_join`) or AQE's
+    skew split suffices before a 100 TB join. The log2 bucket is computed
+    EXACTLY as length(bin(n)) - 1 (binary-string length), sidestepping
+    libm log2 whose last-ulp rounding differs across engines. Two
+    exchanges: per-key count, then the tiny bucket rollup."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_key.select(
+            (F.length(F.bin("n")) - 1).cast("long").alias("log2_bucket"), "n"
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("n").alias("min_rows"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("total_rows"),
+        )
+    )

@@ -639,8 +639,8 @@ def inverted_index_merged_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        CAST(ROUND(
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS DOUBLE), 2) AS DOUBLE) AS value_1h
 FROM events
 """,
@@ -657,10 +657,13 @@ def trailing_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.plans.compat import dec
 
     events = load_table(spark, sf_dir, "events")
+    # Order by exact MICROsecond epochs (unix_micros / epoch_us): both
+    # engines see identical integers, where second-granularity epochs
+    # would truncate sub-second timestamps differently at the frame edge.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(
         "event_id",

@@ -87,7 +87,7 @@ def _ensure_loaded() -> None:
     #
     # ROUND-3 ROTATION (do this first next round): positions 51+ of the
     # current order are still driver-unsigned — the text tail past the
-    # first 50 (normalize/repetition/ohlc/...), sketch, pii, mixture,
+    # first 50 (normalize/repetition/ohlc/...), curation, sketch, pii, mixture,
     # funnel, dq, cdc, feature, and scale_queries. Move those modules to
     # the FRONT of this import list (before etl/tpch, which round 2
     # certified) so the round-3 window covers them.
@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import sampling_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import vector_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import multimodal_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import curation_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import sketch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import pii_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import mixture_queries  # noqa: F401  # isort: skip

@@ -1,0 +1,193 @@
+"""Sub-document curation catalog queries over ``documents``.
+
+The curation stage between raw text and mixture assembly
+(operators/curation.py): C4-style segment-level boilerplate removal with
+order-preserving reassembly, an EXACT prefix-filtered set-similarity
+self-join (the deterministic twin of the MinHash-LSH near-dup path), and
+bigram language-model scoring (the CCNet-style perplexity filter, with
+the corpus itself as the LM). All three are deterministic and fully
+DuckDB-oracle-checked — the set-similarity oracle is an independent
+blocked all-pairs join, so the prefix filter's zero-false-negative claim
+is externally verified, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.text import tokens, tokens_sql
+from stadvdb_olap_spark.operators import curation as CU
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+_SEG_LEN = 3
+_SEG_MIN_DF = 5
+_SETJOIN_T = 0.5
+_SETJOIN_SHINGLE_N = 3
+
+
+@query(
+    "segment_dedup_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+), segs AS (
+  SELECT doc_id, s AS seg_idx,
+         array_to_string(toks[s * {_SEG_LEN} + 1 : s * {_SEG_LEN} + {_SEG_LEN}],
+                         ' ') AS seg
+  FROM t,
+       unnest(generate_series(
+         0, CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT) - 1)) AS u(s)
+), freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS seg_doc_freq FROM segs GROUP BY seg
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE seg_doc_freq < {_SEG_MIN_DF}), '') AS kept_text,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN seg_doc_freq >= {_SEG_MIN_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM segs JOIN freq USING (seg)
+GROUP BY doc_id
+""",
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup: drop every 3-token segment whose
+    exact content appears in >= 5 distinct documents (corpus boilerplate),
+    reassemble the survivors in original order. Three key-partitioned
+    shuffles at any scale — segment doc-frequency aggregate, the
+    same-keyed frequency join, and the per-document reassembly regroup."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return CU.segment_dedup(
+        docs, "doc_id", "text", seg_len=_SEG_LEN, min_doc_freq=_SEG_MIN_DF
+    )
+
+
+def _setjoin_sets_sql() -> str:
+    t = tokens_sql("text")
+    n = _SETJOIN_SHINGLE_N
+    return f"""
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len({t}) >= {n} THEN
+             list_transform(range(1, len({t}) - {n} + 2),
+                            i -> array_to_string({t}[i:i+{n - 1}], ' '))
+           ELSE [array_to_string({t}, ' ')] END) AS s
+  FROM documents
+"""
+
+
+@query(
+    "setjoin_prefix_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_setjoin_sets_sql()}),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS DOUBLE)
+           AS jaccard
+FROM inter
+JOIN sz na ON na.doc_id = id_a
+JOIN sz nb ON nb.doc_id = id_b
+WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {_SETJOIN_T}
+""",
+)
+def setjoin_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join (3-shingle Jaccard >= 0.5)
+    via rarest-first prefix filtering — provably no missed pair, unlike
+    the probabilistic LSH recall of ``dedup_jaccard_verified``. The
+    oracle generates candidates the INDEPENDENT way — every pair sharing
+    any shingle, with |A∩B| counted by join-and-group rather than list
+    intersection (|A∪B| = |A|+|B|-|A∩B|) — so agreement certifies the
+    prefix filter's completeness, not just the verify arithmetic."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return CU.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", _SETJOIN_T, shingle_n=_SETJOIN_SHINGLE_N
+    )
+
+
+@query(
+    "bigram_lm_logprob_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+), scored AS (
+  SELECT doc_id, ROUND(ln((c12 + 1.0) / (c1 + v)), 6) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def bigram_lm_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (the CCNet/KenLM-style perplexity
+    filter): train add-one-smoothed bigram probabilities on the corpus
+    itself, score each document by mean ln P(w2|w1). Every aggregate is
+    map-side-combinable and every join is on the model key ((w1,w2) then
+    w1); the vocabulary size is a 1-row broadcast. Per compat.py, each
+    per-bigram ln is rounded then decimal-summed so the mean is a
+    deterministic function of the bigram multiset."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.round(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            ),
+        )
+    )
+    # No final round: the decimal sum -> double and the integer count are
+    # identical in both engines, so the IEEE division is bit-identical; a
+    # cosmetic round-to-6 can land on a decimal tie where Spark (shortest
+    # repr) and DuckDB (full binary value) disagree in the last digit.
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    )

@@ -749,3 +749,65 @@ def test_bfs_depth_from_sources(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         bfs_depth_from_sources(edges, sources, max_depth=2)
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """Completeness of the prefix filter: on a corpus with planted
+    near-dups, the prefix-filtered exact join returns EXACTLY the pairs
+    the naive all-pairs Jaccard join returns, at two thresholds (0.5 and
+    a non-round 0.34 that exercises the ceil in the prefix length)."""
+    from stadvdb_olap_spark.operators.curation import prefix_filter_jaccard_pairs
+    from stadvdb_olap_spark.operators.text_dedup import _jaccard, _shingle_sets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),                       # near-dup of 1
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),    # near-dup of 3
+            (5, "totally different words entirely here now"),
+            (6, base.replace("alpha", "omega")),          # near-dup of 1/2
+            (7, "short text"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = _shingle_sets(docs, "doc_id", "text", 3, "id_a", "sh_a")
+    b = _shingle_sets(docs, "doc_id", "text", 3, "id_b", "sh_b")
+    for t in (0.5, 0.34):
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(_jaccard("sh_a", "sh_b"), 6).alias("j"))
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", t, shingle_n=3
+            ).collect()
+        }
+        assert got == brute and brute  # non-empty: planted dups found
+
+
+def test_segment_dedup_drops_boilerplate_preserving_order(spark):
+    """Six docs share a boilerplate segment (doc-freq 6 >= 5): it is
+    removed from every doc, unique segments survive in original order,
+    and an all-boilerplate doc reassembles to the empty string."""
+    from stadvdb_olap_spark.operators.curation import segment_dedup
+
+    bp = "call to action"  # the planted 3-token boilerplate segment
+    rows = [(i, f"u{i}a u{i}b u{i}c {bp} t{i}x t{i}y t{i}z") for i in range(5)]
+    rows.append((5, bp))  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_segments"], r["n_dropped"])
+        for r in segment_dedup(
+            docs, "doc_id", "text", seg_len=3, min_doc_freq=5
+        ).collect()
+    }
+    for i in range(5):
+        assert got[i] == (f"u{i}a u{i}b u{i}c t{i}x t{i}y t{i}z", 3, 1)
+    assert got[5] == ("", 1, 1)

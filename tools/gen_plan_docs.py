@@ -68,6 +68,11 @@ SHOWCASE = [
     ("chunk_documents_sliding",
      "tokenize -> per-row sequence -> explode -> slice is all narrow "
      "(Generate + Project, no exchange beyond spread()'s widening)"),
+    ("setjoin_prefix_jaccard_pairs",
+     "the exact set-similarity self-join never goes n^2: the candidate "
+     "exchange is keyed on PREFIX shingles only (rarest-first order, "
+     "length-filtered), then exact Jaccard verifies just the surviving "
+     "pairs — 100% recall with LSH-like cost"),
 ]
 
 

@@ -811,3 +811,39 @@ def test_segment_dedup_drops_boilerplate_preserving_order(spark):
     for i in range(5):
         assert got[i] == (f"u{i}a u{i}b u{i}c t{i}x t{i}y t{i}z", 3, 1)
     assert got[5] == ("", 1, 1)
+
+
+def test_cogrouped_asof_equals_declarative_asof(spark):
+    """The cogrouped-applyInPandas as-of path and the union-timeline
+    declarative path must return identical rows on the fixture."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    a = REGISTRY["asof_join_events_orders"].fn(spark, SF_DIR)
+    b = REGISTRY["asof_join_cogrouped_pandas"].fn(spark, SF_DIR)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
+
+
+def test_trimmed_mean_small_group_edges(spark):
+    """Groups smaller than 2k+1 shrink the trim to keep >= 1 value; a
+    1-row group returns its own value; trims drop true extremes."""
+    from stadvdb_olap_spark.operators.pandas_surface import trimmed_mean_grouped
+
+    rows = (
+        [("big", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+        + [("tiny", 42.0)]
+        + [("pair", 10.0), ("pair", 20.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["n_values"], r["trimmed_mean"])
+        for r in trimmed_mean_grouped(df, "g", "v", k=2).collect()
+    }
+    # big: drop {1,2} and {9,1000} -> mean(3..8) = 5.5
+    assert got["big"] == (10, 5.5)
+    assert got["tiny"] == (1, 42.0)
+    # pair: n=2 -> drop = min(2, 0) = 0 -> plain mean
+    assert got["pair"] == (2, 15.0)

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import multimodal_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import curation_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import pandas_surface_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import reconcile_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import sketch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import pii_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import mixture_queries  # noqa: F401  # isort: skip

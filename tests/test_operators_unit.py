@@ -847,3 +847,53 @@ def test_trimmed_mean_small_group_edges(spark):
     assert got["tiny"] == (1, 42.0)
     # pair: n=2 -> drop = min(2, 0) = 0 -> plain mean
     assert got["pair"] == (2, 15.0)
+
+
+def test_table_fingerprint_order_free_and_sensitive(spark):
+    """Checksum is invariant to partitioning/row order, changes when any
+    cell changes, and n_rows tracks the row count."""
+    from stadvdb_olap_spark.operators.reconcile import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)],
+        "id long, name string, val double",
+    )
+    base = table_fingerprint(df.repartition(1), "t").collect()[0]
+    shuffled = table_fingerprint(
+        df.repartition(13).sortWithinPartitions("name"), "t"
+    ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (100, shuffled["checksum"])
+
+    tweaked = df.withColumn(
+        "val", F.when(F.col("id") == 57, 0.0).otherwise(F.col("val"))
+    )
+    assert (
+        table_fingerprint(tweaked, "t").collect()[0]["checksum"]
+        != base["checksum"]
+    )
+
+
+def test_table_diff_null_transitions(spark):
+    """Null-safe comparison: null->value and value->null are 'changed'
+    with the right column list; null==null is unchanged; added/removed
+    rows carry empty changed_cols."""
+    from stadvdb_olap_spark.operators.reconcile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, 5.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "x", None), (3, "c", None), (5, "e", 1.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change_type"], list(r["changed_cols"]))
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        1: ("changed", ["v"]),          # null -> 9.0
+        2: ("changed", ["s", "v"]),     # null -> x, 5.0 -> null
+        4: ("removed", []),
+        5: ("added", []),
+    }  # k=3 identical (incl. null==null) -> absent

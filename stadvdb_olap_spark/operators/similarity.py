@@ -18,6 +18,10 @@ Three tiers, trading exactness for scale:
    per batch instead of per-row expression trees. Wins when vectors are
    wide; results are identical up to float-sum order (so it is NOT the
    oracle path).
+   ``cosine_topk_arrow`` is its mapInArrow twin: identical math, but the
+   embedding column is reshaped straight from the Arrow list buffer into
+   the GEMM operand — no pandas materialization, no per-row object
+   conversion. The lowest-overhead Python decode path Spark offers.
 """
 
 from __future__ import annotations
@@ -187,6 +191,70 @@ def cosine_topk_pandas(
             yield pd.DataFrame(out)
 
     partial = candidates.select(cand_id, vec_col).mapInPandas(
+        topk_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """Exact top-k via mapInArrow: same GEMM as ``cosine_topk_pandas``
+    but each candidate RecordBatch's list column reshapes zero-copy-ish
+    from the Arrow value buffer into the (B, dim) operand — no pandas
+    frame, no per-row Python objects anywhere on the decode path."""
+    import pyarrow as pa
+
+    q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    spark = queries.sparkSession
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    def topk_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        ids, mat = bq_ids.value, bq_mat.value
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            c_ids = batch.column(0).to_numpy()
+            emb = batch.column(1)
+            # flatten() honors the array's offset; fixed-dim embeddings
+            # reshape the contiguous value buffer directly.
+            c_mat = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(c_ids), -1)
+            )
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = mat @ c_mat.T  # (Q, B)
+            top = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": np.repeat(ids, top),
+                    "neighbor_id": c_ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+
+    partial = candidates.select(cand_id, vec_col).mapInArrow(
         topk_batches, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -130,6 +130,19 @@ def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(queries, emb, k=_K)
 
 
+@query("ann_topk_arrow_gemm", oracle=None, defer=True)
+def ann_topk_arrow_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of the pandas GEMM path: the embedding list column
+    reshapes straight from the Arrow value buffer into the matmul operand
+    — no pandas materialization (rows-only check; a unit test pins
+    agreement with the expression path)."""
+    from stadvdb_olap_spark.operators.similarity import cosine_topk_arrow
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_arrow(queries, emb, k=_K)
+
+
 @query("ann_ivf_topk", defer=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k (rows-only: k-means cells are

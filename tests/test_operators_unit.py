@@ -897,3 +897,18 @@ def test_table_diff_null_transitions(spark):
         4: ("removed", []),
         5: ("added", []),
     }  # k=3 identical (incl. null==null) -> absent
+
+
+def test_arrow_gemm_topk_agrees_with_expression_path(spark):
+    """mapInArrow GEMM returns the same ranked neighbors as the exact
+    JVM expression path (batching cannot change an exact top-k)."""
+    from stadvdb_olap_spark.operators.similarity import cosine_topk_arrow
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = brute_force_topk(q, emb, k=5)
+    b = cosine_topk_arrow(q, emb, k=5)
+    pairs_a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
+    pairs_b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
+    assert pairs_a == pairs_b

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["broadcast_if_small", "parse_byte_conf", "salted_equi_join"]
+__all__ = [
+    "broadcast_if_small",
+    "interval_overlap_join",
+    "parse_byte_conf",
+    "salted_equi_join",
+]
 
 _UNITS = {
     "b": 1,
@@ -145,3 +150,56 @@ def salted_equi_join(
         r_replicated[c] for c in right.columns if c != right_key
     ]
     return joined.select(*keep)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """All (a, b) pairs whose [start, end] microsecond intervals overlap
+    (inclusive endpoints), without the naive theta-join.
+
+    The standard Spark shape for temporal joins: each interval explodes
+    into the fixed-width time buckets it spans, the join runs as an
+    EQUI-join on the bucket id, the true overlap predicate filters the
+    collisions, and a distinct collapses pairs that met in several
+    buckets. Cost tracks intervals x buckets-spanned + genuine temporal
+    collisions — never |A| x |B|; pick ``bucket_us`` near the typical
+    interval length so most intervals explode to O(1) rows.
+
+    Both inputs must carry only the columns the caller wants in the
+    output (plus the bounds); all of them key the final distinct.
+    """
+    # Integer `div` keeps bucketing exact (and monotone) at any epoch.
+    ab = a.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {bucket_us}"),
+                F.expr(f"{a_end} div {bucket_us}"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {bucket_us}"),
+                F.expr(f"{b_end} div {bucket_us}"),
+            )
+        ),
+    )
+    return (
+        ab.join(bb, "__bucket")
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+        )
+        .drop("__bucket")
+        .distinct()
+    )

@@ -1058,3 +1058,98 @@ def click_purchase_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFr
 
     ev = load_table(spark, sf_dir, "events")
     return click_purchase_attribution(ev, within="1 day")
+
+
+@query(
+    "interval_overlap_sessions_bursts",
+    oracle="""
+WITH sflag AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id,
+           CAST(SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq,
+           epoch_us(ts) AS us
+    FROM sflag
+), sint AS (
+    SELECT user_id, session_seq,
+           MIN(us) AS a_start, MAX(us) AS a_end
+    FROM sess GROUP BY user_id, session_seq
+), bflag AS (
+    SELECT event_type, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+                THEN 1 ELSE 0 END AS new_b
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), burst AS (
+    SELECT event_type,
+           CAST(SUM(new_b) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS burst_seq,
+           epoch_us(ts) AS us
+    FROM bflag
+), bint AS (
+    SELECT event_type, burst_seq,
+           MIN(us) AS b_start, MAX(us) AS b_end
+    FROM burst GROUP BY event_type, burst_seq
+)
+SELECT user_id, session_seq, event_type, burst_seq,
+       LEAST(a_end, b_end) - GREATEST(a_start, b_start) AS overlap_us
+FROM sint JOIN bint ON a_start <= b_end AND b_start <= a_end
+""",
+)
+def interval_overlap_sessions_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal overlap join: which per-user sessions (30-minute gap
+    rule) overlap which per-type activity bursts (10-minute gap rule),
+    with the exact overlap length in microseconds.
+
+    Spark has no interval-overlap join; the scalable shape
+    (operators/joins.py:interval_overlap_join) explodes each interval
+    into the hour buckets it spans and EQUI-joins on the bucket id, so
+    the shuffle key is time locality and cost tracks genuine temporal
+    collisions — never |sessions| x |bursts|. The oracle runs the naive
+    theta join, certifying the bucketed plan loses no pair. All bounds
+    are integer epoch microseconds — exact on both engines.
+    """
+    from stadvdb_olap_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def intervals(key: str, gap_us: int, seq_name: str, s: str, e: str):
+        w = Window.partitionBy(key).orderBy("ts", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        gap = us - F.lag(us).over(w)
+        new_flag = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        return (
+            ev.withColumn("__new", new_flag)
+            .withColumn(seq_name, F.sum("__new").over(run).cast("long"))
+            .groupBy(key, seq_name)
+            .agg(F.min(us).alias(s), F.max(us).alias(e))
+        )
+
+    sessions = intervals("user_id", 1_800_000_000, "session_seq", "a_start", "a_end")
+    bursts = intervals("event_type", 600_000_000, "burst_seq", "b_start", "b_end")
+    return interval_overlap_join(
+        sessions, bursts, "a_start", "a_end", "b_start", "b_end"
+    ).select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        "burst_seq",
+        (
+            F.least(F.col("a_end"), F.col("b_end"))
+            - F.greatest(F.col("a_start"), F.col("b_start"))
+        ).alias("overlap_us"),
+    )

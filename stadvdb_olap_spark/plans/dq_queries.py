@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.operators.joins import broadcast_if_small
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.sources.parquet import load_table, spread
 
 _STATUS_DOMAIN = ("O", "F", "P")
 
@@ -119,3 +119,62 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, rows)
+
+
+@query(
+    "json_quarantine_events",
+    oracle="""
+WITH c AS (
+  SELECT event_id,
+         CASE WHEN event_id % 37 = 0 THEN 'x' || props
+              WHEN event_id % 41 = 1 THEN '{"other": 1}'
+              ELSE props END AS p
+  FROM events
+)
+SELECT CASE
+         WHEN NOT json_valid(p) THEN 'malformed'
+         WHEN json_extract_string(
+                CASE WHEN json_valid(p) THEN p ELSE '{}' END, '$.k')
+              IS NULL THEN 'missing_key'
+         ELSE 'ok' END AS reason,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM c
+GROUP BY reason
+""",
+)
+def json_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine for semi-structured ingestion: classify each
+    props payload as ok / malformed (unparseable JSON) / missing_key
+    (valid JSON without the required field) and report per-reason counts
+    with an id range for debugging. Corruption is injected
+    deterministically in-query (the fixture is clean) so both engines see
+    identical bad rows. ``try_parse_json`` is the Spark 4 non-throwing
+    parse — NULL for malformed instead of a poisoned task — and
+    ``try_variant_get`` extracts from the parsed VARIANT without
+    re-parsing. One conditional-aggregate pass; no row-at-a-time Python."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    corrupted = (
+        F.when(
+            F.col("event_id") % 37 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .when(F.col("event_id") % 41 == 1, F.lit('{"other": 1}'))
+        .otherwise(F.col("props"))
+    )
+    v = F.try_parse_json(corrupted)
+    k = F.try_variant_get(v, "$.k", "long")
+    reason = (
+        F.when(v.isNull(), F.lit("malformed"))
+        .when(k.isNull(), F.lit("missing_key"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        ev.select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

@@ -279,3 +279,16 @@ def test_inverted_index_two_hash_exchanges(spark, registry):
     body = df._jdf.queryExecution().explainString(jmode)
     assert "Exchange SinglePartition" not in body
     assert body.count("Exchange hashpartitioning") == 2, body
+
+
+def test_interval_overlap_is_an_equi_join(spark, registry):
+    """The temporal overlap join must plan as a hash/merge EQUI-join on
+    the bucket id — never a BroadcastNestedLoop/Cartesian theta join."""
+    plan = _formatted_plan(
+        registry["interval_overlap_sessions_bursts"].fn(spark, SF)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

@@ -68,3 +68,46 @@ def test_chunk_ranges_tile_exactly(n, chunk, stride):
         for _, start, end in rows:
             covered.update(range(start, end))
         assert covered == set(range(n))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)), min_size=1, max_size=10
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)), min_size=1, max_size=10
+    ),
+    bucket=st.integers(min_value=1, max_value=17),
+)
+def test_interval_overlap_join_equals_naive(spark, a, b, bucket):
+    """For ANY interval sets and ANY bucket width, the bucketed overlap
+    join equals the naive theta join — completeness does not depend on
+    bucket tuning (intervals here are [start, start+len] in raw units)."""
+    from stadvdb_olap_spark.operators.joins import interval_overlap_join
+
+    adf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(a)],
+        "a_id long, a_start long, a_end long",
+    )
+    bdf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(b)],
+        "b_id long, b_start long, b_end long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            adf, bdf, "a_start", "a_end", "b_start", "b_end", bucket_us=bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(a)
+        for j, (s2, l2) in enumerate(b)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    )
+    assert got == want

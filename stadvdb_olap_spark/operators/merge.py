@@ -29,6 +29,7 @@ def merge_scd1(
     source: DataFrame,
     keys: Iterable[str],
     update_cols: Iterable[str] | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Upsert ``source`` into ``target`` on ``keys`` (SCD type-1).
 
@@ -38,17 +39,27 @@ def merge_scd1(
 
     ``source`` must be unique per key (pre-dedup with
     :func:`stadvdb_olap_spark.operators.dedup.dedup_keep_first`).
-    Output schema == target schema.
+    Output schema == target schema — unless ``schema_evolution`` is set,
+    in which case source-only attribute columns are APPENDED to the
+    output (Delta/Iceberg ``mergeSchema`` semantics): pre-existing target
+    rows read NULL for the new columns, and re-merging the same source is
+    still idempotent because the second round's "new" columns already
+    exist on the evolved target.
     """
     keys = list(keys)
     attrs = [c for c in target.columns if c not in keys]
     if update_cols is None:
         update_cols = [c for c in attrs if c in source.columns]
     update_cols = list(update_cols)
+    new_cols = (
+        [c for c in source.columns if c not in target.columns and c not in keys]
+        if schema_evolution
+        else []
+    )
 
     src = source.select(
         *[F.col(k).alias(f"__src_{k}") for k in keys],
-        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols + new_cols],
         F.lit(True).alias("__src_present__"),
     )
     cond = [target[k].eqNullSafe(src[f"__src_{k}"]) for k in keys]
@@ -67,6 +78,11 @@ def merge_scd1(
             )
         else:
             out_cols.append(target[c].alias(c))
+    for c in new_cols:
+        # Evolved column: only source rows can carry a value; unmatched
+        # target rows surface NULL (exactly what a metadata-only ADD
+        # COLUMN would give them).
+        out_cols.append(src[f"__src_{c}"].alias(c))
     return joined.select(*out_cols)
 
 

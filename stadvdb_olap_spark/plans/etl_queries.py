@@ -550,6 +550,50 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_scd1(target, source, keys=["o_orderkey"])
 
 
+@query(
+    "merge_upsert_orders_evolving",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+), s AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+           'X' AS o_orderstatus,
+           'ch' || CAST(o_orderkey % 5 AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END         AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END        AS o_orderstatus,
+       s.o_channel                          AS o_channel
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def merge_upsert_orders_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 uplift — the same SCD1 merge with SCHEMA EVOLUTION: the source
+    feed carries a column the target never had (o_channel); the merge
+    widens the output (Delta/Iceberg mergeSchema semantics), pre-existing
+    rows reading NULL. Same single full-outer key shuffle as the base
+    merge — evolution is a projection change, not a new plan shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "o_channel"
+        ),
+    )
+    return merge_scd1(
+        target, source, keys=["o_orderkey"], schema_evolution=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Live JDBC round trip (S1/S2/S3/S4/S6 against a real database)
 # ---------------------------------------------------------------------------

@@ -70,14 +70,19 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     order_by: list[str] | None = None,
+    schema_evolution: bool = False,
 ) -> None:
     """SCD1 upsert into the parquet table at ``path`` (created if absent).
     Idempotent: re-running with the same source leaves the table unchanged
-    — the property the reference buys with ON CONFLICT, here structural."""
+    — the property the reference buys with ON CONFLICT, here structural.
+    With ``schema_evolution`` new source columns widen the stored table
+    (mergeSchema-style); existing rows read NULL for them."""
     src = dedup_keep_first(source, keys, order_by or keys)
     if os.path.exists(path):
         target = spark.read.parquet(path)
-        merged = merge_scd1(target, src, keys=keys).localCheckpoint()
+        merged = merge_scd1(
+            target, src, keys=keys, schema_evolution=schema_evolution
+        ).localCheckpoint()
     else:
         merged = src
     tmp = path + ".__new__"

@@ -912,3 +912,43 @@ def test_arrow_gemm_topk_agrees_with_expression_path(spark):
     pairs_a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
     pairs_b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
     assert pairs_a == pairs_b
+
+
+def test_merge_scd1_schema_evolution(spark):
+    """schema_evolution appends source-only columns: matched/inserted
+    rows carry source values, pre-existing rows read NULL, and the
+    evolved merge stays idempotent."""
+    from stadvdb_olap_spark.operators.merge import merge_scd1
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "C", 30.0)], "k long, name string, score double"
+    )
+    out = merge_scd1(target, source, ["k"], schema_evolution=True)
+    assert out.columns == ["k", "name", "score"]
+    got = {r["k"]: (r["name"], r["score"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("B", 20.0), 3: ("C", 30.0)}
+
+    again = merge_scd1(out, source, ["k"], schema_evolution=True)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+    # Without the flag the source-only column is ignored (old behavior).
+    legacy = merge_scd1(target, source, ["k"])
+    assert legacy.columns == ["k", "name"]
+
+
+def test_upsert_parquet_schema_evolution_roundtrip(spark, tmp_path):
+    """On-disk upsert with an evolving source widens the stored schema
+    once and stays stable on replay."""
+    from stadvdb_olap_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    upsert_parquet(spark, v1, path, keys=["k"])
+    v2 = spark.createDataFrame([(2, "B", 2.5)], "k long, name string, score double")
+    upsert_parquet(spark, v2, path, keys=["k"], schema_evolution=True)
+    upsert_parquet(spark, v2, path, keys=["k"], schema_evolution=True)  # replay
+    got = {r["k"]: (r["name"], r["score"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("B", 2.5)}

@@ -200,3 +200,136 @@ def ewma_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.y").alias("ewma"),
         )
     )
+
+
+@query(
+    "order_extremes_per_priority",
+    oracle="""
+WITH mx AS (
+    SELECT o_orderpriority, o_totalprice AS max_price,
+           o_orderkey AS max_price_orderkey
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+), mn AS (
+    SELECT o_orderpriority, o_totalprice AS min_price,
+           o_orderkey AS min_price_orderkey
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice ASC, o_orderkey ASC) = 1
+), n AS (
+    SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+    GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders,
+       max_price, max_price_orderkey, min_price, min_price_orderkey
+FROM mx JOIN mn USING (o_orderpriority) JOIN n USING (o_orderpriority)
+""",
+)
+def order_extremes_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group WITHOUT a window: max/min over a (value, key)
+    struct gives the argmax/argmin with a deterministic key tie-break as
+    a plain two-phase aggregate — map-side partials touch each row once,
+    versus the window's full shuffle-and-sort of every row per group.
+    THE pattern for max_by/min_by-style questions at 100 TB. The oracle
+    formulates the same answer the window way, so the two shapes
+    cross-check each other."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.struct("o_totalprice", "o_orderkey")).alias("__mx"),
+            F.min(F.struct("o_totalprice", "o_orderkey")).alias("__mn"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("__mx.o_totalprice").alias("max_price"),
+            F.col("__mx.o_orderkey").alias("max_price_orderkey"),
+            F.col("__mn.o_totalprice").alias("min_price"),
+            F.col("__mn.o_orderkey").alias("min_price_orderkey"),
+        )
+    )
+
+
+@query(
+    "chi_square_priority_status",
+    oracle="""
+WITH cells AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+), rt AS (
+    SELECT o_orderpriority, SUM(observed) AS row_total FROM cells
+    GROUP BY o_orderpriority
+), ct AS (
+    SELECT o_orderstatus, SUM(observed) AS col_total FROM cells
+    GROUP BY o_orderstatus
+), tot AS (SELECT SUM(observed) AS n FROM cells),
+scored AS (
+    SELECT o_orderpriority, o_orderstatus, observed,
+           ROUND(CAST(row_total AS DOUBLE) * col_total / n, 6) AS expected,
+           ROUND(POW(observed - CAST(row_total AS DOUBLE) * col_total / n, 2)
+                 / (CAST(row_total AS DOUBLE) * col_total / n), 6) AS contrib
+    FROM cells JOIN rt USING (o_orderpriority)
+               JOIN ct USING (o_orderstatus) CROSS JOIN tot
+)
+SELECT o_orderpriority, o_orderstatus, observed, expected, contrib,
+       CAST(ROUND(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER ()
+                       AS DOUBLE), 4) AS DOUBLE) AS chi2
+FROM scored
+""",
+)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order priority and status:
+    observed/expected/contribution per contingency cell plus the global
+    statistic. ONE pass over the fact builds the contingency cells; row
+    totals, column totals, N, and the statistic all derive from the tiny
+    cell table (re-aggregates and a global window over ~15 rows — the
+    empty-partition window is safe ONLY because it runs post-aggregation
+    on a bounded result, never on raw data). Per-cell contributions are
+    IEEE-identical cross-engine; the statistic decimal-sums the rounded
+    contributions, per compat.py."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy("o_orderpriority").agg(
+        F.sum("observed").alias("row_total")
+    )
+    ct = cells.groupBy("o_orderstatus").agg(F.sum("observed").alias("col_total"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    expected_raw = (
+        F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    )
+    scored = (
+        cells.join(F.broadcast(rt), "o_orderpriority")
+        .join(F.broadcast(ct), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "observed",
+            F.round(expected_raw, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - expected_raw, 2) / expected_raw, 6
+            ).alias("contrib"),
+        )
+    )
+    w = Window.partitionBy()  # global: input is the bounded cell table
+    return scored.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        "expected",
+        "contrib",
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(18,6)")).over(w).cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("chi2"),
+    )

@@ -72,7 +72,11 @@ def table_fingerprint(df: DataFrame, table_name: str) -> DataFrame:
     return df.agg(
         F.lit(table_name).alias("table_name"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash).cast("decimal(38,0)").alias("checksum"),
+        # Empty table -> checksum 0, not NULL: two empty copies must
+        # compare equal to each other and unequal to nothing.
+        F.coalesce(F.sum(row_hash), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
     )
 
 
@@ -83,8 +87,9 @@ def table_fingerprint_sql(table: str, cols: list[tuple[str, str]]) -> str:
     return f"""
 SELECT '{table}' AS table_name,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|', {cells})), 1, 12)
-                          AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       CAST(COALESCE(SUM(CAST(CAST('0x' ||
+                substr(md5(concat_ws('|', {cells})), 1, 12)
+                AS BIGINT) AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))
            AS checksum
 FROM {table}
 """

@@ -952,3 +952,19 @@ def test_upsert_parquet_schema_evolution_roundtrip(spark, tmp_path):
     upsert_parquet(spark, v2, path, keys=["k"], schema_evolution=True)  # replay
     got = {r["k"]: (r["name"], r["score"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", None), 2: ("B", 2.5)}
+
+
+def test_fingerprint_and_diff_empty_inputs(spark):
+    """Empty table -> checksum 0 (not NULL) so two empty copies compare
+    equal; diffing an empty side classifies every row added/removed."""
+    from stadvdb_olap_spark.operators.reconcile import table_diff, table_fingerprint
+
+    empty = spark.createDataFrame([], "id long, name string")
+    fp = table_fingerprint(empty, "e").collect()[0]
+    assert (fp["n_rows"], int(fp["checksum"])) == (0, 0)
+
+    full = spark.createDataFrame([(1, "a")], "id long, name string")
+    d1 = table_diff(empty, full, ["id"], ["name"]).collect()
+    d2 = table_diff(full, empty, ["id"], ["name"]).collect()
+    assert [(r["change_type"], list(r["changed_cols"])) for r in d1] == [("added", [])]
+    assert [(r["change_type"], list(r["changed_cols"])) for r in d2] == [("removed", [])]

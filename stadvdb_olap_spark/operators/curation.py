@@ -133,12 +133,12 @@ def prefix_filter_jaccard_pairs(
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("g_freq"))
     )
-    # Rarest-first prefix of each document's shingle set.
-    prefix_len = (
-        F.size("sh").cast("long")
-        - F.ceil(F.lit(threshold) * F.size("sh")).cast("long")
-        + 1
-    )
+    # Rarest-first prefix of each document's shingle set. ``ordered``
+    # carries every shingle of the doc, so the set size — and with it the
+    # prefix length — derives from it directly; no second join back to
+    # ``sets``.
+    n_col = F.size("ordered").cast("long")
+    prefix_len = n_col - F.ceil(F.lit(threshold) * n_col).cast("long") + 1
     prefixes = (
         sets.select(F.col(id_col), F.explode("sh").alias("g"))
         .join(freq, "g")
@@ -148,10 +148,9 @@ def prefix_filter_jaccard_pairs(
                 F.collect_list(F.struct("g_freq", "g"))
             ).alias("ordered")
         )
-        .join(sets, id_col)
         .select(
             F.col(id_col),
-            F.size("sh").cast("long").alias("n"),
+            n_col.alias("n"),
             F.explode(
                 F.transform(
                     F.slice("ordered", 1, prefix_len),

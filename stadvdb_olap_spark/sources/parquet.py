@@ -132,3 +132,41 @@ def load_orc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.orc(path)
+
+
+def load_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text source — the front door of a pretraining corpus pipeline.
+
+    Line mode (default) yields one row per line in a ``value`` string
+    column and splits large files across tasks; ``whole_file=True`` yields
+    one row per file (document-per-file corpora) at the cost of
+    file-granular parallelism — prefer line/JSONL layouts at 100 TB so a
+    single giant file cannot serialize a stage. ``line_sep`` overrides the
+    newline delimiter for record-separated corpora.
+    """
+    return spark.read.text(path, wholetext=whole_file, lineSep=line_sep)
+
+
+def load_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: one row per file with
+    (path, modificationTime, length, content) — ``content`` is the opaque
+    payload column the multimodal operators (operators/multimodal.py)
+    decode executor-side via Arrow-batched mapInPandas. ``glob`` filters
+    by pattern (e.g. ``*.jpg``). Parallelism is per-file; at 100 TB pack
+    small media into larger containers (tar/parquet binary columns)
+    rather than millions of tiny files — the listing itself becomes the
+    bottleneck otherwise (binaryFile caps at
+    ``spark.sql.sources.binaryFile.maxLength`` ~2 GiB per file)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -318,3 +318,49 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_text_loader_line_and_wholefile_modes(spark, tmp_path):
+    """Raw-text ingestion round trip: line mode yields one row per line;
+    whole-file mode yields one row per file with newlines intact."""
+    from stadvdb_olap_spark.sources.parquet import load_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc line one\nsecond line")
+    (d / "b.txt").write_text("other doc")
+    lines = sorted(r["value"] for r in load_text(spark, str(d)).collect())
+    assert lines == ["first doc line one", "other doc", "second line"]
+
+    whole = sorted(
+        r["value"] for r in load_text(spark, str(d), whole_file=True).collect()
+    )
+    assert whole == ["first doc line one\nsecond line", "other doc"]
+
+
+def test_binary_file_source_feeds_multimodal_features(spark, tmp_path):
+    """binaryFile ingestion -> multimodal feature extraction: payload
+    bytes survive intact and the deterministic 'fake' codec runs over
+    the content column exactly as over fixture binaries."""
+    from stadvdb_olap_spark.operators.multimodal import extract_features
+    from stadvdb_olap_spark.sources.parquet import load_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {"x.img": b"\x00\x01payload-x", "y.img": b"\xffpayload-y"}
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+    (d / "skip.txt").write_bytes(b"not media")
+
+    df = load_binary_files(spark, str(d), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == payloads
+
+    media = df.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content")
+    )
+    feats = extract_features(media, content_col="content", id_col="doc_id")
+    got = {r["doc_id"]: (r["n_bytes"], len(r["features"])) for r in feats.collect()}
+    sizes = sorted(n for n, _ in got.values())
+    assert sizes == sorted(len(b) for b in payloads.values())
+    assert all(nf > 0 for _, nf in got.values())

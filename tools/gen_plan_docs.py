@@ -73,6 +73,14 @@ SHOWCASE = [
      "exchange is keyed on PREFIX shingles only (rarest-first order, "
      "length-filtered), then exact Jaccard verifies just the surviving "
      "pairs — 100% recall with LSH-like cost"),
+    ("interval_overlap_sessions_bursts",
+     "the temporal join is an EQUI-join on exploded hour buckets (never "
+     "BroadcastNestedLoop/Cartesian); the overlap predicate and distinct "
+     "run on bucket collisions only"),
+    ("fingerprint_core_tables",
+     "each table is scan -> narrow canonicalize/hash projection -> "
+     "partial+final 1-row aggregate; the three fingerprints union without "
+     "any wide operation — the whole-warehouse compare ships 3 rows"),
 ]
 
 

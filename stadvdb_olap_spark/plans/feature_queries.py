@@ -333,3 +333,110 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     )
+
+
+# Keep the CTE in sync with advanced_queries.scd2_customer_priority —
+# the PIT join is certified against the SAME versioned-dimension state.
+_SCD2_SQL = """
+    WITH ordered AS (
+        SELECT o_custkey AS cust_id, o_orderpriority AS priority,
+               o_orderdate AS eff_ts, o_orderkey,
+               row_number() OVER w AS rn,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), points AS (
+        SELECT * FROM ordered WHERE rn = 1 OR priority IS DISTINCT FROM prev_p
+    )
+    SELECT cust_id, priority,
+           CAST(eff_ts AS DATE) AS effective_from,
+           CAST(row_number() OVER w2 AS INTEGER) AS version
+    FROM points
+    WINDOW w2 AS (PARTITION BY cust_id ORDER BY eff_ts, o_orderkey)
+"""
+
+
+@query(
+    "pit_join_events_priority",
+    oracle=f"""
+WITH scd2 AS ({_SCD2_SQL})
+SELECT e.event_id, e.user_id, v.priority, v.version
+FROM events e
+LEFT JOIN scd2 v
+  ON v.cust_id = e.user_id
+ AND CAST(v.effective_from AS TIMESTAMP) <= e.ts
+QUALIFY row_number() OVER (
+    PARTITION BY e.event_id
+    ORDER BY v.effective_from DESC, v.version DESC) = 1
+""",
+)
+def pit_join_events_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the feature-store pattern that prevents label
+    leakage: each event reads the customer-priority version effective AT
+    its timestamp, never a later one. The scalable shape is the union
+    timeline (version-start rows kind=0 before event rows kind=1 at the
+    same instant, version ascending so a same-day re-version supersedes),
+    ONE shuffle on the entity key, last-non-null carried forward — no
+    expand-and-pick interval join anywhere. The oracle IS the naive
+    expand-and-pick, so agreement certifies the timeline semantics.
+    Events before the first version read NULL (no feature existed yet —
+    exactly what training-time correctness requires)."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.operators.dimension import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        orders, keys=["cust_id"], attrs=["priority"],
+        ts_col="o_orderdate", tiebreak=["o_orderkey"],
+    ).select(
+        "cust_id",
+        "priority",
+        F.to_date("effective_from").alias("effective_from"),
+        "version",
+    )
+    events = load_table(spark, sf_dir, "events")
+
+    vrows = hist.select(
+        F.col("cust_id").alias("uid"),
+        F.to_timestamp("effective_from").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("version"),
+        F.col("priority"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    erows = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(None).cast("string").alias("priority"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # One struct per version row (NULL on event rows) so priority and
+    # version always travel together — they can never be carried forward
+    # from two different versions.
+    vstate = F.when(
+        F.col("kind") == 0, F.struct(F.col("version"), F.col("priority"))
+    )
+    return (
+        vrows.unionByName(erows)
+        .withColumn("__v", F.last(vstate, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("__v.priority").alias("priority"),
+            F.col("__v.version").alias("version"),
+        )
+    )

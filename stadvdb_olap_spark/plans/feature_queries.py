@@ -440,3 +440,70 @@ def pit_join_events_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__v.version").alias("version"),
         )
     )
+
+
+@query(
+    "label_purchase_within_7d",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = e.user_id
+             AND o.o_orderdate >  e.ts
+             AND o.o_orderdate <= e.ts + INTERVAL 7 DAY)
+            THEN 1 ELSE 0 END AS label
+FROM events e
+""",
+)
+def label_purchase_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking LABEL GENERATION: does the user place an order
+    strictly after the event, within 7 days? The training-target twin of
+    the PIT join — features may only look backward, labels only forward.
+    Scalable shape: one DESCENDING union timeline per user (events sort
+    before orders at the same instant, so a same-timestamp order is
+    excluded — strictly-after semantics), the nearest future order
+    timestamp carried via last-non-null, then an integer-microsecond
+    horizon check. ONE shuffle on the user key; the oracle is the naive
+    correlated EXISTS."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    orows = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    erows = events.select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lit(0).alias("kind"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t_us").desc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_order_us = F.last(
+        F.when(F.col("kind") == 1, F.col("t_us")), ignorenulls=True
+    ).over(w)
+    horizon_us = 7 * 86_400 * 1_000_000
+    return (
+        orows.unionByName(erows)
+        .withColumn("__next", next_order_us)
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.when(
+                F.col("__next").isNotNull()
+                & (F.col("__next") - F.col("t_us") <= horizon_us),
+                1,
+            )
+            .otherwise(0)
+            .alias("label"),
+        )
+    )

@@ -77,3 +77,72 @@ def stratified_sample_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "rolling_origin_folds_events",
+    oracle="""
+WITH bounds AS (
+    SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), folds AS (
+    SELECT k, lo + (4 + k) * ((hi - lo) // 8) AS cutoff, (hi - lo) // 8 AS h
+    FROM bounds, unnest(generate_series(0, 2)) AS u(k)
+)
+SELECT k AS fold,
+       CASE WHEN epoch_us(ts) < cutoff THEN 'train' ELSE 'test' END AS role,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM events CROSS JOIN folds
+WHERE epoch_us(ts) < cutoff + h
+GROUP BY fold, role
+""",
+)
+def rolling_origin_folds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (time-series) cross-validation folds: three
+    leakage-free (train, test) splits at successive time cutoffs — train
+    is everything strictly before the cutoff, test the next horizon
+    window. Cutoffs derive from the observed time range in exact integer
+    microseconds (a 1-row broadcast), fold membership is a narrow
+    predicate per fold, and the per-fold aggregates are one grouped pass
+    over the fold-exploded stream. The time-based twin of the hash-based
+    train/val/test split: temporal order, not content hash, decides
+    membership — the only valid protocol for forecasting models."""
+    from stadvdb_olap_spark.plans.compat import money_sum
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = events.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    folds = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"), "lo", "hi"
+        )
+        .select(
+            F.col("k"),
+            (
+                F.col("lo")
+                + (F.lit(4) + F.col("k"))
+                * F.expr("(hi - lo) div 8")
+            ).alias("cutoff"),
+            F.expr("(hi - lo) div 8").alias("h"),
+        )
+    )
+    return (
+        events.select(us.alias("t_us"), "value")
+        .crossJoin(F.broadcast(folds))
+        .filter(F.col("t_us") < F.col("cutoff") + F.col("h"))
+        .select(
+            F.col("k").alias("fold"),
+            F.when(F.col("t_us") < F.col("cutoff"), "train")
+            .otherwise("test")
+            .alias("role"),
+            "value",
+        )
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )

@@ -191,3 +191,112 @@ def bigram_lm_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_logprob"),
     )
+
+
+_VOCAB_MIN_FREQ = 2
+_UNK_ID = 1  # 0 = <pad>, 1 = <unk>; real words start at 2
+
+
+def _vocab_sql() -> str:
+    return f"""
+  SELECT word, freq,
+         CAST(1 + row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+             AS word_id
+  FROM (
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+    GROUP BY w
+  )
+  WHERE freq >= {_VOCAB_MIN_FREQ}
+"""
+
+
+@query("vocab_build_docs", oracle=f"SELECT * FROM ({_vocab_sql()})")
+def vocab_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary construction: corpus word frequencies,
+    a min-frequency floor, and dense ids assigned by (freq desc, word) —
+    deterministic across engines and runs. Ids 0/1 are reserved for
+    <pad>/<unk>, so real words start at 2. The id-assignment window is
+    global over the VOCABULARY (bounded, ~10^6 at web scale), never over
+    the corpus — one hash aggregate on the token stream does all the
+    heavy lifting."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return freq.select(
+        "word",
+        "freq",
+        (F.lit(1) + F.row_number().over(w)).cast("long").alias("word_id"),
+    )
+
+
+@query(
+    "encode_docs_token_ids",
+    oracle=f"""
+WITH vocab AS ({_vocab_sql()}),
+t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, toks[i] AS word
+  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+)
+SELECT doc_id,
+       list(COALESCE(word_id, {_UNK_ID}) ORDER BY pos) AS token_ids,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN word_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+FROM pos LEFT JOIN vocab USING (word)
+GROUP BY doc_id
+""",
+)
+def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document ENCODING: text -> position-ordered token-id arrays via
+    the built vocabulary, out-of-vocabulary words mapping to <unk>=1 —
+    the final step before sequence packing. Tokens explode with their
+    position, join the vocabulary on the word (broadcast while the vocab
+    fits, shuffle join beyond), and each document reassembles by sorting
+    its (pos, id) pairs in-memory — documents are bounded, so no global
+    sort anywhere."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
+    )
+    wv = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    vocab = freq.select(
+        "word", (F.lit(1) + F.row_number().over(wv)).cast("long").alias("word_id")
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
+    )
+    return (
+        pos.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.coalesce(F.col("word_id"), F.lit(_UNK_ID)).alias(
+                                "id"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("word_id").isNull().cast("long")).alias("n_unk"),
+        )
+    )

@@ -154,3 +154,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(queries, emb, k=_K, n_centroids=16, n_probe=4)
+
+
+@query(
+    "hard_negatives_by_label",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+           {cosine_sql('q.qv', 'e.embedding')} AS cosine
+    FROM q CROSS JOIN embeddings e
+    WHERE q.query_id <> e.vec_id AND q.qlabel <> e.label
+)
+SELECT query_id, neighbor_id, neg_label, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+""",
+)
+def hard_negatives_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per anchor, the 5
+    most-similar embeddings carrying a DIFFERENT label — the negatives
+    that actually teach the model. Same broadcast-anchor / windowed-top-k
+    shape as the exact ANN baseline, with the label-mismatch predicate
+    fused into the candidate filter (evaluated before any cosine math, so
+    same-label rows cost nothing). Scale path: swap the crossJoin for the
+    LSH-bucketed candidate generator unchanged — the label filter
+    composes with either."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.functions.vectors import cosine
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("neg_label"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("__qlabel") != F.col("neg_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            cosine("__qv", "__cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

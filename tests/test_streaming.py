@@ -551,3 +551,38 @@ def test_corpus_dedup_stream_resumes_without_duplicates(spark, tmp_path):
         ).collect()
     )
     assert got == want  # full-delta matches, each exactly once
+
+
+def test_fingerprint_stream_audit_merges_to_batch_fingerprint(
+    spark, events_stream_dir, tmp_path
+):
+    """Per-batch audit fingerprints are mergeable: summing the audit
+    rows' (n_rows, checksum) reproduces the whole-input batch
+    fingerprint, and a restart over the same source adds no rows."""
+    from stadvdb_olap_spark.operators.reconcile import table_fingerprint
+    from stadvdb_olap_spark.streaming.integrity import fingerprint_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_stream_dir)
+    )
+    fingerprint_stream(stream, "events", audit, ckpt).awaitTermination(120)
+
+    rows = spark.read.parquet(audit).collect()
+    assert len(rows) >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+    merged_n = sum(r["n_rows"] for r in rows)
+    merged_sum = sum(int(r["checksum"]) for r in rows)
+
+    whole = table_fingerprint(
+        spark.read.parquet(events_stream_dir), "events"
+    ).collect()[0]
+    assert (merged_n, merged_sum) == (whole["n_rows"], int(whole["checksum"]))
+
+    # Replay with the same checkpoint: no new batches, audit unchanged.
+    fingerprint_stream(stream, "events", audit, ckpt).awaitTermination(120)
+    assert len(spark.read.parquet(audit).collect()) == len(rows)

@@ -146,3 +146,108 @@ def rolling_origin_folds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("total_value"),
         )
     )
+
+
+_NEG_K = 3       # negatives to keep per customer
+_NEG_TRIES = 8   # deterministic candidate draws before giving up
+
+
+@query(
+    "negative_sample_customer_parts",
+    oracle=f"""
+WITH pos AS (
+    SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), np AS (SELECT COUNT(*) AS n_parts FROM part),
+cand AS (
+    SELECT c.cust, u.i AS try_idx,
+           1 + CAST('0x' || substr(md5(CAST(c.cust AS VARCHAR) || '#' ||
+                                       CAST(u.i AS VARCHAR)), 1, 12)
+                    AS BIGINT) % n_parts AS part
+    FROM (SELECT DISTINCT cust FROM pos) c
+    CROSS JOIN np
+    CROSS JOIN unnest(generate_series(0, {_NEG_TRIES - 1})) AS u(i)
+), dedup AS (
+    SELECT cust, part, MIN(try_idx) AS try_idx FROM cand GROUP BY cust, part
+), neg AS (
+    SELECT d.cust, d.part, d.try_idx
+    FROM dedup d ANTI JOIN pos p ON d.cust = p.cust AND d.part = p.part
+)
+SELECT cust AS o_custkey, part AS l_partkey,
+       CAST(rn AS BIGINT) AS neg_rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY cust ORDER BY try_idx, part) AS rn
+      FROM neg)
+WHERE rn <= {_NEG_K}
+""",
+)
+def negative_sample_customer_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for recommender/contrastive
+    training: per customer, up to 3 parts they never purchased, drawn by
+    a content-addressed hash (md5 of customer#try) so every engine, run,
+    and partitioning produces the same negatives — no RNG, no seed
+    plumbing. Candidate draws are a narrow explode; the "never purchased"
+    guarantee is a LEFT ANTI join against the positives on the composite
+    key; ranking keeps the first K surviving tries. All shuffles are on
+    keys; the positives set is the only large intermediate."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    pos = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    np_ = part.agg(F.count(F.lit(1)).alias("n_parts"))
+    cand = (
+        pos.select("cust")
+        .distinct()
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "cust",
+            "n_parts",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_TRIES - 1))).alias(
+                "try_idx"
+            ),
+        )
+        .select(
+            "cust",
+            "try_idx",
+            (
+                F.lit(1)
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("cust").cast("string"),
+                                F.col("try_idx").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("part"),
+        )
+    )
+    dedup = cand.groupBy("cust", "part").agg(F.min("try_idx").alias("try_idx"))
+    neg = dedup.join(pos, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy("try_idx", "part")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEG_K)
+        .select(
+            F.col("cust").alias("o_custkey"),
+            F.col("part").alias("l_partkey"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+    )

@@ -300,3 +300,99 @@ def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("word_id").isNull().cast("long")).alias("n_unk"),
         )
     )
+
+
+@query(
+    "debounce_events_10s",
+    oracle="""
+WITH g AS (
+    SELECT event_id, user_id, event_type, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type, ts
+FROM g WHERE gap_us IS NULL OR gap_us > 10000000
+""",
+)
+def debounce_events_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit dedup: drop any event arriving within 10
+    seconds of the previous SAME (user, type) event — the duplicate-click
+    / retry-storm filter every event pipeline runs before counting
+    anything. One lag window per (user, type) in exact integer
+    microseconds; survivors keep their original rows untouched."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") > 10_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "dialogue_turns_per_session",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, event_type, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_turns,
+       string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS turn_script
+FROM sess
+GROUP BY user_id, session_seq
+HAVING COUNT(*) >= 3
+""",
+)
+def dialogue_turns_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/trajectory assembly (the chat-corpus prep shape):
+    sessionize per user (30-minute gap), then reassemble each session's
+    events into an ORDERED turn script, keeping sessions with >= 3 turns.
+    Same order-preserving in-memory reassembly as document encoding —
+    sort the bounded per-session array, never a global sort. The output
+    is exactly what an SFT-style pipeline feeds a formatter."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("__new", new_s).withColumn(
+        "session_seq", F.sum("__new").over(run).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(us.alias("us"), "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " -> ",
+            ).alias("turn_script"),
+        )
+        .filter(F.col("n_turns") >= 3)
+    )

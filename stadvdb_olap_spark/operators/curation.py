@@ -40,9 +40,15 @@ def doc_segments(
     windows with their position. Pure narrow ops — tokenize, per-row
     start sequence, explode, slice — no shuffle; parallelism equals the
     input partition count at any scale."""
-    toked = df.select(
-        F.col(id_col), tokens(text_col).alias("toks")
-    ).withColumn("n", F.size("toks").cast("long"))
+    toked = (
+        df.select(F.col(id_col), tokens(text_col).alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        # Token-less rows (NULL text -> size -1) must yield ZERO segment
+        # rows, matching generate_series(0, -1) = empty on the oracle
+        # side; without this, Spark's sequence(0, -1) counts DOWN and
+        # fabricates two phantom segments.
+        .filter(F.col("n") >= 1)
+    )
     seg_idx = F.explode(
         F.sequence(
             F.lit(0).cast("long"),

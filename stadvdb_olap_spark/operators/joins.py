@@ -173,8 +173,17 @@ def interval_overlap_join(
     interval length so most intervals explode to O(1) rows.
 
     Both inputs must carry only the columns the caller wants in the
-    output (plus the bounds); all of them key the final distinct.
+    output (plus the bounds); all of them key the final distinct — and
+    the two column sets must be DISJOINT (checked), or the post-join
+    bound references would be ambiguous. For a self-join, alias one
+    side's columns first.
     """
+    shared = set(a.columns) & set(b.columns)
+    if shared:
+        raise ValueError(
+            f"interval_overlap_join requires disjoint column names; "
+            f"shared: {sorted(shared)} — alias one side first"
+        )
     # Integer `div` keeps bucketing exact (and monotone) at any epoch.
     ab = a.withColumn(
         "__bucket",

@@ -53,6 +53,13 @@ def asof_join_cogrouped(
     (key, ts) so the match is deterministic. Each side is shuffled once
     on its key; per-key matching is a vectorized numpy searchsorted over
     the sorted right timestamps.
+
+    TYPE CONTRACT: ``left_id``, ``left_key`` and ``right_val`` must all
+    be integral (the output schema is declared long and missing matches
+    use the nullable Int64 pandas dtype); timestamps may be timestamp or
+    date. For non-integral keys/values, map to surrogate longs first
+    (functions/keys.py) — the declarative twin in advanced_queries has
+    no such restriction.
     """
     import numpy as np
 

@@ -197,6 +197,27 @@ _VOCAB_MIN_FREQ = 2
 _UNK_ID = 1  # 0 = <pad>, 1 = <unk>; real words start at 2
 
 
+def _vocab_df(docs: DataFrame) -> DataFrame:
+    """The ONE Spark-side vocabulary builder (word, freq, word_id) —
+    shared by vocab_build_docs and encode_docs_token_ids exactly as
+    ``_vocab_sql`` is shared by their oracles, so the two paths cannot
+    drift."""
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return freq.select(
+        "word",
+        "freq",
+        (F.lit(1) + F.row_number().over(w)).cast("long").alias("word_id"),
+    )
+
+
 def _vocab_sql() -> str:
     return f"""
   SELECT word, freq,
@@ -220,21 +241,8 @@ def vocab_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global over the VOCABULARY (bounded, ~10^6 at web scale), never over
     the corpus — one hash aggregate on the token stream does all the
     heavy lifting."""
-    from pyspark.sql import Window
-
     docs = spread(load_table(spark, sf_dir, "documents"))
-    freq = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
-    )
-    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
-    return freq.select(
-        "word",
-        "freq",
-        (F.lit(1) + F.row_number().over(w)).cast("long").alias("word_id"),
-    )
+    return _vocab_df(docs)
 
 
 @query(
@@ -263,19 +271,8 @@ def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits, shuffle join beyond), and each document reassembles by sorting
     its (pos, id) pairs in-memory — documents are bounded, so no global
     sort anywhere."""
-    from pyspark.sql import Window
-
     docs = spread(load_table(spark, sf_dir, "documents"))
-    freq = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
-    )
-    wv = Window.orderBy(F.col("freq").desc(), F.col("word"))
-    vocab = freq.select(
-        "word", (F.lit(1) + F.row_number().over(wv)).cast("long").alias("word_id")
-    )
+    vocab = _vocab_df(docs).select("word", "word_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
     )

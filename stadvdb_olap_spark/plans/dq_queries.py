@@ -132,8 +132,8 @@ WITH c AS (
   FROM events
 )
 SELECT CASE
-         WHEN NOT json_valid(p) THEN 'malformed'
-         WHEN json_extract_string(
+         WHEN p IS NULL OR NOT json_valid(p) THEN 'malformed'
+         WHEN json_extract(
                 CASE WHEN json_valid(p) THEN p ELSE '{}' END, '$.k')
               IS NULL THEN 'missing_key'
          ELSE 'ok' END AS reason,
@@ -163,7 +163,11 @@ def json_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("props"))
     )
     v = F.try_parse_json(corrupted)
-    k = F.try_variant_get(v, "$.k", "long")
+    # Extract as VARIANT (not a typed cast): k is "missing" only when the
+    # KEY is absent — a non-integer k value still classifies ok, matching
+    # the oracle's json_extract presence test; NULL props are malformed
+    # on both sides.
+    k = F.try_variant_get(v, "$.k", "variant")
     reason = (
         F.when(v.isNull(), F.lit("malformed"))
         .when(k.isNull(), F.lit("missing_key"))

@@ -968,3 +968,56 @@ def test_fingerprint_and_diff_empty_inputs(spark):
     d2 = table_diff(full, empty, ["id"], ["name"]).collect()
     assert [(r["change_type"], list(r["changed_cols"])) for r in d1] == [("added", [])]
     assert [(r["change_type"], list(r["changed_cols"])) for r in d2] == [("removed", [])]
+
+
+def test_segment_dedup_null_text_yields_no_segments(spark):
+    """NULL/token-less text rows produce zero segment rows (matching the
+    empty generate_series on the oracle side) instead of phantom
+    negative-index segments."""
+    from stadvdb_olap_spark.operators.curation import doc_segments
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "doc_id long, text string"
+    )
+    got = doc_segments(docs, "doc_id", "text", 3).collect()
+    assert [(r["doc_id"], r["seg_idx"], r["seg"]) for r in got] == [
+        (1, 0, "alpha beta gamma")
+    ]
+
+
+def test_interval_overlap_join_rejects_shared_columns(spark):
+    """Shared column names would make the bound references ambiguous —
+    the operator fails fast with a clear message."""
+    import pytest
+
+    from stadvdb_olap_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 5)], "id long, a_start long, a_end long")
+    b = spark.createDataFrame([(2, 3, 9)], "id long, b_start long, b_end long")
+    with pytest.raises(ValueError, match="disjoint column names"):
+        interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
+
+
+def test_json_quarantine_reason_alignment(spark):
+    """The classification rule matches the oracle's presence semantics:
+    non-integer k is ok (key present), absent key is missing_key, NULL or
+    unparseable props is malformed."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (2, '{"k": "abc"}'),
+            (3, '{"other": 1}'),
+            (4, None),
+            (5, "x{broken"),
+        ],
+        "event_id long, props string",
+    )
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "variant")
+    reason = (
+        F.when(v.isNull(), F.lit("malformed"))
+        .when(k.isNull(), F.lit("missing_key"))
+        .otherwise(F.lit("ok"))
+    )
+    got = {r["event_id"]: r["r"] for r in df.select("event_id", reason.alias("r")).collect()}
+    assert got == {1: "ok", 2: "ok", 3: "missing_key", 4: "malformed", 5: "malformed"}

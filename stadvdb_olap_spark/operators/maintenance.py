@@ -116,3 +116,56 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Algebraic aggregate STATE per key: (n, sum, sumsq) with exact
+    decimal sums — the persisted form of an incrementally maintained
+    materialized view. States are a commutative monoid, so any partition
+    of the input (daily deltas, backfills, late data) merges to the same
+    state as a full recompute."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("decimal(18,6)")
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.sum(v).alias("sum_v"),
+        F.sum((v * v).cast("decimal(38,12)")).alias("sumsq_v"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of state tables (same schema) by key-wise adding
+    the components — the incremental-refresh step. Cost: one union + one
+    hash aggregate over STATE rows (cardinality = distinct keys), never
+    over the underlying facts."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    keys = [c for c in merged.columns if c not in ("n", "sum_v", "sumsq_v")]
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").cast("decimal(18,6)").alias("sum_v"),
+        F.sum("sumsq_v").cast("decimal(38,12)").alias("sumsq_v"),
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Derive the published metrics (count, mean, population variance)
+    from a state table — a narrow projection; rounding per compat.py."""
+    from pyspark.sql import functions as F
+
+    n = F.col("n")
+    mean = F.col("sum_v").cast("double") / n
+    meansq = F.col("sumsq_v").cast("double") / n
+    # No cosmetic rounding: the decimal->double casts and IEEE divisions
+    # are bit-identical across engines, while ROUND(x, 6) on values near
+    # 1e10 exceeds 2^53 internally and diverges per engine.
+    return state.select(
+        *[c for c in state.columns if c not in ("n", "sum_v", "sumsq_v")],
+        n.alias("n"),
+        mean.alias("mean_v"),
+        (meansq - mean * mean).alias("var_v"),
+    )

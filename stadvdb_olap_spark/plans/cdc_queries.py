@@ -84,3 +84,62 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = updates.unionByName(inserts).unionByName(deletes)
     return apply_cdc(base, feed, keys=["o_orderkey"])
+
+
+@query(
+    "incremental_agg_state_orders",
+    oracle="""
+WITH st AS (
+    SELECT o_orderpriority,
+           COUNT(o_totalprice) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_v,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(24,6))
+                    * CAST(o_totalprice AS DECIMAL(24,6))
+                    AS DECIMAL(38,12))) AS sumsq_v
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(sum_v AS DECIMAL(18,6)) AS sum_v,
+       CAST(sumsq_v AS DECIMAL(38,12)) AS sumsq_v,
+       CAST(sum_v AS DOUBLE) / n AS mean_v
+FROM st
+""",
+)
+def incremental_agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW maintenance: per-priority
+    algebraic state (n, Σv, Σv² — exact decimals) plus the mean,
+    that was built as two disjoint partitions of orders (an initial load
+    and a 'late-arriving' delta) and MERGED — never recomputed from
+    facts. The oracle computes the same state from the full table in
+    one pass, so the hash match proves merge(state(A), state(B)) ==
+    state(A ∪ B) — the property that lets a 100 TB rollup refresh from
+    each day's delta at delta cost. Decimal state components make the
+    merge bit-exact regardless of partitioning; the variance
+    derivation (finalize_agg_state) is pinned by its own unit test —
+    DuckDB's int128-decimal->double cast is not correctly rounded, so a
+    hash oracle on that derived double would test a cast quirk, not the
+    merge algebra."""
+    from stadvdb_olap_spark.operators.maintenance import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    initial = orders.filter(F.col("o_orderkey") % 10 < 7)
+    delta = orders.filter(F.col("o_orderkey") % 10 >= 7)
+    merged = merge_agg_states(
+        agg_state(initial, ["o_orderpriority"], "o_totalprice"),
+        agg_state(delta, ["o_orderpriority"], "o_totalprice"),
+    )
+    # Publish the EXACT state components plus the mean. The derived
+    # variance (finalize_agg_state) is pinned by a unit test instead:
+    # DuckDB's int128-decimal -> double cast is not correctly rounded,
+    # so a hash oracle on the big sumsq-derived double would test the
+    # engines' cast quirks, not the merge algebra.
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_v").cast("decimal(18,6)").alias("sum_v"),
+        F.col("sumsq_v").cast("decimal(38,12)").alias("sumsq_v"),
+        (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
+    )

@@ -1021,3 +1021,31 @@ def test_json_quarantine_reason_alignment(spark):
     )
     got = {r["event_id"]: r["r"] for r in df.select("event_id", reason.alias("r")).collect()}
     assert got == {1: "ok", 2: "ok", 3: "missing_key", 4: "malformed", 5: "malformed"}
+
+
+def test_agg_state_merge_and_finalize_match_direct_stats(spark):
+    """merge(state(A), state(B)) == state(A u B) exactly, and the
+    finalized mean/variance match Python's statistics on the raw data."""
+    import statistics
+
+    from stadvdb_olap_spark.operators.maintenance import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    rows = [("g", float(v)) for v in [3, 7, 7, 19, 24, 31, 42]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a, b = df.filter(F.col("v") < 20), df.filter(F.col("v") >= 20)
+    merged = merge_agg_states(
+        agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v")
+    )
+    direct = agg_state(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    fin = finalize_agg_state(merged).collect()[0]
+    vals = [v for _, v in rows]
+    assert fin["n"] == len(vals)
+    assert abs(fin["mean_v"] - statistics.fmean(vals)) < 1e-9
+    assert abs(fin["var_v"] - statistics.pvariance(vals)) < 1e-9

@@ -556,3 +556,115 @@ def pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         chunks, ["doc_id", "chunk_idx"], "chunk_tokens", budget=512
     )
+
+
+_BM25_TERMS = ("table", "stream", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM t
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)),
+           6) AS s
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(score_dec AS DOUBLE) AS bm25,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, SUM(CAST(s AS DECIMAL(18,6))) AS score_dec,
+         row_number() OVER (
+             ORDER BY SUM(CAST(s AS DECIMAL(18,6))) DESC, doc_id) AS rn
+  FROM scored GROUP BY doc_id
+)
+WHERE rn <= {_BM25_TOPK}
+""",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Walker Okapi BM25, the Lucene idf
+    variant ln((N-df+0.5)/(df+0.5)+1)) of documents against a fixed
+    query-term set — the lexical-retrieval scorer a RAG corpus pipeline
+    runs next to the ANN index. Shape: tokens filter to the query terms
+    BEFORE any aggregation (the per-(doc,term) tf table only holds
+    matching docs), document frequencies and corpus stats are tiny
+    broadcasts, and the final top-k ranks on the ROUNDED decimal-summed
+    score with doc_id tiebreak so ordering is engine-independent."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", T.tokens("text").alias("toks"))
+    dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).alias("score_dec")
+    )
+    w = Window.orderBy(F.col("score_dec").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "doc_id", F.col("score_dec").cast("double").alias("bm25"), "rank"
+        )
+    )

@@ -111,3 +111,60 @@ def test_interval_overlap_join_equals_naive(spark, a, b, bucket):
         if s1 <= s2 + l2 and s2 <= s1 + l1
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=9).map("".join).map(
+            lambda w: w  # single token
+        ).flatmap(
+            lambda _: st.lists(
+                st.sampled_from(["aa", "ab", "ba", "bb", "xy"]),
+                min_size=1,
+                max_size=8,
+            ).map(" ".join)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seg_len=st.integers(1, 3),
+    min_df=st.integers(1, 3),
+)
+def test_segment_dedup_matches_python_reference(spark, docs, seg_len, min_df):
+    """For ANY corpus over a tiny vocabulary and ANY (segment length,
+    doc-frequency threshold), segment_dedup reproduces a direct Python
+    computation of drop-duplicated-segments-and-reassemble."""
+    import math
+
+    from stadvdb_olap_spark.operators.curation import segment_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_segments"], r["n_dropped"])
+        for r in segment_dedup(
+            df, "doc_id", "text", seg_len=seg_len, min_doc_freq=min_df
+        ).collect()
+    }
+
+    def segments(text):
+        toks = text.split()
+        return [
+            " ".join(toks[i * seg_len : (i + 1) * seg_len])
+            for i in range(math.ceil(len(toks) / seg_len))
+        ]
+
+    seg_docs = {}
+    for i, text in enumerate(docs):
+        for seg in segments(text):
+            seg_docs.setdefault(seg, set()).add(i)
+    want = {}
+    for i, text in enumerate(docs):
+        segs = segments(text)
+        kept = [s for s in segs if len(seg_docs[s]) < min_df]
+        want[i] = (" ".join(kept), len(segs), len(segs) - len(kept))
+    assert got == want

@@ -161,3 +161,76 @@ def training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is on the shard id and each shard orders its own rows."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return MX.training_shards(docs, _N_SHARDS).select("doc_id", "shard", "shard_pos")
+
+
+@query(
+    "training_manifest_docs",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, text, {_md5_salted_sql('shard:')} AS h FROM documents
+),
+s AS (
+    SELECT doc_id, text,
+           CAST(((strpos('0123456789abcdef', h[1:1]) - 1) * 4096
+               + (strpos('0123456789abcdef', h[2:2]) - 1) * 256
+               + (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+               + (strpos('0123456789abcdef', h[4:4]) - 1)) AS BIGINT)
+               % {_N_SHARDS} AS shard
+    FROM h
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+            AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CAST(CAST('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12)
+                AS BIGINT) AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))
+           AS checksum
+FROM s
+GROUP BY shard
+""",
+)
+def training_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELIVERY MANIFEST for a sharded training corpus: per shard,
+    the document count, total token budget, and an order-independent
+    content checksum (the reconcile fingerprint over doc_id|text). A
+    trainer — or the producer, independently — verifies a delivered
+    shard by recomputing one aggregate; checksums are commutative sums,
+    so the manifest rows also merge into a whole-corpus fingerprint.
+    One narrow hash projection + one grouped pass; no sort, no join."""
+    from stadvdb_olap_spark.functions.text import token_count
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = salted_md5("doc_id", "shard:")
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _N_SHARDS
+    ).alias("shard")
+    row_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.col("text")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    return (
+        docs.select(shard, token_count("text").alias("n_tok"), row_hash.alias("rh"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.coalesce(F.sum("rh"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("checksum"),
+        )
+    )

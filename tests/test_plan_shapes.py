@@ -292,3 +292,25 @@ def test_interval_overlap_is_an_equi_join(spark, registry):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key joined to a selectively
+    filtered dim plans a dynamicpruning subquery in the fact scan's
+    partition filters — at scale this skips whole partitions at runtime,
+    the file-source analogue of the bloom-filter row pruning test."""
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    fact_path = str(tmp_path / "fact_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], "flag string, weight int"
+    ).filter("weight = 3")
+
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+    plan = _formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()

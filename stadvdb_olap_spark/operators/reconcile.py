@@ -151,3 +151,38 @@ def table_diff(
         )
         .select(*keys, "change_type", "changed_cols")
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema drift report between two table versions: added / removed /
+    type-changed / nullability-changed columns, as plain dicts (driver
+    metadata, not a distributed op). The schema-level companion to
+    ``table_diff`` — run it first; a type change usually explains a
+    checksum mismatch without scanning a single row."""
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in new.schema.fields}
+    report: list[dict] = []
+    for name in sorted(new_fields.keys() - old_fields.keys()):
+        report.append(
+            {"column": name, "change": "added",
+             "new_type": new_fields[name].dataType.simpleString()}
+        )
+    for name in sorted(old_fields.keys() - new_fields.keys()):
+        report.append(
+            {"column": name, "change": "removed",
+             "old_type": old_fields[name].dataType.simpleString()}
+        )
+    for name in sorted(old_fields.keys() & new_fields.keys()):
+        o, n = old_fields[name], new_fields[name]
+        if o.dataType != n.dataType:
+            report.append(
+                {"column": name, "change": "type_changed",
+                 "old_type": o.dataType.simpleString(),
+                 "new_type": n.dataType.simpleString()}
+            )
+        elif o.nullable != n.nullable:
+            report.append(
+                {"column": name, "change": "nullability_changed",
+                 "old_nullable": o.nullable, "new_nullable": n.nullable}
+            )
+    return report

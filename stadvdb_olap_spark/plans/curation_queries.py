@@ -393,3 +393,59 @@ def dialogue_turns_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_turns") >= 3)
     )
+
+
+@query(
+    "intra_doc_dedup_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+), segs AS (
+  SELECT doc_id, s AS seg_idx,
+         array_to_string(toks[s * {_SEG_LEN} + 1 : s * {_SEG_LEN} + {_SEG_LEN}],
+                         ' ') AS seg
+  FROM t,
+       unnest(generate_series(
+         0, CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT) - 1)) AS u(s)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (
+             PARTITION BY doc_id, seg ORDER BY seg_idx) AS occ
+  FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE occ = 1), '') AS kept_text,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def intra_doc_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition removal (the cleaning step behind
+    Gopher's repetition FILTERS): keep only the first occurrence of each
+    3-token segment WITHIN a document and reassemble in order — looping
+    generation artifacts and boilerplate refrains collapse to one copy.
+    Corpus-free: one window over (doc, segment) plus the per-doc
+    reassembly, both partitioned by doc_id — a single exchange, no
+    cross-document state at all (contrast segment_dedup_docs, which
+    consults corpus-wide frequencies)."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.operators.curation import doc_segments
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    segs = doc_segments(docs, "doc_id", "text", _SEG_LEN)
+    w = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    ranked = segs.withColumn("occ", F.row_number().over(w))
+    kept_structs = F.collect_list(
+        F.when(F.col("occ") == 1, F.struct("seg_idx", "seg"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(kept_structs), lambda s: s["seg"])
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
+    )

@@ -1049,3 +1049,14 @@ def test_agg_state_merge_and_finalize_match_direct_stats(spark):
     assert fin["n"] == len(vals)
     assert abs(fin["mean_v"] - statistics.fmean(vals)) < 1e-9
     assert abs(fin["var_v"] - statistics.pvariance(vals)) < 1e-9
+
+
+def test_schema_diff_reports_all_change_kinds(spark):
+    from stadvdb_olap_spark.operators.reconcile import schema_diff
+
+    old = spark.createDataFrame([], "k long, a string, b int, c double")
+    new = spark.createDataFrame([], "k long, a string, b bigint, d date")
+    got = schema_diff(old, new)
+    by_col = {r["column"]: r["change"] for r in got}
+    assert by_col == {"d": "added", "c": "removed", "b": "type_changed"}
+    assert schema_diff(old, old) == []

@@ -89,11 +89,13 @@ def _ensure_loaded() -> None:
     # current order are still driver-unsigned — the text tail past the
     # first 50 (normalize/repetition/ohlc/...), curation, pandas_surface,
     # reconcile, sketch, pii, mixture, funnel, dq, cdc, feature, and
-    # scale_queries, plus the round-2 additions appended to advanced
-    # (interval overlap), etl (evolving merge certified in r2 only if it
-    # landed inside the window), and feature (extremes, chi-square). Move
-    # those modules to the FRONT of this import list (before etl/tpch,
-    # which round 2 certified) so the round-3 window covers them.
+    # scale_queries and series_queries (markov/paths/diversity/autocorr/
+    # corr-matrix/benford/interpolate/deciles), plus the round-2 additions
+    # appended to advanced (interval overlap), etl (evolving merge
+    # certified in r2 only if it landed inside the window), and feature
+    # (extremes, chi-square). Move those modules to the FRONT of this
+    # import list (before etl/tpch, which round 2 certified) so the
+    # round-3 window covers them.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import text_queries  # noqa: F401  # isort: skip
@@ -111,5 +113,6 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import cdc_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import feature_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import scale_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import series_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import advanced_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import analytics_queries  # noqa: F401  # isort: skip

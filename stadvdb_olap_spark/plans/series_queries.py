@@ -1,0 +1,645 @@
+"""Sequence & time-series analytics catalog queries.
+
+The behavioral-analytics family the reference's OLAP surface gestures at
+(ordered event scans in ``app.py``'s report loop) re-expressed as
+Catalyst-planned window/aggregate pipelines, plus the time-series
+statistics a monitoring pipeline runs over daily facts:
+
+- ``markov_event_transitions`` — per-user next-event transition counts
+  and probabilities (first-order Markov chain over the event stream).
+- ``user_first_paths`` — each user's first-3-event path, ranked by
+  frequency (the classic "top onboarding paths" query).
+- ``simpson_diversity_source_unigrams`` — per-source unigram
+  Gini–Simpson diversity + effective vocabulary. Simpson (1 − Σp²) is
+  chosen over Shannon entropy deliberately: Σc² is an EXACT integer
+  aggregate, so the only float ops are one division and one subtract —
+  both IEEE-correctly-rounded — where Shannon's ``ln`` is not
+  correctly rounded and would break the cross-engine hash oracle.
+- ``autocorr_daily_revenue_lag7`` — lag-7 Pearson autocorrelation of
+  daily revenue (weekly seasonality detector). Moment sums fold over
+  the date-SORTED pair array in plain doubles (the tv_distance
+  sorted-fold pattern — viable because the series is calendar-sized);
+  the closed form uses only +,−,×,÷,sqrt — every one correctly
+  rounded, so the result is bit-identical across engines.
+- ``corr_matrix_lineitem`` — pairwise Pearson correlation of the four
+  lineitem measures in ONE aggregate pass (long-form output), moments
+  exact via power-of-two-prescaled integer quantization (see
+  ``_quantized`` — the fact-scale determinism device).
+- ``benford_first_digit_orders`` — first-significant-digit distribution
+  of order totals vs Benford's law (fraud/DQ screen). Expected shares
+  are python-precomputed literals embedded in BOTH engines, sidestepping
+  cross-engine ``log10`` rounding.
+- ``interpolate_hourly_signup_value`` — linear interpolation of a
+  sparse hourly series onto a dense grid (the resample/interpolate
+  step LOCF can't do; complements ``locf_forward_fill_events``).
+- ``decile_bins_order_totals`` — equi-depth (ntile) binning of order
+  totals with per-bin edges and mass: the quantile-bucketize feature
+  step, deterministic via a unique tiebreak column.
+
+Scale notes are per-query docstrings; the common theme: one window or
+one-two hash aggregates, grouped/partitioned on keys that grow with the
+data (user_id, source, event_type), never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.functions.text import tokens, tokens_sql
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.plans.compat import money_sum, money_sum_sql
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+cnt AS (
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+           / sum(n) OVER (PARTITION BY from_type) AS prob
+FROM cnt
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over each user's event stream: count of
+    (from_type → to_type) adjacent pairs and the row-normalized
+    transition probability. One exchange on user_id for the ordering
+    window (ts + event_id tiebreak pins determinism), then a hash
+    aggregate on the 25-row transition matrix — the matrix itself is
+    tiny at any corpus size, so the second shuffle is trivial. The
+    probability divides two exact BIGINTs in one IEEE division:
+    engine-independent. Mirrors the reference's ordered event scan
+    (reference ``app.py:13-21`` report loop) as a declarative plan."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cnt = (
+        seq.where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow)).alias("prob"),
+    )
+
+
+@query(
+    "user_first_paths",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+paths AS (
+    SELECT user_id,
+           concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+    FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths GROUP BY path
+""",
+)
+def user_first_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three event types (in
+    ts, event_id order) joined into a '>'-delimited path, counted
+    across users. The rn≤3 filter drops everything past the third
+    event BEFORE the path aggregate, so per-user state is 3 rows no
+    matter how long the user's history is. Two exchanges total (user
+    window + path count); ``concat_ws`` skips NULLs, so users with <3
+    events get their short path, same in both engines."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "simpson_diversity_source_unigrams",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest({tokens_sql('text')}) AS word FROM documents
+),
+cnt AS (SELECT source, word, count(*) AS c FROM toks GROUP BY source, word),
+moments AS (
+    SELECT source, sum(c) AS st, sum(c * c) AS sc2, count(*) AS vocab
+    FROM cnt GROUP BY source
+)
+SELECT source, vocab,
+       1 - CAST(sc2 AS DOUBLE) / (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+           AS simpson_diversity,
+       (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / CAST(sc2 AS DOUBLE)
+           AS effective_vocab
+FROM moments
+""",
+)
+def simpson_diversity_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity for corpus monitoring: Gini–Simpson
+    index 1 − Σp² and the inverse-Simpson "effective vocabulary"
+    (how many equally-common words would give the same concentration).
+    A low-diversity source is boilerplate/spam — the cheap screen run
+    alongside ``tv_distance_source_unigrams``. Σc² is an exact integer
+    aggregate (no float summation order at all); the two final float
+    ops are correctly-rounded IEEE division/multiply, so the hash
+    oracle is stable. Two hash aggregates keyed on (source, word) then
+    source — both keys grow with the corpus, no hot partition."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(tokens("text")).alias("word"))
+    cnt = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    moments = cnt.groupBy("source").agg(
+        F.sum("c").alias("st"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    st_d = F.col("st").cast("double")
+    sc2_d = F.col("sc2").cast("double")
+    return moments.select(
+        "source",
+        "vocab",
+        (F.lit(1) - sc2_d / (st_d * st_d)).alias("simpson_diversity"),
+        ((st_d * st_d) / sc2_d).alias("effective_vocab"),
+    )
+
+
+def _pearson_from_sums_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    """Pearson r from exact decimal moment sums, double closed form.
+
+    ((n·Σxy − Σx·Σy) / (sqrt(n·Σx²−Σx²ᵉ) · sqrt(n·Σy²−Σy²ᵉ))) — only
+    +,−,×,÷,sqrt, each IEEE-correctly-rounded, so identical across
+    engines given identical inputs and expression tree."""
+    return (
+        f"(({n} * {sxy} - {sx} * {sy})"
+        f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy})))"
+    )
+
+
+def _pearson_from_sums(n, sx, sy, sxy, sxx, syy):
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+
+
+def _quantized(col: str, prescale: float):
+    """Integer-quantized prescaled variable for exact cross-engine moments.
+
+    Pearson r is invariant under per-variable positive scaling, so each
+    variable is multiplied by a static prescale chosen to bring its
+    magnitude into the low hundreds, then ROUNDED TO AN INTEGER in
+    double arithmetic — ``round(double)`` is ties-away-from-zero in
+    BOTH engines, and ``v * prescale`` is a single correctly-rounded
+    multiply, so the quantized values are bit-identical. The decimal
+    cast then touches only exact integer-valued doubles (no rounding →
+    no HALF_UP-vs-half-even divergence; direct double→decimal casts DO
+    diverge on ties, observed with price = odd·128 at DECIMAL(12,8)).
+    Products/sums of DECIMAL(10,0) integers are exact in both engines,
+    and with |x| ≲ 500, Σx² stays < 2⁵³ up to ~10¹⁰ rows — the final
+    decimal→double conversions are exact, hence hash-stable. The ~9-bit
+    quantization perturbs r by O(1e-5) — noise, not estimate error,
+    since both engines (and the oracle) see the identical quantized
+    multiset."""
+    return F.round(F.col(col) * F.lit(prescale), 0).cast("decimal(10,0)")
+
+
+def _quantized_sql(expr: str, prescale: float) -> str:
+    return f"CAST(round(({expr}) * {prescale!r}, 0) AS DECIMAL(10,0))"
+
+
+def _fold_sql(term: str) -> str:
+    """Sequential double fold of ``term`` (an expression over list
+    element ``e``) across the date-sorted pair list — same fold order
+    as Spark's ``F.aggregate`` over ``sort_array``, so every partial
+    double sum is bit-identical across engines."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(a, e -> {term})), (p, q) -> p + q)"
+    )
+
+
+@query(
+    "autocorr_daily_revenue_lag7",
+    oracle=f"""
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT d, revenue AS y,
+           lag(revenue, 7) OVER (ORDER BY d) AS x
+    FROM daily
+),
+l AS (
+    SELECT list_sort(list(struct_pack(d := d, x := x, y := y))) AS a
+    FROM pairs WHERE x IS NOT NULL
+),
+m AS (
+    SELECT CAST(len(a) AS DOUBLE) AS n,
+           {_fold_sql('e.x')} AS sx,
+           {_fold_sql('e.y')} AS sy,
+           {_fold_sql('e.x * e.y')} AS sxy,
+           {_fold_sql('e.x * e.x')} AS sxx,
+           {_fold_sql('e.y * e.y')} AS syy
+    FROM l
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       {_pearson_from_sums_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS autocorr_lag7
+FROM m
+""",
+)
+def autocorr_daily_revenue_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality detector: Pearson correlation between daily
+    revenue and the same series shifted 7 days. The daily rollup is
+    the usual one-shuffle decimal-exact aggregate; the lag window runs
+    over the DAY-GRAIN series (≤ a few thousand rows at any fact
+    scale — a calendar, not the fact table), so its single-partition
+    window is a non-issue, and the moment sums fold over the
+    DATE-SORTED pair array in plain double arithmetic — same fold
+    order in both engines, every op correctly rounded, so the hash is
+    stable at full precision with no quantization (the tv_distance
+    sorted-fold pattern; right only because the series is
+    calendar-sized — for fact-sized inputs use ``_quantized``
+    moments as in ``corr_matrix_lineitem``). For thousands of
+    independent series, add the series key to the groupBy and the
+    same plan parallelizes."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        "d",
+        F.col("revenue").alias("y"),
+        F.lag("revenue", 7).over(w).alias("x"),
+    ).where(F.col("x").isNotNull())
+    arr = pairs.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("x"), F.col("y")))
+        ).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(F.col("a"), F.lit(0.0), lambda acc, e: acc + term(e))
+
+    m = arr.select(
+        F.size("a").cast("double").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        _pearson_from_sums(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("autocorr_lag7"),
+    )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+# Per-variable power-of-two prescales (Pearson is invariant to them):
+# bring each measure's magnitude into the low hundreds before integer
+# quantization (see _quantized) so moment sums stay exactly
+# double-convertible even at 1000x fact scale.
+_CORR_PRESCALE = {
+    "l_quantity": 8.0,
+    "l_extendedprice": 2.0 ** -8,
+    "l_discount": 4096.0,
+    "l_tax": 4096.0,
+}
+
+
+def _corr_matrix_oracle() -> str:
+    scaled_cols = ", ".join(
+        f"{_quantized_sql(c, s)} AS x_{c}" for c, s in _CORR_PRESCALE.items()
+    )
+    moment_cols = []
+    for c in _CORR_PRESCALE:
+        moment_cols.append(f"CAST(sum(x_{c}) AS DOUBLE) AS s_{c}")
+        moment_cols.append(f"CAST(sum(x_{c} * x_{c}) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        moment_cols.append(
+            f"CAST(sum(x_{a} * x_{b}) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        r = _pearson_from_sums_sql(
+            "n", f"s_{a}", f"s_{b}", f"sp_{a}_{b}", f"ss_{a}", f"ss_{b}"
+        )
+        selects.append(f"SELECT '{a}' AS col_x, '{b}' AS col_y, {r} AS r FROM m")
+    return (
+        f"WITH scaled AS (SELECT {scaled_cols} FROM lineitem), "
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        + ", ".join(moment_cols)
+        + " FROM scaled) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@query("corr_matrix_lineitem", oracle=_corr_matrix_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures in a
+    SINGLE aggregate pass (15 decimal moment sums → 6 correlations),
+    long-form (col_x, col_y, r) output. The one-pass-moments shape is
+    the scale-correct one: one scan + one partial-agg exchange however
+    many measure pairs you add, vs ``F.corr`` per pair which is also
+    float-accumulation order-sensitive — exact decimal moments keep
+    the hash oracle stable. The 6-row long-form build is a driver-free
+    ``stack`` over the 1-row moments frame."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    scaled = li.select(
+        *[
+            _quantized(c, s).alias(f"x_{c}")
+            for c, s in _CORR_PRESCALE.items()
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_PRESCALE:
+        d = F.col(f"x_{c}")
+        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).cast("double").alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        da, db = F.col(f"x_{a}"), F.col(f"x_{b}")
+        aggs.append(F.sum(da * db).cast("double").alias(f"sp_{a}_{b}"))
+    m = scaled.agg(*aggs)
+    rows = [
+        m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            _pearson_from_sums(
+                F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}"),
+                F.col(f"sp_{a}_{b}"), F.col(f"ss_{a}"), F.col(f"ss_{b}"),
+            ).alias("r"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed once in Python so BOTH engines
+# compare against the identical literal — no cross-engine log10 rounding.
+_BENFORD = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+@query(
+    "benford_first_digit_orders",
+    oracle=f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+cnt AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT sum(n) AS t FROM cnt)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / t AS share,
+       {_benford_case_sql()} AS benford_expected,
+       abs(CAST(n AS DOUBLE) / t - ({_benford_case_sql()})) AS abs_dev
+FROM cnt CROSS JOIN tot
+""",
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law DQ screen on order totals: distribution of the
+    first significant digit vs log10(1+1/d). Fabricated/synthetic
+    monetary data flunks this; it's the classic forensic-accounting
+    check, here as a 9-row aggregate. The first digit comes from the
+    DECIMAL(18,2) string form — decimal rendering is exact and
+    identical across engines, where double→string or log10-based digit
+    extraction is not. One hash aggregate to 9 rows + a broadcast
+    1-row total: nothing here grows with the fact table."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    cnt = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in _BENFORD.items() for x in (d, p)]
+        ),
+        F.col("digit").cast("int"),
+    )
+    share = F.col("n").cast("double") / F.col("t")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            expected.alias("benford_expected"),
+            F.abs(share - expected).alias("abs_dev"),
+        )
+    )
+
+
+@query(
+    "interpolate_hourly_signup_value",
+    oracle=f"""
+WITH obs AS (
+    SELECT date_trunc('hour', ts) AS h, {money_sum_sql('value')} AS v
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM obs),
+grid AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+joined AS (
+    SELECT grid.h,
+           obs.v,
+           CAST(date_diff('hour', (SELECT h0 FROM bounds), grid.h) AS BIGINT) AS idx
+    FROM grid LEFT JOIN obs ON grid.h = obs.h
+),
+anchored AS (
+    SELECT h, v, idx,
+           last_value(v IGNORE NULLS) OVER
+               (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER
+               (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pi,
+           first_value(v IGNORE NULLS) OVER
+               (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER
+               (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS ni
+    FROM joined
+)
+SELECT h, (v IS NOT NULL) AS observed,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE)
+                                   / CAST(ni - pi AS DOUBLE))
+       END AS value_interp
+FROM anchored
+""",
+)
+def interpolate_hourly_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse series onto a dense hourly
+    grid — the resample step LOCF can't express (complements
+    ``locf_forward_fill_events``): missing hours get
+    prev + (next−prev)·(Δ/span) from the bracketing observations.
+    Grid = sequence(min,max) exploded (no driver loop); anchors come
+    from two ignore-nulls windows (forward last + backward first).
+    Grid endpoints ARE observations, so anchors always exist. The
+    interpolation fraction divides exact integer hour indexes — every
+    float op correctly rounded, hash-stable. Single series ⇒ one
+    window partition; for per-key grids add the key to partitionBy and
+    build per-key bounds, same plan."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    obs = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(money_sum("value").alias("v"))
+    )
+    bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+        "h0",
+    )
+    joined = grid.join(obs, "h", "left").select(
+        "h",
+        "v",
+        (
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600
+        )
+        .cast("long")
+        .alias("idx"),
+    )
+    wb = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    anchored = joined.select(
+        "h",
+        "v",
+        "idx",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(wb).alias("pi"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(wf).alias("ni"),
+    )
+    frac = (F.col("idx") - F.col("pi")).cast("double") / (
+        F.col("ni") - F.col("pi")
+    ).cast("double")
+    return anchored.select(
+        "h",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_interp"),
+    )
+
+
+@query(
+    "decile_bins_order_totals",
+    oracle=f"""
+WITH binned AS (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile,
+       count(*) AS n,
+       CAST(min(o_totalprice) AS DOUBLE) AS lo,
+       CAST(max(o_totalprice) AS DOUBLE) AS hi,
+       {money_sum_sql('o_totalprice')} AS mass
+FROM binned GROUP BY decile
+""",
+)
+def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of order totals — the quantile-
+    bucketize feature step — with per-bin count, edges, and exact-
+    decimal mass. ``ntile`` over (value, key) is fully deterministic
+    (unique tiebreak), same definition in both engines. The global
+    ntile is the honest cost: ONE total-order sort (rangepartition +
+    local sort) — the same cost as any global quantile assignment; at
+    100 TB you'd swap in approx_percentile edges + a broadcast
+    range-join (see ``histogram_order_totals``) and keep this exact
+    variant for per-partition-sized slices."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        money_sum("o_totalprice").alias("mass"),
+    )

@@ -35,6 +35,14 @@ statistics a monitoring pipeline runs over daily facts:
 - ``decile_bins_order_totals`` — equi-depth (ntile) binning of order
   totals with per-bin edges and mass: the quantile-bucketize feature
   step, deterministic via a unique tiebreak column.
+- ``gini_customer_revenue`` — revenue-concentration Gini coefficient
+  from a fixed-resolution integer histogram + sorted-fold (the two
+  determinism devices composed: fact-sized passes stay exact integer
+  aggregates; the rank-weighted sum folds over a resolution-bounded
+  array).
+- ``weighted_median_price_by_flag`` — per-group quantity-weighted
+  median by exact integer cumulative-weight selection (the answer is
+  a raw input value — no float accumulation at all).
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -642,4 +650,159 @@ def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
         money_sum("o_totalprice").alias("mass"),
+    )
+
+
+@query(
+    "gini_customer_revenue",
+    oracle=f"""
+WITH cust AS (
+    SELECT o_custkey, {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY o_custkey
+),
+hist AS (
+    SELECT CAST(round(revenue * {2.0 ** -12!r}, 0) AS BIGINT) AS v,
+           count(*) AS c
+    FROM cust GROUP BY 1
+),
+cum AS (
+    SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fprev
+    FROM hist
+),
+l AS (
+    SELECT list_sort(list(struct_pack(v := v, c := c, fprev := fprev))) AS a
+    FROM cum
+),
+m AS (
+    SELECT
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a,
+          e -> CAST(e.c AS DOUBLE))), (p, q) -> p + q) AS n,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a,
+          e -> CAST(e.v AS DOUBLE) * CAST(e.c AS DOUBLE))), (p, q) -> p + q) AS sx,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a,
+          e -> CAST(e.v AS DOUBLE) * (CAST(e.c AS DOUBLE) * CAST(e.fprev AS DOUBLE)
+               + CAST(e.c AS DOUBLE) * (CAST(e.c AS DOUBLE) + 1) / 2.0))),
+          (p, q) -> p + q) AS skx
+    FROM l
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       2.0 * skx / (n * sx) - (n + 1) / n AS gini
+FROM m
+""",
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer lifetime revenue — the standard
+    concentration/inequality KPI ("do 1% of customers drive 50% of
+    revenue?"). Scale design: the only fact-sized passes are two hash
+    aggregates (customer rollup, then a FIXED-RESOLUTION integer
+    histogram via the ``_quantized`` device — per-customer revenue
+    doesn't grow with fact scale, so the static 2^-12 prescale holds);
+    the rank-weighted Gini sum then folds over the SORTED histogram
+    array (≤ a few thousand rows at ANY data size — resolution-bounded,
+    not data-bounded). Fold order is pinned on both engines, every
+    float op correctly rounded ⇒ hash-stable, with no >2^53 decimal
+    conversions anywhere. Uses the grouped-ties rank identity
+    Σrank·x = Σ_levels v·(c·F_prev + c(c+1)/2)."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    cust = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    hist = (
+        cust.select(
+            F.round(F.col("revenue") * F.lit(2.0 ** -12), 0)
+            .cast("long")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "v", "c", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("fprev")
+    )
+    arr = cum.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("v"), F.col("c"), F.col("fprev")))
+        ).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(F.col("a"), F.lit(0.0), lambda acc, e: acc + term(e))
+
+    c_d = lambda e: e["c"].cast("double")  # noqa: E731
+    m = arr.select(
+        fold(c_d).alias("n"),
+        fold(lambda e: e["v"].cast("double") * c_d(e)).alias("sx"),
+        fold(
+            lambda e: e["v"].cast("double")
+            * (
+                c_d(e) * e["fprev"].cast("double")
+                + c_d(e) * (c_d(e) + F.lit(1.0)) / F.lit(2.0)
+            )
+        ).alias("skx"),
+    )
+    n, sx, skx = F.col("n"), F.col("sx"), F.col("skx")
+    return m.select(
+        n.cast("long").alias("n_customers"),
+        (F.lit(2.0) * skx / (n * sx) - (n + F.lit(1.0)) / n).alias("gini"),
+    )
+
+
+@query(
+    "weighted_median_price_by_flag",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(l_quantity AS BIGINT) AS qty,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cumw,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+           ) AS total
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median_price,
+       CAST(min(total) AS BIGINT) AS total_weight
+FROM w WHERE 2 * cumw >= total
+GROUP BY l_returnflag
+""",
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the group
+    total (lower weighted median). Selection is by EXACT integer
+    weight comparisons over a deterministically ordered cumulative sum
+    (price + key tiebreaks), so the answer is a raw input value — no
+    float accumulation in the result at all. One exchange on the group
+    key; within-group sort parallelizes across groups. At 100 TB with
+    few huge groups, swap in a two-pass bucketed search (histogram on
+    price buckets, then resolve inside the straddling bucket) — same
+    exact-comparison semantics, no global sort."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("long")
+    wcum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(wcum).alias("cumw"),
+        F.sum(qty).over(wall).alias("total"),
+    )
+    return (
+        w.where(F.lit(2) * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("weighted_median_price"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
     )

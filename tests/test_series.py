@@ -1,0 +1,185 @@
+"""Sequence/series statistics: third-implementation references and
+determinism-device checks.
+
+The parity suite already certifies Spark == DuckDB for every
+series_queries oracle; these tests add an INDEPENDENT plain-Python
+implementation (catching a formula both SQL twins could share wrongly),
+pin the tie behavior of the ``_quantized`` device that the oracle hash
+depends on, and pin plan shapes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _orders_rows():
+    return duckdb.sql(
+        f"SELECT o_custkey, o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+
+
+def test_gini_matches_python_reference(spark):
+    """gini_customer_revenue == a from-scratch Python Gini over the same
+    quantized per-customer revenues (rank formula on sorted values)."""
+    from stadvdb_olap_spark.plans.series_queries import gini_customer_revenue
+
+    rows = _orders_rows()
+    rev: dict[int, float] = {}
+    for ck, tp in rows:
+        # same money_sum convention: exact decimal sum then round to 2
+        rev[ck] = rev.get(ck, 0.0) + tp
+    # money_sum uses decimal; float summation here can drift the last
+    # cent, but quantization to 2^-12 buckets absorbs < half-quantum
+    # drift, so the bucket ids agree.
+    xs = sorted(
+        float(round((round(v, 2)) * 2.0 ** -12)) for v in rev.values()
+    )
+    n = len(xs)
+    sx = sum(xs)
+    skx = sum((i + 1) * x for i, x in enumerate(xs))
+    want = 2.0 * skx / (n * sx) - (n + 1) / n
+
+    got = gini_customer_revenue(spark, SF_DIR).collect()[0]
+    assert got["n_customers"] == n
+    assert got["gini"] == pytest.approx(want, rel=1e-9)
+    assert 0.0 <= got["gini"] <= 1.0
+
+
+def test_weighted_median_matches_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        weighted_median_price_by_flag,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT),
+                   l_orderkey, l_linenumber
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()
+    by_flag: dict[str, list] = {}
+    for flag, price, qty, ok, ln in rows:
+        by_flag.setdefault(flag, []).append((price, ok, ln, qty))
+    want = {}
+    for flag, items in by_flag.items():
+        items.sort()
+        total = sum(q for *_, q in items)
+        cum = 0
+        for price, _, _, q in items:
+            cum += q
+            if 2 * cum >= total:
+                want[flag] = (price, total)
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_weight"])
+        for r in weighted_median_price_by_flag(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_quantized_tie_rounding_matches_duckdb(spark):
+    """The _quantized device must round .5 ties identically in both
+    engines (ties-away via round(double)); direct double→decimal casts
+    do NOT (Spark HALF_UP vs DuckDB half-even — the observed sf0.1
+    divergence this device exists to kill). Values: odd multiples of
+    128 hit exact .5 after a 2^-8 prescale."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.plans.series_queries import (
+        _quantized,
+        _quantized_sql,
+    )
+
+    vals = [128.0 * k for k in (1, 3, 5, 7, 9)] + [127.99, 128.01, -384.0]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = [
+        r[0]
+        for r in sdf.select(_quantized("v", 2.0 ** -8)).collect()
+    ]
+    duck = [
+        r[0]
+        for v in vals
+        for r in duckdb.sql(
+            f"SELECT {_quantized_sql(str(v), 2.0 ** -8)}"
+        ).fetchall()
+    ]
+    assert got == duck
+    # and the ties really are ties: 128 * 2^-8 = 0.5 → away-from-zero → 1
+    assert got[0] == 1 and got[-1] == -2
+
+
+def test_interpolation_invariants(spark):
+    """Observed hours pass through untouched; the grid is dense from the
+    first to the last observation; interpolated values sit within the
+    bracketing observations' range."""
+    from stadvdb_olap_spark.plans.series_queries import (
+        interpolate_hourly_signup_value,
+    )
+
+    rows = sorted(
+        interpolate_hourly_signup_value(spark, SF_DIR).collect(),
+        key=lambda r: r["h"],
+    )
+    hours = [r["h"] for r in rows]
+    assert len(hours) == len(set(hours))
+    span = (hours[-1] - hours[0]).total_seconds() / 3600
+    assert len(hours) == int(span) + 1  # dense grid, no missing hour
+    assert rows[0]["observed"] and rows[-1]["observed"]  # endpoints anchor
+    # every gap value lies between its bracketing observations
+    obs_idx = [i for i, r in enumerate(rows) if r["observed"]]
+    for a, b in zip(obs_idx, obs_idx[1:]):
+        lo = min(rows[a]["value_interp"], rows[b]["value_interp"])
+        hi = max(rows[a]["value_interp"], rows[b]["value_interp"])
+        for i in range(a + 1, b):
+            assert lo <= rows[i]["value_interp"] <= hi
+        # and strict linearity: second differences vanish inside a gap
+        if b - a >= 3:
+            vals = [rows[i]["value_interp"] for i in range(a, b + 1)]
+            d2 = [vals[i + 2] - 2 * vals[i + 1] + vals[i] for i in range(len(vals) - 2)]
+            assert all(abs(x) < 1e-6 * max(1.0, abs(vals[0])) for x in d2[1:-1])
+
+
+def test_markov_probs_are_row_normalized(spark):
+    from stadvdb_olap_spark.plans.series_queries import markov_event_transitions
+
+    rows = markov_event_transitions(spark, SF_DIR).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
+    assert by_from and all(
+        math.isclose(p, 1.0, rel_tol=1e-12) for p in by_from.values()
+    )
+
+
+def test_corr_matrix_plan_single_pass(spark):
+    """One scan, no join: the 15 moments come from a single aggregate
+    (6 unions of the same 1-row moments frame reuse it)."""
+    from stadvdb_olap_spark.plans.series_queries import corr_matrix_lineitem
+
+    plan = corr_matrix_lineitem(spark, SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body
+    # values in [-1, 1]
+    for r in corr_matrix_lineitem(spark, SF_DIR).collect():
+        assert -1.0 <= r["r"] <= 1.0
+
+
+def test_weighted_median_exchanges_only_on_group_key(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        weighted_median_price_by_flag,
+    )
+
+    plan = weighted_median_price_by_flag(
+        spark, SF_DIR
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    # no single-partition exchange: everything partitions on l_returnflag
+    assert "SinglePartition" not in body

@@ -92,10 +92,10 @@ def _ensure_loaded() -> None:
     # scale_queries and series_queries (markov/paths/diversity/autocorr/
     # corr-matrix/benford/interpolate/deciles), plus the round-2 additions
     # appended to advanced (interval overlap), etl (evolving merge
-    # certified in r2 only if it landed inside the window), and feature
-    # (extremes, chi-square). Move those modules to the FRONT of this
-    # import list (before etl/tpch, which round 2 certified) so the
-    # round-3 window covers them.
+    # certified in r2 only if it landed inside the window), feature
+    # (extremes, chi-square), and funnel (ab_test_purchase_rate). Move
+    # those modules to the FRONT of this import list (before etl/tpch,
+    # which round 2 certified) so the round-3 window covers them.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import text_queries  # noqa: F401  # isort: skip

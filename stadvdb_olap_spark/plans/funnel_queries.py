@@ -164,3 +164,104 @@ def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("volume"),
     )
+
+
+@query(
+    "ab_test_purchase_rate",
+    oracle="""
+WITH assigned AS (
+    SELECT user_id,
+           user_id % 2 AS variant,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT variant,
+           count(*) AS n_users,
+           sum(converted) AS n_converted
+    FROM assigned GROUP BY variant
+),
+wide AS (
+    SELECT
+      max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+      max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+      max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+      max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+    FROM arms
+)
+SELECT n0 AS control_users, c0 AS control_conversions,
+       n1 AS treatment_users, c1 AS treatment_conversions,
+       CAST(c0 AS DOUBLE) / n0 AS control_rate,
+       CAST(c1 AS DOUBLE) / n1 AS treatment_rate,
+       CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS lift_abs,
+       CASE WHEN sqrt( (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1) ) = 0 THEN NULL
+            ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt( (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                         * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1) )
+       END AS z_score
+FROM wide
+""",
+)
+def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-user conversion (any purchase) under
+    a deterministic hash-bucket assignment (user_id parity — the
+    stand-in for the murmur-bucket splitter a real platform uses),
+    then the pooled two-proportion z-test. Two hash aggregates (per
+    user, then 2 arms) — the per-user rollup is the only fact-sized
+    pass. The z statistic is built entirely from exact BIGINT counts
+    through +,−,×,÷,sqrt — each IEEE-correctly-rounded, so the hash
+    oracle is stable with no decimal machinery at all (the device:
+    keep everything integer until a final short correctly-rounded
+    float expression). A saturated experiment (everyone converted, or
+    nobody) has zero pooled variance, so z is NULL then — identically
+    in both engines (Spark runs ANSI mode, so the guard is mandatory,
+    not cosmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    rate0, rate1 = c0 / n0, c1 / n1
+    return wide.select(
+        F.col("n0").alias("control_users"),
+        F.col("c0").alias("control_conversions"),
+        F.col("n1").alias("treatment_users"),
+        F.col("c1").alias("treatment_conversions"),
+        rate0.alias("control_rate"),
+        rate1.alias("treatment_rate"),
+        (rate1 - rate0).alias("lift_abs"),
+        F.when(
+            F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+            )
+            != 0,
+            (rate1 - rate0)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+            ),
+        ).alias("z_score"),
+    )

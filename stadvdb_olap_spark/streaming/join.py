@@ -47,14 +47,24 @@ def click_purchase_attribution(
     events_purchases: DataFrame | None = None,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Every (click, purchase) pair by the same user where the purchase
     lands in [click_ts, click_ts + within]. Pass one events frame (it is
     split by role) or two pre-split frames.
 
     Streaming inputs get watermarks on both event-time columns — required
-    by Spark for stream-stream inner joins with a time condition, and the
+    by Spark for stream-stream joins with a time condition, and the
     mechanism that bounds the join state store.
+
+    ``how="left_outer"`` additionally emits every UNMATCHED click with
+    NULL purchase columns — the "clicks that never converted" feed. On
+    streams the null row for a click can only be emitted once the
+    watermark has passed ``click_ts + within`` (before that a matching
+    purchase could still arrive), so outer results trail the inner ones
+    by the watermark delay: completeness-vs-latency is set by the
+    ``watermark`` horizon, state size by ``watermark + within`` — the
+    same dial at any event rate.
     """
     if events_purchases is None:
         clicks, purchases = split_click_purchase(events_clicks)
@@ -69,7 +79,9 @@ def click_purchase_attribution(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return clicks.join(purchases, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
+    return clicks.join(purchases, cond, how).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts",
         "purchase_value",
     )

@@ -586,3 +586,76 @@ def test_fingerprint_stream_audit_merges_to_batch_fingerprint(
     # Replay with the same checkpoint: no new batches, audit unchanged.
     fingerprint_stream(stream, "events", audit, ckpt).awaitTermination(120)
     assert len(spark.read.parquet(audit).collect()) == len(rows)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(
+    spark, events_stream_dir, tmp_path
+):
+    """Left-outer stream-stream join: inner pairs are complete, and
+    clicks with no purchase inside the window emit NULL purchase rows
+    once the watermark passes click_ts + within. With availableNow
+    replay the FINAL watermark is max(event_ts) - delay, so null rows
+    appear only for clicks older than that — the streamed outer result
+    must be the batch outer result restricted to that frontier."""
+    import datetime
+
+    from stadvdb_olap_spark.streaming.join import (
+        click_purchase_attribution,
+        split_click_purchase,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = click_purchase_attribution(ev, within="1 hour", how="left_outer")
+    want_inner = {
+        (r["click_id"], r["purchase_id"])
+        for r in batch.collect()
+        if r["purchase_id"] is not None
+    }
+    want_unmatched = {
+        r["click_id"]: r["click_ts"]
+        for r in batch.collect()
+        if r["purchase_id"] is None
+    }
+    assert want_unmatched  # fixture has non-converting clicks
+
+    stream = spark.readStream.schema(ev.schema).parquet(events_stream_dir)
+    clicks, purchases = split_click_purchase(stream)
+    joined = click_purchase_attribution(
+        clicks, purchases, within="1 hour", watermark="1 day", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM attrib_outer").collect()
+    got_inner = {
+        (r["click_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    }
+    got_null = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    # inner matches never wait on the watermark: must be complete & exact
+    assert got_inner == want_inner
+    # every emitted null row is a genuinely unmatched click
+    assert got_null <= set(want_unmatched)
+    # and the frontier explains which unmatched clicks emitted: those
+    # whose join window closed before the final watermark. Spark's
+    # exact outer-eviction boundary trails the naive max−delay by the
+    # join's time-range bound plus per-batch watermark lag, so require
+    # emission only comfortably (a full extra day) behind it — still
+    # hundreds of rows across the 30-day fixture.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    frontier = max_ts - datetime.timedelta(days=2)
+    expect_null = {
+        cid
+        for cid, cts in want_unmatched.items()
+        if cts + datetime.timedelta(hours=1) < frontier
+    }
+    assert len(expect_null) > 100
+    assert expect_null <= got_null

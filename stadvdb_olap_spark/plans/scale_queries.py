@@ -846,3 +846,73 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_rows"),
         )
     )
+
+
+@query(
+    "rcte_min_label_clusters",
+    oracle=f"""
+WITH RECURSIVE
+sigs AS ({_sigs_sql()}),
+bands AS ({_bands_sql()}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
+verified AS (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN sets_ sa ON sa.doc_id = id_a
+    JOIN sets_ sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY id
+""",
+)
+def rcte_min_label_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components via Spark 4's ``WITH RECURSIVE`` —
+    the DECLARATIVE twin of the iterative ``dedup_clusters_canonical``
+    operator (same verified-pair graph, same min-reachable-id
+    canonical). Spark's recursive CTEs allow only UNION ALL, so the
+    recursion is made finite two ways: a depth cap (16 ≫ any near-dup
+    cluster diameter — similar-to-common means similar-to-each-other)
+    and an improving-label prune (a label propagates onto a node only
+    if it is smaller than that node's id — exactly the rows that can
+    survive the final MIN). The DuckDB twin uses its UNION-distinct
+    fixpoint form (no cap needed). Scale verdict in SCALING.md: the
+    recursive plan re-joins the FULL reach set per level (no
+    per-round convergence pruning), so the iterative operator with
+    lineage cuts stays the 100 TB path; this query certifies the two
+    agree and pins the new SQL surface."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_verified_pairs(
+        docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    ).select("id_a", "id_b").localCheckpoint()
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    edges.createOrReplaceTempView("rcte_neardup_edges")
+    return spark.sql("""
+WITH RECURSIVE reach(id, lbl, d) AS (
+    SELECT a, a, 0 FROM rcte_neardup_edges
+    UNION ALL
+    SELECT e.a, r.lbl, r.d + 1
+    FROM rcte_neardup_edges e JOIN reach r ON r.id = e.b
+    WHERE r.d < 16 AND r.lbl < e.a
+)
+SELECT id AS doc_id, MIN(lbl) AS canonical_id
+FROM reach GROUP BY id
+""")

@@ -183,3 +183,21 @@ def test_weighted_median_exchanges_only_on_group_key(spark):
     body = plan.split("== Physical Plan ==")[-1]
     # no single-partition exchange: everything partitions on l_returnflag
     assert "SinglePartition" not in body
+
+
+def test_rcte_clusters_agree_with_iterative_operator(spark):
+    """Spark 4 recursive-CTE components == the iterative min-label
+    operator on the same verified-pair graph (two independent Spark
+    implementations, beyond the shared DuckDB oracle)."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rcte = {
+        (r["doc_id"], r["canonical_id"])
+        for r in REGISTRY["rcte_min_label_clusters"].fn(spark, SF_DIR).collect()
+    }
+    iterative = {
+        (r["doc_id"], r["canonical_id"])
+        for r in REGISTRY["dedup_clusters_canonical"].fn(spark, SF_DIR).collect()
+    }
+    assert rcte == iterative and rcte

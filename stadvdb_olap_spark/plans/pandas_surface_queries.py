@@ -101,3 +101,31 @@ def trimmed_mean_price_by_priority(
     return trimmed_mean_grouped(
         orders, "o_orderpriority", "o_totalprice", k=_TRIM_K
     )
+
+
+@query(
+    "udf_arrow_slugify_parts",
+    oracle="""
+SELECT p_partkey,
+       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-')
+           AS slug
+FROM part
+""",
+)
+def udf_arrow_slugify_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``F.udf(useArrow=True)``):
+    slugify part names. Arrow batching removes pickle row-at-a-time
+    overhead, but this is still the Python slow path — kept in the
+    catalog ONLY to certify the surface end-to-end (the engine's hot
+    paths use JVM expressions; see the regex twin in the oracle, which
+    is what production code would run via ``F.regexp_replace``). The
+    UDF is a pure per-row function: trivially parallel, no state, no
+    shuffle — one narrow projection."""
+    import re
+
+    @F.udf(returnType="string", useArrow=True)
+    def slugify(name: str) -> str:
+        return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", slugify("p_name").alias("slug"))

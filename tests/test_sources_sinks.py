@@ -364,3 +364,81 @@ def test_binary_file_source_feeds_multimodal_features(spark, tmp_path):
     sizes = sorted(n for n, _ in got.values())
     assert sizes == sorted(len(b) for b in payloads.values())
     assert all(nf > 0 for _, nf in got.values())
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """write → commit → retention-prune lifecycle: old versions stay
+    readable while retained, pruned versions are refused, latest wins
+    by default, and the keyed diff explains what changed."""
+    from stadvdb_olap_spark.sources.versioned import (
+        diff_snapshots,
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "x"]
+    )
+    assert write_snapshot(base, d, retain=2) == 1
+    v2_df = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 20.0), (4, "d", 40.0)], ["id", "s", "x"]
+    )
+    assert write_snapshot(v2_df, d, retain=2) == 2
+    assert list_versions(d) == [1, 2]
+
+    # time travel to v1 while it is retained
+    got_v1 = {(r["id"], r["x"]) for r in read_snapshot(spark, d, 1).collect()}
+    assert got_v1 == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+    # snapshot isolation: a reader holding v2 survives a later commit
+    held = read_snapshot(spark, d)  # resolves to v2 NOW
+    assert write_snapshot(base, d, retain=2) == 3  # prunes v1
+    assert list_versions(d) == [2, 3]
+    assert {(r["id"], r["x"]) for r in held.collect()} == {
+        (1, 11.0), (2, 20.0), (4, 40.0),
+    }
+
+    # pruned version refused with the retained list in the message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[2, 3\]"):
+        read_snapshot(spark, d, 1)
+
+    # latest by default
+    assert {(r["id"], r["x"]) for r in read_snapshot(spark, d).collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0),
+    }
+
+    # diff v2 -> v3: id 1 changed back, id 3 re-added, id 4 removed
+    diff = {
+        (r["id"], r["change_type"])
+        for r in diff_snapshots(spark, d, 2, 3, keys=["id"]).collect()
+    }
+    assert diff == {(1, "changed"), (3, "added"), (4, "removed")}
+
+
+def test_versioned_snapshot_atomic_commit(spark, tmp_path):
+    """A failed write never moves the manifest: readers keep the last
+    committed version."""
+    from stadvdb_olap_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl2")
+    ok = spark.createDataFrame([(1, 1.0)], ["id", "x"])
+    write_snapshot(ok, d)
+
+    class Boom(Exception):
+        pass
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    bad = ok.select("id", (F.col("x") / F.lit(0)).alias("x"))  # ANSI: fails
+    with _pytest.raises(Exception):
+        write_snapshot(bad, d)
+    # still serving v1
+    assert [r["x"] for r in read_snapshot(spark, d).collect()] == [1.0]

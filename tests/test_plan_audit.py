@@ -1,0 +1,106 @@
+"""Repo-wide physical-plan audit: every catalog query's plan is swept
+for the anti-patterns that kill 100 TB jobs.
+
+Rules (each exception is an explicit, justified allowlist entry — a new
+query that trips a rule must either fix its plan or document why here):
+
+1. ``CartesianProduct`` never appears — an unkeyed cross of two
+   fact-sized inputs is never the right plan.
+2. ``BroadcastNestedLoopJoin`` only where one side is a 1-row scalar
+   aggregate (share-of-total style) or a broadcast interval dimension
+   (range join) — the known-bounded NLJ shapes.
+3. ``BatchEvalPython`` (row-at-a-time pickled Python UDF) never
+   appears: Python reaches plans only through Arrow-vectorized nodes
+   (ArrowEvalPython / *InPandas / MapInArrow).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+# Queries whose BroadcastNestedLoopJoin is a bounded scalar/interval
+# broadcast by construction (1-row aggregate side or tiny interval dim).
+_BNLJ_OK = {
+    "q11_important_parts",  # scalar threshold subquery
+    "q15_top_supplier",  # scalar max-revenue subquery
+    "q17_small_qty_avg_yearly",  # per-part avg, broadcast
+    "q22_dormant_customers",  # scalar avg balance
+    "orders_above_global_avg",  # scalar global avg
+    "range_join_price_bands",  # broadcast interval dimension
+    "histogram_order_totals",  # broadcast bin edges
+    "benford_first_digit_orders",  # 1-row total
+    "tv_distance_source_unigrams",  # 1-row corpus total
+    "iqr_outlier_events",  # 1-row quartile bounds
+    "stats_quantity_price",  # 1-row moments
+    "variant_props_bucketed",  # 1-row scalar bounds
+    "weighted_sample_orders_priority",  # 1-row total weight
+    "negative_sample_customer_parts",  # bounded candidate cross
+    "chunk_documents_sliding",  # posexplode over per-row ranges
+    "interpolate_hourly_signup_value",  # 1-row bounds -> grid
+    "decontaminate_train_docs",  # broadcast heldout shingles
+    "mixture_weighted_sample_docs",  # 1-row source weights
+    "token_budget_per_source_docs",  # 1-row budget scalar
+    "sketch_theta_click_purchase_overlap",  # 1-row sketch pair
+    "sketch_kll_price_quantile_bracket",  # 1-row sketch
+    "dq_checks_orders",  # 1-row conditional-aggregate summary
+    "chi_square_priority_status",  # marginals broadcast
+    "ab_test_purchase_rate",  # 1-row wide arms
+    "autocorr_daily_revenue_lag7",  # 1-row moments
+    "gini_customer_revenue",  # 1-row folded moments
+    "corr_matrix_lineitem",  # 1-row moments unioned 6x
+    "q2_min_cost_supplier",  # scalar min-cost subquery
+    "q20_excess_quantity_suppliers",  # 1-row avg-threshold broadcast
+    "ann_cosine_topk",  # broadcast query side (max_queries-bounded)
+    "hard_negatives_by_label",  # broadcast query side, label-blocked
+    "sketch_hll_mergeable_rollup",  # 1-row merged-sketch side
+    "term_lift_scores",  # 1-row corpus token total
+    "q6_forecast_revenue",  # scalar revenue
+    "q8_market_share",  # scalar year shares
+    "q14_promo_revenue",  # scalar promo ratio
+    "trimmed_mean_price_by_priority",  # per-group bounds broadcast
+    "fuzzy_part_name_pairs",  # blocked vocab self-join
+    "bigram_lm_logprob_docs",  # 1-row vocab size
+    "bm25_topk_docs",  # 1-row corpus stats
+    "tfidf_top_terms",  # 1-row doc count
+    "key_skew_profile_events",  # 1-row total
+    "simpson_diversity_source_unigrams",  # 1-row corpus total (if any)
+    "weighted_median_price_by_flag",  # per-group totals
+    "train_val_test_split_docs",  # 1-row split bounds
+    "stratified_sample_per_status",  # per-group counts broadcast
+    "rolling_origin_folds_events",  # fold spec cross
+    "minhash_wide_signatures_docs",  # salt-group generator cross
+    "segment_dedup_docs",  # 1-row corpus params
+    "setjoin_prefix_jaccard_pairs",  # prefix-block self-join
+    "vocab_build_docs",  # 1-row vocab size
+    "pit_join_events_priority",  # as-of timeline union
+    "label_purchase_within_7d",  # bounded horizon
+    "funnel_view_click_purchase",  # bounded stage windows
+    "ohlc_hourly_by_type",  # bounded bars
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_antipatterns(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, f"{name}: unkeyed cartesian join"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in body, (
+            f"{name}: unexpected nested-loop join — if the build side is "
+            "a bounded scalar/interval broadcast, allowlist it with a "
+            "justification"
+        )
+    assert "BatchEvalPython" not in body, (
+        f"{name}: row-at-a-time Python UDF — use Arrow"
+    )

@@ -403,8 +403,10 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-correct one: one scan + one partial-agg exchange however
     many measure pairs you add, vs ``F.corr`` per pair which is also
     float-accumulation order-sensitive — exact decimal moments keep
-    the hash oracle stable. The 6-row long-form build is a driver-free
-    ``stack`` over the 1-row moments frame."""
+    the hash oracle stable. The 6-row long-form build explodes a
+    literal struct array over the 1-row moments frame — ONE scan and
+    ONE aggregate in the physical plan (a union of per-pair selects
+    re-scans per branch; pinned by the plan test)."""
     li = spread(load_table(spark, sf_dir, "lineitem"))
     scaled = li.select(
         *[
@@ -421,21 +423,25 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         da, db = F.col(f"x_{a}"), F.col(f"x_{b}")
         aggs.append(F.sum(da * db).cast("double").alias(f"sp_{a}_{b}"))
     m = scaled.agg(*aggs)
-    rows = [
-        m.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            _pearson_from_sums(
-                F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}"),
-                F.col(f"sp_{a}_{b}"), F.col(f"ss_{a}"), F.col(f"ss_{b}"),
-            ).alias("r"),
-        )
-        for a, b in _CORR_PAIRS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # One explode over a literal struct array turns the 1-row moments
+    # frame into the 6-row long form — a union of per-pair selects would
+    # re-plan (and re-scan) the aggregate per branch.
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                _pearson_from_sums(
+                    F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}"),
+                    F.col(f"sp_{a}_{b}"), F.col(f"ss_{a}"), F.col(f"ss_{b}"),
+                ).alias("r"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(pair_structs).alias("p")).select(
+        "p.col_x", "p.col_y", "p.r"
+    )
 
 
 # log10(1 + 1/d) for d = 1..9, precomputed once in Python so BOTH engines

@@ -156,8 +156,8 @@ def test_markov_probs_are_row_normalized(spark):
 
 
 def test_corr_matrix_plan_single_pass(spark):
-    """One scan, no join: the 15 moments come from a single aggregate
-    (6 unions of the same 1-row moments frame reuse it)."""
+    """ONE scan, one aggregate, no join: all 15 moments come from a
+    single pass and the 6-row long form explodes a literal array."""
     from stadvdb_olap_spark.plans.series_queries import corr_matrix_lineitem
 
     plan = corr_matrix_lineitem(spark, SF_DIR)._jdf.queryExecution().explainString(
@@ -165,6 +165,12 @@ def test_corr_matrix_plan_single_pass(spark):
     )
     body = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in body
+    # formatted output names each node in the tree AND a detail header,
+    # so ONE logical scan appears exactly twice
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", body, _re.M)) == 1
+    assert "Union" not in body
     # values in [-1, 1]
     for r in corr_matrix_lineitem(spark, SF_DIR).collect():
         assert -1.0 <= r["r"] <= 1.0

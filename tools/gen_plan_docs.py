@@ -77,6 +77,19 @@ SHOWCASE = [
      "the temporal join is an EQUI-join on exploded hour buckets (never "
      "BroadcastNestedLoop/Cartesian); the overlap predicate and distinct "
      "run on bucket collisions only"),
+    ("corr_matrix_lineitem",
+     "ONE scan + one two-phase aggregate computes all 15 prescaled "
+     "integer moments; the 6 long-form correlation rows come from a "
+     "Generate (explode of a literal struct array) over the 1-row "
+     "moments frame, so adding measure pairs never rescans the fact"),
+    ("markov_event_transitions",
+     "one exchange on user_id for the lead() window, then a hash "
+     "aggregate onto the |types|^2 transition matrix; the row-normalizing "
+     "window runs on the tiny matrix side"),
+    ("rcte_min_label_clusters",
+     "Spark 4 WITH RECURSIVE plans as UnionLoop over the edge view -- "
+     "depth-capped, improving-label-pruned min-label propagation; the "
+     "declarative twin certifying the iterative clusterer"),
     ("fingerprint_core_tables",
      "each table is scan -> narrow canonicalize/hash projection -> "
      "partial+final 1-row aggregate; the three fingerprints union without "

@@ -5,14 +5,19 @@ layout a 100 TB multimodal training pipeline uses (content-addressed bytes
 + queryable metadata, so filters prune on metadata without touching bytes).
 
 The Spark-side plumbing (schemas, Arrow batching via mapInPandas, partition
-sizing) is real and tested; the actual media codecs are STUBBED because the
-runtime has no image/audio libraries:
+sizing) is real and tested. Codecs come in three tiers:
 
+- ``codec="ppm"`` / ``codec="wav"`` — REAL decoders with zero external
+  dependencies: binary P6 PPM images parsed + resampled with numpy,
+  RIFF/WAV audio decoded with the stdlib ``wave`` module. These exercise
+  the full decode→feature/resize path end-to-end (exact-pixel unit
+  tests), proving the pipeline is functional, not just plumbed.
 - ``codec="fake"`` — deterministic md5-derived features (testable, and
-  oracle-expressible in SQL for the catalog check)
+  oracle-expressible in SQL for the catalog check).
 - ``codec="pillow"`` / ``codec="ffmpeg"`` — raise NotImplementedError with
-  the exact integration point documented, so wiring a real decoder is a
-  one-function change.
+  the exact integration point documented (the runtime has no PIL/ffmpeg);
+  wiring a JPEG/MP4 decoder is a one-function change next to the PPM/WAV
+  implementations.
 
 Batch shape: mapInPandas streams Arrow record batches; each batch is
 decoded as a unit, so executor memory is bounded by
@@ -76,6 +81,109 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:N_FAKE_FEATURES]]
 
 
+# ---------------------------------------------------------------------------
+# Real dependency-free codecs: binary P6 PPM (numpy) and RIFF/WAV (stdlib)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary (P6) PPM image into an (H, W, 3) uint8 array.
+    Strict: magic, two dimensions, maxval 255, exact payload size —
+    malformed media raises ValueError (route through a quarantine
+    filter upstream, same pattern as ``json_quarantine_events``)."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("ppm: truncated header")
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    if tokens[0] != b"P6":
+        raise ValueError(f"ppm: bad magic {tokens[0]!r}")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255 or w < 1 or h < 1:
+        raise ValueError("ppm: need maxval 255 and positive dims")
+    body = payload[i : i + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("ppm: payload size mismatch")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """(H, W, 3) uint8 array -> binary P6 PPM bytes."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _ppm_features(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image features: per-channel means, luminance stddev, mean
+    horizontal luminance gradient (edge energy), aspect ratio — the
+    cheap statistics a curation pipeline filters on (flat/blank or
+    noise images score at the extremes)."""
+    import numpy as np
+
+    img = decode_ppm(payload).astype(np.float64) / 255.0
+    h, w, _ = img.shape
+    lum = 0.2126 * img[:, :, 0] + 0.7152 * img[:, :, 1] + 0.0722 * img[:, :, 2]
+    grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    return w, h, [
+        float(img[:, :, 0].mean()),
+        float(img[:, :, 1].mean()),
+        float(img[:, :, 2].mean()),
+        float(lum.std()),
+        grad,
+        float(w) / float(h),
+        float(w * h) / 1e6,
+        1.0,
+    ]
+
+
+def _wav_features(payload: bytes) -> tuple[int, list[float]]:
+    """Real audio features via stdlib ``wave``: RMS level, peak, zero-
+    crossing rate, DC offset, duration, channels, sample rate — the
+    silence/clipping screens an audio curation pass runs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        channels = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width != 2:
+        raise ValueError("wav: only 16-bit PCM supported")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    duration_ms = int(n * 1000 / rate) if rate else 0
+    if x.size == 0:
+        return duration_ms, [0.0] * 8
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    return duration_ms, [
+        float(np.sqrt(np.mean(x * x))),
+        float(np.abs(x).max()),
+        zc,
+        float(x.mean()),
+        duration_ms / 1000.0,
+        float(channels),
+        rate / 48000.0,
+        x.size / 1e6,
+    ]
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -87,7 +195,7 @@ def extract_features(
     Real decoders plug in at ``_decode_batch``; everything around them
     (schema, batching, partition parallelism) is production plumbing.
     """
-    if codec not in ("fake", "pillow", "ffmpeg"):
+    if codec not in ("fake", "ppm", "wav", "pillow", "ffmpeg"):
         raise ValueError(f"unknown codec {codec!r}")
 
     out_schema = StructType(
@@ -104,15 +212,21 @@ def extract_features(
         for pdf in pdfs:
             if codec == "fake":
                 feats = [_fake_features(b) for b in pdf[content_col]]
+            elif codec == "ppm":
+                feats = [_ppm_features(bytes(b))[2] for b in pdf[content_col]]
+            elif codec == "wav":
+                feats = [_wav_features(bytes(b))[1] for b in pdf[content_col]]
             elif codec == "pillow":
                 # Integration point: PIL.Image.open(io.BytesIO(b)) ->
-                # resize -> np.asarray -> pooled embedding.
+                # resize -> np.asarray -> pooled embedding. The PPM path
+                # above is the working template.
                 raise NotImplementedError(
                     "pillow codec requires PIL at runtime; install and "
                     "implement decode here"
                 )
             else:
-                # Integration point: ffmpeg frame sampling for video/audio.
+                # Integration point: ffmpeg frame sampling for video.
+                # The WAV path above is the working audio template.
                 raise NotImplementedError(
                     "ffmpeg codec requires ffmpeg bindings at runtime"
                 )
@@ -171,14 +285,16 @@ def resize_media(
 ) -> DataFrame:
     """Resize plumbing: binary in -> binary out with updated metadata.
 
-    The fake codec produces a deterministic byte payload of exactly
-    ``target_w * target_h`` bytes (md5-stretched from the source), so batch
-    shape, output schema, and metadata updates — the parts Spark cares
-    about — are fully exercised; a real image resample plugs in at the
-    marked point. Output rows carry the new (width, height) in ``meta`` so
-    downstream filters keep pruning on metadata without touching bytes.
+    ``codec="ppm"`` performs a REAL nearest-neighbor resample: decode the
+    P6 payload with numpy, index-map rows/columns to the target grid,
+    re-encode as PPM (exact-pixel unit tested). The fake codec produces a
+    deterministic byte payload of exactly ``target_w * target_h`` bytes
+    (md5-stretched from the source) for plumbing tests; a JPEG resample
+    plugs in at the pillow point using the PPM path as the template.
+    Output rows carry the new (width, height) in ``meta`` so downstream
+    filters keep pruning on metadata without touching bytes.
     """
-    if codec not in ("fake", "pillow"):
+    if codec not in ("fake", "ppm", "pillow"):
         raise ValueError(f"unknown codec {codec!r}")
 
     out_schema = StructType(
@@ -201,10 +317,22 @@ def resize_media(
                     seed = hashlib.md5(bytes(b)).digest()
                     reps = n_bytes // len(seed) + 1
                     out_payloads.append((seed * reps)[:n_bytes])
+                elif codec == "ppm":
+                    import numpy as np
+
+                    img = decode_ppm(bytes(b))
+                    h, w, _ = img.shape
+                    ys = (np.arange(target_h) * h // target_h).astype(int)
+                    xs = (np.arange(target_w) * w // target_w).astype(int)
+                    out_payloads.append(
+                        encode_ppm(np.ascontiguousarray(img[ys][:, xs]))
+                    )
                 else:
                     # Integration point: PIL.Image.open -> .resize(
-                    # (target_w, target_h)) -> .tobytes()
+                    # (target_w, target_h)) -> .tobytes(); the ppm
+                    # branch above is the working template.
                     raise NotImplementedError("pillow codec requires PIL")
+            fmt = "ppm" if codec == "ppm" else "raw"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -212,7 +340,7 @@ def resize_media(
                     "meta": [
                         {
                             "media_type": "image",
-                            "format": "raw",
+                            "format": fmt,
                             "width": target_w,
                             "height": target_h,
                             "duration_ms": 0,

@@ -72,3 +72,71 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw",
     )
     return resize_media(media, target_w=16, target_h=16)
+
+
+def _text_to_ppm_batch(pdfs):
+    """Deterministically render each doc's utf-8 bytes into a valid 8x8
+    binary PPM (repeat/truncate to 192 RGB bytes) — real container
+    bytes, so the downstream decode is a REAL parse, not plumbing."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        payloads = []
+        for t in pdf["text"]:
+            b = t.encode("utf-8") or b"\x00"
+            body = (b * (192 // len(b) + 1))[:192]
+            payloads.append(b"P6\n8 8\n255\n" + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+
+def _text_to_wav_batch(pdfs):
+    """Render each doc's bytes into a tiny valid 16-bit mono WAV (each
+    byte becomes a sample, centered and scaled)."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    for pdf in pdfs:
+        payloads = []
+        for t in pdf["text"]:
+            b = (t.encode("utf-8") or b"\x00")[:400]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(
+                    b"".join(struct.pack("<h", (x - 128) * 256) for x in b)
+                )
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+
+_MEDIA_GEN_SCHEMA = "doc_id long, content binary"
+
+
+@query("multimodal_ppm_real_decode", oracle=None, defer=True)
+def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path, no media libs needed: docs rendered into
+    valid binary P6 PPMs (mapInPandas), then the numpy PPM codec parses
+    headers and pixels and emits channel means / luminance std / edge
+    energy. Exact-pixel unit tests pin the codec
+    (`test_ppm_decode_features_exact`); this query certifies the same
+    path at corpus width. Rows-only by design: the features are real
+    decoded statistics with no SQL twin."""
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    media = docs.mapInPandas(_text_to_ppm_batch, _MEDIA_GEN_SCHEMA)
+    return extract_features(media, "content", "doc_id", codec="ppm")
+
+
+@query("multimodal_wav_real_decode", oracle=None, defer=True)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path via the stdlib wave module: docs rendered
+    into valid 16-bit PCM WAVs, decoded back to RMS / peak /
+    zero-crossing / duration features. Unit-tested exactly
+    (`test_wav_decode_features_exact`); rows-only at corpus width."""
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    media = docs.mapInPandas(_text_to_wav_batch, _MEDIA_GEN_SCHEMA)
+    return extract_features(media, "content", "doc_id", codec="wav")

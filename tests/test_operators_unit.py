@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -1060,3 +1061,95 @@ def test_schema_diff_reports_all_change_kinds(spark):
     by_col = {r["column"]: r["change"] for r in got}
     assert by_col == {"d": "added", "c": "removed", "b": "type_changed"}
     assert schema_diff(old, old) == []
+
+
+def _make_ppm(w, h, fn):
+    """Build a P6 PPM where pixel (y, x) = fn(y, x) -> (r, g, b)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(fn(y, x))
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def _make_wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_ppm_decode_features_exact(spark):
+    """Real PPM decode through the Spark mapInPandas path: features match
+    a direct numpy computation on a hand-built image, exactly."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        decode_ppm,
+        extract_features,
+    )
+
+    # 4x2: left half pure red, right half pure blue
+    ppm = _make_ppm(4, 2, lambda y, x: (255, 0, 0) if x < 2 else (0, 0, 255))
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[1, 3].tolist() == [0, 0, 255]
+
+    df = spark.createDataFrame([(1, bytearray(ppm))], ["doc_id", "content"])
+    feats = extract_features(df, codec="ppm").collect()[0]
+    f = feats["features"]
+    assert feats["n_bytes"] == len(ppm)
+    assert f[0] == pytest.approx(0.5)  # mean R: half the pixels
+    assert f[1] == 0.0  # no green anywhere
+    assert f[2] == pytest.approx(0.5)  # mean B
+    # luminance std: two values (0.2126, 0.0722), half/half
+    lum = np.array([0.2126] * 4 + [0.0722] * 4)
+    assert f[3] == pytest.approx(float(lum.std()))
+    assert f[5] == pytest.approx(2.0)  # aspect w/h = 4/2
+    # malformed payload raises (quarantine upstream)
+    with pytest.raises(Exception):
+        extract_features(
+            spark.createDataFrame([(2, bytearray(b"P6\n9 9\n255\nxx"))],
+                                  ["doc_id", "content"]),
+            codec="ppm",
+        ).collect()
+
+
+def test_ppm_resize_exact_pixels(spark):
+    """Nearest-neighbor PPM resize through Spark: exact expected pixels,
+    and the output is itself a valid PPM with updated metadata."""
+    from stadvdb_olap_spark.operators.multimodal import decode_ppm, resize_media
+
+    # 4x4 gradient: pixel value = 16*(4*y + x) in the red channel
+    ppm = _make_ppm(4, 4, lambda y, x: (16 * (4 * y + x), 0, 0))
+    df = spark.createDataFrame([(7, bytearray(ppm))], ["doc_id", "content"])
+    out = resize_media(df, target_w=2, target_h=2, codec="ppm").collect()[0]
+    assert out["meta"]["width"] == 2 and out["meta"]["format"] == "ppm"
+    img = decode_ppm(bytes(out["content"]))
+    # nearest-neighbor picks source rows/cols 0 and 2
+    assert [[p[0] for p in row] for row in img] == [[0, 32], [128, 160]]
+
+
+def test_wav_decode_features_exact(spark):
+    """Real WAV decode via stdlib wave through Spark: RMS/peak/duration
+    match the constructed signal."""
+    from stadvdb_olap_spark.operators.multimodal import extract_features
+
+    # constant full-scale-half square wave: +/-16384, 8000 samples @ 8kHz
+    samples = [16384 if i % 2 == 0 else -16384 for i in range(8000)]
+    wav = _make_wav(samples, rate=8000)
+    df = spark.createDataFrame([(3, bytearray(wav))], ["doc_id", "content"])
+    f = extract_features(df, codec="wav").collect()[0]["features"]
+    assert f[0] == pytest.approx(0.5)  # RMS of +/-0.5 square
+    assert f[1] == pytest.approx(0.5)  # peak
+    assert f[2] == pytest.approx(1.0, rel=1e-3)  # alternating signs: zcr ~ 1
+    assert f[3] == pytest.approx(0.0)  # DC offset
+    assert f[4] == pytest.approx(1.0)  # 1 second
+    assert f[5] == 1.0  # mono

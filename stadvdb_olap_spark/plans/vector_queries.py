@@ -90,17 +90,31 @@ def _lsh_sig_sql(vec: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> 
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+_LSH_TABLES = 8
+
+
+def _lsh_multi_sigs_sql() -> str:
+    # One (vec_id, t, sig) row per hash table — UNION ALL over the same
+    # deterministic per-table plane literals the operator uses
+    # (seed + 7919*t, matching lsh_bucketed_topk).
+    parts = [
+        f"SELECT vec_id, embedding, {t} AS t, "
+        f"{_lsh_sig_sql('embedding', seed=42 + 7919 * t)} AS sig FROM embeddings"
+        for t in range(_LSH_TABLES)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
-WITH sigs AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
-              FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, sig
+WITH sigs AS ({_lsh_multi_sigs_sql()}),
+q AS (SELECT vec_id AS query_id, embedding AS qv, t, sig
       FROM sigs WHERE vec_id < {_N_QUERIES}),
 pairs AS (
-    SELECT q.query_id, c.vec_id AS neighbor_id,
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
            {cosine_sql('q.qv', 'c.embedding')} AS cosine
-    FROM q JOIN sigs c USING (sig)
+    FROM q JOIN sigs c USING (t, sig)
     WHERE q.query_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
@@ -111,14 +125,21 @@ WHERE rn <= {_K}
 """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB
-    scale path: cosine runs only inside signature-collision buckets, and
-    the shuffle key is the bucket id, never the Q*N pair space. The
-    deterministic (seeded, literal) hyperplanes make even this approximate
-    query hash-checkable: the DuckDB twin buckets with the same planes."""
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH — the
+    100 TB scale path: cosine runs only inside signature-collision
+    buckets, and the shuffle key is (table, bucket), never the Q*N pair
+    space. Eight independent 6-plane tables lift measured recall@10
+    from ~5% (single table) to ~39% on the sf0.1 embeddings
+    (tools/ann_recall_probe.py; numbers in SCALING.md — n_planes/
+    n_tables is the precision/recall dial). The deterministic (seeded,
+    literal) hyperplanes make even this approximate query
+    hash-checkable: the DuckDB twin buckets with identical literals and
+    deduplicates multi-table collisions the same way."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_bucketed_topk(queries, emb, k=_K, n_planes=6)
+    return lsh_bucketed_topk(
+        queries, emb, k=_K, n_planes=6, n_tables=_LSH_TABLES
+    )
 
 
 @query("ann_topk_pandas_gemm", oracle=None, defer=True)

@@ -189,33 +189,62 @@ def extract_features(
     content_col: str = "content",
     id_col: str = "doc_id",
     codec: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Feature-extraction over media bytes with Arrow-batched mapInPandas.
 
     Real decoders plug in at ``_decode_batch``; everything around them
     (schema, batching, partition parallelism) is production plumbing.
+
+    ``on_error="quarantine"`` catches per-row decode failures and emits
+    ``features=NULL`` with the error message in ``decode_error`` instead
+    of failing the task — at 100 TB one corrupt blob must not kill the
+    job (the media twin of ``json_quarantine_events``; filter
+    ``decode_error IS NOT NULL`` into the quarantine sink).
     """
     if codec not in ("fake", "ppm", "wav", "pillow", "ffmpeg"):
         raise ValueError(f"unknown codec {codec!r}")
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("n_bytes", LongType()),
             StructField("features", ArrayType(DoubleType())),
+            StructField("decode_error", StringType()),
         ]
     )
+
+    def _one(fn, b):
+        if on_error == "raise":
+            return fn(b), None
+        try:
+            return fn(b), None
+        except Exception as e:  # noqa: BLE001 — quarantine any decode error
+            return None, f"{type(e).__name__}: {e}"
 
     def _decode_batch(pdfs: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in pdfs:
+            errors: list = [None] * len(pdf)
             if codec == "fake":
                 feats = [_fake_features(b) for b in pdf[content_col]]
             elif codec == "ppm":
-                feats = [_ppm_features(bytes(b))[2] for b in pdf[content_col]]
+                pairs = [
+                    _one(lambda x: _ppm_features(x)[2], bytes(b))
+                    for b in pdf[content_col]
+                ]
+                feats = [p[0] for p in pairs]
+                errors = [p[1] for p in pairs]
             elif codec == "wav":
-                feats = [_wav_features(bytes(b))[1] for b in pdf[content_col]]
+                pairs = [
+                    _one(lambda x: _wav_features(x)[1], bytes(b))
+                    for b in pdf[content_col]
+                ]
+                feats = [p[0] for p in pairs]
+                errors = [p[1] for p in pairs]
             elif codec == "pillow":
                 # Integration point: PIL.Image.open(io.BytesIO(b)) ->
                 # resize -> np.asarray -> pooled embedding. The PPM path
@@ -235,6 +264,7 @@ def extract_features(
                     "doc_id": pdf[id_col],
                     "n_bytes": [len(b) for b in pdf[content_col]],
                     "features": feats,
+                    "decode_error": errors,
                 }
             )
 

@@ -93,7 +93,9 @@ def _ensure_loaded() -> None:
     # corr-matrix/benford/interpolate/deciles), plus the round-2 additions
     # appended to advanced (interval overlap), etl (evolving merge
     # certified in r2 only if it landed inside the window), feature
-    # (extremes, chi-square), and funnel (ab_test_purchase_rate). Move
+    # (extremes, chi-square), funnel (ab_test_purchase_rate), vector
+    # (multi-table ann_lsh_topk), multimodal (ppm/wav real decodes,
+    # rows-only), and the new pandas_on_spark_queries module. Move
     # those modules to the FRONT of this import list (before etl/tpch,
     # which round 2 certified) so the round-3 window covers them.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip

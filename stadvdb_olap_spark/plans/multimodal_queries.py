@@ -36,7 +36,8 @@ def _feature_sql(j: int) -> str:
     oracle=f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       [{', '.join(_feature_sql(j) for j in range(N_FAKE_FEATURES))}] AS features
+       [{', '.join(_feature_sql(j) for j in range(N_FAKE_FEATURES))}] AS features,
+       CAST(NULL AS VARCHAR) AS decode_error
 FROM documents
 """,
 )

@@ -1153,3 +1153,25 @@ def test_wav_decode_features_exact(spark):
     assert f[3] == pytest.approx(0.0)  # DC offset
     assert f[4] == pytest.approx(1.0)  # 1 second
     assert f[5] == 1.0  # mono
+
+
+def test_media_decode_quarantine(spark):
+    """on_error='quarantine': corrupt blobs yield NULL features + the
+    error message; good rows are untouched; default mode still raises —
+    one bad blob must not kill a 100 TB job."""
+    from stadvdb_olap_spark.operators.multimodal import extract_features
+
+    good = _make_ppm(2, 2, lambda y, x: (10, 20, 30))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"NOT A PPM"))],
+        ["doc_id", "content"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(df, codec="ppm", on_error="quarantine").collect()
+    }
+    assert rows[1]["decode_error"] is None and rows[1]["features"] is not None
+    assert rows[2]["features"] is None
+    assert "ppm" in rows[2]["decode_error"]
+    with pytest.raises(Exception):
+        extract_features(df, codec="ppm").collect()

@@ -449,3 +449,35 @@ def intra_doc_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
     )
+
+
+@query("bpe_merges_docs", oracle=None, defer=True)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training (Sennrich merge loop) over the
+    corpus: one fact-sized word-count pass, then 16 bounded merge
+    rounds on the vocabulary-sized symbol table (operators/bpe.py —
+    scale analysis there and in SCALING.md). Rows-only by design: the
+    data-dependent per-round argmax is inherently iterative (no SQL
+    twin); correctness is certified by the pure-Python reference
+    equality property test instead
+    (test_bpe_train_matches_python_reference)."""
+    from stadvdb_olap_spark.operators.bpe import bpe_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_train(spark, docs, n_merges=16)
+
+
+@query("bpe_encode_docs", oracle=None, defer=True)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE encoding of the corpus with merges learned from it —
+    train + apply end-to-end (merges ride the closure, never a join).
+    Rows-only (train step is iterative); the encode step alone is
+    pinned by the round-trip test (test_bpe_encode_roundtrip)."""
+    from stadvdb_olap_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spread(load_table(spark, sf_dir, "documents")).limit(300)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, docs, n_merges=16).orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges)

@@ -207,3 +207,87 @@ def test_rcte_clusters_agree_with_iterative_operator(spark):
         for r in REGISTRY["dedup_clusters_canonical"].fn(spark, SF_DIR).collect()
     }
     assert rcte == iterative and rcte
+
+
+def _python_bpe(word_counts, n_merges, min_pair_count=2):
+    """Reference BPE trainer (Sennrich-style) on a word->count dict."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE == the pure-Python reference on a real corpus
+    slice: same merges, same order, same pair counts."""
+    from collections import Counter
+
+    from stadvdb_olap_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cats eat the fish"),
+            (3, "low lower lowest low low"),
+            (4, "newer newest new new new"),
+        ],
+        ["doc_id", "text"],
+    )
+    wc = Counter(
+        w
+        for _, t in docs.collect()
+        for w in t.lower().split()
+    )
+    want = _python_bpe(wc, 12)
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(spark, docs, 12).orderBy("rank").collect()
+    ]
+    assert got == want and len(got) > 5
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding with the learned merges reproduces each word's final
+    symbol sequence; concatenating tokens restores the text."""
+    from stadvdb_olap_spark.operators.bpe import END, bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "ban ban banana")],
+        ["doc_id", "text"],
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, docs, 8).orderBy("rank").collect()
+    ]
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    joined = "".join(enc[1]).replace(END, " ").strip()
+    assert joined == "banana bandana banana"
+    # compression happened: fewer tokens than characters
+    assert len(enc[1]) < len("banana bandana banana")

@@ -43,6 +43,9 @@ statistics a monitoring pipeline runs over daily facts:
 - ``weighted_median_price_by_flag`` — per-group quantity-weighted
   median by exact integer cumulative-weight selection (the answer is
   a raw input value — no float accumulation at all).
+- ``survival_weekly_users`` — Kaplan-Meier-style weekly churn curve
+  with right-censoring; the prefix product folds over the calendar-
+  bounded week grid (sorted-fold device again).
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -812,3 +815,118 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("total").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "survival_weekly_users",
+    oracle="""
+WITH span AS (
+    SELECT user_id,
+           date_diff('week', date_trunc('week', min(ts)),
+                     date_trunc('week', max(ts))) AS wk
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(wk) AS h, count(*) AS total FROM span),
+cnt AS (SELECT wk, count(*) AS c FROM span GROUP BY wk),
+grid AS (
+    SELECT unnest(generate_series(0, (SELECT h FROM horizon))) AS week
+),
+risk AS (
+    SELECT g.week,
+           coalesce(c.c, 0) AS c,
+           CASE WHEN g.week < (SELECT h FROM horizon)
+                THEN coalesce(c.c, 0) ELSE 0 END AS d,
+           sum(coalesce(c.c, 0)) OVER (
+               ORDER BY g.week DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_risk
+    FROM grid g LEFT JOIN cnt c ON c.wk = g.week
+),
+factors AS (
+    SELECT week, d, n_risk,
+           1 - CAST(d AS DOUBLE) / n_risk AS f
+    FROM risk
+),
+l AS (
+    SELECT list_sort(list(struct_pack(week := week, f := f))) AS a FROM factors
+)
+SELECT r.week, r.d AS churned, CAST(r.n_risk AS BIGINT) AS n_risk,
+       list_reduce(
+           list_prepend(CAST(1 AS DOUBLE),
+               list_transform(
+                   list_filter(a, e -> e.week <= r.week), e -> e.f)),
+           (p, q) -> p * q) AS survival
+FROM factors r CROSS JOIN l
+""",
+)
+def survival_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style weekly survival/churn curve: per user, active
+    span in weeks (first->last event week); users whose span ends
+    before the cohort horizon count as churn events at that week, those
+    reaching the horizon are right-censored. S(w) = prod_{k<=w}
+    (1 - d_k / n_risk_k) — the classic retention curve with censoring,
+    which the cohort matrix (``cohort_weekly_retention``) doesn't
+    model. Scale shape: one user-keyed aggregate is the only fact-sized
+    pass; the curve itself lives on the CALENDAR week grid, so the
+    reverse-cumulative risk window and the prefix product (sorted-fold
+    over the week-ordered factor array, filter preserves order — every
+    float op correctly rounded, identical in both engines) are
+    resolution-bounded, not data-bounded."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    span = ev.groupBy("user_id").agg(
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.max("ts")))
+                    - F.unix_timestamp(F.date_trunc("week", F.min("ts")))
+                )
+                / (7 * 86400)
+            )
+        ).cast("long").alias("wk")
+    )
+    horizon = span.agg(F.max("wk").alias("h"))
+    cnt = span.groupBy("wk").agg(F.count(F.lit(1)).alias("c"))
+    grid = horizon.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("h"))).alias("week"),
+        "h",
+    )
+    wrev = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        grid.join(cnt, grid.week == cnt.wk, "left")
+        .select(
+            "week",
+            "h",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .select(
+            "week",
+            F.when(F.col("week") < F.col("h"), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("d"),
+            F.sum("c").over(wrev).alias("n_risk"),
+        )
+    )
+    factors = risk.select(
+        "week",
+        "d",
+        "n_risk",
+        (F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")).alias("f"),
+    )
+    arr = factors.agg(
+        F.sort_array(F.collect_list(F.struct("week", "f"))).alias("a")
+    )
+    prefix = F.filter(F.col("a"), lambda e: e["week"] <= F.col("week"))
+    return (
+        factors.crossJoin(F.broadcast(arr))
+        .select(
+            "week",
+            F.col("d").alias("churned"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.aggregate(
+                prefix, F.lit(1.0), lambda acc, e: acc * e["f"]
+            ).alias("survival"),
+        )
+    )
+

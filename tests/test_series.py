@@ -291,3 +291,33 @@ def test_bpe_encode_roundtrip(spark):
     assert joined == "banana bandana banana"
     # compression happened: fewer tokens than characters
     assert len(enc[1]) < len("banana bandana banana")
+
+
+def test_survival_curve_invariants(spark):
+    """S(w) is non-increasing from 1.0, and matches the direct KM
+    product computed in Python from the per-user spans."""
+    from stadvdb_olap_spark.plans.series_queries import survival_weekly_users
+
+    rows = sorted(
+        survival_weekly_users(spark, SF_DIR).collect(), key=lambda r: r["week"]
+    )
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b - 1e-15 for a, b in zip(surv, surv[1:]))
+    assert surv[0] <= 1.0 and surv[-1] >= 0.0
+
+    spans = duckdb.sql(f"""
+        SELECT date_diff('week', date_trunc('week', min(ts)),
+                         date_trunc('week', max(ts))) AS wk
+        FROM '{SF_DIR}/events.parquet' GROUP BY user_id
+    """).fetchall()
+    wks = [r[0] for r in spans]
+    h = max(wks)
+    s = 1.0
+    want = []
+    for w in range(h + 1):
+        n_risk = sum(1 for v in wks if v >= w)
+        d = sum(1 for v in wks if v == w) if w < h else 0
+        s *= 1 - d / n_risk
+        want.append(s)
+    got = [r["survival"] for r in rows]
+    assert got == pytest.approx(want, rel=1e-12)

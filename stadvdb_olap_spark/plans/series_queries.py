@@ -46,6 +46,10 @@ statistics a monitoring pipeline runs over daily facts:
 - ``survival_weekly_users`` — Kaplan-Meier-style weekly churn curve
   with right-censoring; the prefix product folds over the calendar-
   bounded week grid (sorted-fold device again).
+- ``basket_part_pairs_lift`` — market-basket support/confidence/lift,
+  pair explosion blocked on the order key (per-basket bounded).
+- ``rfm_segments_customers`` — RFM quintile segmentation with
+  deterministic ntile tiebreaks and exact-decimal monetary.
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -930,3 +934,143 @@ def survival_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "basket_part_pairs_lift",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+part_freq AS (
+    SELECT l_partkey, count(*) AS c FROM baskets GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS together
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.together,
+       CAST(p.together AS DOUBLE) / fa.c AS confidence_a_to_b,
+       (CAST(p.together AS DOUBLE) * n.n) / (CAST(fa.c AS DOUBLE) * fb.c)
+           AS lift
+FROM pairs p
+JOIN part_freq fa ON fa.l_partkey = p.part_a
+JOIN part_freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n_orders n
+WHERE p.together >= 2
+""",
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: support,
+    confidence, and lift for every part pair co-purchased in >= 2
+    orders. The pair generation self-joins ON THE ORDER KEY, so the
+    blow-up is bounded by (lines per order)^2 — a per-basket constant,
+    never corpus-quadratic (same blocking discipline as the text
+    collocation twin ``term_lift_scores``). Lift divides exact BIGINT
+    counts in a fixed double expression — hash-stable with no decimal
+    machinery."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= 2)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            (F.col("together").cast("double") / F.col("ca")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("together").cast("double") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "rfm_segments_customers",
+    oracle="""
+WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+rfm AS (
+    SELECT o_custkey,
+           date_diff('day', max(o_orderdate), (SELECT md FROM maxd))
+               AS recency_days,
+           count(*) AS frequency,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM rfm
+""",
+)
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the canonical customer-value model: days since
+    last order (recency), order count (frequency), exact-decimal
+    lifetime revenue (monetary), each quintiled with ntile over a
+    deterministic (value, custkey) order. One customer-keyed aggregate
+    over the fact; the three ntiles each cost a total-order sort of the
+    CUSTOMER table (dimension-sized). At extreme scale swap ntile for
+    approx_percentile bucket edges + a broadcast range join, keeping
+    the same output contract."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    maxd = orders.agg(F.max("o_orderdate").alias("md"))
+    rfm = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("md"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )

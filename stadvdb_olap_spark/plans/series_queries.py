@@ -50,6 +50,9 @@ statistics a monitoring pipeline runs over daily facts:
   pair explosion blocked on the order key (per-basket bounded).
 - ``rfm_segments_customers`` — RFM quintile segmentation with
   deterministic ntile tiebreaks and exact-decimal monetary.
+- ``seasonal_decompose_daily_revenue`` — classical additive
+  decomposition (centered-MA trend, weekday seasonal, residual), all
+  decimal-exact.
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -1073,4 +1076,101 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5)
         .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
         .alias("m_score"),
+    )
+
+
+@query(
+    "seasonal_decompose_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+trend AS (
+    SELECT d, revenue,
+           CASE WHEN count(*) OVER w = 7 THEN
+               CAST(ROUND(sum(CAST(revenue AS DECIMAL(18,6))) OVER w / 7, 4)
+                    AS DOUBLE)
+           END AS trend_ma7
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detrended AS (
+    SELECT d, revenue, trend_ma7,
+           dayofweek(d) AS dow,
+           CAST(revenue AS DECIMAL(18,6))
+               - CAST(trend_ma7 AS DECIMAL(18,6)) AS resid0
+    FROM trend
+),
+seasonal AS (
+    SELECT dow,
+           CAST(ROUND(sum(resid0) / count(resid0), 4) AS DOUBLE) AS s
+    FROM detrended WHERE resid0 IS NOT NULL GROUP BY dow
+)
+SELECT t.d, t.revenue, t.trend_ma7, s.s AS seasonal_dow,
+       CASE WHEN t.trend_ma7 IS NOT NULL THEN
+           CAST(CAST(t.revenue AS DECIMAL(18,6))
+                - CAST(t.trend_ma7 AS DECIMAL(18,6))
+                - CAST(s.s AS DECIMAL(18,6)) AS DOUBLE)
+       END AS residual
+FROM detrended t JOIN seasonal s USING (dow)
+""",
+)
+def seasonal_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per weekday, residual = value −
+    trend − seasonal. The moving-average and seasonal means fold in
+    exact DECIMAL then round to fixed scale (the compat convention), so
+    every emitted float is a deterministic function of the input
+    multiset. The day-grain series is calendar-sized; the weekday
+    seasonal join is a 7-row broadcast — the only fact-sized work is
+    the daily rollup. The additive decomposition identity
+    (residual = revenue − trend − seasonal in exact decimal) is pinned
+    by construction."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    dec6 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    trend = daily.select(
+        "d",
+        "revenue",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.sum(dec6("revenue")).over(w) / 7, 4).cast("double"),
+        ).alias("trend_ma7"),
+    )
+    detrended = trend.select(
+        "d",
+        "revenue",
+        "trend_ma7",
+        F.dayofweek("d").alias("dow"),
+        (dec6("revenue") - dec6("trend_ma7")).alias("resid0"),
+    )
+    seasonal = (
+        detrended.where(F.col("resid0").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(F.sum("resid0") / F.count("resid0"), 4)
+            .cast("double")
+            .alias("s")
+        )
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "d",
+            "revenue",
+            "trend_ma7",
+            F.col("s").alias("seasonal_dow"),
+            F.when(
+                F.col("trend_ma7").isNotNull(),
+                (dec6("revenue") - dec6("trend_ma7") - dec6("s")).cast(
+                    "double"
+                ),
+            ).alias("residual"),
+        )
     )

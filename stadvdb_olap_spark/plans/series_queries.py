@@ -53,6 +53,10 @@ statistics a monitoring pipeline runs over daily facts:
 - ``seasonal_decompose_daily_revenue`` — classical additive
   decomposition (centered-MA trend, weekday seasonal, residual), all
   decimal-exact.
+- ``holt_forecast_daily_revenue`` — Holt double-exponential-smoothing
+  forecast: the sequential recurrence as a sorted-fold (binary-exact
+  smoothing constants; DuckDB twin folds DOUBLE[2] state — see
+  ``_holt_next_sql`` for the struct-accumulator quirk it avoids).
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -1173,4 +1177,95 @@ def seasonal_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
                 ),
             ).alias("residual"),
         )
+    )
+
+
+_HOLT_ALPHA = 0.5   # binary-exact smoothing constants: multiplication by
+_HOLT_BETA = 0.25   # 0.5/0.25 is an exponent shift, one rounding max
+
+
+def _holt_next_sql(acc: str, x: str) -> str:
+    # DOUBLE[2] state [level, trend], NOT a struct: DuckDB's list_reduce
+    # rebinds struct accumulator fields SEQUENTIALLY (field 2's acc.l
+    # already sees the new level — verified empirically), while list
+    # elements all read the pre-step accumulator. Spark's F.aggregate
+    # struct fold has the correct snapshot semantics, so only the twin
+    # needs the list encoding.
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    newl = f"({a} * {x}[1] + {1 - a} * ({acc}[1] + {acc}[2]))"
+    newb = f"({b} * ({newl} - {acc}[1]) + {1 - b} * {acc}[2])"
+    return f"[{newl}, {newb}]"
+
+
+@query(
+    "holt_forecast_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+l AS (
+    SELECT list_transform(
+               list_sort(list(struct_pack(d := d, v := revenue))),
+               e -> [e.v, CAST(0 AS DOUBLE)]) AS a
+    FROM daily
+),
+state AS (
+    SELECT len(a) AS n,
+           list_reduce(a, (acc, x) -> {_holt_next_sql('acc', 'x')}) AS s
+    FROM l
+)
+SELECT h.h AS horizon_days,
+       CAST(n AS BIGINT) AS n_days,
+       s[1] AS level,
+       s[2] AS trend,
+       s[1] + h.h * s[2] AS forecast
+FROM state, (SELECT unnest(generate_series(1, 7)) AS h) h
+""",
+)
+def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast of daily revenue:
+    level/trend recurrence folded over the DATE-SORTED series (l0 =
+    first value, b0 = 0; alpha=0.5, beta=0.25 — binary-exact constants),
+    then 1..7-day-ahead forecasts level + h*trend. A sequential
+    recurrence is the textbook "can't parallelize" op — but the series
+    is CALENDAR-sized, so the sorted-fold runs on one row of state
+    after the one fact-sized daily rollup; both engines fold the
+    identical expression tree in the identical order, so even an
+    inherently sequential statistic stays hash-checkable. For per-key
+    forecasting, the same fold runs per group in a grouped aggregate."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", F.col("revenue").alias("v")))),
+            lambda e: F.struct(e["v"].alias("l"), F.lit(0.0).alias("b")),
+        ).alias("a")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        newl = F.lit(a) * x["l"] + F.lit(1 - a) * (acc["l"] + acc["b"])
+        newb = F.lit(b) * (newl - acc["l"]) + F.lit(1 - b) * acc["b"]
+        return F.struct(newl.alias("l"), newb.alias("b"))
+
+    state = arr.select(
+        F.size("a").alias("n"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1),
+            F.element_at(F.col("a"), 1),
+            step,
+        ).alias("s"),
+    )
+    return state.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("horizon_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s")["l"].alias("level"),
+        F.col("s")["b"].alias("trend"),
+        (F.col("s")["l"] + F.col("horizon_days") * F.col("s")["b"]).alias(
+            "forecast"
+        ),
     )

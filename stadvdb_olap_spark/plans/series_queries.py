@@ -57,6 +57,9 @@ statistics a monitoring pipeline runs over daily facts:
   forecast: the sequential recurrence as a sorted-fold (binary-exact
   smoothing constants; DuckDB twin folds DOUBLE[2] state — see
   ``_holt_next_sql`` for the struct-accumulator quirk it avoids).
+- ``max_concurrent_sessions_hourly`` — sweep-line peak concurrency:
+  session intervals to +/-1 boundaries, tie-ordered running sum,
+  per-hour max (counting overlap without a pair self-join).
 
 Scale notes are per-query docstrings; the common theme: one window or
 one-two hash aggregates, grouped/partitioned on keys that grow with the
@@ -1269,3 +1272,103 @@ def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast"
         ),
     )
+
+
+@query(
+    "max_concurrent_sessions_hourly",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+        FROM flagged
+    ) GROUP BY user_id, session_seq
+),
+bounds AS (
+    SELECT s_start AS t, 1 AS delta FROM sessions
+    UNION ALL
+    SELECT s_end AS t, -1 AS delta FROM sessions
+),
+swept AS (
+    SELECT t, delta,
+           CAST(SUM(delta) OVER (
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrency
+    FROM bounds
+)
+SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS hour,
+       max(concurrency) AS max_concurrent
+FROM swept GROUP BY 1
+""",
+)
+def max_concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour via the classic SWEEP-LINE: session
+    intervals (from the 30-minute-gap sessionizer) become +1/-1
+    boundary events; a running sum ordered by (t, delta) — the -1
+    sorts first on ties, so back-to-back sessions at the same instant
+    don't double-count — is the live-session count, maxed per hour
+    bucket. This is the algorithmic pattern interval-overlap COUNTING
+    needs (vs the pair-join of ``interval_overlap_sessions_bursts``):
+    boundaries + prefix sum, never a self-join. The global running sum
+    is the honest single-order cost (boundary stream = 2 rows per
+    session); at extreme scale, sweep per shard-key then merge per-hour
+    maxima with per-shard boundary offsets."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                )
+                > 1800 * 1000 * 1000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        flagged.select(
+            "user_id",
+            "ts",
+            F.sum("is_new_session").over(run).alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bounds = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = bounds.select(
+        "t",
+        F.sum("delta").over(sweep).cast("long").alias("concurrency"),
+    )
+    return swept.groupBy(
+        F.date_trunc("hour", "t").alias("hour")
+    ).agg(F.max("concurrency").alias("max_concurrent"))

@@ -402,3 +402,66 @@ def ab_test_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_reduction"),
     )
     return m
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+    FROM events GROUP BY user_id
+),
+lat AS (
+    SELECT CAST(p_us - v_us AS DOUBLE) / 3600000000.0 AS hours
+    FROM per_user WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(hours, 0.25), 6) AS p25_hours,
+       ROUND(quantile_cont(hours, 0.50), 6) AS p50_hours,
+       ROUND(quantile_cont(hours, 0.75), 6) AS p75_hours,
+       ROUND(quantile_cont(hours, 0.90), 6) AS p90_hours
+FROM lat
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, hours from first view to
+    first purchase at-or-after it, summarized as exact interpolated
+    percentiles — the funnel's latency dimension
+    (``funnel_view_click_purchase`` counts WHO converts; this measures
+    HOW FAST). One conditional aggregate per user (no window needed —
+    min timestamps commute), then percentile over the converters.
+    Latency divides exact integer microsecond diffs — deterministic;
+    percentile follows the established Spark percentile ==
+    quantile_cont parity."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("v_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    lat = per_user.where(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).select(
+        ((F.col("p_us") - F.col("v_us")).cast("double") / 3600000000.0).alias(
+            "hours"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        *[
+            F.round(F.percentile("hours", F.lit(p)), 6).alias(name)
+            for name, p in [
+                ("p25_hours", 0.25),
+                ("p50_hours", 0.50),
+                ("p75_hours", 0.75),
+                ("p90_hours", 0.90),
+            ]
+        ],
+    )

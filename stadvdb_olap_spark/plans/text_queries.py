@@ -8,7 +8,7 @@ DuckDB computing the identical (md5-based, order-pinned) definitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.functions import text as T
@@ -668,3 +668,152 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("score_dec").cast("double").alias("bm25"), "rank"
         )
     )
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "in", "to", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+)
+
+
+@query(
+    "rake_keyphrases_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, t.word, t.pos
+    FROM documents,
+         LATERAL (SELECT unnest({T.tokens_sql('text')}) AS word,
+                         generate_subscripts({T.tokens_sql('text')}, 1) AS pos) t
+),
+runs AS (
+    SELECT doc_id, word, pos,
+           word IN {_RAKE_STOPWORDS} AS is_stop,
+           SUM(CASE WHEN word IN {_RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+    FROM toks
+),
+phrases AS (
+    SELECT doc_id, run_id,
+           list(word ORDER BY pos) AS words
+    FROM runs WHERE NOT is_stop
+    GROUP BY doc_id, run_id
+    HAVING count(*) BETWEEN 2 AND 4
+),
+word_stats AS (
+    SELECT w.word,
+           count(*) AS freq,
+           sum(len(p.words)) AS degree
+    FROM phrases p, LATERAL (SELECT unnest(p.words) AS word) w
+    GROUP BY w.word
+),
+grouped AS (
+    SELECT words, count(*) AS n_occurrences FROM phrases GROUP BY words
+),
+exploded AS (
+    SELECT g.words, g.n_occurrences, t.word, t.wpos
+    FROM grouped g,
+         LATERAL (SELECT unnest(g.words) AS word,
+                         generate_subscripts(g.words, 1) AS wpos) t
+),
+joined AS (
+    SELECT e.words, e.n_occurrences, e.wpos,
+           CAST(ws.degree AS DOUBLE) / ws.freq AS wscore
+    FROM exploded e JOIN word_stats ws USING (word)
+),
+scored AS (
+    SELECT words, n_occurrences,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(wscore ORDER BY wpos)),
+               (acc, v) -> acc + v) AS score
+    FROM joined GROUP BY words, n_occurrences
+)
+SELECT array_to_string(words, ' ') AS phrase, n_occurrences, score
+FROM scored
+ORDER BY score DESC, phrase
+LIMIT 100
+""",
+)
+def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, the public rapid-
+    automatic-keyword method): candidate phrases are maximal stopword-
+    free token runs of length 2-4, each word scores degree/frequency
+    over the candidate set, a phrase scores the sum of its words'
+    scores IN PHRASE ORDER (fixed small fold — deterministic), top 100
+    corpus-wide. Plan shape: one doc-partitioned window assigns run
+    ids, two hash aggregates build phrases and word stats, a word-keyed
+    join (word vocabulary, not corpus) attaches scores, and
+    TakeOrdered caps the output — every key grows with the corpus, no
+    driver loop. The degree/freq ratio divides exact BIGINTs; the
+    per-phrase sum folds <= 4 doubles in list order: hash-stable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens("text")).alias("pos", "word"),
+    )
+    is_stop = F.col("word").isin(*_RAKE_STOPWORDS)
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = toks.select(
+        "doc_id",
+        "word",
+        "pos",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop.cast("int")).over(wrun).alias("run_id"),
+    )
+    phrases = (
+        runs.where(~F.col("is_stop"))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "word"))
+            ).alias("pw")
+        )
+        .select(F.transform("pw", lambda e: e["word"]).alias("words"))
+        .where(F.size("words").between(2, 4))
+    )
+    word_stats = (
+        phrases.select(
+            F.size("words").alias("plen"), F.explode("words").alias("word")
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "word",
+            (F.col("degree").cast("double") / F.col("freq")).alias("wscore"),
+        )
+    )
+    grouped = phrases.groupBy("words").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    exploded = grouped.select(
+        "words",
+        "n_occurrences",
+        F.posexplode("words").alias("wpos", "word"),
+    ).join(word_stats, "word")
+    scored = (
+        exploded.groupBy("words", "n_occurrences")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wpos", "wscore"))
+                    ),
+                    lambda e: e["wscore"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
+        .select(
+            F.concat_ws(" ", "words").alias("phrase"),
+            "n_occurrences",
+            "score",
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "phrase").limit(100)

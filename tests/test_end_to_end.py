@@ -114,3 +114,28 @@ def test_run_pipeline_all_stages_and_written_star(spark, tmp_path):
     # the written star is re-readable and row-stable
     fact = spark.read.parquet(out + "/fact_star")
     assert fact.count() == report["fact_star"]["rows"]
+
+
+def test_cli_list_run_explain(spark, capsys):
+    """The __main__ CLI surfaces the catalog: list filters, run prints
+    rows, explain prints a physical plan; unknown names exit 2."""
+    from stadvdb_olap_spark.__main__ import main
+
+    assert main(["list", "markov"]) == 0
+    out = capsys.readouterr().out
+    assert "markov_event_transitions" in out and "1 queries" in out
+
+    assert main([
+        "run", "events_by_type", "--sf-dir", "/root/testdata/sf0.001",
+        "--json",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"event_type"' in out
+
+    assert main([
+        "explain", "events_by_type", "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+    assert main(["run", "no_such_query"]) == 2

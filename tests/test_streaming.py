@@ -659,3 +659,47 @@ def test_stream_stream_left_outer_join_emits_unmatched(
     }
     assert len(expect_null) > 100
     assert expect_null <= got_null
+
+
+def test_hll_distinct_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    """Streaming per-micro-batch HLL sketches, unioned at read time,
+    agree with the BATCH sketch estimate exactly (HLL union is
+    associative — micro-batching must not change the estimate), and
+    with exact distinct counts within HLL error."""
+    from stadvdb_olap_spark.streaming.sketches import (
+        hll_distinct_stream,
+        read_distinct_estimates,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    target = str(tmp_path / "hll_state")
+    q = hll_distinct_stream(
+        spark, events_stream_dir, schema, target,
+        group_col="event_type", id_col="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_estimates(spark, target, "event_type").collect()
+    }
+    batch = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for k, v in batch.items():
+        assert got[k] == v  # associativity: identical sketch -> identical est
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n)
+    # global row present and >= any group estimate
+    assert got[None] >= max(v for k, v in got.items() if k is not None)

@@ -1372,3 +1372,172 @@ def max_concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     return swept.groupBy(
         F.date_trunc("hour", "t").alias("hour")
     ).agg(F.max("concurrency").alias("max_concurrent"))
+
+
+@query(
+    "abc_classification_parts",
+    oracle=f"""
+WITH part_rev AS (
+    SELECT l_partkey, {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, revenue,
+           sum(CAST(revenue AS DECIMAL(18,6))) OVER (
+               ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+           sum(CAST(revenue AS DECIMAL(18,6))) OVER () AS total_rev
+    FROM part_rev
+)
+SELECT l_partkey, revenue,
+       CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8
+                THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.95
+                THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    cumulative-share thresholds 80%/95% assign classes A/B/C ("which
+    20% of parts drive 80% of revenue"). The cumulative sum runs in
+    exact DECIMAL over a deterministic (revenue desc, partkey) order,
+    and each share is ONE double division of exact decimals —
+    hash-stable. One fact aggregate + one part-table-sized total-order
+    window (the honest Pareto cost; at extreme part counts, bucket by
+    approx-quantile revenue bands first and rank within bands)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    part_rev = li.groupBy("l_partkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    wcum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    dec = F.col("revenue").cast("decimal(18,6)")
+    ranked = part_rev.select(
+        "l_partkey",
+        "revenue",
+        (
+            F.sum(dec).over(wcum).cast("double")
+            / F.sum(dec).over(wall).cast("double")
+        ).alias("cum_share"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "cohort_ltv_weekly",
+    oracle=f"""
+WITH first_order AS (
+    SELECT o_custkey,
+           CAST(date_trunc('week', min(o_orderdate)) AS TIMESTAMP) AS cohort_week
+    FROM orders GROUP BY o_custkey
+),
+aged AS (
+    SELECT f.cohort_week,
+           date_diff('week', f.cohort_week,
+                     CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP))
+               AS age_weeks,
+           o.o_totalprice
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+),
+cohort_size AS (
+    SELECT cohort_week, count(*) AS n_customers FROM first_order GROUP BY 1
+),
+weekly AS (
+    SELECT cohort_week, age_weeks,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM aged GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_week, age_weeks,
+           sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+    FROM weekly
+)
+SELECT c.cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       s.n_customers,
+       CAST(ROUND(c.cum_rev, 2) AS DOUBLE) AS cum_revenue,
+       CAST((CAST(ROUND(c.cum_rev, 2) * 100 AS BIGINT) * 10000)
+            // s.n_customers AS DOUBLE) / 1e6 AS ltv_per_customer
+FROM cum c JOIN cohort_size s USING (cohort_week)
+WHERE c.age_weeks <= 12
+""",
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    week, cumulative revenue per cohort at each age (weeks since
+    cohort), normalized per customer — the money-side complement to
+    ``cohort_weekly_retention``, capped at 12 weeks of age. Revenue
+    accumulates in exact DECIMAL inside a (cohort, age-ordered) window
+    — age rows per cohort are calendar-bounded. The per-customer rate
+    is an exact integer floor-division in micro-dollar units (see the
+    inline note: ROUND(double, n) itself is engine-divergent on true
+    decimal ties). Two fact-keyed aggregates + a broadcast cohort-size
+    join; cohorts parallelize the window."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("week", F.min("o_orderdate")).alias("cohort_week")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        "cohort_week",
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", "o_orderdate"))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / (7 * 86400)
+            )
+        ).alias("age_weeks"),
+        "o_totalprice",
+    )
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    weekly = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    wcum = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = weekly.select(
+        "cohort_week",
+        "age_weeks",
+        F.sum("rev").over(wcum).alias("cum_rev"),
+    ).where(F.col("age_weeks") <= 12)
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "n_customers",
+            F.round(F.col("cum_rev"), 2).cast("double").alias("cum_revenue"),
+            # exact integer floor-division in micro-dollar units:
+            # ROUND(double, n) itself diverges across engines on true
+            # decimal ties (Spark rounds the shortest repr, DuckDB the
+            # value - hit at cum/8 = x.56375), so the per-customer rate
+            # is truncated from exact cents instead of float-rounded
+            (
+                F.expr(
+                    "CAST(CAST(ROUND(cum_rev, 2) * 100 AS BIGINT) * 10000"
+                    " DIV n_customers AS DOUBLE)"
+                )
+                / F.lit(1e6)
+            ).alias("ltv_per_customer"),
+        )
+    )

@@ -52,3 +52,28 @@ def mean_round_sql(expr: str, scale: int = 4) -> str:
         f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), {scale}) AS DOUBLE)"
     )
+
+
+def ratio_exact(cents: Column, denom: Column, micro: int = 10_000) -> Column:
+    """Exact-integer ratio: floor-divide money CENTS (a BIGINT column)
+    by ``denom`` in micro-units, then convert the exact integer to
+    DOUBLE. Use when a quotient can land on a true decimal tie:
+    ``ROUND(double, n)`` itself is engine-divergent there (Spark rounds
+    the double's shortest decimal repr via BigDecimal.valueOf, DuckDB
+    rounds the value — observed diverging at cum/8 = x.56375 in
+    cohort_ltv_weekly). Output = value truncated to 1/(100·micro)
+    dollars."""
+    a = cents * F.lit(micro)
+    # exact floor division on longs: subtract the exact modulo first, so
+    # the double division divides an exact multiple (Column `/` is FLOAT
+    # division in Spark — flooring it directly can be off by one when
+    # the true quotient sits just below an integer)
+    q = (a - a % denom) / denom
+    return q.cast("double") / F.lit(float(100 * micro))
+
+
+def ratio_exact_sql(cents: str, denom: str, micro: int = 10_000) -> str:
+    return (
+        f"CAST(CAST(({cents}) AS BIGINT) * {micro} // ({denom}) AS DOUBLE)"
+        f" / {float(100 * micro)!r}"
+    )

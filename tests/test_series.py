@@ -321,3 +321,26 @@ def test_survival_curve_invariants(spark):
         want.append(s)
     got = [r["survival"] for r in rows]
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_ratio_exact_matches_sql_twin(spark):
+    """compat.ratio_exact == its SQL twin == python floor math, including
+    the x.56375-style tie cases ROUND(double) gets wrong."""
+    from stadvdb_olap_spark.plans.compat import ratio_exact, ratio_exact_sql
+
+    cases = [(255805251, 8), (100, 3), (999999999, 7), (1, 1), (0, 5)]
+    sdf = spark.createDataFrame(cases, ["cents", "n"])
+    got = [
+        r[0]
+        for r in sdf.select(
+            ratio_exact(sdf["cents"], sdf["n"])
+        ).collect()
+    ]
+    duck_vals = [
+        duckdb.sql(
+            f"SELECT {ratio_exact_sql(str(c), str(n))}"
+        ).fetchall()[0][0]
+        for c, n in cases
+    ]
+    want = [(c * 10_000 // n) / 1e6 for c, n in cases]
+    assert got == duck_vals == want

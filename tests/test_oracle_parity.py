@@ -34,3 +34,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()).issuperset(set(e.oracle_sql()))
+
+
+def test_harness_detects_mismatches(spark, duck):
+    """Meta-test: the oracle comparison must FAIL on wrong values, wrong
+    row counts, wrong columns, and float last-ulp drift — a harness that
+    silently passes would invalidate every green row above."""
+    import pytest
+
+    from tests.conftest import assert_frames_match
+
+    good = spark.createDataFrame([(1, 2.5), (2, 3.5)], ["k", "v"])
+    assert_frames_match(good, duck.execute(
+        "SELECT * FROM (VALUES (1, 2.5), (2, 3.5)) t(k, v)"))
+
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_frames_match(good, duck.execute(
+            "SELECT * FROM (VALUES (1, 2.5), (2, 3.6)) t(k, v)"))
+    with pytest.raises(AssertionError, match="row count"):
+        assert_frames_match(good, duck.execute(
+            "SELECT * FROM (VALUES (1, 2.5)) t(k, v)"))
+    with pytest.raises(AssertionError, match="column mismatch"):
+        assert_frames_match(good, duck.execute(
+            "SELECT * FROM (VALUES (1, 2.5), (2, 3.5)) t(k, other)"))
+    # one-ulp float drift must NOT slip through
+    import math
+
+    ulp_off = spark.createDataFrame(
+        [(1, math.nextafter(2.5, 3)), (2, 3.5)], ["k", "v"]
+    )
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_frames_match(ulp_off, duck.execute(
+            "SELECT * FROM (VALUES (1, 2.5), (2, 3.5)) t(k, v)"))

@@ -143,3 +143,69 @@ def incremental_agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sumsq_v").cast("decimal(38,12)").alias("sumsq_v"),
         (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
     )
+
+
+_IVM_CUT = "15"  # ~8% of keys hash below this 2-hex-digit cut
+
+
+def _ivm_delta_sql(key: str) -> str:
+    return f"substring(md5(CAST({key} AS VARCHAR)), 1, 2) < '{_IVM_CUT}'"
+
+
+@query(
+    "ivm_join_delta_orders",
+    oracle=f"""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+       CAST(l.l_quantity AS DOUBLE) AS quantity
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE substring(md5(CAST(l.l_orderkey AS VARCHAR) || '#'
+                    || CAST(l.l_linenumber AS VARCHAR)), 1, 2) < '{_IVM_CUT}'
+   OR {_ivm_delta_sql('o.o_orderkey')}
+""",
+)
+def ivm_join_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (the IVM identity beyond aggregates):
+    content-addressed ~8% deltas of lineitem and orders, and
+    Δ(A ⋈ B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB computed by
+    ``maintenance.join_delta`` with the deltas BROADCAST — the base
+    tables are probed in place, never shuffled, so per-ingest cost
+    tracks the batch. The oracle is the closed form: full join filtered
+    to rows touching at least one delta side — proving the three-way
+    union misses nothing and double-counts nothing (ΔA⋈ΔB appears in
+    neither ΔA⋈B_base nor A_base⋈ΔB, exactly once here)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_key = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        )
+    ).substr(1, 2)
+    o_key = F.md5(F.col("o_orderkey").cast("string")).substr(1, 2)
+    li_delta_mask = li_key < _IVM_CUT
+    o_delta_mask = o_key < _IVM_CUT
+
+    from stadvdb_olap_spark.operators.maintenance import join_delta
+
+    li_b = li.where(~li_delta_mask)
+    li_d = li.where(li_delta_mask)
+    o_b = orders.where(~o_delta_mask)
+    o_d = orders.where(o_delta_mask)
+    joined = join_delta(
+        li_b.withColumnRenamed("l_orderkey", "k"),
+        li_d.withColumnRenamed("l_orderkey", "k"),
+        o_b.withColumnRenamed("o_orderkey", "k"),
+        o_d.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+    )
+    return joined.select(
+        F.col("k").alias("l_orderkey"),
+        "l_linenumber",
+        "o_orderpriority",
+        F.col("l_quantity").cast("double").alias("quantity"),
+    )

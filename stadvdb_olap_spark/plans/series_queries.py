@@ -1541,3 +1541,79 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
     )
+
+
+@query(
+    "scalable_exact_median_price",
+    oracle="""
+WITH ranked AS (
+    SELECT l_extendedprice,
+           row_number() OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER () AS n
+    FROM lineitem
+)
+SELECT CAST(l_extendedprice AS DOUBLE) AS median_price,
+       CAST(n AS BIGINT) AS n_rows
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+)
+def scalable_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (lower) median without a global sort — the two-pass bucket
+    search that replaces ``ntile``/``percentile``'s total ordering at
+    100 TB:
+
+    pass 1: fixed-width bucket histogram (one hash aggregate, ~100
+    rows) + cumulative counts locate the bucket holding the median and
+    the in-bucket offset;
+    pass 2: ONLY that bucket's rows (a pushed-down range filter — a
+    fraction of the fact) are sorted to pick the offset-th row.
+
+    Everything is exact integer counting plus a deterministic
+    (price, orderkey, linenumber) tiebreak, so the result is a RAW
+    input value — bit-identical to the oracle's order-statistic
+    formulation, which DOES pay the global sort. The bucket selection
+    stays declarative (1-row broadcast join, no driver collect)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    bucket = F.floor(F.col("l_extendedprice") / 1000).alias("bucket")
+    hist = li.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy()
+    located = (
+        hist.select(
+            "bucket",
+            "c",
+            F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum_before"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        .where(
+            (F.col("cum_before") < (F.col("n") + 1) / 2)
+            & ((F.col("cum_before") + F.col("c")) >= (F.col("n") + 1) / 2)
+        )
+        .select(
+            F.col("bucket").alias("target_bucket"),
+            F.floor((F.col("n") + 1) / 2).cast("long").alias("target_rn"),
+            "cum_before",
+            "n",
+        )
+    )
+    in_bucket = li.select(
+        "l_extendedprice", "l_orderkey", "l_linenumber", bucket
+    ).join(F.broadcast(located), F.col("bucket") == F.col("target_bucket"))
+    wpick = Window.partitionBy("target_bucket").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        in_bucket.withColumn("rn_in", F.row_number().over(wpick))
+        .where(
+            F.col("rn_in") == (F.col("target_rn") - F.col("cum_before"))
+        )
+        .select(
+            F.col("l_extendedprice").cast("double").alias("median_price"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

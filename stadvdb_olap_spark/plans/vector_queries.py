@@ -8,7 +8,7 @@ order differs by design).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.functions.vectors import cosine_sql
@@ -239,4 +239,132 @@ def hard_negatives_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
+    )
+
+
+_BQ_PREFILTER = 50  # hamming candidates per query before exact rerank
+
+
+def _bq_code_sql(vec: str, lo: int, n: int) -> str:
+    # Sign-bit binary quantization, MSB-first fold acc*2 + bit over a
+    # 32-dim slice (two INT codes per 64-dim vector keeps the fold out
+    # of BIGINT sign-bit overflow under Spark ANSI).
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({vec}[{lo}:{lo + n - 1}], x -> CASE WHEN x > 0 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        "(a, b) -> a * 2 + b)"
+    )
+
+
+@query(
+    "ann_binary_quant_topk",
+    oracle=f"""
+WITH coded AS (
+    SELECT vec_id, embedding,
+           {_bq_code_sql('embedding', 1, 32)} AS code_hi,
+           {_bq_code_sql('embedding', 33, 32)} AS code_lo
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             code_hi AS qhi, code_lo AS qlo
+      FROM coded WHERE vec_id < {_N_QUERIES}),
+ham AS (
+    SELECT q.query_id, q.qv, c.vec_id AS neighbor_id, c.embedding AS cv,
+           bit_count(xor(q.qhi, c.code_hi))
+               + bit_count(xor(q.qlo, c.code_lo)) AS hamming,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY bit_count(xor(q.qhi, c.code_hi))
+                        + bit_count(xor(q.qlo, c.code_lo)), c.vec_id) AS hrn
+    FROM q JOIN coded c ON q.query_id <> c.vec_id
+),
+rerank AS (
+    SELECT query_id, neighbor_id, hamming,
+           {cosine_sql('qv', 'cv')} AS cosine,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id) AS rn
+    FROM ham WHERE hrn <= {_BQ_PREFILTER}
+)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       cosine, CAST(rn AS BIGINT) AS rank
+FROM rerank WHERE rn <= {_K}
+""",
+)
+def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the modern vector-DB compression pipeline,
+    e.g. the public sign-bit BQ every major vector store ships): each
+    64-dim float vector compresses 256x into ONE BIGINT of sign bits;
+    the coarse pass ranks candidates by Hamming distance (one XOR +
+    popcount per pair — integer ops, exact, deterministic) and only the
+    top {_BQ_PREFILTER} per query pay the exact-cosine rerank. At scale
+    the coarse pass streams the corpus against broadcast query codes
+    at a fraction of float-dot cost, and the rerank touches a constant
+    candidate set per query. Every stage is hash-checkable: codes and
+    Hamming are exact integers, ties break on ids, and the rerank uses
+    the pinned-order cosine fold."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def half_code(lo: int):
+        bits = F.transform(
+            F.slice(F.col("embedding"), lo, 32),
+            lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        half_code(1).alias("code_hi"),
+        half_code(33).alias("code_lo"),
+    )
+    q = coded.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("code_hi").alias("qhi"),
+        F.col("code_lo").alias("qlo"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "code_hi",
+        "code_lo",
+    )
+    from stadvdb_olap_spark.functions.vectors import cosine
+
+    ham = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            "cv",
+            (
+                F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
+                + F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
+            ).alias("hamming"),
+        )
+    )
+    whrn = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = ham.withColumn("hrn", F.row_number().over(whrn)).where(
+        F.col("hrn") <= _BQ_PREFILTER
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            cosine("qv", "cv").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .where(F.col("rank") <= _K)
     )

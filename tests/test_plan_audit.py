@@ -60,6 +60,7 @@ _BNLJ_OK = {
     "q2_min_cost_supplier",  # scalar min-cost subquery
     "q20_excess_quantity_suppliers",  # 1-row avg-threshold broadcast
     "ann_cosine_topk",  # broadcast query side (max_queries-bounded)
+    "ann_binary_quant_topk",  # broadcast query codes, int coarse pass
     "hard_negatives_by_label",  # broadcast query side, label-blocked
     "sketch_hll_mergeable_rollup",  # 1-row merged-sketch side
     "term_lift_scores",  # 1-row corpus token total

@@ -388,3 +388,75 @@ def near_dup_pairs_blocked(
         .select("id_a", "id_b", cosine("__va", "__vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def binary_quant_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    prefilter: int = 50,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized top-k: sign-bit codes (two INT32 halves per
+    64-dim vector — 256x compression), Hamming-distance coarse ranking
+    (XOR + popcount, exact integers), exact-cosine rerank of the top
+    ``prefilter`` candidates per query. The coarse pass streams the
+    corpus against broadcast query codes at a fraction of float-dot
+    cost; recall is set by ``prefilter`` (the rerank depth). Fully
+    deterministic: integer coarse metric with id tiebreaks + the
+    pinned-order cosine fold."""
+
+    def half_code(lo: int):
+        bits = F.transform(
+            F.slice(F.col(vec_col), lo, 32),
+            lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    def coded(df, id_src, id_alias, vec_alias, hi, lo):
+        return df.select(
+            F.col(id_src).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            half_code(1).alias(hi),
+            half_code(33).alias(lo),
+        )
+
+    q = coded(queries, query_id, "query_id", "qv", "qhi", "qlo")
+    c = coded(candidates, cand_id, "neighbor_id", "cv", "code_hi", "code_lo")
+    ham = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            "cv",
+            (
+                F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
+                + F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
+            ).alias("hamming"),
+        )
+    )
+    whrn = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = ham.withColumn("hrn", F.row_number().over(whrn)).where(
+        F.col("hrn") <= prefilter
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            cosine("qv", "cv").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -304,67 +304,8 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set per query. Every stage is hash-checkable: codes and
     Hamming are exact integers, ties break on ids, and the rerank uses
     the pinned-order cosine fold."""
+    from stadvdb_olap_spark.operators.similarity import binary_quant_topk
+
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-
-    def half_code(lo: int):
-        bits = F.transform(
-            F.slice(F.col("embedding"), lo, 32),
-            lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        return F.aggregate(
-            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
-        )
-
-    coded = emb.select(
-        "vec_id",
-        "embedding",
-        half_code(1).alias("code_hi"),
-        half_code(33).alias("code_lo"),
-    )
-    q = coded.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("code_hi").alias("qhi"),
-        F.col("code_lo").alias("qlo"),
-    )
-    c = coded.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        "code_hi",
-        "code_lo",
-    )
-    from stadvdb_olap_spark.functions.vectors import cosine
-
-    ham = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "qv",
-            "neighbor_id",
-            "cv",
-            (
-                F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
-                + F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
-            ).alias("hamming"),
-        )
-    )
-    whrn = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    cand = ham.withColumn("hrn", F.row_number().over(whrn)).where(
-        F.col("hrn") <= _BQ_PREFILTER
-    )
-    wrank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    return (
-        cand.select(
-            "query_id",
-            "neighbor_id",
-            F.col("hamming").cast("long").alias("hamming"),
-            cosine("qv", "cv").alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(wrank).cast("long"))
-        .where(F.col("rank") <= _K)
-    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return binary_quant_topk(queries, emb, k=_K, prefilter=_BQ_PREFILTER)

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from stadvdb_olap_spark.operators.similarity import (  # noqa: E402
+    binary_quant_topk,
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
@@ -50,6 +51,8 @@ def main() -> None:
         ("lsh_p4_t8", lsh_bucketed_topk, {"n_planes": 4, "n_tables": 8}),
         ("ivf_c16_p4", ivf_topk, {"n_centroids": 16, "n_probe": 4}),
         ("ivf_c16_p8", ivf_topk, {"n_centroids": 16, "n_probe": 8}),
+        ("bq_pf50", binary_quant_topk, {"prefilter": 50}),
+        ("bq_pf200", binary_quant_topk, {"prefilter": 200}),
     ]:
         t0 = time.time()
         approx = _pairs(fn(queries, emb, k=k, **kwargs))

@@ -344,3 +344,43 @@ def test_ratio_exact_matches_sql_twin(spark):
     ]
     want = [(c * 10_000 // n) / 1e6 for c, n in cases]
     assert got == duck_vals == want
+
+
+def test_sweepline_concurrency_matches_python_reference(spark):
+    """max_concurrent_sessions_hourly == a direct Python sweep over the
+    same 30-minute-gap sessions (third implementation beyond the SQL
+    twins)."""
+    from stadvdb_olap_spark.plans.series_queries import (
+        max_concurrent_sessions_hourly,
+    )
+
+    rows = duckdb.sql(f"""
+        SELECT user_id, ts FROM '{SF_DIR}/events.parquet'
+        ORDER BY user_id, ts
+    """).fetchall()
+    # sessionize per user with the 30-min gap rule
+    sessions = []
+    cur_user, start, last = None, None, None
+    for uid, ts in rows:
+        if uid != cur_user or (ts - last).total_seconds() > 1800:
+            if cur_user is not None:
+                sessions.append((start, last))
+            cur_user, start = uid, ts
+        last = ts
+    sessions.append((start, last))
+    # sweep: -1 boundaries sort before +1 at equal instants
+    bounds = sorted(
+        [(s, 1) for s, e in sessions] + [(e, -1) for s, e in sessions],
+        key=lambda p: (p[0], p[1]),
+    )
+    cur = 0
+    per_hour: dict = {}
+    for t, d in bounds:
+        cur += d
+        h = t.replace(minute=0, second=0, microsecond=0)
+        per_hour[h] = max(per_hour.get(h, 0), cur)
+    got = {
+        r["hour"]: r["max_concurrent"]
+        for r in max_concurrent_sessions_hourly(spark, SF_DIR).collect()
+    }
+    assert got == per_hour

@@ -1617,3 +1617,75 @@ def scalable_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
         )
     )
+
+
+@query(
+    "holt_forecast_by_event_type",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           {money_sum_sql('value')} AS v
+    FROM events GROUP BY 1, 2
+),
+l AS (
+    SELECT event_type,
+           list_transform(
+               list_sort(list(struct_pack(d := d, v := v))),
+               e -> [e.v, CAST(0 AS DOUBLE)]) AS a
+    FROM daily GROUP BY event_type
+),
+state AS (
+    SELECT event_type, len(a) AS n,
+           list_reduce(a, (acc, x) -> {_holt_next_sql('acc', 'x')}) AS s
+    FROM l
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       s[1] AS level,
+       s[2] AS trend,
+       s[1] + 7 * s[2] AS forecast_7d
+FROM state
+""",
+)
+def holt_forecast_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt forecasting — the per-key variant the single-series
+    query promises: one fold per event_type, all folding in parallel
+    inside a grouped aggregate (collect_list per group, not per
+    corpus). This is how per-entity forecasting scales: thousands of
+    independent series each pay their own calendar-sized fold, keyed
+    shuffle only. Same binary-exact constants and DOUBLE[2]-state twin
+    as ``holt_forecast_daily_revenue``."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(money_sum("value").alias("v"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "v"))),
+            lambda e: F.struct(e["v"].alias("l"), F.lit(0.0).alias("b")),
+        ).alias("a")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        newl = F.lit(a) * x["l"] + F.lit(1 - a) * (acc["l"] + acc["b"])
+        newb = F.lit(b) * (newl - acc["l"]) + F.lit(1 - b) * acc["b"]
+        return F.struct(newl.alias("l"), newb.alias("b"))
+
+    state = arr.select(
+        "event_type",
+        F.size("a").alias("n"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1),
+            F.element_at(F.col("a"), 1),
+            step,
+        ).alias("s"),
+    )
+    return state.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s")["l"].alias("level"),
+        F.col("s")["b"].alias("trend"),
+        (F.col("s")["l"] + F.lit(7) * F.col("s")["b"]).alias("forecast_7d"),
+    )

@@ -1689,3 +1689,88 @@ def holt_forecast_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s")["b"].alias("trend"),
         (F.col("s")["l"] + F.lit(7) * F.col("s")["b"]).alias("forecast_7d"),
     )
+
+
+@query(
+    "wow_growth_revenue",
+    oracle=f"""
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT wk, revenue,
+       lag(revenue) OVER (ORDER BY wk) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY wk) IS NULL THEN NULL
+            ELSE (revenue - lag(revenue) OVER (ORDER BY wk))
+                 / lag(revenue) OVER (ORDER BY wk)
+       END AS wow_growth
+FROM weekly
+""",
+)
+def wow_growth_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: the period-comparison staple.
+    Weekly totals are exact-decimal (money_sum); the growth rate is a
+    single IEEE division of two scale-2 doubles with NO final rounding
+    — correctly-rounded ops only, so no ROUND-tie hazard (see
+    cohort_ltv_weekly for why that matters). Calendar-sized lag
+    window after one fact aggregate."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("wk")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("wk")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "wk",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(), (F.col("revenue") - prev) / prev
+        ).alias("wow_growth"),
+    )
+
+
+@query(
+    "share_of_total_by_segment",
+    oracle=f"""
+WITH seg AS (
+    SELECT c.c_mktsegment,
+           {money_sum_sql('o.o_totalprice')} AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+),
+tot AS (SELECT sum(CAST(revenue AS DECIMAL(18,6))) AS t FROM seg)
+SELECT c_mktsegment, revenue, n_orders,
+       CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share
+FROM seg CROSS JOIN tot
+""",
+)
+def share_of_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total contribution analysis (the ratio_to_report
+    pattern): each market segment's revenue as a fraction of the
+    whole. Exact decimal numerator and denominator, one double
+    division each — the 1-row total broadcasts, so the share is a
+    narrow projection after a single fact aggregate."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    tot = seg.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)")).alias("t")
+    )
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "revenue",
+        "n_orders",
+        (
+            F.col("revenue").cast("double") / F.col("t").cast("double")
+        ).alias("revenue_share"),
+    )

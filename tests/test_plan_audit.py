@@ -51,6 +51,7 @@ _BNLJ_OK = {
     "chi_square_priority_status",  # marginals broadcast
     "ab_test_purchase_rate",  # 1-row wide arms
     "ab_test_cuped_value",  # 1-row period-bounds broadcast
+    "share_of_total_by_segment",  # 1-row total broadcast
     "autocorr_daily_revenue_lag7",  # 1-row moments
     "gini_customer_revenue",  # 1-row folded moments
     "survival_weekly_users",  # 1-row factor array broadcast

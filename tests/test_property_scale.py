@@ -168,3 +168,73 @@ def test_segment_dedup_matches_python_reference(spark, docs, seg_len, min_df):
         kept = [s for s in segs if len(seg_docs[s]) < min_df]
         want[i] = (" ".join(kept), len(segs), len(segs) - len(kept))
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base_l=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                    max_size=12),
+    delta_l=st.lists(st.tuples(st.integers(0, 5), st.integers(100, 199)),
+                     max_size=6),
+    base_r=st.lists(st.tuples(st.integers(0, 5), st.integers(200, 299)),
+                    max_size=12),
+    delta_r=st.lists(st.tuples(st.integers(0, 5), st.integers(300, 399)),
+                     max_size=6),
+)
+def test_join_delta_identity(spark, base_l, delta_l, base_r, delta_r):
+    """For ANY append-only deltas: full join of the appended tables ==
+    base join ∪ join_delta output, as multisets."""
+    from collections import Counter
+
+    from stadvdb_olap_spark.operators.maintenance import join_delta
+
+    schema_l, schema_r = "k int, lv int", "k int, rv int"
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows or [(None, None)], schema).where(
+            "k IS NOT NULL"
+        )
+
+    bl, dl = df(base_l, schema_l), df(delta_l, schema_l)
+    br, dr = df(base_r, schema_r), df(delta_r, schema_r)
+
+    full = Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in bl.unionByName(dl).join(br.unionByName(dr), "k").collect()
+    )
+    base = Counter(
+        (r["k"], r["lv"], r["rv"]) for r in bl.join(br, "k").collect()
+    )
+    delta = Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in join_delta(bl, dl, br, dr, on=["k"]).collect()
+    )
+    assert base + delta == full
+
+
+def test_binary_quant_degenerates_to_exact_with_full_prefilter(spark):
+    """prefilter >= corpus makes the BQ coarse pass a no-op: the rerank
+    must return exactly the brute-force top-k."""
+    from stadvdb_olap_spark.operators.similarity import (
+        binary_quant_topk,
+        brute_force_topk,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    bq = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in binary_quant_topk(
+            queries, emb, k=5, prefilter=10_000_000
+        ).collect()
+    }
+    assert bq == exact

@@ -238,3 +238,52 @@ def test_binary_quant_degenerates_to_exact_with_full_prefilter(spark):
         ).collect()
     }
     assert bq == exact
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "c"]),
+        st.sampled_from(["a", "b", "ab", "c"]),
+    ),
+)
+def test_bpe_merge_symbols_invariants(syms, pair):
+    """_merge_symbols preserves concatenation and consumes exactly the
+    non-overlapping left-to-right occurrences."""
+    from stadvdb_olap_spark.operators.bpe import _merge_symbols
+
+    a, b = pair
+    out = _merge_symbols(syms, a, b)
+    assert "".join(out) == "".join(syms)
+    # count of merges == greedy non-overlapping occurrence count
+    n_merged = len(syms) - len(out)
+    i = greedy = 0
+    while i < len(syms) - 1:
+        if syms[i] == a and syms[i + 1] == b:
+            greedy += 1
+            i += 2
+        else:
+            i += 1
+    assert n_merged == greedy
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_codec_roundtrip(w, h, seed):
+    """decode(encode(img)) == img for any image, and decode rejects
+    truncated payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from stadvdb_olap_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    with _pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-1])

@@ -304,17 +304,21 @@ def ivf_topk(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = DEFAULT_MAX_QUERIES,
+    train_sample: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means-partition the
     candidate space once, then probe only the ``n_probe`` nearest cells per
     query.
 
-    The 100 TB shape: centroid training touches a sample, cell assignment
-    is a narrow map (model.transform), and the search joins the (small)
-    query×probe-cell list against candidates ON THE CELL ID — a hash join
-    whose probe side is |cells probed| / n_centroids of the corpus, never a
-    full scan. Recall is tuned by ``n_probe`` (== n_centroids degrades to
-    exact brute force over all cells).
+    The 100 TB shape: centroid training touches a BOUNDED deterministic
+    sample (the ``train_sample`` hash-smallest candidates by xxhash64 of
+    their id — a TakeOrderedAndProject per-partition top-k, one narrow
+    pass, never a full-corpus fit), cell assignment is a narrow map
+    (model.transform) over the FULL corpus, and the search joins the
+    (small) query×probe-cell list against candidates ON THE CELL ID — a
+    hash join whose probe side is |cells probed| / n_centroids of the
+    corpus, never a full scan. Recall is tuned by ``n_probe``
+    (== n_centroids degrades to exact brute force over all cells).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -325,7 +329,17 @@ def ivf_topk(
         "__fv", array_to_vector(F.transform(F.col("__cv"), lambda x: x.cast("double")))
     )
 
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="__fv").fit(cand)
+    # Content-addressed sample: hash-order is stable across runs/partitions,
+    # and limit() compiles to TakeOrderedAndProject (no global sort shuffle).
+    train = (
+        cand.select(
+            "__fv",
+            F.xxhash64(F.col("neighbor_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(train_sample)
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="__fv").fit(train)
     assigned = model.transform(cand).select(
         "neighbor_id", "__cv", F.col("prediction").alias("__cell")
     )

@@ -53,9 +53,100 @@ def query(
     return deco
 
 
+# ROUND-3 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-2 signed
+# 100 (advanced+analytics, then etl/tpch/text/sampling + the headline
+# dedup/vector/curation entries). These 50 are still-unsigned oracle-backed
+# queries chosen so EVERY remaining family gets at least one signed row this
+# round (curation, pandas_surface, reconcile, sketch, pii, mixture, funnel,
+# dq, cdc, feature, pandas_on_spark, sampling, vector, multimodal, advanced
+# tail, scale, series); the ~44 left over (mostly scale/series depth) are
+# round 4's window. Names listed here sort to the front of the export in
+# this order; everything else keeps registration order behind them.
+ROUND3_FRONT: tuple[str, ...] = (
+    # curation
+    "segment_dedup_docs",
+    "setjoin_prefix_jaccard_pairs",
+    "vocab_build_docs",
+    "encode_docs_token_ids",
+    "intra_doc_dedup_docs",
+    # pandas_surface
+    "asof_join_cogrouped_pandas",
+    "trimmed_mean_price_by_priority",
+    "udf_arrow_slugify_parts",
+    # reconcile
+    "fingerprint_core_tables",
+    "table_diff_orders_restated",
+    # sketch
+    "sketch_hll_users_per_type",
+    "sketch_theta_click_purchase_overlap",
+    "sketch_kll_price_quantile_bracket",
+    "sketch_topk_event_types",
+    # pii + text tail
+    "pii_scrub_docs",
+    "pii_hits_by_source",
+    "normalize_text_docs",
+    "repetition_stats_docs",
+    # mixture
+    "decontaminate_train_docs",
+    "mixture_weighted_sample_docs",
+    "token_budget_per_source_docs",
+    "training_shards_docs",
+    # funnel
+    "funnel_view_click_purchase",
+    "ohlc_hourly_by_type",
+    "ab_test_purchase_rate",
+    "funnel_time_to_convert",
+    # dq
+    "dq_checks_orders",
+    "json_quarantine_events",
+    # cdc
+    "cdc_apply_orders",
+    "incremental_agg_state_orders",
+    "ivm_join_delta_orders",
+    # feature
+    "winsorize_price_per_flag",
+    "tv_distance_source_unigrams",
+    "ewma_daily_value_by_type",
+    "chi_square_priority_status",
+    "label_purchase_within_7d",
+    # pandas-on-Spark surface
+    "ps_reference_clean_customers",
+    "ps_reference_dedup_first_order",
+    "ps_reference_merge_revenue",
+    # sampling tail
+    "negative_sample_customer_parts",
+    # vector
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_blocked",
+    "ann_binary_quant_topk",
+    # multimodal
+    "multimodal_fake_features",
+    # advanced tail
+    "interval_overlap_sessions_bursts",
+    # scale representatives (depth fills in round 4)
+    "dedup_incremental_delta",
+    "rcte_min_label_clusters",
+    # series representatives (depth fills in round 4)
+    "scalable_exact_median_price",
+    "cohort_ltv_weekly",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
+    front_pos = {n: i for i, n in enumerate(ROUND3_FRONT)}
     specs = list(REGISTRY.values())
-    return [s for s in specs if not s.defer] + [s for s in specs if s.defer]
+    front = sorted(
+        (s for s in specs if s.name in front_pos),
+        key=lambda s: front_pos[s.name],
+    )
+    rest = [s for s in specs if s.name not in front_pos]
+    return (
+        front
+        + [s for s in rest if not s.defer]
+        + [s for s in rest if s.defer]
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -62,17 +62,36 @@ def ratio_exact(cents: Column, denom: Column, micro: int = 10_000) -> Column:
     the double's shortest decimal repr via BigDecimal.valueOf, DuckDB
     rounds the value — observed diverging at cum/8 = x.56375 in
     cohort_ltv_weekly). Output = value truncated to 1/(100·micro)
-    dollars."""
+    dollars.
+
+    EXACTNESS BOUND: |cents·micro| must stay below 2^53 — above it the
+    BIGINT multiple's long→double conversion rounds and the "exact"
+    quotient can be off by one micro-unit. At micro=10_000 that is
+    ~$9.2e9 in summed cents, far above any per-group money sum in the
+    fixtures, and it is ENFORCED: out-of-range inputs raise at run time
+    instead of silently drifting."""
     a = cents * F.lit(micro)
     # exact floor division on longs: subtract the exact modulo first, so
     # the double division divides an exact multiple (Column `/` is FLOAT
     # division in Spark — flooring it directly can be off by one when
     # the true quotient sits just below an integer)
     q = (a - a % denom) / denom
-    return q.cast("double") / F.lit(float(100 * micro))
+    guarded = F.when(F.abs(a) < F.lit(2**53), q).otherwise(
+        F.raise_error(
+            F.lit(
+                "ratio_exact: |cents*micro| >= 2^53 — long->double would "
+                "round; lower micro or pre-aggregate in decimal"
+            )
+        )
+    )
+    return guarded.cast("double") / F.lit(float(100 * micro))
 
 
 def ratio_exact_sql(cents: str, denom: str, micro: int = 10_000) -> str:
+    """DuckDB-dialect twin of :func:`ratio_exact` (oracle side ONLY:
+    ``//`` is DuckDB integer floor-division; Spark SQL would spell it
+    ``DIV``). Same |cents·micro| < 2^53 bound applies — DuckDB's
+    BIGINT→DOUBLE cast rounds identically above it."""
     return (
         f"CAST(CAST(({cents}) AS BIGINT) * {micro} // ({denom}) AS DOUBLE)"
         f" / {float(100 * micro)!r}"

@@ -427,8 +427,11 @@ FROM lat
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: per user, hours from first view to
-    first purchase at-or-after it, summarized as exact interpolated
-    percentiles — the funnel's latency dimension
+    the GLOBAL first purchase, kept only when that first purchase is
+    at-or-after the first view — users whose earliest purchase precedes
+    their first view are EXCLUDED (even if they purchased again later),
+    summarized as exact interpolated percentiles — the funnel's latency
+    dimension
     (``funnel_view_click_purchase`` counts WHO converts; this measures
     HOW FAST). One conditional aggregate per user (no window needed —
     min timestamps commute), then percentile over the converters.

@@ -1583,6 +1583,9 @@ def scalable_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     wn = Window.partitionBy()
+    # target_rn is the INTEGER lower-median rank floor((n+1)/2); the bucket
+    # test must use it directly — a fractional (n+1)/2 comparison rejects the
+    # correct bucket whenever rank n/2 is that bucket's last row (even n).
     located = (
         hist.select(
             "bucket",
@@ -1590,13 +1593,16 @@ def scalable_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum_before"),
             F.sum("c").over(wn).alias("n"),
         )
+        .withColumn(
+            "target_rn", F.floor((F.col("n") + 1) / 2).cast("long")
+        )
         .where(
-            (F.col("cum_before") < (F.col("n") + 1) / 2)
-            & ((F.col("cum_before") + F.col("c")) >= (F.col("n") + 1) / 2)
+            (F.col("cum_before") < F.col("target_rn"))
+            & ((F.col("cum_before") + F.col("c")) >= F.col("target_rn"))
         )
         .select(
             F.col("bucket").alias("target_bucket"),
-            F.floor((F.col("n") + 1) / 2).cast("long").alias("target_rn"),
+            "target_rn",
             "cum_before",
             "n",
         )

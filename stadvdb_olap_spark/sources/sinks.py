@@ -94,24 +94,119 @@ def upsert_parquet(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: Iterable[str],
+    order_by: list[str] | None = None,
+    schema_evolution: bool = False,
+    max_touched_partitions: int = 10_000,
+) -> None:
+    """Partition-pruned SCD1 upsert: merge ``source`` into the hive-
+    partitioned parquet table at ``path`` rewriting ONLY the partitions
+    the delta touches.
+
+    This is the shape :func:`upsert_parquet` cannot afford at 100 TB —
+    a one-day delta against a table partitioned by day must not rewrite
+    the table. Here the touched partition values are computed from the
+    delta (a distinct over the partition columns — bounded by
+    ``max_touched_partitions``, enforced), the target is read with a
+    partition-pruning filter on exactly those values, the SCD1 merge
+    runs over that subset only, and the write goes through
+    :func:`overwrite_partitions_dynamic` so untouched partition
+    directories are never listed, read, or replaced.
+
+    CONSTRAINT (same as Hive/Delta pruned merges): partition columns
+    must be stable per key. If a key's partition value changes between
+    target and delta, its old row lives in an untouched partition and
+    survives — yielding the key twice. Partition on immutable attributes
+    (event date, source), not mutable ones.
+
+    With ``schema_evolution`` only the rewritten partitions carry the new
+    columns; read the table with ``mergeSchema`` afterwards (untouched
+    directories keep the old schema until their next merge).
+    Idempotent like :func:`upsert_parquet`: re-running the same delta
+    rewrites the same partitions to identical contents.
+    """
+    partition_by = list(partition_by)
+    missing = [c for c in partition_by if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks partition columns {missing}")
+    src = dedup_keep_first(source, keys, order_by or keys)
+    if not os.path.exists(path):
+        write_table(src, path, partition_by=partition_by)
+        return
+
+    touched = (
+        src.select(*partition_by)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if not touched:
+        return
+    if len(touched) > max_touched_partitions:
+        raise ValueError(
+            f"delta touches > {max_touched_partitions} partitions — "
+            "use upsert_parquet (full rewrite) or raise the bound"
+        )
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    pred = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(
+                lambda a, b: a & b,
+                (F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_by),
+            )
+            for row in touched
+        ),
+    )
+    # The filter lands on partition columns only -> pruned at file listing.
+    target = spark.read.parquet(path).where(pred)
+    merged = merge_scd1(
+        target, src, keys=keys, schema_evolution=schema_evolution
+    ).localCheckpoint()  # materialize BEFORE replacing the files it read
+    overwrite_partitions_dynamic(merged, path, partition_by)
+
+
 def upsert_statement(
     table: str, columns: list[str], conflict_cols: list[str], dialect: str = "postgresql"
 ) -> str:
-    """The ON CONFLICT DO UPDATE statement the executor-side JDBC upsert
-    runs per row-batch — byte-compatible with the reference's
-    (user_ETL.py:105-114) but generated, not hand-written."""
-    if dialect != "postgresql":
-        raise ValueError(f"unsupported dialect {dialect!r}")
+    """The row-batch upsert statement the executor-side JDBC upsert runs.
+
+    ``postgresql``: ``INSERT ... ON CONFLICT (keys) DO UPDATE SET c =
+    EXCLUDED.c`` — byte-compatible with the reference's hand-written
+    statement (``/root/reference/ETL/user_ETL.py:105-114``).
+    ``mysql``: ``INSERT ... ON DUPLICATE KEY UPDATE c = VALUES(c)`` —
+    the reference's other deployment target
+    (``/root/reference/config/local.py:13-17`` is a MySQL DSN); MySQL
+    resolves the conflict via the table's PRIMARY/UNIQUE key, so
+    ``conflict_cols`` must be that key (validated non-empty, not named
+    in the statement)."""
+    if not conflict_cols:
+        raise ValueError("conflict_cols must name the table's unique key")
     collist = ", ".join(columns)
     placeholders = ", ".join(["%s"] * len(columns))
-    conflict = ", ".join(conflict_cols)
-    updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in columns if c not in conflict_cols
-    )
-    return (
-        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
-    )
+    update_cols = [c for c in columns if c not in conflict_cols]
+    if dialect == "postgresql":
+        conflict = ", ".join(conflict_cols)
+        updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+        )
+    if dialect == "mysql":
+        updates = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    raise ValueError(f"unsupported dialect {dialect!r}")
 
 
 def merge_statement(

@@ -19,8 +19,21 @@ an atomically-swapped manifest:
   ETL change").
 
 Retention is bounded (``retain``): superseded version directories are
-deleted on commit, oldest first — the compaction knob that keeps the
-100 TB footprint linear in ``retain``, not in run count.
+deleted with a ONE-COMMIT GRACE WINDOW — commit N only removes
+directories that already left the manifest at commit N-1, so a reader
+that resolved any then-retained version keeps its files until a further
+commit lands. That is the compaction knob keeping the 100 TB footprint
+linear in ``retain``, not in run count.
+
+Concurrency contract (documented, not enforced): **single writer**.
+Two concurrent ``write_snapshot`` calls both read the manifest and the
+second ``os.replace`` silently discards the first commit (lost update);
+serialize writers externally (one ETL driver, or a lock around the
+call). Readers are lock-free: a reader holding version N survives the
+NEXT commit unconditionally (grace window); a reader that outlives TWO
+subsequent commits of the same table may lose its files — size
+``retain`` and the commit cadence so query lifetime < 2 commits, as
+Delta/Iceberg deployments do with their retention clocks.
 """
 
 from __future__ import annotations
@@ -60,9 +73,13 @@ def list_versions(table_dir: str) -> list[int]:
 
 def write_snapshot(df: DataFrame, table_dir: str, retain: int = 3) -> int:
     """Write ``df`` as the next table version and commit it atomically.
-    Returns the new version id. Old versions beyond ``retain`` are
-    removed AFTER the commit (crash between commit and prune only
-    leaves extra data, never a broken table)."""
+    Returns the new version id. Single-writer (see module docstring).
+
+    Versions beyond ``retain`` leave the manifest now but their files
+    are only deleted by the NEXT commit (``pending_prune`` grace
+    window): a reader that resolved a retained version is never
+    rmtree'd by the commit that supersedes it. A crash between commit
+    and prune only leaves extra data, never a broken table."""
     if retain < 1:
         raise ValueError("retain must be >= 1")
     os.makedirs(table_dir, exist_ok=True)
@@ -74,10 +91,12 @@ def write_snapshot(df: DataFrame, table_dir: str, retain: int = 3) -> int:
 
     versions.append({"version": next_v, "dir": vdir})
     pruned, kept = versions[:-retain], versions[-retain:]
+    prune_now = list(manifest.get("pending_prune", []))
     manifest["versions"] = kept
+    manifest["pending_prune"] = [v["dir"] for v in pruned]
     _commit_manifest(table_dir, manifest)
-    for v in pruned:
-        shutil.rmtree(os.path.join(table_dir, v["dir"]), ignore_errors=True)
+    for d in prune_now:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
     return next_v
 
 

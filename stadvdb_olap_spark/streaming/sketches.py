@@ -79,7 +79,10 @@ def read_distinct_estimates(
     per_group = state.groupBy(group_col).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est")
     )
+    # NULL group marker must carry the stream's ACTUAL group type — a
+    # hardcoded string cast breaks unionByName for non-string groups.
+    group_type = state.schema[group_col].dataType
     total = state.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est")
-    ).select(F.lit(None).cast("string").alias(group_col), "distinct_est")
+    ).select(F.lit(None).cast(group_type).alias(group_col), "distinct_est")
     return per_group.unionByName(total)

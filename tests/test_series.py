@@ -384,3 +384,49 @@ def test_sweepline_concurrency_matches_python_reference(spark):
         for r in max_concurrent_sessions_hourly(spark, SF_DIR).collect()
     }
     assert got == per_hour
+
+
+def test_exact_median_even_n_bucket_boundary(spark, tmp_path):
+    """Round-2 advisor repro: with prices 500/900/1100/1500 the lower-median
+    rank (2) is the LAST row of bucket 0 — a fractional (n+1)/2 bucket test
+    rejects bucket 0 and the query returns empty. The integer-rank bucket
+    filter must return 900.0. Also pin the odd-n and all-one-bucket cases."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stadvdb_olap_spark.plans.series_queries import (
+        scalable_exact_median_price,
+    )
+
+    def li_dir(name, prices):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": list(range(1, len(prices) + 1)),
+                    "l_linenumber": [1] * len(prices),
+                    "l_extendedprice": [float(p) for p in prices],
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        return str(d)
+
+    # even n, lower median ends bucket 0 (prices < 1000 are bucket 0)
+    got = scalable_exact_median_price(
+        spark, li_dir("even_boundary", [500, 900, 1100, 1500])
+    ).collect()
+    assert [(r["median_price"], r["n_rows"]) for r in got] == [(900.0, 4)]
+
+    # odd n spanning buckets
+    got = scalable_exact_median_price(
+        spark, li_dir("odd", [100, 2500, 7700])
+    ).collect()
+    assert [(r["median_price"], r["n_rows"]) for r in got] == [(2500.0, 3)]
+
+    # everything in one bucket
+    got = scalable_exact_median_price(
+        spark, li_dir("one_bucket", [10, 20, 30, 40])
+    ).collect()
+    assert [(r["median_price"], r["n_rows"]) for r in got] == [(20.0, 4)]

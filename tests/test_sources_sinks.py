@@ -91,6 +91,47 @@ def test_upsert_statement_shape():
     )
 
 
+def test_upsert_statement_mysql_dialect():
+    """MySQL twin of the reference's Postgres upsert: ON DUPLICATE KEY
+    UPDATE with VALUES() refs (the reference's local deployment is a
+    MySQL DSN — config/local.py); conflict columns are carried by the
+    table's unique key, never named in the statement."""
+    sql = upsert_statement(
+        "Users", ["username", "firstName", "gender"], ["username"],
+        dialect="mysql",
+    )
+    assert sql == (
+        "INSERT INTO Users (username, firstName, gender) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE "
+        "firstName = VALUES(firstName), gender = VALUES(gender)"
+    )
+
+
+def test_upsert_statement_rejects_bad_input():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported dialect"):
+        upsert_statement("t", ["a", "b"], ["a"], dialect="oracle")
+    with _pytest.raises(ValueError, match="unique key"):
+        upsert_statement("t", ["a", "b"], [])
+
+
+def test_merge_statement_postgres_unquoted():
+    """merge_statement with quote='' emits the identifier style Postgres
+    15+ folds itself — the second real-dialect target from the reference
+    (config/supa.py is a Postgres DSN)."""
+    from stadvdb_olap_spark.sources.sinks import merge_statement
+
+    sql = merge_statement(
+        "users", "users__stage", ["id", "name"], ["id"], quote=""
+    )
+    assert sql == (
+        "MERGE INTO users t USING users__stage s ON (t.id = s.id) "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)"
+    )
+
+
 def test_merge_statement_shape():
     from stadvdb_olap_spark.sources.sinks import merge_statement
 
@@ -419,6 +460,36 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
     assert diff == {(1, "changed"), (3, "added"), (4, "removed")}
 
 
+def test_versioned_snapshot_prune_grace_window(spark, tmp_path):
+    """A version superseded by commit N keeps its FILES until commit N+1:
+    a reader that resolved it while retained survives the very next
+    commit (grace window), and the directory is only removed after a
+    further commit."""
+    import os
+
+    from stadvdb_olap_spark.sources.versioned import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, 10.0)], ["id", "x"])
+    write_snapshot(base, d, retain=1)  # v1
+    held_v1 = read_snapshot(spark, d)  # resolves v1 NOW
+
+    write_snapshot(spark.createDataFrame([(2, 20.0)], ["id", "x"]), d, retain=1)
+    # v1 left the manifest but its files are pending-pruned, not deleted:
+    assert list_versions(d) == [2]
+    assert os.path.isdir(os.path.join(d, "v1"))
+    assert [r["id"] for r in held_v1.collect()] == [1]
+
+    write_snapshot(spark.createDataFrame([(3, 30.0)], ["id", "x"]), d, retain=1)
+    # the NEXT commit actually removes v1 (and v2 becomes pending)
+    assert not os.path.isdir(os.path.join(d, "v1"))
+    assert os.path.isdir(os.path.join(d, "v2"))
+
+
 def test_versioned_snapshot_atomic_commit(spark, tmp_path):
     """A failed write never moves the manifest: readers keep the last
     committed version."""
@@ -442,3 +513,88 @@ def test_versioned_snapshot_atomic_commit(spark, tmp_path):
         write_snapshot(bad, d)
     # still serving v1
     assert [r["x"] for r in read_snapshot(spark, d).collect()] == [1.0]
+
+
+def test_upsert_parquet_partitioned_prunes_untouched(spark, tmp_path):
+    """Partition-pruned SCD1 merge: a delta touching one partition
+    (a) merges exactly like the full-table SCD1, (b) leaves the untouched
+    partition's files BYTE-IDENTICAL on disk, (c) is idempotent."""
+    import hashlib
+    import os
+
+    from stadvdb_olap_spark.sources.sinks import upsert_parquet_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-02", 40.0),
+        ],
+        ["id", "d", "x"],
+    )
+    upsert_parquet_partitioned(spark, base, path, keys=["id"], partition_by=["d"])
+
+    def file_state(part_dir):
+        out = {}
+        for root, _, files in os.walk(part_dir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    untouched_before = file_state(os.path.join(path, "d=2024-01-01"))
+    assert untouched_before  # partition layout actually materialized
+
+    delta = spark.createDataFrame(
+        [(3, "2024-01-02", 31.0), (5, "2024-01-02", 50.0)], ["id", "d", "x"]
+    )
+    upsert_parquet_partitioned(spark, delta, path, keys=["id"], partition_by=["d"])
+
+    # partition-column inference reads the dir values back as DATEs
+    got = {
+        (r["id"], str(r["d"]), r["x"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-01", 20.0),
+        (3, "2024-01-02", 31.0),
+        (4, "2024-01-02", 40.0),
+        (5, "2024-01-02", 50.0),
+    }
+    # untouched partition: same files, same bytes
+    assert file_state(os.path.join(path, "d=2024-01-01")) == untouched_before
+
+    # idempotence: same delta again -> same table contents
+    upsert_parquet_partitioned(spark, delta, path, keys=["id"], partition_by=["d"])
+    again = {
+        (r["id"], str(r["d"]), r["x"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+
+def test_upsert_parquet_partitioned_bounds_and_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from stadvdb_olap_spark.sources.sinks import upsert_parquet_partitioned
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], ["id", "d", "x"]
+    )
+    with _pytest.raises(ValueError, match="partition columns"):
+        upsert_parquet_partitioned(
+            spark, df, path, keys=["id"], partition_by=["nope"]
+        )
+    upsert_parquet_partitioned(spark, df, path, keys=["id"], partition_by=["d"])
+    with _pytest.raises(ValueError, match="touches >"):
+        upsert_parquet_partitioned(
+            spark, df, path, keys=["id"], partition_by=["d"],
+            max_touched_partitions=1,
+        )

@@ -14,10 +14,12 @@ sizing) is real and tested. Codecs come in three tiers:
   tests), proving the pipeline is functional, not just plumbed.
 - ``codec="fake"`` — deterministic md5-derived features (testable, and
   oracle-expressible in SQL for the catalog check).
-- ``codec="pillow"`` / ``codec="ffmpeg"`` — raise NotImplementedError with
-  the exact integration point documented (the runtime has no PIL/ffmpeg);
-  wiring a JPEG/MP4 decoder is a one-function change next to the PPM/WAV
-  implementations.
+- ``codec="pillow"`` — IMPLEMENTED but import-gated: decodes any
+  PIL-readable format (JPEG/PNG/...) into the same feature statistics as
+  the PPM path (shared ``_image_stats``), and resizes re-encode as PPM.
+  On this runtime (no PIL) it raises NotImplementedError at call time;
+  on a cluster with Pillow it is live. ``codec="ffmpeg"`` (video) stays a
+  documented integration point — the WAV path is the working template.
 
 Batch shape: mapInPandas streams Arrow record batches; each batch is
 decoded as a unit, so executor memory is bounded by
@@ -127,14 +129,16 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def _ppm_features(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real image features: per-channel means, luminance stddev, mean
-    horizontal luminance gradient (edge energy), aspect ratio — the
-    cheap statistics a curation pipeline filters on (flat/blank or
-    noise images score at the extremes)."""
+def _image_stats(img) -> tuple[int, int, list[float]]:
+    """Shared image statistics over an (H, W, 3) uint8 array: per-channel
+    means, luminance stddev, mean horizontal luminance gradient (edge
+    energy), aspect ratio — the cheap statistics a curation pipeline
+    filters on (flat/blank or noise images score at the extremes). One
+    implementation so every image codec (PPM, Pillow, future) produces
+    comparable feature vectors."""
     import numpy as np
 
-    img = decode_ppm(payload).astype(np.float64) / 255.0
+    img = img.astype(np.float64) / 255.0
     h, w, _ = img.shape
     lum = 0.2126 * img[:, :, 0] + 0.7152 * img[:, :, 1] + 0.0722 * img[:, :, 2]
     grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
@@ -148,6 +152,36 @@ def _ppm_features(payload: bytes) -> tuple[int, int, list[float]]:
         float(w * h) / 1e6,
         1.0,
     ]
+
+
+def _ppm_features(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image features from the dependency-free P6 decoder."""
+    return _image_stats(decode_ppm(payload))
+
+
+def _pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pillow_features(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image features for ANY PIL-decodable format (JPEG/PNG/...):
+    decode with Pillow, normalize to RGB, then the same statistics as
+    the PPM path. Import-gated — this runtime ships no PIL, so the
+    codec raises NotImplementedError there; on a cluster with Pillow
+    installed the path is live (exercised by the PIL-skipped tests)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return _image_stats(arr)
 
 
 def _wav_features(payload: bytes) -> tuple[int, list[float]]:
@@ -246,13 +280,18 @@ def extract_features(
                 feats = [p[0] for p in pairs]
                 errors = [p[1] for p in pairs]
             elif codec == "pillow":
-                # Integration point: PIL.Image.open(io.BytesIO(b)) ->
-                # resize -> np.asarray -> pooled embedding. The PPM path
-                # above is the working template.
-                raise NotImplementedError(
-                    "pillow codec requires PIL at runtime; install and "
-                    "implement decode here"
-                )
+                if not _pillow_available():
+                    raise NotImplementedError(
+                        "pillow codec requires PIL on the executors; "
+                        "this runtime ships none (use codec='ppm' for the "
+                        "dependency-free real-decode path)"
+                    )
+                pairs = [
+                    _one(lambda x: _pillow_features(x)[2], bytes(b))
+                    for b in pdf[content_col]
+                ]
+                feats = [p[0] for p in pairs]
+                errors = [p[1] for p in pairs]
             else:
                 # Integration point: ffmpeg frame sampling for video.
                 # The WAV path above is the working audio template.
@@ -358,11 +397,27 @@ def resize_media(
                         encode_ppm(np.ascontiguousarray(img[ys][:, xs]))
                     )
                 else:
-                    # Integration point: PIL.Image.open -> .resize(
-                    # (target_w, target_h)) -> .tobytes(); the ppm
-                    # branch above is the working template.
-                    raise NotImplementedError("pillow codec requires PIL")
-            fmt = "ppm" if codec == "ppm" else "raw"
+                    if not _pillow_available():
+                        raise NotImplementedError(
+                            "pillow codec requires PIL on the executors; "
+                            "use codec='ppm' for the dependency-free path"
+                        )
+                    import io
+
+                    import numpy as np
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(bytes(b))) as im:
+                        resized = im.convert("RGB").resize(
+                            (target_w, target_h), Image.NEAREST
+                        )
+                        # Re-encode as PPM so the output is self-describing
+                        # and round-trips through decode_ppm like the ppm
+                        # branch (same downstream schema/consumers).
+                        out_payloads.append(
+                            encode_ppm(np.asarray(resized, dtype=np.uint8))
+                        )
+            fmt = "ppm" if codec in ("ppm", "pillow") else "raw"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

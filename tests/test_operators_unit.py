@@ -1175,3 +1175,56 @@ def test_media_decode_quarantine(spark):
     assert "ppm" in rows[2]["decode_error"]
     with pytest.raises(Exception):
         extract_features(df, codec="ppm").collect()
+
+
+def test_pillow_codec_gates_cleanly_without_pil(spark):
+    """codec='pillow' is implemented but import-gated: on a runtime
+    without PIL it must fail with NotImplementedError naming the
+    dependency (not an ImportError from deep inside a UDF)."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        _pillow_available,
+        extract_features,
+        resize_media,
+    )
+
+    if _pillow_available():
+        pytest.skip("PIL installed here; gate test targets PIL-less runtimes")
+    ppm = _make_ppm(2, 2, lambda y, x: (10, 20, 30))
+    df = spark.createDataFrame([(1, bytearray(ppm))], ["doc_id", "content"])
+    with pytest.raises(Exception, match="pillow codec requires PIL"):
+        extract_features(df, codec="pillow").collect()
+    with pytest.raises(Exception, match="pillow codec requires PIL"):
+        resize_media(df, target_w=1, target_h=1, codec="pillow").collect()
+
+
+def test_pillow_features_match_ppm_on_same_pixels(spark):
+    """When PIL IS available the pillow codec must produce the exact
+    same feature vector as the PPM codec for identical pixel data
+    (shared _image_stats), proving the two decode paths agree.
+    Skips on PIL-less runtimes — the gate test above covers those."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        _pillow_available,
+        extract_features,
+    )
+
+    if not _pillow_available():
+        pytest.skip("PIL not installed in this runtime")
+    import io
+
+    from PIL import Image
+
+    ppm = _make_ppm(4, 3, lambda y, x: (x * 40, y * 50, (x + y) * 20))
+    # encode the same pixels as PNG (lossless) for the pillow path
+    from stadvdb_olap_spark.operators.multimodal import decode_ppm
+
+    buf = io.BytesIO()
+    Image.fromarray(decode_ppm(ppm)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], ["doc_id", "content"]
+    )
+    df_png = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], ["doc_id", "content"]
+    )
+    f_ppm = extract_features(df, codec="ppm").collect()[0]["features"]
+    f_png = extract_features(df_png, codec="pillow").collect()[0]["features"]
+    assert f_ppm == f_png

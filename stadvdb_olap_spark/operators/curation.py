@@ -192,3 +192,57 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated n-gram span statistics — the corpus-level signal
+    behind substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": long token spans that repeat
+    VERBATIM across a web corpus are near-always boilerplate or mirror
+    content, and models memorize them disproportionately).
+
+    Per document: how many token ``n``-gram spans it contains, how many
+    of those occur at least ``min_count`` times corpus-wide (counting
+    multiplicity, including repeats within one document), and the
+    duplicated fraction — the score a curation pass thresholds or weights
+    on. Documents shorter than ``n`` tokens contribute their full token
+    join as a single pseudo-span (``word_shingles`` semantics), so no
+    document is unscored.
+
+    100 TB shape: the span explode is a narrow per-row flatMap (output
+    linear in corpus token count); the frequency aggregate is ONE shuffle
+    on the span text with map-side combine; scoring joins spans back to
+    frequencies on the same span key — same-keyed, so no extra exchange
+    on the frequency side — then regroups per document. Grouping on the
+    span TEXT (not a hash of it) keeps the operator engine-portable and
+    collision-free; swap in a 128-bit hash projection before the shuffle
+    to shrink rows when span length >> 16 bytes.
+    """
+    spans = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("span")
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
+    dup = (F.col("__c") >= min_count).cast("long")
+    return (
+        spans.join(freq, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            # exact small-int division: IEEE-correctly-rounded in every
+            # engine, no decimal device needed
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+            .alias("dup_span_ratio"),
+        )
+    )

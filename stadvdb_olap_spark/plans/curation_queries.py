@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.text import tokens, tokens_sql
+from stadvdb_olap_spark.functions.text import tokens, tokens_sql, word_shingles_sql
 from stadvdb_olap_spark.operators import curation as CU
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.sources.parquet import load_table, spread
@@ -481,3 +481,37 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(spark, docs, n_merges=16).orderBy("rank").collect()
     ]
     return bpe_encode(docs, merges)
+
+
+_DUPSPAN_N = 8
+_DUPSPAN_MIN = 2
+
+
+@query(
+    "dup_ngram_span_stats_docs",
+    oracle=f"""
+WITH spans AS (
+    SELECT doc_id, unnest({word_shingles_sql('text', _DUPSPAN_N)}) AS span FROM documents
+), freq AS (
+    SELECT span, count(*) AS c FROM spans GROUP BY span
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE c >= {_DUPSPAN_MIN}) AS BIGINT)
+           AS n_dup_spans,
+       CAST(count(*) FILTER (WHERE c >= {_DUPSPAN_MIN}) AS DOUBLE)
+           / count(*) AS dup_span_ratio
+FROM spans JOIN freq USING (span)
+GROUP BY doc_id
+""",
+)
+def dup_ngram_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span scoring (Lee et al. substring-dedup signal):
+    fraction of each document's token 8-gram spans that repeat verbatim
+    anywhere in the corpus (multiplicity counted). One span-keyed
+    frequency shuffle + a same-keyed join + per-doc regroup — see
+    operators/curation.py:duplicate_ngram_spans for the 100 TB shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return CU.duplicate_ngram_spans(
+        docs, "doc_id", "text", n=_DUPSPAN_N, min_count=_DUPSPAN_MIN
+    )

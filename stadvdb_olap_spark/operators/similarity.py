@@ -474,3 +474,77 @@ def binary_quant_topk(
         .withColumn("rank", F.row_number().over(wrank).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    train_sample: int = 10_000,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    k-means-cluster the embedding space, then inside each cluster drop
+    every row whose cosine similarity to a LOWER-ID row of the same
+    cluster reaches ``threshold`` — semantically-redundant documents that
+    exact and MinHash dedup (text_dedup.py) cannot see because their
+    wording differs.
+
+    Keep policy is deterministic and order-free: row i is dropped iff
+    some j < i (by id) in its cluster has cos(i, j) >= threshold. The
+    kept set is therefore an INDEPENDENT SET under within-cluster
+    T-similarity — no two kept rows of a cluster are mutual near-dups
+    (pinned by test_semdedup_kept_set_is_independent).
+
+    100 TB shape: centroids fit on a bounded content-addressed sample
+    (same device as ``ivf_topk``); assignment is a narrow map; the pair
+    search self-joins ON THE CLUSTER ID, so comparisons are quadratic
+    only WITHIN a cluster — scale ``n_clusters`` with the corpus
+    (SemDeDup uses ~100k clusters for web scale) to bound cluster sizes,
+    exactly the knob the paper uses. Returns (id, cluster, keep) for
+    every input row; filter ``keep`` for the surviving corpus.
+
+    Rows-only by design (k-means has no SQL twin); the independence and
+    coverage invariants are property-tested instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn(
+        "__fv", array_to_vector(F.transform(F.col("__v"), lambda x: x.cast("double")))
+    )
+    train = (
+        base.select("__fv", F.xxhash64(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(train_sample)
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__fv").fit(train)
+    assigned = model.transform(base).select(
+        "__id", "__v", F.col("prediction").alias("cluster")
+    )
+
+    a = assigned.select(
+        F.col("cluster"), F.col("__id").alias("__id_a"), F.col("__v").alias("__v_a")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("__id").alias("__id_b"), F.col("__v").alias("__v_b")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(cosine("__v_a", "__v_b") >= threshold)
+        .select(F.col("__id_a").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

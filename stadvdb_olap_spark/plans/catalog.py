@@ -63,6 +63,10 @@ def query(
 # tail, scale, series); the ~44 left over (mostly scale/series depth) are
 # round 4's window. Names listed here sort to the front of the export in
 # this order; everything else keeps registration order behind them.
+#
+# ROUND-4 ROTATION: run `python tools/next_window.py` — it diffs the
+# catalog against every CORRECTNESS_r*.json and prints the next
+# family-balanced 50-name front list; replace this tuple with it.
 ROUND3_FRONT: tuple[str, ...] = (
     # curation
     "segment_dedup_docs",

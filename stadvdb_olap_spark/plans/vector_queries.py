@@ -309,3 +309,19 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return binary_quant_topk(queries, emb, k=_K, prefilter=_BQ_PREFILTER)
+
+
+@query("semdedup_embeddings", oracle=None, defer=True)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    clusters bound the pair search, then within each cluster every row
+    whose cosine to a lower-id row reaches the threshold is dropped —
+    the embedding-space dedup tier above exact/MinHash (wording-level)
+    dedup. Rows-only by design (k-means has no SQL twin); the kept-set
+    independence + dropped-row witness + determinism invariants are
+    pinned by test_semdedup_kept_set_is_independent, and the keep policy
+    itself is deterministic (lower-id witness, seeded sampled fit)."""
+    from stadvdb_olap_spark.operators.similarity import semdedup
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return semdedup(emb, n_clusters=8, threshold=0.8)

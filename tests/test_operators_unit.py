@@ -1228,3 +1228,53 @@ def test_pillow_features_match_ppm_on_same_pixels(spark):
     f_ppm = extract_features(df, codec="ppm").collect()[0]["features"]
     f_png = extract_features(df_png, codec="pillow").collect()[0]["features"]
     assert f_ppm == f_png
+
+
+def test_semdedup_kept_set_is_independent(spark):
+    """SemDeDup invariants on the fixture embeddings: (a) the kept set is
+    an independent set under within-cluster T-similarity — no two KEPT
+    rows of one cluster are mutual near-dups; (b) every dropped row has a
+    lower-id same-cluster row within threshold (nothing dropped without a
+    witness); (c) the keep flag is deterministic across runs."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.similarity import semdedup
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    T = 0.8
+    out = semdedup(emb, n_clusters=4, threshold=T).collect()
+    assert len(out) == emb.count()
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], r["keep"]))
+
+    n_dropped = 0
+    for members in by_cluster.values():
+        kept = sorted(i for i, k in members if k)
+        dropped = sorted(i for i, k in members if not k)
+        n_dropped += len(dropped)
+        for idx, i in enumerate(kept):
+            for j in kept[:idx]:
+                assert cos(i, j) < T, f"kept pair {i},{j} over threshold"
+        ids = sorted(i for i, _ in members)
+        for d in dropped:
+            assert any(cos(d, j) >= T for j in ids if j < d), (
+                f"row {d} dropped without a lower-id witness"
+            )
+
+    out2 = semdedup(emb, n_clusters=4, threshold=T).collect()
+    assert {(r["vec_id"], r["keep"]) for r in out2} == {
+        (r["vec_id"], r["keep"]) for r in out
+    }

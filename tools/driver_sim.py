@@ -2,8 +2,31 @@
 
 Creates a PLAIN SparkSession (no engine-specific config — exactly what the
 driver would do), runs entry() and every queries() entry at the given sf,
-and compares each against oracle_sql() via DuckDB with order-insensitive
-value comparison. Prints one line per query + a summary.
+and compares each against oracle_sql() via DuckDB.
+
+HIGH-FIDELITY CANON (round 4): the real driver materializes both sides as
+pandas frames (Spark via ``toPandas()``, DuckDB via ``.df()``), sorts the
+frame by all columns with ``sort_values`` and hashes a dtype-sensitive
+stringification. That pipeline has three failure modes that value-level
+``repr`` comparison (the pre-r4 sim) cannot see — all three cost a
+certification row in round 3:
+
+- ARRAY output columns: ``sort_values`` factorizes through a pandas
+  hash table → ``TypeError: unhashable type: 'list'`` (Spark side) /
+  ndarray (DuckDB side). The query CRASHES certification.
+- DECIMAL output columns: Spark fetches ``decimal.Decimal`` objects,
+  DuckDB converts to (lossy!) float64 → stringify never matches.
+- DuckDB HUGEINT (bare integer ``sum()``): float64 on the DuckDB side vs
+  int64 on the Spark side → "5.0" vs "5".
+
+This sim reproduces exactly those modes: pandas fetch on both sides, a
+real ``sort_values`` over all columns (so list/ndarray columns crash here
+the way they crash the driver), and a per-cell stringify that is
+dtype-sensitive for int-vs-float-vs-Decimal while normalizing the one
+representation difference the driver demonstrably tolerates (DATE columns
+— DuckDB's ``.df()`` yields midnight Timestamps where Spark yields
+``datetime.date``; driver-signed DATE queries prove both canonicalize to
+the same string, so midnight timestamps print as bare dates).
 
 Usage: python tools/driver_sim.py [sf_dir] [query1,query2,...]
 
@@ -15,11 +38,14 @@ iterating on one query.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
@@ -30,22 +56,51 @@ TABLES = (
 ).split()
 
 
-def canon(v):
-    if v is None:
+def cell(v) -> str:
+    """Dtype-sensitive stringify of one pandas cell.
+
+    int64 prints "5", float64 prints repr ("5.0") — so a HUGEINT oracle
+    (float64) against a BIGINT Spark column (int64) mismatches, as it
+    does under the driver. Decimal objects get a type-marked prefix so
+    they can never match an int/float from the other engine.
+    """
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        return "NULL" if math.isnan(v) else repr(v)
-    if isinstance(v, (dt.datetime, dt.date)):
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, decimal.Decimal):
+        return f"DECIMAL({v})"
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts == ts.normalize():
+            return ts.date().isoformat()
+        return ts.isoformat()
+    if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def canonical(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return sorted(cols), out
+def canon_frame(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    """The driver's canon: sorted columns, sort_values over all of them
+    (CRASHES on list/ndarray cells — intentionally, for fidelity), then
+    per-cell dtype-sensitive strings."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(cols):
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    stringified = [pdf[c].map(cell).tolist() for c in cols]
+    return cols, list(zip(*stringified)) if stringified else []
+
+
+def first_diff(sr, dr):
+    if len(sr) != len(dr):
+        return ("rowcount", (len(sr), len(dr)))
+    return next(((a, b) for a, b in zip(sr, dr) if a != b), None)
 
 
 def main() -> int:
@@ -70,36 +125,41 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     if len(sys.argv) > 2:
-        only = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
+        only = {q.strip() for q in sys.argv[2].split(",") if q.strip()}
         unknown = only - set(queries)
         if unknown:
             print(f"unknown query names: {sorted(unknown)}")
             return 2
-        queries = {n: f for n, f in queries.items() if n in only}
+        queries = {q: f for q, f in queries.items() if q in only}
     failures = []
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
             if name in oracles:
-                rel = con.execute(oracles[name])
-                d_cols = [d[0] for d in rel.description]
-                d_rows = rel.fetchall()
-                sc, sr = canonical(s_cols, s_rows)
-                dc, dr = canonical(d_cols, d_rows)
+                dpdf = con.execute(oracles[name]).df()
+                sc, sr = canon_frame(spdf)
+                dc, dr = canon_frame(dpdf)
                 if sc != dc:
                     failures.append(name)
                     print(f"FAIL  {name}: cols {sc} vs {dc}")
                 elif sr != dr:
                     failures.append(name)
-                    diff = next((a, b) for a, b in zip(sr, dr) if a != b) if len(sr) == len(dr) else ("rowcount", (len(sr), len(dr)))
-                    print(f"FAIL  {name}: rows {len(sr)} vs {len(dr)}; first diff {diff}")
+                    print(
+                        f"FAIL  {name}: rows {len(sr)} vs {len(dr)};"
+                        f" first diff {first_diff(sr, dr)}"
+                    )
                 else:
                     print(f"MATCH {name}: {len(sr)} rows  [{time.time()-t0:.1f}s]")
             else:
-                print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+                # rows-only queries still go through the canon so an
+                # ARRAY output that would crash the driver crashes here.
+                canon_frame(spdf)
+                print(
+                    f"ROWS  {name}: {len(spdf)} rows (no oracle)"
+                    f"  [{time.time()-t0:.1f}s]"
+                )
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"ERROR {name}: {type(exc).__name__}: {exc}")

@@ -62,7 +62,13 @@ def canon_cell_sql(name: str, duck_type: str) -> str:
 def table_fingerprint(df: DataFrame, table_name: str) -> DataFrame:
     """One row: (table_name, n_rows, checksum). Checksum = exact
     decimal(38,0) sum of the first 48 bits of md5 over each row's
-    canonical string — commutative, so partitioning- and order-free."""
+    canonical string — commutative, so partitioning- and order-free.
+
+    The checksum PUBLISHES as a STRING: decimal(38,0) survives the
+    internal sum exactly, but a decimal column in a result frame is a
+    cross-engine representation hazard (pandas fetches Python Decimal
+    from Spark and lossy float64 from DuckDB), while the digit string
+    is exact, scale-proof, and comparable anywhere."""
     cells = [_canon_cell(f) for f in df.schema.fields]
     row_hash = (
         F.conv(F.substring(F.md5(F.concat_ws("|", *cells)), 1, 12), 16, 10)
@@ -76,6 +82,7 @@ def table_fingerprint(df: DataFrame, table_name: str) -> DataFrame:
         # compare equal to each other and unequal to nothing.
         F.coalesce(F.sum(row_hash), F.lit(0))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("checksum"),
     )
 
@@ -87,9 +94,10 @@ def table_fingerprint_sql(table: str, cols: list[tuple[str, str]]) -> str:
     return f"""
 SELECT '{table}' AS table_name,
        COUNT(*) AS n_rows,
-       CAST(COALESCE(SUM(CAST(CAST('0x' ||
+       CAST(CAST(COALESCE(SUM(CAST(CAST('0x' ||
                 substr(md5(concat_ws('|', {cells})), 1, 12)
                 AS BIGINT) AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))
+            AS VARCHAR)
            AS checksum
 FROM {table}
 """

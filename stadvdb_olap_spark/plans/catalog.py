@@ -53,94 +53,89 @@ def query(
     return deco
 
 
-# ROUND-3 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. Rounds 1-2 signed
-# 100 (advanced+analytics, then etl/tpch/text/sampling + the headline
-# dedup/vector/curation entries). These 50 are still-unsigned oracle-backed
-# queries chosen so EVERY remaining family gets at least one signed row this
-# round (curation, pandas_surface, reconcile, sketch, pii, mixture, funnel,
-# dq, cdc, feature, pandas_on_spark, sampling, vector, multimodal, advanced
-# tail, scale, series); the ~44 left over (mostly scale/series depth) are
-# round 4's window. Names listed here sort to the front of the export in
-# this order; everything else keeps registration order behind them.
+# ROUND-4 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-3 signed
+# 139 (advanced+analytics; etl/tpch/text/sampling + headline dedup/vector;
+# then the r3 family sweep). This front = the 11 latest-fail/lapsed queries
+# FIRST (8 round-3 canon-contract failures now retyped to
+# BIGINT/DOUBLE/VARCHAR outputs, plus 3 that gained oracles after their
+# rows-only r1 window row), then 39 never-windowed ones family-balanced.
+# Six remain for round 5: holt_forecast_daily_revenue,
+# max_concurrent_sessions_hourly, abc_classification_parts,
+# holt_forecast_by_event_type, wow_growth_revenue,
+# share_of_total_by_segment.
 #
-# ROUND-4 ROTATION: run `python tools/next_window.py` — it diffs the
-# catalog against every CORRECTNESS_r*.json and prints the next
-# family-balanced 50-name front list; replace this tuple with it.
-ROUND3_FRONT: tuple[str, ...] = (
-    # curation
-    "segment_dedup_docs",
-    "setjoin_prefix_jaccard_pairs",
-    "vocab_build_docs",
-    "encode_docs_token_ids",
-    "intra_doc_dedup_docs",
-    # pandas_surface
-    "asof_join_cogrouped_pandas",
-    "trimmed_mean_price_by_priority",
-    "udf_arrow_slugify_parts",
-    # reconcile
-    "fingerprint_core_tables",
-    "table_diff_orders_restated",
-    # sketch
-    "sketch_hll_users_per_type",
-    "sketch_theta_click_purchase_overlap",
-    "sketch_kll_price_quantile_bracket",
-    "sketch_topk_event_types",
-    # pii + text tail
-    "pii_scrub_docs",
-    "pii_hits_by_source",
-    "normalize_text_docs",
-    "repetition_stats_docs",
-    # mixture
-    "decontaminate_train_docs",
-    "mixture_weighted_sample_docs",
-    "token_budget_per_source_docs",
-    "training_shards_docs",
-    # funnel
-    "funnel_view_click_purchase",
-    "ohlc_hourly_by_type",
+# ROUND-5 ROTATION: run `python tools/next_window.py` — it diffs the
+# catalog against every CORRECTNESS_r*.json (counting only
+# rows+schema+hash-green rows as signed) and prints the next front list;
+# replace this tuple with it.
+ROUND4_FRONT: tuple[str, ...] = (
+    # re-certification: round-3 canon-contract failures, outputs retyped
     "ab_test_purchase_rate",
-    "funnel_time_to_convert",
-    # dq
-    "dq_checks_orders",
-    "json_quarantine_events",
-    # cdc
-    "cdc_apply_orders",
+    "encode_docs_token_ids",
+    "fingerprint_core_tables",
     "incremental_agg_state_orders",
-    "ivm_join_delta_orders",
-    # feature
-    "winsorize_price_per_flag",
-    "tv_distance_source_unigrams",
-    "ewma_daily_value_by_type",
-    "chi_square_priority_status",
-    "label_purchase_within_7d",
-    # pandas-on-Spark surface
-    "ps_reference_clean_customers",
-    "ps_reference_dedup_first_order",
-    "ps_reference_merge_revenue",
-    # sampling tail
-    "negative_sample_customer_parts",
-    # vector
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_near_dup_blocked",
-    "ann_binary_quant_topk",
-    # multimodal
     "multimodal_fake_features",
-    # advanced tail
-    "interval_overlap_sessions_bursts",
-    # scale representatives (depth fills in round 4)
-    "dedup_incremental_delta",
-    "rcte_min_label_clusters",
-    # series representatives (depth fills in round 4)
-    "scalable_exact_median_price",
-    "cohort_ltv_weekly",
+    "pii_hits_by_source",
+    "table_diff_orders_restated",
+    "token_budget_per_source_docs",
+    # re-certification: rows-only in r1, oracle-backed since
+    "approx_distinct_parts_per_flag",
+    "approx_percentiles_by_priority",
+    "events_session_window_builtin",
+    # never-windowed, family-balanced (curation / feature / funnel /
+    # mixture / scale / series / sketch / vector round-robin)
+    "bigram_lm_logprob_docs",
+    "order_extremes_per_priority",
+    "ab_test_cuped_value",
+    "training_manifest_docs",
+    "weighted_sample_orders_priority",
+    "markov_event_transitions",
+    "sketch_hll_mergeable_rollup",
+    "hard_negatives_by_label",
+    "debounce_events_10s",
+    "pit_join_events_priority",
+    "salted_join_event_value_by_segment",
+    "user_first_paths",
+    "dialogue_turns_per_session",
+    "variant_props_bucketed",
+    "simpson_diversity_source_unigrams",
+    "dup_ngram_span_stats_docs",
+    "udtf_chunk_ranges_docs",
+    "autocorr_daily_revenue_lag7",
+    "bfs_depth_dedup_clusters",
+    "corr_matrix_lineitem",
+    "minhash_wide_signatures_docs",
+    "benford_first_digit_orders",
+    "inverted_index_terms",
+    "interpolate_hourly_signup_value",
+    "term_cooccurrence_pairs",
+    "decile_bins_order_totals",
+    "term_lift_scores",
+    "gini_customer_revenue",
+    "inverted_index_merged_delta",
+    "weighted_median_price_by_flag",
+    "trailing_1h_user_value",
+    "survival_weekly_users",
+    "nullsafe_join_user_buckets",
+    "basket_part_pairs_lift",
+    "locf_forward_fill_events",
+    "rfm_segments_customers",
+    "mad_quantity_per_flag",
+    "seasonal_decompose_daily_revenue",
+    "key_skew_profile_events",
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND3_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND4_FRONT)}
     specs = list(REGISTRY.values())
+    # A typo'd / renamed / deferred front name would silently shrink the
+    # 50-query certification window — fail loudly instead.
+    missing = set(ROUND4_FRONT) - set(REGISTRY)
+    assert not missing, f"front names not in registry: {sorted(missing)}"
+    bad = [n for n in ROUND4_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    assert not bad, f"front names must be oracle-backed and non-deferred: {bad}"
     front = sorted(
         (s for s in specs if s.name in front_pos),
         key=lambda s: front_pos[s.name],
@@ -170,29 +165,11 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # ORDER MATTERS: the external driver's correctness pass covers the first
-    # 50 registered queries per round. Round 1 certified advanced_queries (29)
-    # + analytics_queries (21); round 2 rotates the window onto the modules
-    # that have no driver-signed row yet: etl (15, incl. the live-Derby JDBC
-    # round trip) + tpch (15) + text + sampling + vector + multimodal + the
-    # new sketch/pii modules. Rows-only queries register with ``defer=True``
-    # so every window slot goes to a hash-certifiable oracle query; the
-    # already-certified advanced/analytics import second-to-last (before the
-    # deferred tail) and soak up positions past 50.
-    #
-    # ROUND-3 ROTATION (do this first next round): positions 51+ of the
-    # current order are still driver-unsigned — the text tail past the
-    # first 50 (normalize/repetition/ohlc/...), curation, pandas_surface,
-    # reconcile, sketch, pii, mixture, funnel, dq, cdc, feature, and
-    # scale_queries and series_queries (markov/paths/diversity/autocorr/
-    # corr-matrix/benford/interpolate/deciles), plus the round-2 additions
-    # appended to advanced (interval overlap), etl (evolving merge
-    # certified in r2 only if it landed inside the window), feature
-    # (extremes, chi-square), funnel (ab_test_purchase_rate), vector
-    # (multi-table ann_lsh_topk), multimodal (ppm/wav real decodes,
-    # rows-only), and the new pandas_on_spark_queries module. Move
-    # those modules to the FRONT of this import list (before etl/tpch,
-    # which round 2 certified) so the round-3 window covers them.
+    # Window positions are decided by the ROUND4_FRONT tuple above, not
+    # by this import order (front names sort first; everything else
+    # keeps registration order behind them, deferred rows-only last).
+    # Import order only breaks ties among non-front queries, so the
+    # rotation is a pure front-tuple swap each round.
     from stadvdb_olap_spark.plans import etl_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import tpch_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import text_queries  # noqa: F401  # isort: skip

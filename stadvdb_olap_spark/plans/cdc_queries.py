@@ -99,8 +99,8 @@ WITH st AS (
     FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n,
-       CAST(sum_v AS DECIMAL(18,6)) AS sum_v,
-       CAST(sumsq_v AS DECIMAL(38,12)) AS sumsq_v,
+       CAST(ROUND(CAST(sum_v AS DECIMAL(18,6)), 2) AS DOUBLE) AS sum_v,
+       CAST(CAST(sumsq_v AS DECIMAL(38,12)) AS VARCHAR) AS sumsq_v,
        CAST(sum_v AS DOUBLE) / n AS mean_v
 FROM st
 """,
@@ -131,16 +131,20 @@ def incremental_agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_state(initial, ["o_orderpriority"], "o_totalprice"),
         agg_state(delta, ["o_orderpriority"], "o_totalprice"),
     )
-    # Publish the EXACT state components plus the mean. The derived
-    # variance (finalize_agg_state) is pinned by a unit test instead:
-    # DuckDB's int128-decimal -> double cast is not correctly rounded,
-    # so a hash oracle on the big sumsq-derived double would test the
-    # engines' cast quirks, not the merge algebra.
+    # Publish the state in certification-safe types: sum_v through the
+    # money_sum convention (exact decimal -> ROUND 2 -> DOUBLE), sumsq_v
+    # as its exact fixed-scale decimal STRING (its 26 unscaled digits
+    # overflow double's 2^53 exact-integer range, and DuckDB's
+    # int128-decimal -> double cast is not correctly rounded — the digit
+    # string is exact on both engines). The derived variance
+    # (finalize_agg_state) stays pinned by its own unit test.
     return merged.select(
         "o_orderpriority",
         "n",
-        F.col("sum_v").cast("decimal(18,6)").alias("sum_v"),
-        F.col("sumsq_v").cast("decimal(38,12)").alias("sumsq_v"),
+        F.round(F.col("sum_v").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("sum_v"),
+        F.col("sumsq_v").cast("decimal(38,12)").cast("string").alias("sumsq_v"),
         (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
     )
 

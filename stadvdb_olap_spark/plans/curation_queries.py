@@ -255,7 +255,8 @@ pos AS (
   FROM t, unnest(generate_series(1, len(toks))) AS u(i)
 )
 SELECT doc_id,
-       list(COALESCE(word_id, {_UNK_ID}) ORDER BY pos) AS token_ids,
+       string_agg(CAST(COALESCE(word_id, {_UNK_ID}) AS VARCHAR),
+                  ' ' ORDER BY pos) AS token_ids,
        COUNT(*) AS n_tokens,
        CAST(SUM(CASE WHEN word_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_unk
@@ -264,13 +265,16 @@ GROUP BY doc_id
 """,
 )
 def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document ENCODING: text -> position-ordered token-id arrays via
+    """Document ENCODING: text -> position-ordered token-id sequences via
     the built vocabulary, out-of-vocabulary words mapping to <unk>=1 —
     the final step before sequence packing. Tokens explode with their
     position, join the vocabulary on the word (broadcast while the vocab
     fits, shuffle join beyond), and each document reassembles by sorting
     its (pos, id) pairs in-memory — documents are bounded, so no global
-    sort anywhere."""
+    sort anywhere. The id sequence publishes as a space-joined string
+    (certified outputs carry no ARRAY columns — a list cell crashes the
+    driver's pandas canonicalizer); downstream packing consumes the
+    array form directly from the operator."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     vocab = _vocab_df(docs).select("word", "word_id")
     pos = docs.select(
@@ -280,18 +284,21 @@ def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.join(vocab, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            F.coalesce(F.col("word_id"), F.lit(_UNK_ID)).alias(
-                                "id"
-                            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.coalesce(
+                                    F.col("word_id"), F.lit(_UNK_ID)
+                                ).alias("id"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s["id"].cast("string"),
                 ),
-                lambda s: s["id"],
+                " ",
             ).alias("token_ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.col("word_id").isNull().cast("long")).alias("n_unk"),

@@ -179,7 +179,7 @@ WITH assigned AS (
 arms AS (
     SELECT variant,
            count(*) AS n_users,
-           sum(converted) AS n_converted
+           CAST(sum(converted) AS BIGINT) AS n_converted
     FROM assigned GROUP BY variant
 ),
 wide AS (

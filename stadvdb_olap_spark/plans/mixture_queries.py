@@ -111,9 +111,10 @@ WITH t AS (
 ),
 c AS (
     SELECT doc_id, source, n_tokens,
-           SUM(n_tokens) OVER (
+           CAST(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
     FROM t
 )
 SELECT doc_id, source, n_tokens, cum_tokens
@@ -182,9 +183,10 @@ SELECT shard,
        COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
             AS BIGINT) AS n_tokens,
-       CAST(COALESCE(SUM(CAST(CAST('0x' ||
+       CAST(CAST(COALESCE(SUM(CAST(CAST('0x' ||
                 substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12)
                 AS BIGINT) AS DECIMAL(38,0))), 0) AS DECIMAL(38,0))
+            AS VARCHAR)
            AS checksum
 FROM s
 GROUP BY shard
@@ -229,8 +231,11 @@ def training_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
+            # Checksum publishes as its exact digit STRING — decimal
+            # output columns are a driver-canon hazard (reconcile.py).
             F.coalesce(F.sum("rh"), F.lit(0))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("checksum"),
         )
     )

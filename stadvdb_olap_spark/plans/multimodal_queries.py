@@ -36,7 +36,7 @@ def _feature_sql(j: int) -> str:
     oracle=f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       [{', '.join(_feature_sql(j) for j in range(N_FAKE_FEATURES))}] AS features,
+       {', '.join(f'{_feature_sql(j)} AS f{j}' for j in range(N_FAKE_FEATURES))},
        CAST(NULL AS VARCHAR) AS decode_error
 FROM documents
 """,
@@ -45,10 +45,20 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media pipeline end-to-end with the deterministic fake codec:
     attach binary payload + metadata struct, then Arrow-batched
     mapInPandas feature extraction. Note the fixture text is ASCII, so
-    length(text) == byte length on the oracle side."""
+    length(text) == byte length on the oracle side. The feature vector
+    publishes as wide DOUBLE columns f0..f{{N-1}} — certified outputs
+    carry no ARRAY columns (a list cell crashes the driver's pandas
+    canonicalizer); pipeline consumers take the array form straight from
+    ``extract_features``."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_column(docs, F.encode("text", "utf-8"), "image", "raw")
-    return extract_features(media, "content", "doc_id", codec="fake")
+    feats = extract_features(media, "content", "doc_id", codec="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(N_FAKE_FEATURES)],
+        "decode_error",
+    )
 
 
 @query("multimodal_frame_sample", oracle=None, defer=True)

@@ -132,12 +132,12 @@ _src_counts_sql = pii_counts_sql(_inject_pii_sql("doc_id", "text"))
     "pii_hits_by_source",
     oracle=f"""
 SELECT source,
-       sum({_src_counts_sql["n_email"]})  AS emails,
-       sum({_src_counts_sql["n_phone"]})  AS phones,
-       sum({_src_counts_sql["n_ip"]})     AS ips,
-       sum({_src_counts_sql["n_card"]})   AS cards,
-       sum({_src_counts_sql["n_ssn"]})    AS ssns,
-       sum({_src_counts_sql["n_secret"]}) AS secrets
+       CAST(sum({_src_counts_sql["n_email"]})  AS BIGINT) AS emails,
+       CAST(sum({_src_counts_sql["n_phone"]})  AS BIGINT) AS phones,
+       CAST(sum({_src_counts_sql["n_ip"]})     AS BIGINT) AS ips,
+       CAST(sum({_src_counts_sql["n_card"]})   AS BIGINT) AS cards,
+       CAST(sum({_src_counts_sql["n_ssn"]})    AS BIGINT) AS ssns,
+       CAST(sum({_src_counts_sql["n_secret"]}) AS BIGINT) AS secrets
 FROM documents GROUP BY source
 """,
 )

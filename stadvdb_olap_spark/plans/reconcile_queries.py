@@ -144,7 +144,7 @@ SELECT COALESCE(ko, kn) AS o_orderkey,
             WHEN kn IS NULL THEN 'removed'
             ELSE 'changed' END AS change_type,
        CASE WHEN ko IS NULL OR kn IS NULL
-            THEN CAST([] AS VARCHAR[]) ELSE diffs END AS changed_cols
+            THEN '' ELSE array_to_string(diffs, ',') END AS changed_cols
 FROM j
 WHERE ko IS NULL OR kn IS NULL OR len(diffs) > 0
 """,
@@ -152,7 +152,10 @@ WHERE ko IS NULL OR kn IS NULL OR len(diffs) > 0
 def table_diff_orders_restated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level diff of orders vs its deterministic restatement:
     added / removed / changed rows with the exact changed-column list.
-    One full-outer key join is the only wide operation."""
+    One full-outer key join is the only wide operation. The operator's
+    ``changed_cols`` array publishes as a comma-joined string: certified
+    outputs carry no ARRAY columns (a list cell crashes pandas
+    ``sort_values`` in the driver's canonicalizer)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", *_DIFF_COMPARE
     )
@@ -161,4 +164,4 @@ def table_diff_orders_restated(spark: SparkSession, sf_dir: str) -> DataFrame:
         _restated_orders(spark, sf_dir),
         keys=["o_orderkey"],
         compare_cols=_DIFF_COMPARE,
-    )
+    ).withColumn("changed_cols", F.array_join("changed_cols", ","))

@@ -400,7 +400,7 @@ WITH postings AS (
 )
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS posting
+       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS posting
 FROM postings
 GROUP BY term
 HAVING COUNT(*) >= 25
@@ -422,11 +422,20 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("term"), "doc_id")
         .distinct()
     )
+    # Posting lists publish as space-joined id strings (certified
+    # outputs carry no ARRAY columns — driver-canon hazard); the
+    # persisted-index form stays array-typed executor-side.
     return (
         postings.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("posting"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                " ",
+            ).alias("posting"),
         )
         .filter(F.col("df") >= 25)
     )
@@ -568,7 +577,7 @@ WITH postings AS (
 )
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS posting
+       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS posting
 FROM postings
 GROUP BY term
 HAVING COUNT(*) >= 25
@@ -623,9 +632,17 @@ def inverted_index_merged_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posting"),
         )
     )
-    return merged.select(
-        "term", F.size("posting").cast("long").alias("df"), "posting"
-    ).filter(F.col("df") >= 25)
+    return (
+        merged.select(
+            "term",
+            F.size("posting").cast("long").alias("df"),
+            # Same no-ARRAY-output publication rule as inverted_index_terms.
+            F.array_join(
+                F.transform(F.col("posting"), lambda d: d.cast("string")), " "
+            ).alias("posting"),
+        )
+        .filter(F.col("df") >= 25)
+    )
 
 
 # ---------------------------------------------------------------------------

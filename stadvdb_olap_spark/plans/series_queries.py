@@ -477,8 +477,12 @@ _BENFORD = {
 
 
 def _benford_case_sql() -> str:
+    # String-parsed DOUBLE literals: a bare decimal literal is DECIMAL
+    # typed in DuckDB (a driver-canon hazard as an output column, and
+    # decimal->double conversion is not the same op as the correctly
+    # rounded string->double parse both engines share).
     whens = " ".join(
-        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+        f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)" for d, p in _BENFORD.items()
     )
     return f"CASE digit {whens} END"
 

@@ -10,7 +10,6 @@ chunk loop, no ``BATCH_SIZE``.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,13 +38,17 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 # Per-session DataFrame cache: constructing a parquet scan costs a footer
 # read + file listing + analysis (~0.1-0.15 s of DRIVER wall per call,
 # measured at sf0.1), and every catalog query re-loads its tables. A
-# DataFrame is an immutable plan, so reusing one is semantically free; keyed
-# weakly by session so a stopped session's plans are collectable. NOTE the
+# DataFrame is an immutable plan, so reusing one is semantically free. The
+# cache dict lives as an attribute ON the session object itself: the cached
+# DataFrames reference their session, so any module-level mapping — even a
+# weak-keyed one — would pin session and plans for process lifetime; as a
+# session attribute the whole cycle (session -> dict -> plans -> session)
+# is ordinary gc-collectable garbage once the session is dropped. NOTE the
 # scan's file LISTING is pinned at first load — the fixture dirs are
 # immutable by contract (the driver generates them once), and anything that
 # overwrites its own output reads via spark.read directly, never through
 # this catalog.
-_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_CACHE_ATTR = "_stadvdb_olap_table_plan_cache"
 
 
 def load_table(
@@ -57,7 +60,10 @@ def load_table(
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if use_cache:
-        per_session = _TABLE_CACHE.setdefault(spark, {})
+        per_session = getattr(spark, _CACHE_ATTR, None)
+        if per_session is None:
+            per_session = {}
+            setattr(spark, _CACHE_ATTR, per_session)
         cached = per_session.get(path)
         if cached is not None:
             return cached

@@ -527,6 +527,16 @@ def semdedup(
         "__id", "__v", F.col("prediction").alias("cluster")
     )
 
+    return _mark_semantic_dups(assigned, id_col, threshold, cluster_type="int")
+
+
+def _mark_semantic_dups(
+    assigned: DataFrame, id_col: str, threshold: float, cluster_type: str
+) -> DataFrame:
+    """Shared SemDeDup drop pass over (__id, __v, cluster) assignments:
+    drop row i iff some j < i (by id) in the same cluster has
+    cos(i, j) >= threshold. The self-join key is the CLUSTER ID, so the
+    pair space is quadratic only within a cluster."""
     a = assigned.select(
         F.col("cluster"), F.col("__id").alias("__id_a"), F.col("__v").alias("__v_a")
     )
@@ -544,7 +554,52 @@ def semdedup(
         assigned.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.col("cluster").cast("int").alias("cluster"),
+            F.col("cluster").cast(cluster_type).alias("cluster"),
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semdedup_fixed(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup with a PINNED centroid set instead of a fitted k-means
+    model: every row assigns to its max-cosine centroid (ties to the
+    smallest centroid id), then the standard within-cluster drop pass
+    runs. Same keep policy and output shape as :func:`semdedup`; the
+    ``cluster`` column is the winning centroid's id (BIGINT).
+
+    This is the certifiable face of the operator — assignment by argmax
+    over a bounded centroid set is pure relational algebra, so a SQL
+    oracle can replay it exactly, the way ``ann_lsh_topk`` pins literal
+    hyperplanes. Production use: refit centroids offline (or take
+    ``semdedup``'s fitted model), PUBLISH them, and run this pinned
+    variant in the pipeline — assignments are then reproducible across
+    runs and engines, which the fitted path cannot promise.
+
+    100 TB shape: centroids broadcast (bounded set by construction), the
+    argmax is a narrow per-row pass, and the pair search self-joins on
+    the cluster id exactly as in :func:`semdedup`."""
+    from pyspark.sql import Window
+
+    cents = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cos", cosine("__v", "__cv"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), F.col("__cid"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", F.col("__cid").alias("cluster"))
+    )
+    return _mark_semantic_dups(assigned, id_col, threshold, cluster_type="long")

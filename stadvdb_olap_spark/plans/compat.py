@@ -76,7 +76,12 @@ def ratio_exact(cents: Column, denom: Column, micro: int = 10_000) -> Column:
     # division in Spark — flooring it directly can be off by one when
     # the true quotient sits just below an integer)
     q = (a - a % denom) / denom
-    guarded = F.when(F.abs(a) < F.lit(2**53), q).otherwise(
+    # Guard the INPUT, not the product: in non-ANSI Spark the long
+    # multiplication itself wraps silently at 2^63, so a post-multiply
+    # check could see a wrapped value back under 2^53 and wave it
+    # through. |cents| < 2^53 // micro implies |cents*micro| < 2^53 with
+    # no multiplication to wrap.
+    guarded = F.when(F.abs(cents) < F.lit(2**53 // micro), q).otherwise(
         F.raise_error(
             F.lit(
                 "ratio_exact: |cents*micro| >= 2^53 — long->double would "

@@ -325,3 +325,52 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return semdedup(emb, n_clusters=8, threshold=0.8)
+
+
+_SEM_C = 8  # pinned centroid set: the embeddings with vec_id < 8
+_SEM_T = 0.3  # drop threshold (matches the near-dup certification band)
+
+
+@query(
+    "semdedup_fixed_centroids",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {_SEM_C}),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+    SELECT vec_id, embedding, cid AS cluster FROM scored WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEM_T}
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+""",
+)
+def semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a PINNED centroid set — the hash-certifiable face of
+    ``semdedup_embeddings``: rows assign to their max-cosine centroid
+    (vec_id < {C}, ties to the smallest centroid id) and the standard
+    within-cluster lower-id drop pass runs. Same device as ann_lsh_topk's
+    pinned hyperplanes: fix the learned component, and the whole operator
+    (assignment argmax + pair search + keep policy) replays exactly in
+    SQL — the oracle doubles as proof the drop pass is engine-exact.
+    Centroids broadcast (bounded by construction); the pair self-join is
+    keyed on the cluster id, never the n^2 pair space."""
+    from stadvdb_olap_spark.operators.similarity import semdedup_fixed
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < _SEM_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semdedup_fixed(emb, cents, threshold=_SEM_T)

@@ -1278,3 +1278,49 @@ def test_semdedup_kept_set_is_independent(spark):
     assert {(r["vec_id"], r["keep"]) for r in out2} == {
         (r["vec_id"], r["keep"]) for r in out
     }
+
+
+def test_semdedup_fixed_assignment_and_keep_policy(spark):
+    """semdedup_fixed against a direct numpy replay: (a) every row's
+    cluster is its max-cosine centroid with ties to the smallest
+    centroid id; (b) keep == (no lower-id same-cluster row within
+    threshold) — the exact SemDeDup policy, independently recomputed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.similarity import semdedup_fixed
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    T, C = 0.3, 8
+    cents = emb.filter(F.col("vec_id") < C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup_fixed(emb, cents, threshold=T).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert len(out) == len(vecs)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want_cluster = {
+        i: min(
+            (c for c in range(C)),
+            key=lambda c: (-cos(v, vecs[c]), c),
+        )
+        for i, v in vecs.items()
+    }
+    assert {i: c for i, (c, _) in out.items()} == want_cluster
+    for i, (c, keep) in out.items():
+        witness = any(
+            want_cluster[j] == c and cos(vecs[i], vecs[j]) >= T
+            for j in vecs
+            if j < i
+        )
+        assert keep == (not witness), f"row {i}: keep={keep}, witness={witness}"

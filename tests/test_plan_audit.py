@@ -87,6 +87,7 @@ _BNLJ_OK = {
     "label_purchase_within_7d",  # bounded horizon
     "funnel_view_click_purchase",  # bounded stage windows
     "ohlc_hourly_by_type",  # bounded bars
+    "semdedup_fixed_centroids",  # bounded pinned-centroid broadcast
 }
 
 

@@ -346,6 +346,20 @@ def test_ratio_exact_matches_sql_twin(spark):
     assert got == duck_vals == want
 
 
+def test_ratio_exact_guard_rejects_wrapping_inputs(spark):
+    """The 2^53 exactness guard must fire on the INPUT: this cents value
+    makes cents*10_000 wrap past 2^63 to a harmless-looking 8384, so a
+    post-multiply |product| < 2^53 check would silently return a wrong
+    'exact' ratio."""
+    from stadvdb_olap_spark.plans.compat import ratio_exact
+
+    big = 2**64 // 10_000 + 1  # cents*10_000 == 2^64 + 8384 -> wraps to 8384
+    assert (big * 10_000) % 2**64 < 2**53
+    bad = spark.createDataFrame([(big, 3)], ["cents", "n"])
+    with pytest.raises(Exception, match="ratio_exact"):
+        bad.select(ratio_exact(bad["cents"], bad["n"])).collect()
+
+
 def test_sweepline_concurrency_matches_python_reference(spark):
     """max_concurrent_sessions_hourly == a direct Python sweep over the
     same 30-minute-gap sessions (third implementation beyond the SQL

@@ -16,9 +16,11 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.operators.multimodal import (
     N_FAKE_FEATURES,
     attach_media_column,
+    encode_y4m,
     extract_features,
     resize_media,
     sample_frames,
+    sample_frames_decoded,
 )
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.sources.parquet import load_table
@@ -140,6 +142,41 @@ def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
     media = docs.mapInPandas(_text_to_ppm_batch, _MEDIA_GEN_SCHEMA)
     return extract_features(media, "content", "doc_id", codec="ppm")
+
+
+def _text_to_y4m_batch(pdfs):
+    """Render each doc's utf-8 bytes into a valid 4-frame 8x8 Cmono
+    YUV4MPEG2 stream (repeat/truncate to 256 luma bytes) — real
+    container bytes, so the downstream frame sampling is a REAL parse."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdfs:
+        payloads = []
+        for t in pdf["text"]:
+            b = t.encode("utf-8") or b"\x00"
+            body = (b * (256 // len(b) + 1))[:256]
+            frames = [
+                np.frombuffer(body[i * 64 : (i + 1) * 64], dtype=np.uint8)
+                .reshape(8, 8)
+                for i in range(4)
+            ]
+            payloads.append(encode_y4m(frames, fps=(10, 1)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+
+@query("multimodal_y4m_frame_sample", oracle=None, defer=True)
+def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling path, no media libs needed: docs
+    rendered into valid 4-frame Cmono y4m streams (mapInPandas), then
+    ``sample_frames_decoded`` parses the container and emits every 2nd
+    frame's timestamp, luma statistics and fingerprint. Exact-frame unit
+    tests pin the codec; this query certifies the same path at corpus
+    width. Rows-only by design: decoded per-frame statistics have no SQL
+    twin."""
+    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    media = docs.mapInPandas(_text_to_y4m_batch, _MEDIA_GEN_SCHEMA)
+    return sample_frames_decoded(media, "content", "doc_id", every_n_frames=2)
 
 
 @query("multimodal_wav_real_decode", oracle=None, defer=True)

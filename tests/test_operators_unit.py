@@ -1177,6 +1177,131 @@ def test_media_decode_quarantine(spark):
         extract_features(df, codec="ppm").collect()
 
 
+def test_y4m_roundtrip_and_frame_sampling_exact(spark):
+    """decode_y4m(encode_y4m(frames)) returns the exact luma planes,
+    and sample_frames_decoded emits every-Nth frame with timestamps,
+    luma stats and fingerprints matching a direct numpy replay."""
+    import hashlib
+
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_frames_decoded,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (4, 6)).astype(np.uint8) for _ in range(5)]
+    payload = encode_y4m(frames, fps=(10, 1))
+    w, h, num, den, got = decode_y4m(payload)
+    assert (w, h, num, den) == (6, 4, 10, 1)
+    assert len(got) == 5 and all((a == b).all() for a, b in zip(got, frames))
+
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "content"])
+    rows = {
+        r["frame_no"]: r
+        for r in sample_frames_decoded(df, every_n_frames=2).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for fno, r in rows.items():
+        lum = frames[fno].astype(np.float64) / 255.0
+        assert r["ts_ms"] == fno * 100
+        assert r["mean_luma"] == pytest.approx(lum.mean(), abs=0)
+        assert r["std_luma"] == pytest.approx(lum.std(), abs=0)
+        assert r["frame_fingerprint"] == hashlib.md5(
+            frames[fno].tobytes()
+        ).hexdigest()
+        assert r["decode_error"] is None
+
+    # C420 (the ffmpeg default output) parses too: luma plane first.
+    c420 = (
+        b"YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n"
+        + bytes(range(8))  # luma 2x4
+        + bytes(4)  # chroma planes (skipped)
+    )
+    w, h, _, _, fr = decode_y4m(c420)
+    assert (w, h) == (4, 2) and (fr[0].ravel() == np.arange(8)).all()
+
+    # malformed payloads raise (quarantine upstream)
+    for bad in (b"JUNK", payload[:-3], b"YUV4MPEG2 W4 H2 Cweird\nFRAME\n"):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
+def test_y4m_frame_sample_quarantine(spark):
+    """on_error='quarantine': a corrupt video yields one NULL-stats row
+    carrying the decode error while good rows sample normally."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        encode_y4m,
+        sample_frames_decoded,
+    )
+
+    ok = encode_y4m([np.zeros((2, 2), dtype=np.uint8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(b"NOTVIDEO"))], ["doc_id", "content"]
+    )
+    rows = sample_frames_decoded(
+        df, every_n_frames=1, on_error="quarantine"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["decode_error"] is None
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["frame_no"] is None
+    assert "y4m" in by_doc[2][0]["decode_error"]
+
+
+def test_ffmpeg_codec_gates_cleanly_without_ffmpeg(spark):
+    """codec='ffmpeg' is implemented (subprocess transcode to y4m) but
+    binary-gated: on a runtime without ffmpeg it must fail with
+    NotImplementedError naming the dependency. Mirrors the PIL gate."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        _ffmpeg_available,
+        sample_frames_decoded,
+    )
+
+    if _ffmpeg_available():
+        pytest.skip("ffmpeg installed here; gate test targets bare runtimes")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["doc_id", "content"])
+    with pytest.raises(Exception, match="ffmpeg binary"):
+        sample_frames_decoded(df, codec="ffmpeg").collect()
+
+
+def test_ffmpeg_transcode_matches_y4m_when_available(spark):
+    """When ffmpeg IS available the transcode path must sample the same
+    frame count and luma means as feeding y4m directly (shared parser).
+    Skips on ffmpeg-less runtimes — the gate test above covers those."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        _ffmpeg_available,
+        sample_frames_decoded,
+    )
+
+    if not _ffmpeg_available():
+        pytest.skip("no ffmpeg on this runtime")
+    frames = [np.full((8, 8), v, dtype=np.uint8) for v in (0, 64, 128, 192)]
+    from stadvdb_olap_spark.operators.multimodal import encode_y4m
+
+    payload = encode_y4m(frames, fps=(10, 1))
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "content"])
+    direct = sample_frames_decoded(df, every_n_frames=1, codec="y4m").collect()
+    via_ffmpeg = sample_frames_decoded(
+        df, every_n_frames=1, codec="ffmpeg"
+    ).collect()
+    assert len(direct) == len(via_ffmpeg) == 4
+    for a, b in zip(
+        sorted(direct, key=lambda r: r["frame_no"]),
+        sorted(via_ffmpeg, key=lambda r: r["frame_no"]),
+    ):
+        assert a["frame_no"] == b["frame_no"]
+        assert a["mean_luma"] == pytest.approx(b["mean_luma"], abs=1e-2)
+
+
 def test_pillow_codec_gates_cleanly_without_pil(spark):
     """codec='pillow' is implemented but import-gated: on a runtime
     without PIL it must fail with NotImplementedError naming the

@@ -53,3 +53,26 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance, left-to-right double fold (the
+    k-means/IVF assignment metric; squared form skips the sqrt without
+    changing any argmin/argsort)."""
+    diffs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, (x, i) -> "
+        f"(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(p, q) -> p + q)"
+    )

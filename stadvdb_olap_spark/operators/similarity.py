@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.vectors import cosine
+from stadvdb_olap_spark.functions.vectors import cosine, l2_sq
 
 #: Hard ceiling on how many query rows the pandas/IVF paths will pull onto
 #: the driver. ANN query sets are small by contract (the corpus is the big
@@ -557,6 +557,79 @@ def _mark_semantic_dups(
             F.col("cluster").cast(cluster_type).alias("cluster"),
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def ivf_fixed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """IVF approximate top-k over a PINNED centroid set — the
+    hash-certifiable face of :func:`ivf_topk`, same device as
+    ``semdedup_fixed``: fix the learned component (publish the
+    centroids) and the whole index replays as relational algebra.
+
+    Candidates assign to their min-squared-euclidean centroid (k-means
+    metric; ties to the smallest centroid id); each query probes its
+    ``n_probe`` nearest cells; exact cosine ranks only within probed
+    cells. Unlike :func:`ivf_topk` this needs NO driver-side collect —
+    probe selection is a windowed rank over the (queries x centroids)
+    broadcast cross, so the whole plan is distributed end-to-end.
+
+    100 TB shape: centroid broadcast is bounded by construction, cell
+    assignment is a narrow per-row pass, and the search joins query
+    probes against candidates ON THE CELL ID — the probe side scans
+    ~n_probe/|centroids| of the corpus, never all of it."""
+    from pyspark.sql import Window
+
+    cents = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv2")
+    )
+
+    w_c = Window.partitionBy("neighbor_id").orderBy("__d", "__cid")
+    assigned = (
+        candidates.select(
+            F.col(cand_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", l2_sq("__cv", "__cv2"))
+        .withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", F.col("__cid").alias("__cell"))
+    )
+
+    w_q = Window.partitionBy("query_id").orderBy("__d", "__cid")
+    probes = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", l2_sq("__qv", "__cv2"))
+        .withColumn("__rn", F.row_number().over(w_q))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", F.col("__cid").alias("__cell"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.vectors import cosine_sql
+from stadvdb_olap_spark.functions.vectors import cosine_sql, l2_sq_sql
 from stadvdb_olap_spark.operators.similarity import (
     brute_force_topk,
     cosine_topk_pandas,
@@ -325,6 +325,64 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return semdedup(emb, n_clusters=8, threshold=0.8)
+
+
+_IVF_C = 8  # pinned centroid set: the embeddings with vec_id < 8
+_IVF_PROBE = 2
+
+
+def _argnear_sql(probe_limit: int, extra_where: str = "") -> str:
+    """(vector, cell) rows: rank centroids per vector by squared
+    euclidean distance (ties to smallest centroid id), keep the nearest
+    ``probe_limit``. Shared by the IVF assignment (limit 1) and query
+    probe (limit n_probe) sides of the oracle."""
+    return f"""
+    SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c {extra_where}
+    ) WHERE rn <= {probe_limit}
+"""
+
+
+@query(
+    "ann_ivf_fixed_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {_IVF_C}),
+ca AS ({_argnear_sql(1)}),
+qp AS ({_argnear_sql(_IVF_PROBE, f"WHERE e.vec_id < {_N_QUERIES}")}),
+pairs AS (
+    SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+           {cosine_sql('qp.embedding', 'ca.embedding')} AS cosine
+    FROM qp JOIN ca USING (cell)
+    WHERE qp.vec_id <> ca.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= {_K}
+""",
+)
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-{k} over a PINNED centroid set — the hash-certifiable
+    face of ``ann_ivf_topk`` (whose k-means fit keeps it rows-only), by
+    the same publish-the-learned-component device as
+    ``semdedup_fixed_centroids``: candidates assign to their nearest
+    centroid, queries probe their {p} nearest cells, exact cosine ranks
+    within probed cells only. Fully distributed (windowed probe ranks,
+    no driver collect); the oracle replays assignment, probing and
+    ranking exactly."""
+    from stadvdb_olap_spark.operators.similarity import ivf_fixed_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_fixed_topk(queries, emb, cents, k=_K, n_probe=_IVF_PROBE)
 
 
 _SEM_C = 8  # pinned centroid set: the embeddings with vec_id < 8

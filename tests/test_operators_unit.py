@@ -241,6 +241,40 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_fixed_degenerates_to_brute_force_and_recalls(spark):
+    """ivf_fixed_topk with n_probe == |centroids| probes every cell, so
+    its output must EQUAL brute force exactly (same ids, cosines and
+    ranks); at n_probe=2 recall against brute force stays useful."""
+    from stadvdb_olap_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_fixed_topk,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ivf_fixed_topk(q, emb, cents, k=10, n_probe=8).collect()
+    }
+    assert full_probe == exact
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_fixed_topk(q, emb, cents, k=10, n_probe=2).collect()
+    }
+    exact_pairs = {(a, b) for a, b, _, _ in exact}
+    recall = len(exact_pairs & approx) / len(exact_pairs)
+    assert recall >= 0.5, f"fixed-IVF recall {recall:.2f} too low"
+
+
 # ---------------------------------------------------------------------------
 # Property-based invariants (hypothesis)
 # ---------------------------------------------------------------------------

@@ -88,6 +88,7 @@ _BNLJ_OK = {
     "funnel_view_click_purchase",  # bounded stage windows
     "ohlc_hourly_by_type",  # bounded bars
     "semdedup_fixed_centroids",  # bounded pinned-centroid broadcast
+    "ann_ivf_fixed_topk",  # bounded pinned-centroid broadcast
 }
 
 

@@ -124,6 +124,76 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned linear quality-classifier weights — the published-model form of
+# the FastText-style quality filter every pretraining pipeline runs.
+# Score = w · features, kept LINEAR (no sigmoid: exp is not correctly
+# rounded cross-engine; the sigmoid is monotone, so thresholding the
+# logit IS thresholding the probability). Literals enter both engines as
+# decimal strings; every feature is an already-certified IEEE double
+# (text_quality_scores), and the fold order is pinned left-to-right.
+_QW = {
+    "bias": -2.5,
+    "stopword_ratio": 9.0,
+    "mean_word_len": 0.35,
+    "punct_ratio": -6.0,
+    "len_capped": 0.004,  # per token, capped at 500
+}
+_Q_KEEP = 0.0  # keep iff logit >= this (p >= 0.5 under the sigmoid)
+
+
+@query(
+    "quality_logit_filter_docs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents),
+f AS (
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                AS DOUBLE) / len(toks) AS mean_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+                AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(least(len(toks), 500) AS DOUBLE) AS len_capped
+    FROM t
+)
+SELECT doc_id,
+       {_QW['bias']!r} + {_QW['stopword_ratio']!r} * stopword_ratio
+                       + {_QW['mean_word_len']!r} * mean_word_len
+                       + {_QW['punct_ratio']!r} * punct_ratio
+                       + {_QW['len_capped']!r} * len_capped AS logit,
+       ({_QW['bias']!r} + {_QW['stopword_ratio']!r} * stopword_ratio
+                        + {_QW['mean_word_len']!r} * mean_word_len
+                        + {_QW['punct_ratio']!r} * punct_ratio
+                        + {_QW['len_capped']!r} * len_capped)
+           >= {_Q_KEEP!r} AS keep
+FROM f
+""",
+)
+def quality_logit_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering with a PUBLISHED linear classifier:
+    per-document logit over the certified quality signals (stopword /
+    punctuation ratios, mean word length, capped token count) plus the
+    keep decision — the pipeline stage that replaces hand-tuned
+    threshold stacks once a classifier is trained offline. Same
+    pinned-component device as ann_ivf_fixed_topk: weights are literals,
+    so the whole scorer replays exactly in SQL. One narrow projection,
+    no shuffle; at 100 TB this is scan-bound and fuses into the same
+    stage as any other per-document screen."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stats = T.quality_stats("text", STOPWORDS)
+    len_capped = F.least(stats["n_tokens"], F.lit(500)).cast("double")
+    logit = (
+        F.lit(_QW["bias"])
+        + F.lit(_QW["stopword_ratio"]) * stats["stopword_ratio"]
+        + F.lit(_QW["mean_word_len"]) * stats["mean_word_len"]
+        + F.lit(_QW["punct_ratio"]) * stats["punct_ratio"]
+        + F.lit(_QW["len_capped"]) * len_capped
+    )
+    return docs.select(
+        "doc_id", logit.alias("logit"), (logit >= F.lit(_Q_KEEP)).alias("keep")
+    )
+
+
 def _lang_id_sql() -> str:
     score_cols = []
     for lang in sorted(LANG_PROFILES):

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from stadvdb_olap_spark.operators.similarity import (  # noqa: E402
     binary_quant_topk,
     brute_force_topk,
+    ivf_fixed_topk,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -51,6 +52,20 @@ def main() -> None:
         ("lsh_p4_t8", lsh_bucketed_topk, {"n_planes": 4, "n_tables": 8}),
         ("ivf_c16_p4", ivf_topk, {"n_centroids": 16, "n_probe": 4}),
         ("ivf_c16_p8", ivf_topk, {"n_centroids": 16, "n_probe": 8}),
+        # pinned-centroid (certifiable) IVF: first 16 vectors as centroids
+        (
+            "ivf_fixed_c16_p4",
+            lambda q, c, k, n_probe: ivf_fixed_topk(
+                q,
+                c,
+                c.filter(F.col("vec_id") < 16).select(
+                    F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+                ),
+                k=k,
+                n_probe=n_probe,
+            ),
+            {"n_probe": 4},
+        ),
         ("bq_pf50", binary_quant_topk, {"prefilter": 50}),
         ("bq_pf200", binary_quant_topk, {"prefilter": 200}),
     ]:

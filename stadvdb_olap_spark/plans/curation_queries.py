@@ -522,3 +522,81 @@ def dup_ngram_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.duplicate_ngram_spans(
         docs, "doc_id", "text", n=_DUPSPAN_N, min_count=_DUPSPAN_MIN
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation: domain rollup + blocklist flag
+# ---------------------------------------------------------------------------
+#
+# The fixture corpus carries no URLs, so (same device as the PII family's
+# _inject_pii) each document gets one deterministic doc_id-derived URL
+# appended before extraction — the operator under test is the
+# extract-domain -> rollup -> blocklist stage a crawl-curation pipeline
+# runs (C4/RefinedWeb-style per-domain stats, blocklists, caps).
+
+_BLOCKED_DOMAINS = ("site3.example0.com", "site7.example1.com", "site13.example2.com")
+
+
+def _inject_url(doc_id: F.Column, text: F.Column) -> F.Column:
+    i = doc_id.cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        text,
+        F.lit(" see https://site"), s((i * 11) % 20),
+        F.lit(".example"), s(i % 3),
+        F.lit(".com/page/"), s(doc_id),
+    )
+
+
+def _inject_url_sql(doc_id: str, text: str) -> str:
+    i = f"CAST({doc_id} AS INTEGER)"
+    return (
+        f"{text} || ' see https://site' || CAST(({i} * 11) % 20 AS VARCHAR)"
+        f" || '.example' || CAST({i} % 3 AS VARCHAR)"
+        f" || '.com/page/' || CAST({doc_id} AS VARCHAR)"
+    )
+
+
+@query(
+    "domain_rollup_docs",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_extract({_inject_url_sql('doc_id', 'text')},
+                          'https://([a-z0-9.]+)/', 1) AS domain,
+           CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       domain IN {_BLOCKED_DOMAINS!r} AS blocked
+FROM d
+GROUP BY domain
+""",
+)
+def domain_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-curation domain accounting: extract each document's source
+    domain, roll up doc/token counts per domain, and flag blocklisted
+    domains — the table a per-domain cap or blocklist filter consumes.
+    One regexp projection + one hash aggregate on the domain key; at
+    100 TB the rollup output is domain-cardinality-sized (millions, not
+    billions) and the blocklist is a literal/broadcast lookup."""
+    from stadvdb_olap_spark.functions.text import token_count
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    domain = F.regexp_extract(
+        _inject_url(F.col("doc_id"), F.col("text")), r"https://([a-z0-9.]+)/", 1
+    )
+    return (
+        docs.select(domain.alias("domain"), token_count("text").alias("n_tok"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "blocked",
+            F.col("domain").isin(*_BLOCKED_DOMAINS),
+        )
+    )

@@ -20,7 +20,7 @@ functions of the data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -83,4 +83,59 @@ def pack_sequences(
         df.groupBy("bucket")
         .applyInPandas(pack, schema=out_schema)
         .withColumnRenamed("__w", weight_col)
+    )
+
+
+def concat_pack(
+    items: DataFrame,
+    ctx_len: int,
+    key_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_shards: int = 8,
+    salt: str = "pack:",
+) -> DataFrame:
+    """Concat-and-chunk packing layout (the GPT-style alternative to bin
+    packing): concatenate documents in deterministic salted-hash order
+    and split the token stream at every ``ctx_len`` boundary — zero
+    padding by construction; documents crossing a boundary continue in
+    the next chunk (trainers mask attention across document boundaries,
+    so no quality cost).
+
+    Output per item: (key, shard, weight, start_off, chunk_first,
+    n_chunks_spanned) — ``start_off`` is the item's offset in its
+    shard's concatenated stream, ``chunk_first = start_off // ctx_len``
+    its first chunk, so (shard, chunk_first..) addresses every training
+    sequence. Unlike first-fit packing (``pack_sequences``) the layout
+    is a PURE window cumsum — no sequential Python anywhere — which
+    makes it exactly replayable in SQL and cheap at any scale: one
+    exchange on the shard id, a per-shard sort, and integer arithmetic.
+    Shards are the parallel unit (never one partition holding the
+    world); the integer divisions divide exact multiples, so every
+    offset is engine-exact."""
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    h = salted_md5(key_col, salt)
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    start = (cum - F.col(weight_col)).alias("__start")
+    ctx = F.lit(ctx_len)
+    base = items.select(
+        key_col, F.col(weight_col), shard, h.alias("__h")
+    ).select("*", start, (cum - F.lit(1)).alias("__endtok"))
+    chunk_first = ((F.col("__start") - F.col("__start") % ctx) / ctx).cast("long")
+    chunk_last = ((F.col("__endtok") - F.col("__endtok") % ctx) / ctx).cast("long")
+    return base.select(
+        key_col,
+        "shard",
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.col("__start").cast("long").alias("start_off"),
+        chunk_first.alias("chunk_first"),
+        (chunk_last - chunk_first + 1).alias("n_chunks_spanned"),
     )

@@ -164,6 +164,60 @@ def training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MX.training_shards(docs, _N_SHARDS).select("doc_id", "shard", "shard_pos")
 
 
+_CTX_LEN = 512
+
+
+@query(
+    "pack_concat_offsets_docs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           {_md5_salted_sql('pack:')} AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tokens, h,
+           CAST(((strpos('0123456789abcdef', h[1:1]) - 1) * 4096
+               + (strpos('0123456789abcdef', h[2:2]) - 1) * 256
+               + (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+               + (strpos('0123456789abcdef', h[4:4]) - 1)) AS BIGINT)
+               % {_N_SHARDS} AS shard
+    FROM t
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+    FROM s
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_off,
+       (cum - n_tokens) // {_CTX_LEN} AS chunk_first,
+       (cum - 1) // {_CTX_LEN} - (cum - n_tokens) // {_CTX_LEN} + 1
+           AS n_chunks_spanned
+FROM c
+""",
+)
+def pack_concat_offsets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: documents concatenate per shard
+    in salted-hash order and the token stream splits at every {ctx}
+    boundary — zero padding, deterministic addressing of every training
+    sequence as (shard, chunk). The certifiable sibling of the FFD bin
+    packer (operators/packing.py:pack_sequences): the whole layout is a
+    window cumsum + exact integer division, so it replays in SQL and
+    costs one shard exchange at any scale."""
+    from stadvdb_olap_spark.functions.text import token_count
+    from stadvdb_olap_spark.operators.packing import concat_pack
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    items = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return concat_pack(items, ctx_len=_CTX_LEN, n_shards=_N_SHARDS)
+
+
 @query(
     "training_manifest_docs",
     oracle=f"""

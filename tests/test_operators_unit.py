@@ -1483,3 +1483,32 @@ def test_semdedup_fixed_assignment_and_keep_policy(spark):
             if j < i
         )
         assert keep == (not witness), f"row {i}: keep={keep}, witness={witness}"
+
+
+def test_concat_pack_offsets_are_contiguous(spark):
+    """concat_pack invariants: within each shard the start offsets tile
+    the concatenated stream exactly (sorted starts are the running sum
+    of weights, no gaps or overlaps), and every span count equals the
+    chunk-boundary arithmetic."""
+    from stadvdb_olap_spark.functions.text import token_count
+    from stadvdb_olap_spark.operators.packing import concat_pack
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    ctx = 128
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    items = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    rows = concat_pack(items, ctx_len=ctx, n_shards=4).collect()
+    assert len(rows) == docs.count()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["start_off"])
+        expect = 0
+        for r in members:
+            assert r["start_off"] == expect, "stream has a gap/overlap"
+            first = r["start_off"] // ctx
+            last = (r["start_off"] + r["n_tokens"] - 1) // ctx
+            assert r["chunk_first"] == first
+            assert r["n_chunks_spanned"] == last - first + 1
+            expect += r["n_tokens"]

@@ -239,3 +239,134 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
         ).alias("dup_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-stack filter (Rae et al. 2021 §A1.1; public rules)
+# ---------------------------------------------------------------------------
+#
+# The hand-rule companion to the learned scorer (quality_logit_filter_docs):
+# each rule is a boolean over the already-certified feature expressions, the
+# verdict is "fail zero rules". Thresholds are the published Gopher ones
+# where the signal exists here (token-count bounds, mean-word-length band,
+# stopword evidence, repetition caps).
+
+_GOPHER_STOPWORDS = ("the", "a")  # fixture-vocabulary subset of Gopher's list
+
+
+@query(
+    "gopher_rules_filter_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {tokens_sql("text")} AS t, {word_shingles_sql("text", 2)} AS sh
+    FROM documents
+),
+top AS (
+    SELECT doc_id, max(c) AS top_count FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+),
+f AS (
+    SELECT toks.doc_id,
+           len(t) AS n_tokens,
+           CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                AS DOUBLE) / len(t) AS mean_word_len,
+           CAST(len(list_filter(t, x -> list_contains({list(_GOPHER_STOPWORDS)!r}, x)))
+                AS BIGINT) AS n_stop,
+           1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_word_frac,
+           CAST(top_count AS DOUBLE) / len(t) AS top_word_frac,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_bigram_frac
+    FROM toks JOIN top ON toks.doc_id = top.doc_id
+)
+SELECT doc_id,
+       n_tokens BETWEEN 50 AND 100000            AS ok_len,
+       mean_word_len BETWEEN 3.0 AND 10.0        AS ok_word_len,
+       n_stop >= 2                               AS ok_stopwords,
+       dup_word_frac <= 0.80                     AS ok_dup_words,
+       top_word_frac <= 0.20                     AS ok_top_word,
+       dup_bigram_frac <= 0.40                   AS ok_dup_bigrams,
+       CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+          + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+          + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END)
+          + (CASE WHEN dup_word_frac <= 0.80 THEN 0 ELSE 1 END)
+          + (CASE WHEN top_word_frac <= 0.20 THEN 0 ELSE 1 END)
+          + (CASE WHEN dup_bigram_frac <= 0.40 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_failed,
+       (n_tokens BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND n_stop >= 2
+       AND dup_word_frac <= 0.80
+       AND top_word_frac <= 0.20
+       AND dup_bigram_frac <= 0.40               AS keep
+FROM f
+""",
+)
+def gopher_rules_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-stack quality filter: the published hand rules
+    (token-count bounds, mean-word-length band, stopword evidence,
+    repetition caps) each as a boolean verdict plus the failure count and
+    overall keep — the transparent companion to the learned
+    ``quality_logit_filter_docs``. All features are row-local (the
+    repetition signals use the sorted-array-run device, never
+    explode+regroup), so the whole stack is one narrow scan-bound
+    projection at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    t = tokens("text")
+    sh = word_shingles("text", 2)
+    n = F.size(t)
+    run = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    sw = F.array([F.lit(s) for s in _GOPHER_STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (
+            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / n
+        ).alias("mean_word_len"),
+        F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        .cast("long")
+        .alias("n_stop"),
+        (F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n).alias(
+            "dup_word_frac"
+        ),
+        (run.cast("double") / n).alias("top_word_frac"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+        ).alias("dup_bigram_frac"),
+    )
+    rules = {
+        "ok_len": F.col("n_tokens").between(50, 100000),
+        "ok_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "ok_stopwords": F.col("n_stop") >= 2,
+        "ok_dup_words": F.col("dup_word_frac") <= 0.80,
+        "ok_top_word": F.col("top_word_frac") <= 0.20,
+        "ok_dup_bigrams": F.col("dup_bigram_frac") <= 0.40,
+    }
+    n_failed = None
+    keep = None
+    for c in rules.values():
+        fail = F.when(c, F.lit(0)).otherwise(F.lit(1))
+        n_failed = fail if n_failed is None else n_failed + fail
+        keep = c if keep is None else keep & c
+    return feats.select(
+        "doc_id",
+        *[c.alias(name) for name, c in rules.items()],
+        n_failed.cast("long").alias("n_failed"),
+        keep.alias("keep"),
+    )

@@ -96,6 +96,30 @@ def zorder_value(
     return df.withColumn("__z", _interleave_bits(bucket_exprs, bits_per_dim)), "__z"
 
 
+def zorder_key_pinned(
+    df: DataFrame,
+    dims: list[tuple[Column, list]],
+    bits_per_dim: int = 4,
+) -> Column:
+    """Morton z-value over PINNED bucket boundaries — the publishable
+    face of :func:`zorder_value` (whose approxQuantile cuts are
+    algorithm-specific and not replayable elsewhere): compute the
+    equi-depth cuts once, publish them, and every engine/run derives the
+    identical key. ``dims`` is [(column, [cut, ...]), ...]; each bucket
+    is the count of cuts the value exceeds (monotone, so curve locality
+    is preserved), capped by construction at ``2^bits_per_dim`` buckets
+    when ``len(cuts) == 2^bits - 1``. Pure integer/comparison
+    expressions — whole-stage codegen'd, exactly replayable in SQL."""
+    bucket_exprs: list[Column] = []
+    for col, cuts in dims:
+        b = F.lit(0)
+        for cut in cuts:
+            c = cut if isinstance(cut, Column) else F.lit(cut)
+            b = b + F.when(col > c, 1).otherwise(0)
+        bucket_exprs.append(b.cast("long"))
+    return _interleave_bits(bucket_exprs, bits_per_dim)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -933,3 +933,93 @@ WITH RECURSIVE reach(id, lbl, d) AS (
 SELECT id AS doc_id, MIN(lbl) AS canonical_id
 FROM reach GROUP BY id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key with published cuts
+# ---------------------------------------------------------------------------
+
+# Published equi-depth boundaries (computed once offline, pinned here —
+# the production posture for a layout spec: every engine/run derives the
+# identical curve). Prices are ~uniform on [1e3, 5e5] and dates span
+# 1995-01-01..2001-08-01 at EVERY fixture scale, so the cuts hold sf-wide.
+_Z_PRICE_CUTS = (
+    32246, 62854, 94077, 125118, 156437, 187831, 218509, 249938,
+    281257, 312494, 343733, 375054, 406323, 437341, 468628,
+)
+_Z_DATE_CUTS = (
+    "1995-05-31", "1995-10-28", "1996-03-26", "1996-08-23",
+    "1997-01-20", "1997-06-19", "1997-11-16", "1998-04-15",
+    "1998-09-12", "1999-02-09", "1999-07-09", "1999-12-06",
+    "2000-05-04", "2000-10-01", "2001-02-28",
+)
+_Z_BITS = 4
+
+
+def _z_bucket_sql(col: str, cuts: tuple, quote: bool) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col} > "
+        + (f"TIMESTAMP '{c}'" if quote else str(c))
+        + " THEN 1 ELSE 0 END)"
+        for c in cuts
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _z_interleave_sql(b_exprs: list[str], bits: int) -> str:
+    ndims = len(b_exprs)
+    parts = [
+        f"((({b} >> {j}) & 1) << {j * ndims + i})"
+        for i, b in enumerate(b_exprs)
+        for j in range(bits)
+    ]
+    return "CAST(" + " | ".join(parts) + " AS BIGINT)"
+
+
+@query(
+    "zorder_key_orders",
+    oracle=f"""
+SELECT o_orderkey,
+       {_z_bucket_sql('o_totalprice', _Z_PRICE_CUTS, False)} AS bucket_price,
+       {_z_bucket_sql('o_orderdate', _Z_DATE_CUTS, True)} AS bucket_date,
+       {_z_interleave_sql([_z_bucket_sql('o_totalprice', _Z_PRICE_CUTS, False),
+                           _z_bucket_sql('o_orderdate', _Z_DATE_CUTS, True)],
+                          _Z_BITS)} AS zkey
+FROM orders
+""",
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional layout key: the Morton/Z-value over published
+    equi-depth (price, date) bucket boundaries — what OPTIMIZE ZORDER
+    clusters on, certified bit-for-bit (buckets are monotone cut counts,
+    the interleave is pure integer shifts). Writing range-partitioned +
+    sorted on this key (operators/maintenance.py:write_zordered) gives
+    every listed dimension tight per-file min/max ranges, so scans
+    filtering on EITHER dimension skip most files; the published-cuts
+    form keeps layout stable across engines, runs, and data growth."""
+    from stadvdb_olap_spark.operators.maintenance import zorder_key_pinned
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    price_dim = (
+        F.col("o_totalprice"),
+        [float(c) for c in _Z_PRICE_CUTS],
+    )
+    date_dim = (
+        F.col("o_orderdate"),
+        [F.lit(d).cast("timestamp") for d in _Z_DATE_CUTS],
+    )
+    zkey = zorder_key_pinned(orders, [price_dim, date_dim], _Z_BITS)
+    bp = F.lit(0)
+    for c in _Z_PRICE_CUTS:
+        bp = bp + F.when(F.col("o_totalprice") > float(c), 1).otherwise(0)
+    bd = F.lit(0)
+    for d in _Z_DATE_CUTS:
+        bd = bd + F.when(
+            F.col("o_orderdate") > F.lit(d).cast("timestamp"), 1
+        ).otherwise(0)
+    return orders.select(
+        "o_orderkey",
+        bp.cast("long").alias("bucket_price"),
+        bd.cast("long").alias("bucket_date"),
+        zkey.alias("zkey"),
+    )

@@ -600,3 +600,86 @@ def domain_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("domain").isin(*_BLOCKED_DOMAINS),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding with a PUBLISHED merge table
+# ---------------------------------------------------------------------------
+
+# The first 12 merges bpe_train learns on the fixture corpus, published as
+# literals — the tokenizer-file posture: training is offline/iterative
+# (bpe_merges_docs, rows-only), but DEPLOYED encoding always runs against
+# a shipped merge list, and with the list pinned the encoder becomes a
+# deterministic expression both engines replay identically.
+_BPE_MERGES = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+)
+# Each merge's space-delimited replace runs twice: a single replace-all
+# pass consumes the shared boundary space of back-to-back occurrences
+# (' e r e r ' -> ' er e r '), the second pass closes them. Two passes
+# are exact for the fixture vocabulary (no 3+ adjacent repeats of one
+# pair inside a word); cross-engine equality holds REGARDLESS, because
+# both engines execute the identical pass sequence.
+_BPE_PASSES = 2
+
+
+def _bpe_symcount_sql(tok: str) -> str:
+    s = f"' ' || regexp_replace({tok}, '(.)', '\\1 ', 'g') || '</w> '"
+    for left, right in _BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+    return f"CAST(len(string_split(trim({s}), ' ')) AS BIGINT)"
+
+
+@query(
+    "bpe_encode_pinned_docs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(list_transform(toks, x -> {_bpe_symcount_sql('x')}),
+                           'sum') AS BIGINT) AS n_symbols,
+       CAST(list_aggregate(list_transform(toks, x -> {_bpe_symcount_sql('x')}),
+                           'sum') AS DOUBLE) / len(toks) AS symbols_per_token
+FROM t
+""",
+)
+def bpe_encode_pinned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer fertility with a PUBLISHED merge table: per document,
+    the whitespace token count, the post-merge BPE symbol count, and
+    symbols-per-token — the metric that prices a corpus in model tokens
+    and compares tokenizers. Training stays iterative/offline
+    (bpe_merges_docs); deployed ENCODING runs the shipped merge list as a
+    fixed chain of space-delimited merges over the char-split word, a
+    pure expression both engines execute identically (the certifiable
+    face of operators/bpe.py:bpe_encode, same device as the pinned
+    IVF/SemDeDup/z-order queries). Narrow per-row projection: no
+    shuffle, scan-bound at any corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def symcount(tok):
+        s = F.concat(
+            F.lit(" "),
+            F.regexp_replace(tok, "(.)", "$1 "),
+            F.lit("</w> "),
+        )
+        for left, right in _BPE_MERGES:
+            for _ in range(_BPE_PASSES):
+                s = F.replace(
+                    s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+                )
+        return F.size(F.split(F.trim(s), " ")).cast("long")
+
+    toks = tokens("text")
+    n_sym = F.aggregate(
+        F.transform(toks, symcount), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_sym.alias("n_symbols"),
+        (n_sym.cast("double") / n_tok).alias("symbols_per_token"),
+    )

@@ -1512,3 +1512,42 @@ def test_concat_pack_offsets_are_contiguous(spark):
             assert r["chunk_first"] == first
             assert r["n_chunks_spanned"] == last - first + 1
             expect += r["n_tokens"]
+
+
+def test_bpe_pinned_encode_matches_greedy_reference(spark):
+    """The replace-chain encoder behind bpe_encode_pinned_docs produces
+    the same symbol count as a direct greedy BPE (apply each published
+    merge to fixpoint, in rank order) for EVERY distinct fixture token —
+    proving the two-pass replace device loses nothing on this
+    vocabulary."""
+    import duckdb
+
+    from stadvdb_olap_spark.plans.curation_queries import (
+        _BPE_MERGES,
+        _bpe_symcount_sql,
+    )
+
+    def greedy_symbols(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in _BPE_MERGES:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [left + right]
+                else:
+                    i += 1
+        return len(syms)
+
+    toks = {
+        t
+        for (txt,) in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+        for t in txt.strip().lower().split()
+    }
+    con = duckdb.connect()
+    for tok in sorted(toks):
+        got = con.execute(
+            f"SELECT {_bpe_symcount_sql('?')}", [tok]
+        ).fetchone()[0]
+        assert got == greedy_symbols(tok), f"token {tok!r}"

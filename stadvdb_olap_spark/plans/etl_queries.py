@@ -683,3 +683,80 @@ def jdbc_merge_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .reader(spark)
         .load()
     )
+
+
+@query(
+    "format_roundtrip_orders",
+    oracle="""
+WITH sub AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 100 < 10
+),
+agg AS (
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_price,
+           max(o_orderdate) AS max_date
+    FROM sub GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       n_rows AS n_csv, n_rows AS n_jsonl,
+       sum_price AS sum_csv, sum_price AS sum_jsonl,
+       max_date AS max_date_csv,
+       TRUE AS paths_agree
+FROM agg
+""",
+)
+def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSONL source certification end-to-end: a deterministic
+    orders subset writes to BOTH text formats, reads back through the
+    explicit-schema loaders (never inference — at 100 TB inference is an
+    extra full pass that can mistype dirty columns), and each path
+    re-aggregates independently. The oracle computes the same aggregate
+    straight from parquet, so the driver's hash check certifies write →
+    parse → aggregate bit-for-bit for both formats at once — including
+    double shortest-repr round-trip and timestamp formatting —
+    and ``paths_agree`` pins CSV == JSONL row-for-row inside the query
+    itself."""
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.parquet import load_csv, load_jsonl
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 10)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    schema = sub.schema
+    base = tempfile.mkdtemp(prefix="stadvdb_fmt_")
+    csv_path, jsonl_path = f"{base}/orders_csv", f"{base}/orders_jsonl"
+    sub.write.mode("overwrite").option("header", "true").csv(csv_path)
+    sub.write.mode("overwrite").json(jsonl_path)
+
+    def agg(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias(n_name),
+            money_sum("o_totalprice").alias(s_name),
+            F.max("o_orderdate").alias(f"__maxd_{n_name}"),
+        )
+
+    a_csv = agg(load_csv(spark, csv_path, schema), "n_csv", "sum_csv")
+    a_jsonl = agg(load_jsonl(spark, jsonl_path, schema), "n_jsonl", "sum_jsonl")
+    return (
+        a_csv.join(a_jsonl, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            "n_csv",
+            "n_jsonl",
+            "sum_csv",
+            "sum_jsonl",
+            F.col("__maxd_n_csv").alias("max_date_csv"),
+            (
+                F.col("n_csv").eqNullSafe(F.col("n_jsonl"))
+                & F.col("sum_csv").eqNullSafe(F.col("sum_jsonl"))
+                & F.col("__maxd_n_csv").eqNullSafe(F.col("__maxd_n_jsonl"))
+            ).alias("paths_agree"),
+        )
+    )

@@ -634,9 +634,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-@query(
-    "bm25_topk_docs",
-    oracle=f"""
+# Shared by the bm25_topk_docs oracle and the RRF fusion oracle — kept
+# as one literal so the certified lexical ranking cannot drift between
+# the standalone and fused forms.
+_BM25_TOPK_SQL = f"""
 WITH t AS (
   SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
 ), dl AS (
@@ -674,8 +675,10 @@ FROM (
   FROM scored GROUP BY doc_id
 )
 WHERE rn <= {_BM25_TOPK}
-""",
-)
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_TOPK_SQL)
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking (Robertson/Walker Okapi BM25, the Lucene idf
     variant ln((N-df+0.5)/(df+0.5)+1)) of documents against a fixed
@@ -887,3 +890,88 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score").desc(), "phrase").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_QVEC = 0  # pinned dense-query vector: embeddings.vec_id = 0
+_RRF_TOPK = 20
+
+
+def _dense_topk_sql() -> str:
+    from stadvdb_olap_spark.functions.vectors import cosine_sql
+
+    return f"""
+SELECT e.vec_id AS doc_id,
+       row_number() OVER (
+           ORDER BY {cosine_sql('q.qv', 'e.embedding')} DESC, e.vec_id) AS rank
+FROM embeddings e
+CROSS JOIN (SELECT embedding AS qv FROM embeddings
+            WHERE vec_id = {_RRF_QVEC}) q
+WHERE e.vec_id <> {_RRF_QVEC}
+QUALIFY rank <= {_RRF_TOPK}
+"""
+
+
+@query(
+    "rrf_fusion_topk_docs",
+    oracle=f"""
+WITH bm AS ({{bm25}}),
+dn AS ({{dense}}),
+u AS (
+    SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+           COALESCE(1.0 / ({_RRF_K} + bm.rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + dn.rank), 0.0) AS rrf,
+           bm.rank IS NOT NULL AS in_bm25,
+           dn.rank IS NOT NULL AS in_dense
+    FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+)
+SELECT doc_id, in_bm25, in_dense, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+           AS fused_rank
+FROM u
+""".format(bm25=_BM25_TOPK_SQL, dense=_dense_topk_sql()),
+)
+def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (1/(k+rank) with k=60,
+    Cormack et al. 2009) of the certified BM25 lexical ranking and a
+    pinned-query dense cosine ranking — the standard two-retriever RAG
+    fusion, score-free by design (RRF consumes only ranks, so the two
+    scorers' incomparable scales never meet). Both candidate lists are
+    top-{k}-bounded, so the fusion join and final window run on
+    2·{k} rows regardless of corpus size; the rank sources themselves
+    are the already-scale-shaped BM25 aggregate and brute-force-cosine
+    plans. Exact cross-engine: ranks are integers and each RRF term is
+    one IEEE division, summed in fixed order."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.functions.vectors import cosine
+    from stadvdb_olap_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk_docs(spark, sf_dir).select("doc_id", "rank")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dn = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") == _RRF_QVEC), emb, k=_RRF_TOPK
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    joined = bm.withColumnRenamed("rank", "r_bm").join(
+        dn.withColumnRenamed("rank", "r_dn"), "doc_id", "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dn")), F.lit(0.0))
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        joined.select(
+            "doc_id",
+            F.col("r_bm").isNotNull().alias("in_bm25"),
+            F.col("r_dn").isNotNull().alias("in_dense"),
+            rrf.alias("rrf"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    )

@@ -89,6 +89,7 @@ _BNLJ_OK = {
     "ohlc_hourly_by_type",  # bounded bars
     "semdedup_fixed_centroids",  # bounded pinned-centroid broadcast
     "ann_ivf_fixed_topk",  # bounded pinned-centroid broadcast
+    "rrf_fusion_topk_docs",  # 1-row corpus stats + 1-row query vector
 }
 
 

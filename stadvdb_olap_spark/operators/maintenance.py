@@ -96,8 +96,19 @@ def zorder_value(
     return df.withColumn("__z", _interleave_bits(bucket_exprs, bits_per_dim)), "__z"
 
 
+def zorder_bucket(col: Column, cuts: list) -> Column:
+    """Equi-depth bucket id against PINNED boundaries: the count of cuts
+    the value exceeds — monotone, so curve locality is preserved. The
+    one shared construction for both the published bucket columns and
+    the interleaved key (one copy ⇒ they cannot drift apart)."""
+    b = F.lit(0)
+    for cut in cuts:
+        c = cut if isinstance(cut, Column) else F.lit(cut)
+        b = b + F.when(col > c, 1).otherwise(0)
+    return b.cast("long")
+
+
 def zorder_key_pinned(
-    df: DataFrame,
     dims: list[tuple[Column, list]],
     bits_per_dim: int = 4,
 ) -> Column:
@@ -105,18 +116,11 @@ def zorder_key_pinned(
     face of :func:`zorder_value` (whose approxQuantile cuts are
     algorithm-specific and not replayable elsewhere): compute the
     equi-depth cuts once, publish them, and every engine/run derives the
-    identical key. ``dims`` is [(column, [cut, ...]), ...]; each bucket
-    is the count of cuts the value exceeds (monotone, so curve locality
-    is preserved), capped by construction at ``2^bits_per_dim`` buckets
-    when ``len(cuts) == 2^bits - 1``. Pure integer/comparison
-    expressions — whole-stage codegen'd, exactly replayable in SQL."""
-    bucket_exprs: list[Column] = []
-    for col, cuts in dims:
-        b = F.lit(0)
-        for cut in cuts:
-            c = cut if isinstance(cut, Column) else F.lit(cut)
-            b = b + F.when(col > c, 1).otherwise(0)
-        bucket_exprs.append(b.cast("long"))
+    identical key. ``dims`` is [(column, [cut, ...], ...)]; buckets cap
+    by construction at ``2^bits_per_dim`` when ``len(cuts) == 2^bits -
+    1``. Pure integer/comparison expressions — whole-stage codegen'd,
+    exactly replayable in SQL."""
+    bucket_exprs = [zorder_bucket(col, cuts) for col, cuts in dims]
     return _interleave_bits(bucket_exprs, bits_per_dim)
 
 

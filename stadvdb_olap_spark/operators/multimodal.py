@@ -220,10 +220,14 @@ def decode_y4m(payload: bytes):
             colorspace = "C" + val
     if w < 1 or h < 1:
         raise ValueError("y4m: need positive W and H header params")
+    # Chroma planes subsample by ceil() per the spec, so odd dimensions
+    # still carry full half-resolution planes (a 5x5 C420 frame is
+    # 25 luma + 2*3*3 chroma bytes, not 25*3//2).
+    cw, ch = (w + 1) // 2, (h + 1) // 2
     if colorspace.startswith("C420"):
-        frame_bytes = w * h * 3 // 2
+        frame_bytes = w * h + 2 * cw * ch
     elif colorspace.startswith("C422"):
-        frame_bytes = w * h * 2
+        frame_bytes = w * h + 2 * cw * h
     elif colorspace.startswith("C444"):
         frame_bytes = w * h * 3
     elif colorspace == "Cmono":
@@ -277,13 +281,19 @@ def _transcode_to_y4m(payload: bytes) -> bytes:
             "this runtime ships none (use codec='y4m' for the "
             "dependency-free real-decode path)"
         )
-    proc = subprocess.run(
-        ["ffmpeg", "-v", "error", "-i", "pipe:0",
-         "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "pipe:1"],
-        input=payload,
-        capture_output=True,
-        check=False,
-    )
+    try:
+        # Bounded: a pathological container that stalls the decoder must
+        # become a quarantinable row, not a task that never finishes.
+        proc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "pipe:1"],
+            input=payload,
+            capture_output=True,
+            check=False,
+            timeout=120,
+        )
+    except subprocess.TimeoutExpired as e:
+        raise ValueError(f"ffmpeg: decode timed out after {e.timeout}s") from e
     if proc.returncode != 0:
         raise ValueError(
             f"ffmpeg: decode failed: {proc.stderr.decode(errors='replace')[:200]}"
@@ -496,6 +506,11 @@ def sample_frames_decoded(
         raise ValueError(f"unknown codec {codec!r}")
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"unknown on_error {on_error!r}")
+    if every_n_frames < 1:
+        # Validate eagerly: inside the workers a bad step would surface
+        # as a per-row "decode error" under quarantine and silently drop
+        # the whole corpus.
+        raise ValueError(f"every_n_frames must be >= 1, got {every_n_frames}")
 
     def _rows_for(doc_id, payload: bytes):
         import numpy as np

@@ -60,10 +60,13 @@ def query(
 # FIRST (8 round-3 canon-contract failures now retyped to
 # BIGINT/DOUBLE/VARCHAR outputs, plus 3 that gained oracles after their
 # rows-only r1 window row), then 39 never-windowed ones family-balanced.
-# Six remain for round 5: holt_forecast_daily_revenue,
-# max_concurrent_sessions_hourly, abc_classification_parts,
-# holt_forecast_by_event_type, wow_growth_revenue,
-# share_of_total_by_segment.
+# Round 5's tail = the 6 series/scale-depth queries left at rotation
+# time (holt_forecast_daily_revenue, max_concurrent_sessions_hourly,
+# abc_classification_parts, holt_forecast_by_event_type,
+# wow_growth_revenue, share_of_total_by_segment) PLUS every
+# oracle-backed query added after the rotation — don't trust this
+# comment's arithmetic, `python tools/next_window.py` prints the
+# authoritative round-5 list.
 #
 # ROUND-5 ROTATION: run `python tools/next_window.py` — it diffs the
 # catalog against every CORRECTNESS_r*.json (counting only
@@ -131,11 +134,16 @@ def _ordered_specs() -> list[QuerySpec]:
     front_pos = {n: i for i, n in enumerate(ROUND4_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
-    # 50-query certification window — fail loudly instead.
+    # 50-query certification window — fail loudly instead (real raises,
+    # not asserts: the guard must survive python -O).
     missing = set(ROUND4_FRONT) - set(REGISTRY)
-    assert not missing, f"front names not in registry: {sorted(missing)}"
+    if missing:
+        raise ValueError(f"front names not in registry: {sorted(missing)}")
     bad = [n for n in ROUND4_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
-    assert not bad, f"front names must be oracle-backed and non-deferred: {bad}"
+    if bad:
+        raise ValueError(
+            f"front names must be oracle-backed and non-deferred: {bad}"
+        )
     front = sorted(
         (s for s in specs if s.name in front_pos),
         key=lambda s: front_pos[s.name],

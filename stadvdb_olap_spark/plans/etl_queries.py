@@ -719,6 +719,7 @@ def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     double shortest-repr round-trip and timestamp formatting —
     and ``paths_agree`` pins CSV == JSONL row-for-row inside the query
     itself."""
+    import hashlib as _hashlib
     import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
@@ -730,7 +731,13 @@ def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     )
     schema = sub.schema
-    base = tempfile.mkdtemp(prefix="stadvdb_fmt_")
+    # Deterministic per-sf_dir staging dir, OVERWRITTEN each invocation —
+    # repeated certification/sim runs reuse one bounded location instead
+    # of leaking a fresh mkdtemp per call. (The files must outlive this
+    # function: the returned plan scans them lazily at collect time, the
+    # same eager-provision posture as jdbc_merge_roundtrip_orders.)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/stadvdb_fmt_{tag}"
     csv_path, jsonl_path = f"{base}/orders_csv", f"{base}/orders_jsonl"
     sub.write.mode("overwrite").option("header", "true").csv(csv_path)
     sub.write.mode("overwrite").json(jsonl_path)

@@ -997,7 +997,10 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     every listed dimension tight per-file min/max ranges, so scans
     filtering on EITHER dimension skip most files; the published-cuts
     form keeps layout stable across engines, runs, and data growth."""
-    from stadvdb_olap_spark.operators.maintenance import zorder_key_pinned
+    from stadvdb_olap_spark.operators.maintenance import (
+        zorder_bucket,
+        zorder_key_pinned,
+    )
 
     orders = spread(load_table(spark, sf_dir, "orders"))
     price_dim = (
@@ -1008,18 +1011,9 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"),
         [F.lit(d).cast("timestamp") for d in _Z_DATE_CUTS],
     )
-    zkey = zorder_key_pinned(orders, [price_dim, date_dim], _Z_BITS)
-    bp = F.lit(0)
-    for c in _Z_PRICE_CUTS:
-        bp = bp + F.when(F.col("o_totalprice") > float(c), 1).otherwise(0)
-    bd = F.lit(0)
-    for d in _Z_DATE_CUTS:
-        bd = bd + F.when(
-            F.col("o_orderdate") > F.lit(d).cast("timestamp"), 1
-        ).otherwise(0)
     return orders.select(
         "o_orderkey",
-        bp.cast("long").alias("bucket_price"),
-        bd.cast("long").alias("bucket_date"),
-        zkey.alias("zkey"),
+        zorder_bucket(*price_dim).alias("bucket_price"),
+        zorder_bucket(*date_dim).alias("bucket_date"),
+        zorder_key_pinned([price_dim, date_dim], _Z_BITS).alias("zkey"),
     )

@@ -1257,6 +1257,16 @@ def test_y4m_roundtrip_and_frame_sampling_exact(spark):
     w, h, _, _, fr = decode_y4m(c420)
     assert (w, h) == (4, 2) and (fr[0].ravel() == np.arange(8)).all()
 
+    # Odd dimensions: chroma planes subsample by ceil(), so a 5x3 C420
+    # frame is 15 luma + 2*3*2 chroma bytes (not 15*3//2).
+    odd = (
+        b"YUV4MPEG2 W5 H3 C420\nFRAME\n"
+        + bytes(range(15))  # luma 3x5
+        + bytes(12)  # chroma 2 * ceil(5/2) * ceil(3/2)
+    )
+    w, h, _, _, fr = decode_y4m(odd)
+    assert (w, h) == (5, 3) and (fr[0].ravel() == np.arange(15)).all()
+
     # malformed payloads raise (quarantine upstream)
     for bad in (b"JUNK", payload[:-3], b"YUV4MPEG2 W4 H2 Cweird\nFRAME\n"):
         with pytest.raises(ValueError):

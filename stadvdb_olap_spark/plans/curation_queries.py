@@ -683,3 +683,130 @@ def bpe_encode_pinned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sym.alias("n_symbols"),
         (n_sym.cast("double") / n_tok).alias("symbols_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5-style denoising objective)
+# ---------------------------------------------------------------------------
+
+_SC_CUT = "4d"  # first md5 byte < 0x4d => masked (~30% of tokens)
+_SC_MARK = "_M_"  # span sentinel; fixture tokens are [a-z0-9]+, no collision
+
+
+@query(
+    "span_corrupt_docs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+m AS (
+    SELECT doc_id,
+           list_transform(toks, (x, i) -> struct_pack(
+               tok := x,
+               msk := substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || CAST(i AS VARCHAR)), 1, 2)
+                      < '{_SC_CUT}')) AS items
+    FROM t
+),
+folded AS (
+    SELECT doc_id,
+           trim(list_reduce(list_prepend(CAST('' AS VARCHAR),
+               list_transform(items, it ->
+                   CASE WHEN it.msk THEN '\x01M'
+                        ELSE ' ' || it.tok END)),
+               (acc, step) ->
+                   CASE WHEN step = '\x01M'
+                        THEN CASE WHEN ends_with(acc, '{_SC_MARK}')
+                                  THEN acc ELSE acc || '{_SC_MARK}' END
+                        ELSE acc || step END)) AS corrupted,
+           trim(list_reduce(list_prepend(CAST('' AS VARCHAR),
+               list_transform(items, it ->
+                   CASE WHEN it.msk THEN ' ' || it.tok
+                        ELSE '\x01M' END)),
+               (acc, step) ->
+                   CASE WHEN step = '\x01M'
+                        THEN CASE WHEN ends_with(acc, '{_SC_MARK}')
+                                  THEN acc ELSE acc || '{_SC_MARK}' END
+                        ELSE acc || step END)) AS target,
+           CAST(len(list_filter(items, it -> it.msk)) AS BIGINT) AS n_masked,
+           CAST(len(items) AS BIGINT) AS n_tokens
+    FROM m
+)
+SELECT doc_id, corrupted, target, n_tokens, n_masked,
+       CAST((length(corrupted)
+             - length(replace(corrupted, '{_SC_MARK}', '')))
+            / {len(_SC_MARK)} AS BIGINT) AS n_spans
+FROM folded
+""",
+)
+def span_corrupt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: ~30% of tokens mask by a
+    content-addressed per-(doc, position) hash, consecutive masked
+    tokens collapse into ONE sentinel in the corrupted text while the
+    target keeps the masked spans (sentinel-separated) — the
+    denoising-objective pair generator, deterministic across engines,
+    runs, and partitionings. (Sentinels are unnumbered; numbering
+    <extra_id_k> is a trivial downstream split-join.) Everything is
+    row-local: one token-array transform plus two single-value string
+    folds — single-value accumulators by design, because DuckDB's
+    struct-accumulator fold rebinds fields sequentially (compat.py
+    device list) while a scalar fold is safe in both engines. No
+    shuffle; scan-bound at any corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+
+    def masked(i):  # i is 0-based in Spark's transform; oracle is 1-based
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (i + 1).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                2,
+            )
+            < _SC_CUT
+        )
+
+    def fold(step_when_masked, step_when_plain):
+        steps = F.transform(
+            toks,
+            lambda x, i: F.when(masked(i), step_when_masked(x)).otherwise(
+                step_when_plain(x)
+            ),
+        )
+        return F.trim(
+            F.aggregate(
+                steps,
+                F.lit(""),
+                lambda acc, step: F.when(
+                    step == "\x01M",
+                    F.when(acc.endswith(_SC_MARK), acc).otherwise(
+                        F.concat(acc, F.lit(_SC_MARK))
+                    ),
+                ).otherwise(F.concat(acc, step)),
+            )
+        )
+
+    mark = lambda x: F.lit("\x01M")  # noqa: E731
+    keep = lambda x: F.concat(F.lit(" "), x)  # noqa: E731
+    corrupted = fold(mark, keep)
+    target = fold(keep, mark)
+    n_masked = F.size(
+        F.filter(F.transform(toks, lambda x, i: masked(i)), lambda b: b)
+    ).cast("long")
+    n_spans = (
+        (F.length(corrupted) - F.length(F.replace(corrupted, F.lit(_SC_MARK), F.lit(""))))
+        / len(_SC_MARK)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+    )

@@ -1,0 +1,184 @@
+"""End-to-end training-corpus curation pipeline — the LLM-data
+counterpart of :mod:`stadvdb_olap_spark.app`'s dim→fact DAG (SURVEY.md
+§2.11 O1/O2/O4 parity for the pipeline-extension family).
+
+Stages, each consuming the previous stage's survivors:
+
+1. **screen** — Gopher rule-stack + published-weight logit classifier
+   (both must pass): the cheap scan-bound filters run FIRST so every
+   later stage touches fewer bytes.
+2. **scrub** — PII redaction over the surviving text (narrow regexp
+   projection).
+3. **dedup_exact** — one hash-aggregate on the token-set fingerprint;
+   the smallest doc_id of each duplicate group survives.
+4. **dedup_near** — MinHash/LSH candidates, exact-Jaccard verified;
+   the higher id of every verified pair drops (band-keyed shuffle only,
+   never all-pairs).
+5. **decontaminate** — n-gram overlap against the held-out split
+   (broadcast held-out shingles).
+6. **layout** — salted-hash training shards + concat-and-chunk packing
+   offsets (one shard exchange).
+7. **manifest** — per-shard doc/token counts and an order-independent
+   content checksum (mergeable; the delivery-verification handle).
+
+Every stage is rows-decreasing (filters/dedups) or rows-preserving
+(scrub, layout), which `run_curation_pipeline`'s report makes auditable:
+retention per stage is the first thing a curation review asks for.
+Timing/row instrumentation mirrors app.py (O2/O4): wall clock per
+materialized stage, counts via ``df.observe`` riding the write job when
+an ``out_dir`` is given — never a post-write re-scan.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger("stadvdb_olap_spark.curation_app")
+
+_CTX_LEN = 512
+_N_SHARDS = 8
+_NEAR_T = 0.5
+
+
+def _screened(docs: DataFrame, sf_dir: str) -> DataFrame:
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spark = docs.sparkSession
+    rules = REGISTRY["gopher_rules_filter_docs"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("__rules_keep")
+    )
+    logit = REGISTRY["quality_logit_filter_docs"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("__logit_keep")
+    )
+    return (
+        docs.join(rules, "doc_id")
+        .join(logit, "doc_id")
+        .filter(F.col("__rules_keep") & F.col("__logit_keep"))
+        .drop("__rules_keep", "__logit_keep")
+    )
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+) -> dict[str, dict[str, float | int]]:
+    """Run the 7-stage curation DAG; return per-stage
+    ``{"rows": n, "seconds": s}`` (plus the final manifest row count).
+    With ``out_dir``, the layout and manifest stages write parquet."""
+    from stadvdb_olap_spark.functions.pii import scrub_pii
+    from stadvdb_olap_spark.functions.text import fingerprint, token_count
+    from stadvdb_olap_spark.operators.mixture import (
+        decontaminate,
+        salted_md5,
+        training_shards,
+    )
+    from stadvdb_olap_spark.operators.packing import concat_pack
+    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
+    from stadvdb_olap_spark.sources.parquet import load_table, spread
+    from stadvdb_olap_spark.sources.sinks import write_table
+
+    report: dict[str, dict[str, float | int]] = {}
+
+    def stage(name: str, df: DataFrame, write: bool = False) -> DataFrame:
+        t0 = time.perf_counter()
+        if write and out_dir is not None:
+            obs = Observation(f"{name}_rows")
+            write_table(
+                df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                f"{out_dir}/{name}",
+            )
+            rows = int(obs.get["rows"])
+        else:
+            rows = df.count()
+        secs = round(time.perf_counter() - t0, 3)
+        report[name] = {"rows": rows, "seconds": secs}
+        log.info("stage %s: %d rows in %.3fs", name, rows, secs)
+        return df
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    screened = stage("screen", _screened(docs, sf_dir))
+
+    scrubbed = stage(
+        "scrub",
+        screened.withColumn("text", scrub_pii(F.col("text"))),
+    )
+
+    # exact dedup: smallest doc_id per content fingerprint survives
+    fp = scrubbed.withColumn("__fp", fingerprint("text"))
+    keep_ids = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = stage(
+        "dedup_exact",
+        fp.join(keep_ids, ["__fp", "doc_id"]).drop("__fp"),
+    )
+
+    # near dedup: higher id of every verified near-dup pair drops
+    pairs = jaccard_verified_pairs(exact, "doc_id", "text", _NEAR_T)
+    drop = pairs.select(
+        F.greatest("id_a", "id_b").alias("doc_id")
+    ).distinct()
+    near = stage("dedup_near", exact.join(drop, "doc_id", "left_anti"))
+
+    # decontaminate against the held-out (val/test) hash-split slice
+    heldout = docs.filter(
+        F.substring(salted_md5("doc_id", "split:"), 1, 1) >= "e"
+    )
+    clean = stage(
+        "decontaminate", decontaminate(near, heldout, "doc_id", "text")
+    )
+
+    # layout: shards + concat-pack offsets in one frame. BOTH layout
+    # components must derive from the SAME salted shard assignment or
+    # the pack offsets tile a different partition than the shard files.
+    sharded = training_shards(clean, _N_SHARDS, salt="shard:").select(
+        "doc_id", "text", "shard", "shard_pos"
+    )
+    offsets = concat_pack(
+        clean.select("doc_id", token_count("text").alias("n_tokens")),
+        ctx_len=_CTX_LEN,
+        n_shards=_N_SHARDS,
+        salt="shard:",
+    )
+    layout = stage(
+        "layout",
+        sharded.join(offsets.drop("shard"), "doc_id"),
+        write=True,
+    )
+
+    # manifest: per-shard counts + order-independent checksum (STRING —
+    # certified outputs never carry decimals)
+    row_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    manifest = stage(
+        "manifest",
+        layout.select("shard", F.col("n_tokens"), row_hash.alias("__rh"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.coalesce(F.sum("__rh"), F.lit(0))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        ),
+        write=True,
+    )
+    del manifest
+    return report

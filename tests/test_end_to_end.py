@@ -139,3 +139,53 @@ def test_cli_list_run_explain(spark, capsys):
     assert "Physical Plan" in out
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_run_curation_pipeline_invariants(spark, tmp_path):
+    """The 7-stage curation DAG: stage ordering, monotone retention
+    through the filter/dedup stages, layout row conservation, manifest
+    consistency with the written layout, and run-to-run determinism."""
+    from stadvdb_olap_spark.curation_app import run_curation_pipeline
+
+    out = str(tmp_path / "corpus")
+    report = run_curation_pipeline(spark, "/root/testdata/sf0.001", out_dir=out)
+    assert list(report) == [
+        "screen", "scrub", "dedup_exact", "dedup_near", "decontaminate",
+        "layout", "manifest",
+    ]
+    r = {k: v["rows"] for k, v in report.items()}
+    assert all(m["seconds"] >= 0 for m in report.values())
+    # filters/dedups only ever drop rows; scrub and layout preserve
+    assert r["scrub"] == r["screen"]
+    assert r["dedup_exact"] <= r["scrub"]
+    assert r["dedup_near"] <= r["dedup_exact"]
+    assert r["decontaminate"] <= r["dedup_near"]
+    assert r["layout"] == r["decontaminate"]
+    assert 0 < r["decontaminate"] < 500  # every stage actually bites
+    assert 0 < r["manifest"] <= 8
+
+    layout = spark.read.parquet(out + "/layout")
+    manifest = spark.read.parquet(out + "/manifest")
+    assert layout.count() == r["layout"]
+    # manifest doc/token totals equal the layout's
+    m = manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    l = layout.agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert (m["d"], m["t"]) == (l["d"], l["t"])
+    # per-shard offsets tile the concatenated stream exactly
+    for row in layout.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("end"),
+    ).collect():
+        assert row["tot"] == row["end"]
+
+    # determinism: a second run reproduces rows and manifest checksums
+    out2 = str(tmp_path / "corpus2")
+    report2 = run_curation_pipeline(spark, "/root/testdata/sf0.001", out_dir=out2)
+    assert {k: v["rows"] for k, v in report2.items()} == r
+    m1 = {tuple(x) for x in manifest.collect()}
+    m2 = {tuple(x) for x in spark.read.parquet(out2 + "/manifest").collect()}
+    assert m1 == m2

@@ -84,6 +84,7 @@ def run_curation_pipeline(
     from stadvdb_olap_spark.sources.sinks import write_table
 
     report: dict[str, dict[str, float | int]] = {}
+    persisted: list[DataFrame] = []
 
     def stage(name: str, df: DataFrame, write: bool = False) -> DataFrame:
         t0 = time.perf_counter()
@@ -95,6 +96,14 @@ def run_curation_pipeline(
             )
             rows = int(obs.get["rows"])
         else:
+            # Persist before counting: each stage's count is also the
+            # materialization the NEXT stage builds on, so the DAG costs
+            # one pass per stage instead of re-executing the whole
+            # upstream lineage per count (O(stages^2) at 100 TB).
+            # MEMORY_AND_DISK and shrinking survivor sets keep it
+            # bounded; everything unpersists when the run finishes.
+            df = df.persist()
+            persisted.append(df)
             rows = df.count()
         secs = round(time.perf_counter() - t0, 3)
         report[name] = {"rows": rows, "seconds": secs}
@@ -181,4 +190,6 @@ def run_curation_pipeline(
         write=True,
     )
     del manifest
+    for df in persisted:
+        df.unpersist()
     return report

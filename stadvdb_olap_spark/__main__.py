@@ -4,12 +4,15 @@
     python -m stadvdb_olap_spark run <query> [--sf-dir DIR] [--limit N] [--json]
     python -m stadvdb_olap_spark explain <query> [--sf-dir DIR]
     python -m stadvdb_olap_spark pipeline [--sf-dir DIR] [--out DIR]
+    python -m stadvdb_olap_spark curate [--sf-dir DIR] [--out DIR]
 
 `run` prints the result as a table (or JSON lines with --json); `explain`
 prints the formatted physical plan — the same artifact PLANS.md records;
-`pipeline` executes the reference-parity dim→fact build (app.py). The
-reference's own entry point is `python app.py` (reference app.py:1-26);
-this is its engine-wide generalization.
+`pipeline` executes the reference-parity dim→fact build (app.py);
+`curate` executes the 7-stage training-corpus curation DAG
+(curation_app.py) and prints the per-stage report. The reference's own
+entry point is `python app.py` (reference app.py:1-26); this is its
+engine-wide generalization.
 """
 
 from __future__ import annotations
@@ -79,6 +82,17 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    import json
+
+    from stadvdb_olap_spark.curation_app import run_curation_pipeline
+
+    spark = _session()
+    report = run_curation_pipeline(spark, args.sf_dir, args.out)
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="stadvdb_olap_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -104,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--sf-dir", default=default_sf)
     pp.add_argument("--out", default="/tmp/stadvdb_olap_warehouse")
     pp.set_defaults(fn=cmd_pipeline)
+
+    pc = sub.add_parser("curate", help="run the corpus-curation DAG")
+    pc.add_argument("--sf-dir", default=default_sf)
+    pc.add_argument("--out", default="/tmp/stadvdb_olap_corpus")
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1784,3 +1784,85 @@ def share_of_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").cast("double") / F.col("t").cast("double")
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen over daily revenue
+# ---------------------------------------------------------------------------
+
+_CUSUM_SHARE = 0.05  # flag days where |cusum| exceeds 5% of total revenue
+
+
+@query(
+    "cusum_changepoints_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM daily
+),
+c AS (
+    SELECT d, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS prefix,
+           CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS t
+    FROM daily
+)
+SELECT d, revenue,
+       prefix - t * (total / n) AS cusum,
+       (prefix - t * (total / n)) / total AS cusum_share,
+       abs((prefix - t * (total / n)) / total) > {_CUSUM_SHARE!r} AS flagged
+FROM c CROSS JOIN tot
+""",
+)
+def cusum_changepoints_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen: per day, the cumulative deviation of
+    daily revenue from the series mean (CUSUM(t) = Σ_{{i<=t}} rev_i −
+    t·μ), normalized by total revenue, flagged where the drift exceeds
+    {share}% — the classical level-shift detector behind SLA/seasonality
+    break monitoring. Float-determinism device: windowed FLOAT sums are
+    engine-divergent (DuckDB aggregates frames via a segment tree, Spark
+    sequentially), so the running sum is an order-insensitive exact
+    DECIMAL(18,2) prefix converted once to DOUBLE, and CUSUM derives as
+    prefix − t·μ with a pinned operation order. The decimal prefix keeps
+    under 2^53 unscaled through ~1e15 in summed revenue cents — far past
+    any per-day series. The global window runs on the calendar-bounded
+    daily series (thousands of rows), never the fact table; the 1-row
+    total broadcasts."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.select(
+        "d",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("prefix"),
+        F.row_number().over(Window.orderBy("d")).cast("double").alias("t"),
+    )
+    mu = F.col("total") / F.col("n")
+    cusum = F.col("prefix") - F.col("t") * mu
+    return c.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "revenue",
+        cusum.alias("cusum"),
+        (cusum / F.col("total")).alias("cusum_share"),
+        (F.abs(cusum / F.col("total")) > F.lit(_CUSUM_SHARE)).alias("flagged"),
+    )

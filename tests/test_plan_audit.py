@@ -90,6 +90,7 @@ _BNLJ_OK = {
     "semdedup_fixed_centroids",  # bounded pinned-centroid broadcast
     "ann_ivf_fixed_topk",  # bounded pinned-centroid broadcast
     "rrf_fusion_topk_docs",  # 1-row corpus stats + 1-row query vector
+    "cusum_changepoints_daily_revenue",  # 1-row total/mean broadcast
 }
 
 

@@ -1866,3 +1866,111 @@ def cusum_changepoints_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         (cusum / F.col("total")).alias("cusum_share"),
         (F.abs(cusum / F.col("total")) > F.lit(_CUSUM_SHARE)).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two daily series
+# ---------------------------------------------------------------------------
+
+_RC_PRESCALE = 0.01  # daily value sums -> low hundreds (see _quantized)
+_RC_WIN = 7
+
+
+@query(
+    "rolling_corr_click_purchase_7d",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COALESCE({money_sum_sql(
+               "CASE WHEN event_type = 'click' THEN value END")},
+                    0.0) AS vx,
+           COALESCE({money_sum_sql(
+               "CASE WHEN event_type = 'purchase' THEN value END")},
+                    0.0) AS vy
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+),
+q AS (
+    SELECT d, vx, vy,
+           {_quantized_sql('vx', _RC_PRESCALE)} AS xq,
+           {_quantized_sql('vy', _RC_PRESCALE)} AS yq
+    FROM daily
+),
+m AS (
+    SELECT d, vx, vy,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+           CAST(SUM(xq) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(yq) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(xq * yq) OVER w AS DOUBLE) AS sxy,
+           CAST(SUM(xq * xq) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(yq * yq) OVER w AS DOUBLE) AS syy
+    FROM q
+    WINDOW w AS (ORDER BY d ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT d, vx, vy, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) = 0
+            THEN NULL
+            ELSE {_pearson_from_sums_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')}
+       END AS corr_7d
+FROM m
+""",
+)
+def rolling_corr_click_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between the click and purchase
+    daily value series — the co-movement monitor (is engagement still
+    tracking revenue?) behind metric-drift alerting. Float-determinism
+    devices: daily values quantize through ``_quantized`` (integer
+    DECIMAL(10,0) after a static prescale — Pearson is scale-invariant,
+    and integer decimals make every windowed product/sum EXACT and
+    order-free, where windowed FLOAT sums diverge between DuckDB's
+    segment-tree and Spark's sequential frames); the closed form then
+    runs in +,−,×,÷,sqrt on exactly-converted doubles, with an explicit
+    zero-variance guard (NULL, not 0/0). The window runs on the
+    calendar-bounded daily series, never the event table; the daily
+    aggregate is the only fact-sized pass."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.coalesce(
+                money_sum(F.when(F.col("event_type") == "click", F.col("value"))),
+                F.lit(0.0),
+            ).alias("vx"),
+            F.coalesce(
+                money_sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            ).alias("vy"),
+        )
+    )
+    q = daily.select(
+        "d", "vx", "vy",
+        _quantized("vx", _RC_PRESCALE).alias("xq"),
+        _quantized("vy", _RC_PRESCALE).alias("yq"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    m = q.select(
+        "d", "vx", "vy",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("xq").over(w).cast("double").alias("sx"),
+        F.sum("yq").over(w).cast("double").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).over(w).cast("double").alias("syy"),
+    )
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    r = _pearson_from_sums(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    return m.select(
+        "d", "vx", "vy",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(den == 0, F.lit(None).cast("double")).otherwise(r).alias("corr_7d"),
+    )

@@ -1797,7 +1797,7 @@ _CUSUM_SHARE = 0.05  # flag days where |cusum| exceeds 5% of total revenue
     "cusum_changepoints_daily_revenue",
     oracle=f"""
 WITH daily AS (
-    SELECT date_trunc('day', o_orderdate) AS d,
+    SELECT CAST(o_orderdate AS DATE) AS d,
            {money_sum_sql('o_totalprice')} AS revenue
     FROM orders GROUP BY 1
 ),
@@ -1838,8 +1838,10 @@ def cusum_changepoints_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql import Window
 
     orders = spread(load_table(spark, sf_dir, "orders"))
+    # DATE-typed day key on BOTH sides (Spark date_trunc returns
+    # TIMESTAMP where DuckDB's returns DATE — cast is the convention).
     daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+        F.col("o_orderdate").cast("date").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"),

@@ -304,15 +304,21 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bfs_depth_dedup_clusters",
     oracle=f"""
 WITH RECURSIVE
-sigs AS ({_sigs_sql()}),
-bands AS ({_bands_sql()}),
-cands AS (
+-- MATERIALIZED: DuckDB inlines plain CTEs into every reference, so the
+-- whole LSH pipeline would otherwise re-evaluate inside EACH recursive
+-- iteration (measured 70 s -> <1 s at sf0.01; results identical —
+-- evaluation strategy only).
+sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),
+cands AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
 ),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
-verified AS (
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+verified AS MATERIALIZED (
     SELECT id_a, id_b
     FROM cands
     JOIN sets_ sa ON sa.doc_id = id_a
@@ -320,7 +326,7 @@ verified AS (
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
               / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM verified
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM verified
@@ -869,15 +875,21 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rcte_min_label_clusters",
     oracle=f"""
 WITH RECURSIVE
-sigs AS ({_sigs_sql()}),
-bands AS ({_bands_sql()}),
-cands AS (
+-- MATERIALIZED: DuckDB inlines plain CTEs into every reference, so the
+-- whole LSH pipeline would otherwise re-evaluate inside EACH recursive
+-- iteration (measured 70 s -> <1 s at sf0.01; results identical —
+-- evaluation strategy only).
+sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),
+cands AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
 ),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
-verified AS (
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+verified AS MATERIALIZED (
     SELECT id_a, id_b
     FROM cands
     JOIN sets_ sa ON sa.doc_id = id_a
@@ -885,7 +897,7 @@ verified AS (
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
               / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM verified
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM verified

@@ -329,15 +329,20 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_canonical",
     oracle=f"""
 WITH RECURSIVE
-sigs AS ({_sigs_sql()}),
-bands AS ({_bands_sql()}),
-cands AS (
+-- MATERIALIZED: keeps DuckDB from re-evaluating the inlined LSH
+-- pipeline inside every recursive iteration (evaluation strategy only;
+-- results identical).
+sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),
+cands AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
 ),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
-verified AS (
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+verified AS MATERIALIZED (
     SELECT id_a, id_b
     FROM cands
     JOIN sets_ sa ON sa.doc_id = id_a
@@ -345,7 +350,7 @@ verified AS (
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
               / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM verified
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM verified

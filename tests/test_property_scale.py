@@ -287,3 +287,84 @@ def test_ppm_codec_roundtrip(w, h, seed):
     assert (decode_ppm(encode_ppm(img)) == img).all()
     with _pytest.raises(ValueError):
         decode_ppm(encode_ppm(img)[:-1])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=40),
+    ctx=st.integers(min_value=1, max_value=128),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_concat_pack_tiles_every_shard(spark, weights, ctx, n_shards):
+    """For ANY item weights (including zeros), context length, and shard
+    count: within each shard the start offsets tile the concatenated
+    stream with no gap or overlap, and chunk addressing matches the
+    integer arithmetic."""
+    from stadvdb_olap_spark.operators.packing import concat_pack
+
+    items = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = concat_pack(items, ctx_len=ctx, n_shards=n_shards).collect()
+    assert len(rows) == len(weights)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        total = sum(r["n_tokens"] for r in members)
+        # zero-weight items share a start offset with their successor, so
+        # the strict no-gap/no-overlap tiling applies to the rows that
+        # actually consume stream; zero-weight rows must still sit at a
+        # valid offset inside the stream.
+        expect = 0
+        for r in sorted(
+            (r for r in members if r["n_tokens"] > 0),
+            key=lambda r: r["start_off"],
+        ):
+            assert r["start_off"] == expect
+            first = r["start_off"] // ctx
+            last = (r["start_off"] + r["n_tokens"] - 1) // ctx
+            assert r["chunk_first"] == first
+            assert r["n_chunks_spanned"] == last - first + 1
+            expect += r["n_tokens"]
+        assert expect == total
+        for r in members:
+            if r["n_tokens"] == 0:
+                assert 0 <= r["start_off"] <= total
+                assert r["n_chunks_spanned"] in (0, 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30
+    ),
+    cuts=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=15
+    ),
+)
+def test_zorder_bucket_is_monotone_cut_count(spark, values, cuts):
+    """zorder_bucket == the count of cuts strictly below the value, for
+    ANY values and cut multiset — monotone in the value (curve locality)
+    and bounded by len(cuts)."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.maintenance import zorder_bucket
+
+    df = spark.createDataFrame([(v,) for v in values], "v bigint")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", zorder_bucket(F.col("v"), [float(c) for c in cuts]).alias("b")
+        ).collect()
+    }
+    for v in values:
+        assert got[v] == sum(1 for c in cuts if v > c)

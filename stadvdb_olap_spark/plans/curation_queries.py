@@ -81,7 +81,7 @@ def _setjoin_sets_sql() -> str:
 @query(
     "setjoin_prefix_jaccard_pairs",
     oracle=f"""
-WITH sh AS ({_setjoin_sets_sql()}),
+WITH sh AS MATERIALIZED ({_setjoin_sets_sql()}),
 sz AS (SELECT doc_id, len(s) AS n FROM sh),
 e AS (SELECT doc_id, unnest(s) AS g FROM sh),
 inter AS (

@@ -388,31 +388,38 @@ def _curate_sql() -> str:
     split_bucket = "substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2)"
     return f"""
 WITH RECURSIVE
-toks AS (SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents),
-lang AS ({_lang_id_sql()}),
-gated AS (
+-- MATERIALIZED: keeps DuckDB from re-evaluating the inlined pipeline
+-- inside every recursive iteration and every multi-reference
+-- (evaluation strategy only; results identical).
+toks AS MATERIALIZED (
+    SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents
+),
+lang AS MATERIALIZED ({_lang_id_sql()}),
+gated AS MATERIALIZED (
     SELECT doc_id, text FROM toks
     WHERE len(toks) >= 5
       AND CAST(len(list_filter(toks, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
               / len(toks) <= 0.9
 ),
-keep_exact AS (
+keep_exact AS MATERIALIZED (
     SELECT min(doc_id) AS doc_id
     FROM (SELECT doc_id, md5(array_to_string({T.tokens_sql('text')}, ' ')) AS ch
           FROM gated)
     GROUP BY ch
 ),
-gated2 AS (SELECT g.* FROM gated g JOIN keep_exact USING (doc_id)),
-all_sigs AS ({_sigs_sql(8)}),
-sigs AS (SELECT s.* FROM all_sigs s JOIN gated2 USING (doc_id)),
-bands AS ({_bands_sql(8, _BAND_SIZE)}),
-cands AS (
+gated2 AS MATERIALIZED (SELECT g.* FROM gated g JOIN keep_exact USING (doc_id)),
+all_sigs AS MATERIALIZED ({_sigs_sql(8)}),
+sigs AS MATERIALIZED (SELECT s.* FROM all_sigs s JOIN gated2 USING (doc_id)),
+bands AS MATERIALIZED ({_bands_sql(8, _BAND_SIZE)}),
+cands AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
 ),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})),
-verified AS (
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+verified AS MATERIALIZED (
     SELECT id_a, id_b
     FROM cands
     JOIN sets_ sa ON sa.doc_id = id_a
@@ -420,7 +427,7 @@ verified AS (
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
               / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM verified
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM verified

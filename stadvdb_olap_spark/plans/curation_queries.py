@@ -810,3 +810,102 @@ def span_corrupt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.alias("n_masked"),
         n_spans.alias("n_spans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall audit: LSH-verified pairs vs the exact set-similarity join
+# ---------------------------------------------------------------------------
+
+from stadvdb_olap_spark.plans.text_queries import (  # noqa: E402
+    _bands_sql,
+    _shingled_sql,
+    _sigs_sql,
+)
+
+_AUDIT_T = 0.5
+
+
+@query(
+    "dedup_recall_audit_docs",
+    oracle=f"""
+WITH sh AS MATERIALIZED ({_setjoin_sets_sql()}),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz na ON na.doc_id = id_a
+  JOIN sz nb ON nb.doc_id = id_b
+  WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {_AUDIT_T}
+),
+sigs AS MATERIALIZED ({_sigs_sql(8)}),
+bands AS MATERIALIZED ({_bands_sql(8, 2)}),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sets_ AS MATERIALIZED (
+  SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+lsh AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN sets_ sa ON sa.doc_id = id_a
+  JOIN sets_ sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(sa.sh || sb.sh)) >= {_AUDIT_T}
+)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       (SELECT COUNT(*) FROM exact ex WHERE NOT EXISTS (
+            SELECT 1 FROM lsh l
+            WHERE l.id_a = ex.id_a AND l.id_b = ex.id_b)) AS n_missed,
+       CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM exact) -
+                      (SELECT COUNT(*) FROM exact ex WHERE NOT EXISTS (
+                           SELECT 1 FROM lsh l
+                           WHERE l.id_a = ex.id_a AND l.id_b = ex.id_b))
+                   AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact)
+       END AS recall
+""",
+)
+def dedup_recall_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PIPELINE dedup recall audit: the probabilistic MinHash/LSH
+    near-dup pass (8 hashes, band size 2) measured against the exact
+    prefix-filtered set-similarity join at the same Jaccard threshold —
+    one row: exact pairs, LSH-verified pairs, pairs the banding missed,
+    recall. The audit every production dedup deployment should ship:
+    banding recall is a tunable probabilistic guarantee, and this query
+    turns it into a monitored number using only certified components.
+    Both pair sets are bounded (near-dup pairs, not the n^2 space);
+    counts reduce to one row."""
+    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact = CU.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", _AUDIT_T, shingle_n=_SETJOIN_SHINGLE_N
+    ).select("id_a", "id_b")
+    lsh = jaccard_verified_pairs(docs, "doc_id", "text", _AUDIT_T).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_missed = exact.join(lsh, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    joined = (
+        n_exact.crossJoin(F.broadcast(n_lsh)).crossJoin(F.broadcast(n_missed))
+    )
+    recall = F.when(
+        F.col("n_exact") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("n_exact") - F.col("n_missed")).cast("double") / F.col("n_exact")
+    )
+    return joined.select("n_exact", "n_lsh", "n_missed", recall.alias("recall"))

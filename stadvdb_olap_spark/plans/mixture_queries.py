@@ -293,3 +293,58 @@ def training_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum"),
         )
     )
+
+
+_N_EPOCHS = 3
+
+
+def _epoch_shard_sql(salt: str) -> str:
+    h = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"CAST(((strpos('0123456789abcdef', {h}[1:1]) - 1) * 4096"
+        f"    + (strpos('0123456789abcdef', {h}[2:2]) - 1) * 256"
+        f"    + (strpos('0123456789abcdef', {h}[3:3]) - 1) * 16"
+        f"    + (strpos('0123456789abcdef', {h}[4:4]) - 1)) AS BIGINT)"
+        f" % {_N_SHARDS}"
+    )
+
+
+@query(
+    "epoch_shuffle_layout_docs",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT doc_id, {e} AS epoch,
+       {_epoch_shard_sql(f'epoch{e}:')} AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_epoch_shard_sql(f'epoch{e}:')}
+           ORDER BY md5('epoch{e}:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS shard_pos
+FROM documents"""
+        for e in range(_N_EPOCHS)
+    ),
+)
+def epoch_shuffle_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training layout: an INDEPENDENT deterministic global
+    shuffle per epoch — shard and within-shard order re-derive from an
+    epoch-salted content hash, so every epoch's read order is different,
+    reproducible, and derivable by any worker without coordination (the
+    property that makes multi-epoch training restartable mid-epoch).
+    One exchange per epoch on the shard id; epochs are embarrassingly
+    parallel and typically materialized lazily one epoch ahead."""
+    from stadvdb_olap_spark.operators.mixture import training_shards
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    parts = [
+        training_shards(docs, _N_SHARDS, salt=f"epoch{e}:")
+        .select(
+            "doc_id",
+            F.lit(e).cast("long").alias("epoch"),
+            "shard",
+            "shard_pos",
+        )
+        for e in range(_N_EPOCHS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

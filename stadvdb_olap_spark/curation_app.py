@@ -71,15 +71,6 @@ def run_curation_pipeline(
     """Run the 7-stage curation DAG; return per-stage
     ``{"rows": n, "seconds": s}`` (plus the final manifest row count).
     With ``out_dir``, the layout and manifest stages write parquet."""
-    from stadvdb_olap_spark.functions.pii import scrub_pii
-    from stadvdb_olap_spark.functions.text import fingerprint, token_count
-    from stadvdb_olap_spark.operators.mixture import (
-        decontaminate,
-        salted_md5,
-        training_shards,
-    )
-    from stadvdb_olap_spark.operators.packing import concat_pack
-    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
     from stadvdb_olap_spark.sources.parquet import load_table, spread
     from stadvdb_olap_spark.sources.sinks import write_table
 
@@ -111,6 +102,28 @@ def run_curation_pipeline(
         return df
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+
+    # Any stage (or write) failure must still release the persisted
+    # frames — a leaked persist lives for the whole session, which adds
+    # up across repeated probe/benchmark runs.
+    try:
+        _run_stages(spark, stage, docs, sf_dir)
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return report
+
+
+def _run_stages(spark, stage, docs: DataFrame, sf_dir: str) -> None:
+    from stadvdb_olap_spark.functions.pii import scrub_pii
+    from stadvdb_olap_spark.functions.text import fingerprint, token_count
+    from stadvdb_olap_spark.operators.mixture import (
+        decontaminate,
+        salted_md5,
+        training_shards,
+    )
+    from stadvdb_olap_spark.operators.packing import concat_pack
+    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
 
     screened = stage("screen", _screened(docs, sf_dir))
 
@@ -190,6 +203,3 @@ def run_curation_pipeline(
         write=True,
     )
     del manifest
-    for df in persisted:
-        df.unpersist()
-    return report

@@ -119,7 +119,20 @@ def zorder_key_pinned(
     identical key. ``dims`` is [(column, [cut, ...], ...)]; buckets cap
     by construction at ``2^bits_per_dim`` when ``len(cuts) == 2^bits -
     1``. Pure integer/comparison expressions — whole-stage codegen'd,
-    exactly replayable in SQL."""
+    exactly replayable in SQL.
+
+    Raises ``ValueError`` when a dimension carries more cuts than the
+    per-dimension bit budget can address: bucket ids would exceed
+    ``2^bits_per_dim - 1`` and the interleave would silently mask the
+    high bits, destroying curve locality with no error."""
+    limit = (1 << bits_per_dim) - 1
+    for i, (_, cuts) in enumerate(dims):
+        if len(cuts) > limit:
+            raise ValueError(
+                f"dims[{i}] has {len(cuts)} cuts but bits_per_dim="
+                f"{bits_per_dim} addresses at most {limit} cuts "
+                f"({limit + 1} buckets); raise bits_per_dim or prune cuts"
+            )
     bucket_exprs = [zorder_bucket(col, cuts) for col, cuts in dims]
     return _interleave_bits(bucket_exprs, bits_per_dim)
 

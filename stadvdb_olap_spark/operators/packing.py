@@ -131,11 +131,17 @@ def concat_pack(
     ).select("*", start, (cum - F.lit(1)).alias("__endtok"))
     chunk_first = ((F.col("__start") - F.col("__start") % ctx) / ctx).cast("long")
     chunk_last = ((F.col("__endtok") - F.col("__endtok") % ctx) / ctx).cast("long")
+    # A zero-weight item occupies no tokens: spans 0 chunks always.
+    # (Without the guard, __endtok = start-1 makes the span 1 at
+    # non-boundary offsets but 0 at exact ctx_len boundaries.)
+    spanned = F.when(F.col(weight_col) == 0, F.lit(0).cast("long")).otherwise(
+        (chunk_last - chunk_first + 1).cast("long")
+    )
     return base.select(
         key_col,
         "shard",
         F.col(weight_col).cast("long").alias(weight_col),
         F.col("__start").cast("long").alias("start_off"),
         chunk_first.alias("chunk_first"),
-        (chunk_last - chunk_first + 1).alias("n_chunks_spanned"),
+        spanned.alias("n_chunks_spanned"),
     )

@@ -53,93 +53,85 @@ def query(
     return deco
 
 
-# ROUND-4 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. Rounds 1-3 signed
-# 139 (advanced+analytics; etl/tpch/text/sampling + headline dedup/vector;
-# then the r3 family sweep). This front = the 11 latest-fail/lapsed queries
-# FIRST (8 round-3 canon-contract failures now retyped to
-# BIGINT/DOUBLE/VARCHAR outputs, plus 3 that gained oracles after their
-# rows-only r1 window row), then 39 never-windowed ones family-balanced.
-# Round 5's tail = the 6 series/scale-depth queries left at rotation
-# time (holt_forecast_daily_revenue, max_concurrent_sessions_hourly,
-# abc_classification_parts, holt_forecast_by_event_type,
-# wow_growth_revenue, share_of_total_by_segment) PLUS every
-# oracle-backed query added after the rotation — don't trust this
-# comment's arithmetic, `python tools/next_window.py` prints the
-# authoritative round-5 list.
+# ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
+# 189 queries (latest-fail 0). This front = the 21 never-windowed
+# oracle-backed queries (closing the gap to 210/210 signed), then 29
+# staleness re-certifications: signed queries oldest-green-row first
+# (all r1-signed advanced/analytics/tpch rows, now three rounds of
+# refactors old). Produced verbatim by `python tools/next_window.py`,
+# which now appends the staleness fill after the never-windowed set.
 #
-# ROUND-5 ROTATION: run `python tools/next_window.py` — it diffs the
+# ROUND-6 ROTATION: run `python tools/next_window.py` — it diffs the
 # catalog against every CORRECTNESS_r*.json (counting only
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
-ROUND4_FRONT: tuple[str, ...] = (
-    # re-certification: round-3 canon-contract failures, outputs retyped
-    "ab_test_purchase_rate",
-    "encode_docs_token_ids",
-    "fingerprint_core_tables",
-    "incremental_agg_state_orders",
-    "multimodal_fake_features",
-    "pii_hits_by_source",
-    "table_diff_orders_restated",
-    "token_budget_per_source_docs",
-    # re-certification: rows-only in r1, oracle-backed since
-    "approx_distinct_parts_per_flag",
-    "approx_percentiles_by_priority",
-    "events_session_window_builtin",
-    # never-windowed, family-balanced (curation / feature / funnel /
-    # mixture / scale / series / sketch / vector round-robin)
-    "bigram_lm_logprob_docs",
-    "order_extremes_per_priority",
-    "ab_test_cuped_value",
-    "training_manifest_docs",
-    "weighted_sample_orders_priority",
-    "markov_event_transitions",
-    "sketch_hll_mergeable_rollup",
-    "hard_negatives_by_label",
-    "debounce_events_10s",
-    "pit_join_events_priority",
-    "salted_join_event_value_by_segment",
-    "user_first_paths",
-    "dialogue_turns_per_session",
-    "variant_props_bucketed",
-    "simpson_diversity_source_unigrams",
-    "dup_ngram_span_stats_docs",
-    "udtf_chunk_ranges_docs",
-    "autocorr_daily_revenue_lag7",
-    "bfs_depth_dedup_clusters",
-    "corr_matrix_lineitem",
-    "minhash_wide_signatures_docs",
-    "benford_first_digit_orders",
-    "inverted_index_terms",
-    "interpolate_hourly_signup_value",
-    "term_cooccurrence_pairs",
-    "decile_bins_order_totals",
-    "term_lift_scores",
-    "gini_customer_revenue",
-    "inverted_index_merged_delta",
-    "weighted_median_price_by_flag",
-    "trailing_1h_user_value",
-    "survival_weekly_users",
-    "nullsafe_join_user_buckets",
-    "basket_part_pairs_lift",
-    "locf_forward_fill_events",
-    "rfm_segments_customers",
-    "mad_quantity_per_flag",
-    "seasonal_decompose_daily_revenue",
-    "key_skew_profile_events",
+ROUND5_FRONT: tuple[str, ...] = (
+    # never-windowed, family-balanced (the last 21 without a driver row)
+    "domain_rollup_docs",
+    "format_roundtrip_orders",
+    "pack_concat_offsets_docs",
+    "gopher_rules_filter_docs",
+    "zorder_key_orders",
+    "holt_forecast_daily_revenue",
+    "quality_logit_filter_docs",
+    "ann_ivf_fixed_topk",
+    "bpe_encode_pinned_docs",
+    "epoch_shuffle_layout_docs",
+    "max_concurrent_sessions_hourly",
+    "rrf_fusion_topk_docs",
+    "semdedup_fixed_centroids",
+    "span_corrupt_docs",
+    "abc_classification_parts",
+    "dedup_recall_audit_docs",
+    "holt_forecast_by_event_type",
+    "wow_growth_revenue",
+    "share_of_total_by_segment",
+    "cusum_changepoints_daily_revenue",
+    "rolling_corr_click_purchase_7d",
+    # staleness re-certification: oldest-signed (r1) rows, refreshed
+    "asof_join_events_orders",
+    "click_purchase_attribution",
+    "cohort_weekly_retention",
+    "cube_order_status_priority",
+    "distinct_parts_per_flag",
+    "events_by_type",
+    "events_json_props",
+    "events_sessionize_30m",
+    "events_sliding_3h_1h",
+    "events_tumbling_1h",
+    "gapfill_daily_revenue",
+    "grouping_sets_revenue",
+    "histogram_order_totals",
+    "iqr_outlier_events",
+    "min_price_row_per_part",
+    "moving_avg_daily_revenue",
+    "ntile_customers_by_balance",
+    "ols_price_vs_quantity_by_flag",
+    "order_gaps_lag",
+    "order_keys_concat_per_customer",
+    "orders_above_global_avg",
+    "percentiles_by_priority",
+    "pivot_event_type_daily",
+    "profile_orders",
+    "q13_customer_order_distribution",
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q4_priority_with_late_lines",
+    "q5_revenue_by_nation",
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND4_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND5_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
     # 50-query certification window — fail loudly instead (real raises,
     # not asserts: the guard must survive python -O).
-    missing = set(ROUND4_FRONT) - set(REGISTRY)
+    missing = set(ROUND5_FRONT) - set(REGISTRY)
     if missing:
         raise ValueError(f"front names not in registry: {sorted(missing)}")
-    bad = [n for n in ROUND4_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    bad = [n for n in ROUND5_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
     if bad:
         raise ValueError(
             f"front names must be oracle-backed and non-deferred: {bad}"
@@ -173,7 +165,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # Window positions are decided by the ROUND4_FRONT tuple above, not
+    # Window positions are decided by the ROUND5_FRONT tuple above, not
     # by this import order (front names sort first; everything else
     # keeps registration order behind them, deferred rows-only last).
     # Import order only breaks ties among non-front queries, so the

@@ -731,12 +731,18 @@ def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     )
     schema = sub.schema
-    # Deterministic per-sf_dir staging dir, OVERWRITTEN each invocation —
-    # repeated certification/sim runs reuse one bounded location instead
-    # of leaking a fresh mkdtemp per call. (The files must outlive this
-    # function: the returned plan scans them lazily at collect time, the
-    # same eager-provision posture as jdbc_merge_roundtrip_orders.)
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # Deterministic per-(session, sf_dir) staging dir, OVERWRITTEN each
+    # invocation — repeated certification/sim runs within one session
+    # reuse a bounded location instead of leaking a fresh mkdtemp per
+    # call, while the applicationId token keeps concurrent processes
+    # (pytest + driver_sim, parallel sims) from overwriting each other's
+    # staged files under a lazily-returned plan. (The files must outlive
+    # this function: the returned plan scans them lazily at collect
+    # time, the same eager-provision posture as
+    # jdbc_merge_roundtrip_orders.)
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
     base = f"{tempfile.gettempdir()}/stadvdb_fmt_{tag}"
     csv_path, jsonl_path = f"{base}/orders_csv", f"{base}/orders_jsonl"
     sub.write.mode("overwrite").option("header", "true").csv(csv_path)

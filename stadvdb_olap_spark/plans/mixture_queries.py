@@ -197,8 +197,9 @@ c AS (
 SELECT doc_id, shard, n_tokens,
        cum - n_tokens AS start_off,
        (cum - n_tokens) // {_CTX_LEN} AS chunk_first,
-       (cum - 1) // {_CTX_LEN} - (cum - n_tokens) // {_CTX_LEN} + 1
-           AS n_chunks_spanned
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (cum - 1) // {_CTX_LEN} - (cum - n_tokens) // {_CTX_LEN} + 1
+       END AS n_chunks_spanned
 FROM c
 """,
 )

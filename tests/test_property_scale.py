@@ -335,7 +335,9 @@ def test_concat_pack_tiles_every_shard(spark, weights, ctx, n_shards):
         for r in members:
             if r["n_tokens"] == 0:
                 assert 0 <= r["start_off"] <= total
-                assert r["n_chunks_spanned"] in (0, 1)
+                # zero tokens consumed => zero chunks spanned, always
+                assert r["n_chunks_spanned"] == 0
+                assert r["chunk_first"] == r["start_off"] // ctx
 
 
 @settings(
@@ -368,3 +370,20 @@ def test_zorder_bucket_is_monotone_cut_count(spark, values, cuts):
     }
     for v in values:
         assert got[v] == sum(1 for c in cuts if v > c)
+
+
+def test_zorder_key_pinned_rejects_overflowing_cuts():
+    """More cuts than the per-dimension bit budget can address must raise
+    (the interleave would silently mask high bucket bits otherwise)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.maintenance import zorder_key_pinned
+
+    # 2 bits address at most 3 cuts (4 buckets); 4 cuts must raise.
+    with pytest.raises(ValueError, match="at most 3 cuts"):
+        zorder_key_pinned(
+            [(F.col("a"), [1.0, 2.0, 3.0, 4.0])], bits_per_dim=2
+        )
+    # At-the-cap is fine (pure expression construction, no session needed).
+    zorder_key_pinned([(F.col("a"), [1.0, 2.0, 3.0])], bits_per_dim=2)

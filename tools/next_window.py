@@ -11,7 +11,9 @@ against every CORRECTNESS_r*.json in the repo root and prints:
 - a suggested next ``ROUNDx_FRONT`` tuple: latest-failed/lapsed queries
   FIRST (they must re-enter a window to flip their red row), then
   never-windowed ones family-balanced (one pass interleaving modules),
-  ready to paste into ``plans/catalog.py``.
+  then — if slots remain — staleness re-certification: already-signed
+  queries oldest-signed-round first, so no green row ages more than a
+  couple of rounds of refactors without a fresh driver signature.
 
 Usage:  python tools/next_window.py [window_size]
 """
@@ -28,16 +30,20 @@ sys.path.insert(0, "/root/repo")
 from stadvdb_olap_spark.plans import catalog  # noqa: E402
 
 
-def _latest_results() -> dict[str, dict]:
-    """name -> result row from the HIGHEST round that included it."""
+def _latest_results() -> tuple[dict[str, dict], dict[str, int]]:
+    """(name -> result row, name -> round) from the HIGHEST round that
+    included each query."""
     latest: dict[str, dict] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(
         glob.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     ):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
         for name, row in json.load(open(path)).items():
             latest[name] = row
-    return latest
+            rounds[name] = rnd
+    return latest, rounds
 
 
 def _passed(row: dict) -> bool:
@@ -53,15 +59,17 @@ def _module_of(fn) -> str:
 def main() -> None:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     catalog._ensure_loaded()
-    latest = _latest_results()
+    latest, rounds = _latest_results()
 
     retry: list[str] = []  # windowed before, latest row not green
     fresh_by_module: dict[str, list[str]] = {}  # never windowed
+    stale: list[tuple[int, str]] = []  # signed: (round_signed, name)
     for spec in catalog.REGISTRY.values():
         if spec.oracle is None or spec.defer:
             continue
         row = latest.get(spec.name)
         if row is not None and _passed(row):
+            stale.append((rounds[spec.name], spec.name))
             continue
         if row is not None:
             retry.append(spec.name)
@@ -83,9 +91,20 @@ def main() -> None:
             if queues[mod] and len(picked) < window:
                 picked.append(queues[mod].pop(0))
 
-    print(f"\nROUND_NEXT_FRONT: tuple[str, ...] = (  # {len(picked)} queries")
+    # Staleness fill: remaining slots go to signed queries whose latest
+    # green row is oldest (ties broken alphabetically for determinism).
+    recert = [n for _, n in sorted(stale)][: max(0, window - len(picked))]
+    picked += recert
+
+    print(
+        f"\nROUND_NEXT_FRONT: tuple[str, ...] = (  # {len(picked)} queries"
+        f" ({len(picked) - len(recert)} uncertified + {len(recert)} re-cert)"
+    )
     for name in picked:
-        print(f'    "{name}",')
+        mark = ""
+        if name in recert:
+            mark = f"  # re-cert (signed r{rounds[name]})"
+        print(f'    "{name}",{mark}')
     print(")")
     leftover = sum(len(v) for v in queues.values()) + max(0, len(retry) - window)
     print(f"# left for the following round: {leftover}")

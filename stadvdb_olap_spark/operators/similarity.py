@@ -175,6 +175,52 @@ def lsh_bucketed_topk(
     )
 
 
+def _fold_cosines(q_mat: np.ndarray, c_mat: np.ndarray) -> np.ndarray:
+    """(Q, B) cosine matrix replicating the JVM expression path
+    (functions/vectors.py:cosine) BIT-FOR-BIT: every dot product folds
+    left-to-right over the dim axis — one correctly rounded multiply +
+    add per step, exactly the ``F.aggregate``/`list_reduce`` order —
+    while staying vectorized across the pair axes (64 AXPY passes
+    instead of one BLAS call; BLAS blocks/FMAs in an unspecified order,
+    which is the entire float divergence of the plain GEMM path)."""
+    dots = np.zeros((q_mat.shape[0], c_mat.shape[0]))
+    for d in range(q_mat.shape[1]):
+        dots += q_mat[:, d : d + 1] * c_mat[None, :, d]
+
+    def norms(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0])
+        for d in range(m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    return dots / (norms(q_mat)[:, None] * norms(c_mat)[None, :])
+
+
+def _batch_topk(
+    ids: np.ndarray,
+    c_ids: np.ndarray,
+    sims: np.ndarray,
+    k: int,
+    exact_fold: bool,
+) -> dict[str, np.ndarray]:
+    """Per-batch top-(k+1) selection (k + a possible self-match). The
+    exact path sorts by (-cosine, neighbor_id) so a tie at the cut keeps
+    the id the global window rank prefers; the GEMM path keeps the
+    cheaper argpartition (its float sums aren't certified anyway)."""
+    top = min(k + 1, sims.shape[1])
+    if exact_fold:
+        idx = np.stack(
+            [np.lexsort((c_ids, -sims[qi]))[:top] for qi in range(len(ids))]
+        )
+    else:
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+    return {
+        "query_id": np.repeat(ids, top),
+        "neighbor_id": c_ids[idx].ravel(),
+        "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+    }
+
+
 def cosine_topk_pandas(
     queries: DataFrame,
     candidates: DataFrame,
@@ -183,18 +229,25 @@ def cosine_topk_pandas(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = DEFAULT_MAX_QUERIES,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy GEMM (mapInPandas): queries are
     collected once (capped at ``max_queries`` — raises above), normalized,
     and matmul'd against each candidate Arrow batch; per-batch top-k then a
     final global top-k merge. ~10-100x the per-row expression path on wide
-    vectors."""
+    vectors.
+
+    ``exact_fold=True`` swaps the BLAS matmul for a dim-sequential
+    accumulation that reproduces the JVM/DuckDB IEEE left-fold
+    bit-for-bit (still Arrow-batched, still vectorized across pairs) —
+    the hash-certifiable face of this path."""
     import pandas as pd
 
     q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if not exact_fold:
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     spark = queries.sparkSession
     bq_ids = spark.sparkContext.broadcast(q_ids)
@@ -203,18 +256,16 @@ def cosine_topk_pandas(
     def topk_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         ids, mat = bq_ids.value, bq_mat.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             c_ids = pdf[cand_id].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = mat @ c_mat.T  # (Q, B)
-            top = min(k + 1, sims.shape[1])
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            out = {
-                "query_id": np.repeat(ids, top),
-                "neighbor_id": c_ids[idx].ravel(),
-                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(out)
+            if exact_fold:
+                sims = _fold_cosines(mat, c_mat)
+            else:
+                c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+                sims = mat @ c_mat.T  # (Q, B)
+            yield pd.DataFrame(_batch_topk(ids, c_ids, sims, k, exact_fold))
 
     partial = candidates.select(cand_id, vec_col).mapInPandas(
         topk_batches, schema="query_id long, neighbor_id long, cosine double"
@@ -237,17 +288,20 @@ def cosine_topk_arrow(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = DEFAULT_MAX_QUERIES,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Exact top-k via mapInArrow: same GEMM as ``cosine_topk_pandas``
     but each candidate RecordBatch's list column reshapes zero-copy-ish
     from the Arrow value buffer into the (B, dim) operand — no pandas
-    frame, no per-row Python objects anywhere on the decode path."""
+    frame, no per-row Python objects anywhere on the decode path.
+    ``exact_fold=True`` as in :func:`cosine_topk_pandas`."""
     import pyarrow as pa
 
     q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if not exact_fold:
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     spark = queries.sparkSession
     bq_ids = spark.sparkContext.broadcast(q_ids)
@@ -268,16 +322,13 @@ def cosine_topk_arrow(
                 .astype(np.float64)
                 .reshape(len(c_ids), -1)
             )
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = mat @ c_mat.T  # (Q, B)
-            top = min(k + 1, sims.shape[1])
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            if exact_fold:
+                sims = _fold_cosines(mat, c_mat)
+            else:
+                c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+                sims = mat @ c_mat.T  # (Q, B)
             yield pa.RecordBatch.from_pydict(
-                {
-                    "query_id": np.repeat(ids, top),
-                    "neighbor_id": c_ids[idx].ravel(),
-                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-                }
+                _batch_topk(ids, c_ids, sims, k, exact_fold)
             )
 
     partial = candidates.select(cand_id, vec_col).mapInArrow(

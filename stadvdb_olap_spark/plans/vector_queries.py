@@ -1,9 +1,11 @@
 """Similarity-search catalog queries over ``embeddings``.
 
-Exact brute-force top-k and blocked near-dup pairs are oracle-checked
-(pinned IEEE summation order on both engines); the LSH-bucketed and
-pandas-GEMM variants register as rows-only checks (approximate / float-sum
-order differs by design).
+Exact brute-force top-k, blocked near-dup pairs, the (deterministically
+seeded) LSH/IVF-fixed/binary-quant variants, and the exact-fold
+Arrow/pandas batch tiers are all oracle-checked — every certified plan
+reproduces the pinned IEEE summation order on both engines. Only the
+k-means-fitted paths (ivf_topk, semdedup) remain rows-only (iterative
+fit, no SQL twin).
 """
 
 from __future__ import annotations
@@ -26,9 +28,10 @@ _K = 10
 _NEAR_DUP_T = 0.3
 
 
-@query(
-    "ann_cosine_topk",
-    oracle=f"""
+# Shared exact-cosine-top-k oracle: brute_force_topk and both
+# exact-fold GEMM tiers replay the identical pinned IEEE fold, so one
+# SQL twin certifies all three plans.
+_BRUTE_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < {_N_QUERIES}),
 pairs AS (
@@ -43,8 +46,10 @@ FROM (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
       FROM pairs)
 WHERE rn <= {_K}
-""",
-)
+"""
+
+
+@query("ann_cosine_topk", oracle=_BRUTE_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k}: broadcast query set x all candidates, windowed
     top-k per query. The correctness baseline for ANN variants."""
@@ -142,26 +147,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_pandas_gemm", oracle=None, defer=True)
+@query("ann_topk_pandas_gemm", oracle=_BRUTE_TOPK_ORACLE)
 def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k via Arrow-batched numpy GEMM (rows-only check:
-    float-sum order differs from the expression path by design)."""
+    """Exact top-k through the Arrow-batched numpy path (mapInPandas),
+    certified: ``exact_fold=True`` accumulates dim-sequentially —
+    bit-identical to the JVM/DuckDB IEEE left-fold — while staying
+    vectorized across the pair axis, so the SAME brute-force oracle that
+    certifies the expression path hash-certifies this Python batch
+    plumbing (broadcast queries, per-batch top-k, global merge). The
+    raw-BLAS variant of the operator (``exact_fold=False``) stays the
+    throughput path; a unit test pins its rank agreement."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return cosine_topk_pandas(queries, emb, k=_K)
+    return cosine_topk_pandas(queries, emb, k=_K, exact_fold=True)
 
 
-@query("ann_topk_arrow_gemm", oracle=None, defer=True)
+@query("ann_topk_arrow_gemm", oracle=_BRUTE_TOPK_ORACLE)
 def ann_topk_arrow_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInArrow twin of the pandas GEMM path: the embedding list column
-    reshapes straight from the Arrow value buffer into the matmul operand
-    — no pandas materialization (rows-only check; a unit test pins
-    agreement with the expression path)."""
+    """mapInArrow twin of the pandas batch path: the embedding list
+    column reshapes straight from the Arrow value buffer into the
+    accumulation operand — no pandas materialization. Certified via the
+    same ``exact_fold=True`` device as ``ann_topk_pandas_gemm``."""
     from stadvdb_olap_spark.operators.similarity import cosine_topk_arrow
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return cosine_topk_arrow(queries, emb, k=_K)
+    return cosine_topk_arrow(queries, emb, k=_K, exact_fold=True)
 
 
 @query("ann_ivf_topk", defer=True)

@@ -949,6 +949,30 @@ def test_arrow_gemm_topk_agrees_with_expression_path(spark):
     assert pairs_a == pairs_b
 
 
+def test_exact_fold_batch_paths_are_bit_identical_to_expression(spark):
+    """exact_fold=True makes BOTH Arrow batch tiers reproduce the JVM
+    expression fold bit-for-bit — cosines equal as float64, not just
+    ranks (the property the shared brute-force oracle certifies)."""
+    from stadvdb_olap_spark.operators.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_pandas,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    ref = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    for fn in (cosine_topk_pandas, cosine_topk_arrow):
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in fn(q, emb, k=5, exact_fold=True).collect()
+        }
+        assert got == ref  # exact float equality, deliberate
+
+
 def test_merge_scd1_schema_evolution(spark):
     """schema_evolution appends source-only columns: matched/inserted
     rows carry source values, pre-existing rows read NULL, and the

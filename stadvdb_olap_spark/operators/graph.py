@@ -1,0 +1,147 @@
+"""Distributed graph analytics over edge-list DataFrames.
+
+The dedup stack already covers connectivity (min-label connected
+components, BFS depth — operators/text_dedup.py); this module adds the
+value-propagation tier: fixed-iteration PageRank with a cross-engine
+exactness device, and the neighborhood-overlap similarity that backs
+co-visitation / link-prediction queries.
+
+Scale shape: everything is edge-list joins + keyed aggregations — the
+vertex-centric pattern every distributed graph engine lowers to. No
+driver-side adjacency, no per-node Python. Iterations unroll into one
+lazy plan; the edge relation is repartitioned on the join key ONCE so
+every iteration's join reuses the same exchange (Spark's ReusedExchange
+dedups identical subplans at execution).
+
+Float exactness (PageRank): per-node contribution sums fold over
+SORTED double arrays — ``F.aggregate(F.sort_array(collect_list(...)))``
+on Spark, ``list_reduce(list_prepend(0.0, list_sort(list(...))))`` in
+the DuckDB oracle. Same multiset + same order + correctly rounded IEEE
+ops = bit-identical ranks at full precision, no quantization (the
+sorted-fold device from plans/series_queries.py, applied per-group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank after a FIXED number of power iterations over a
+    dangling-free directed graph — returns (node, pr).
+
+    Fixed iteration count is the certification device (the analogue of
+    the pinned centroids/merges elsewhere): convergence-loop PageRank
+    has no SQL twin, but k unrolled iterations replay exactly in
+    chained CTEs, and in practice production PageRank runs a fixed
+    iteration budget anyway.
+
+    Every node must have ≥1 out-edge (no dangling-mass redistribution
+    term): symmetrize undirected/bipartite graphs first, which
+    guarantees it. Per iteration: one join of edges to current ranks on
+    ``src`` (edges pre-partitioned once, exchange reused across
+    iterations) and one aggregation keyed on ``dst`` — the vertex-
+    centric shape that scales to any edge count. The per-node sum folds
+    over the sorted contribution array so results are bit-identical
+    across engines; group sizes are in-degrees, bounded by the fan-in
+    of real graphs (a hub with extreme in-degree would sort its own
+    list — salt the fold pairwise if that ever dominates).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("__src"),
+        F.col(dst).cast("long").alias("__dst"),
+    ).repartition("__src")
+    deg = e.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("double").alias("__outdeg")
+    )
+    nodes = deg.select(F.col("__src").alias("node"), "__outdeg")
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # 1 - damping computed ONCE driver-side: Python float subtraction is
+    # the same correctly rounded IEEE op both engines would perform.
+    base = 1.0 - damping
+    pr = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select("node", "__outdeg", (F.lit(1.0) / F.col("__n")).alias("pr"))
+    )
+    for _ in range(n_iters):
+        contribs = e.join(pr, e["__src"] == pr["node"]).select(
+            F.col("__dst").alias("node"),
+            (F.col("pr") / F.col("__outdeg")).alias("__c"),
+        )
+        summed = contribs.groupBy("node").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("__c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__s")
+        )
+        pr = (
+            summed.join(nodes, "node")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                "__outdeg",
+                (
+                    F.lit(base) / F.col("__n")
+                    + F.lit(damping) * F.col("__s")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Pairwise Jaccard overlap of in-neighborhoods: for every pair of
+    ``dst`` nodes sharing ≥ ``min_common`` ``src`` neighbors, the count
+    of common neighbors and |A∩B| / |A∪B| — the co-visitation
+    similarity / common-neighbors link-prediction primitive.
+
+    Pair generation is keyed on the SHARED NEIGHBOR (self-join on
+    ``src``), so the cost is Σ_src deg(src)² — bounded by the square of
+    the per-source fan-out, never |dst|². Appropriate when sources have
+    bounded degree (a customer buys from bounded suppliers); for
+    hub-heavy sources, prefilter hubs or sample their edge lists.
+    All-integer counts + one final double division = hash-exact.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).distinct()
+    deg = e.groupBy("__d").agg(F.count(F.lit(1)).alias("__deg"))
+    a = e.select("__s", F.col("__d").alias("id_a"))
+    b = e.select("__s", F.col("__d").alias("id_b"))
+    common = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("__d").alias("id_a"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("__d").alias("id_b"), F.col("__deg").alias("__db"))
+    return (
+        common.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -187,6 +187,7 @@ def _ensure_loaded() -> None:
     from stadvdb_olap_spark.plans import cdc_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import feature_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import scale_queries  # noqa: F401  # isort: skip
+    from stadvdb_olap_spark.plans import graph_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import series_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import pandas_on_spark_queries  # noqa: F401  # isort: skip
     from stadvdb_olap_spark.plans import advanced_queries  # noqa: F401  # isort: skip

@@ -1,0 +1,173 @@
+"""Graph-analytics catalog queries over the order co-purchase graph.
+
+The graph: customer c bought from supplier s (distinct pairs from
+orders ⋈ lineitem), symmetrized — bipartite, so symmetrizing leaves no
+dangling nodes, which is exactly what :func:`pagerank_fixed` requires.
+Node encoding packs both key spaces into one BIGINT (customer → 2k,
+supplier → 2k+1) so the edge list stays a two-column relation.
+
+Certification devices:
+- PageRank runs a FIXED 3-iteration budget (the pinned-component
+  convention: ivf_fixed / semdedup_fixed / bpe pinned merges), so the
+  DuckDB twin replays it as three chained MATERIALIZED CTEs.
+- Per-node contribution sums fold over SORTED double arrays on both
+  engines (the sorted-fold device of plans/series_queries.py) — every
+  op correctly rounded in the same order, hence bit-identical ranks at
+  full precision.
+- Float literals enter both plans as CAST('<repr>' AS DOUBLE) /
+  F.lit(double) of the SAME Python-computed value (1 - d is computed
+  once driver-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.operators.graph import (
+    neighborhood_jaccard,
+    pagerank_fixed,
+)
+from stadvdb_olap_spark.plans.catalog import query
+from stadvdb_olap_spark.sources.parquet import load_table, spread
+
+_ITERS = 3
+_DAMPING = 0.85
+_D_LIT = f"CAST('{_DAMPING!r}' AS DOUBLE)"
+_BASE_LIT = f"CAST('{1.0 - _DAMPING!r}' AS DOUBLE)"
+
+# Shared by both oracles: distinct customer→supplier purchase pairs.
+_E0_SQL = """
+e0 AS MATERIALIZED (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+           CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)"""
+
+
+def _pagerank_oracle(n_iters: int) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs into each
+    # reference, and the iteration chain references edges/deg/nn k
+    # times — materialization keeps the oracle one-pass per stage.
+    its = []
+    prev = "p0"
+    for k in range(1, n_iters + 1):
+        its.append(
+            f"""
+i{k} AS MATERIALIZED (
+    SELECT e.dst AS node,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(p.pr / p.outdeg))), (a, b) -> a + b) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+),
+p{k} AS MATERIALIZED (
+    SELECT i.node, d.outdeg, {_BASE_LIT} / nn.n + {_D_LIT} * i.s AS pr
+    FROM i{k} i JOIN deg d ON i.node = d.node CROSS JOIN nn
+)"""
+        )
+        prev = f"p{k}"
+    return f"""
+WITH {_E0_SQL},
+edges AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+deg AS MATERIALIZED (
+    SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+    FROM edges GROUP BY src
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+p0 AS MATERIALIZED (
+    SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
+    FROM deg CROSS JOIN nn
+),{",".join(its)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           AS node_type,
+       node // 2 AS node_key,
+       pr
+FROM {prev}
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    return (
+        orders.join(li, "ok")
+        .select(
+            (F.col("c") * 2).alias("src"),
+            (F.col("s") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@query("pagerank_copurchase_3iter", oracle=_pagerank_oracle(_ITERS))
+def pagerank_copurchase_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, d=0.85) over the symmetrized
+    customer↔supplier co-purchase graph — which customers/suppliers sit
+    at the center of the order network. The iterative-graph-algorithm
+    certification: fixed iterations unroll into chained CTEs, sorted
+    contribution folds make the floats engine-exact, and each iteration
+    is one edges-to-ranks join plus one dst-keyed aggregation — the
+    vertex-centric shape that holds at any edge count (edges partition
+    once on the join key; ReusedExchange covers the unrolled plan)."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed(edges, n_iters=_ITERS, damping=_DAMPING)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        "pr",
+    )
+
+
+@query(
+    "supplier_covisit_jaccard",
+    oracle=f"""
+WITH {_E0_SQL},
+e AS MATERIALIZED (SELECT src AS c, dst AS s FROM e0),
+deg AS MATERIALIZED (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+common AS (
+    SELECT a.s AS node_a, b.s AS node_b, COUNT(*) AS n_common
+    FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING COUNT(*) >= 2
+)
+SELECT (node_a - 1) // 2 AS supp_a,
+       (node_b - 1) // 2 AS supp_b,
+       n_common,
+       CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE)
+           AS jaccard
+FROM common
+JOIN deg da ON node_a = da.s
+JOIN deg db ON node_b = db.s
+""",
+)
+def supplier_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-visitation similarity: for every supplier pair with
+    ≥2 shared customers, the common-customer count and the Jaccard of
+    their customer sets — the common-neighbors link-prediction /
+     'suppliers like this one' primitive. Pair generation is keyed on
+    the shared CUSTOMER (bounded fan-out side: a customer buys from
+    bounded suppliers), so cost is Σ_c deg(c)², never |suppliers|²;
+    counts are exact integers and the single closing division makes
+    the score hash-exact."""
+    e = _copurchase_edges(spark, sf_dir)
+    nj = neighborhood_jaccard(e, min_common=2)
+    return nj.select(
+        F.expr("(id_a - 1) DIV 2").alias("supp_a"),
+        F.expr("(id_b - 1) DIV 2").alias("supp_b"),
+        "n_common",
+        "jaccard",
+    )

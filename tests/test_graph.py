@@ -1,0 +1,96 @@
+"""Graph operator tests: PageRank exactness + invariants, neighborhood
+Jaccard by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.operators.graph import (
+    neighborhood_jaccard,
+    pagerank_fixed,
+)
+
+
+def _expected_pagerank(edges, n_iters=3, damping=0.85):
+    """Driver-side replication with the SAME op order as the operator:
+    sorted-fold contribution sums, base/n + d*s."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    outdeg = defaultdict(int)
+    for s, d in edges:
+        out[s].append(d)
+        outdeg[s] += 1
+    nodes = sorted(outdeg)
+    n = float(len(nodes))
+    base = 1.0 - damping
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iters):
+        contribs = defaultdict(list)
+        for s, ds in out.items():
+            c = pr[s] / float(outdeg[s])
+            for d in ds:
+                contribs[d].append(c)
+        new = {}
+        for v in nodes:
+            acc = 0.0
+            for c in sorted(contribs[v]):
+                acc += c
+            new[v] = base / n + damping * acc
+        pr = new
+    return pr
+
+
+def test_pagerank_matches_driver_replication_bitexact(spark):
+    # Asymmetric-degree graph: path + chord, symmetrized.
+    und = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank_fixed(df, 3).collect()}
+    assert got == _expected_pagerank(edges, 3)  # exact float equality
+
+
+def test_pagerank_regular_graph_stays_uniform(spark):
+    # Triangle: every node keeps pr == 1/3 under any iteration count
+    # (regular graphs are PageRank fixed points).
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expected = _expected_pagerank(edges, 4)
+    got = {r["node"]: r["pr"] for r in pagerank_fixed(df, 4).collect()}
+    assert got == expected
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-15
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    from stadvdb_olap_spark.plans.graph_queries import _copurchase_edges
+
+    e0 = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    prs = [r["pr"] for r in pagerank_fixed(edges, 2).collect()]
+    assert abs(sum(prs) - 1.0) < 1e-9  # no dangling mass leaks
+    assert all(p > 0 for p in prs)
+
+
+def test_neighborhood_jaccard_by_hand(spark):
+    # src customers {10,11,12}; dst suppliers {1,2,3}.
+    edges = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 2), (12, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in neighborhood_jaccard(df, min_common=1).collect()
+    }
+    # supplier 1: {10,11}; supplier 2: {10,11,12}; supplier 3: {12}
+    assert rows[(1, 2)] == (2, 2 / 3)  # |{10,11}| / |{10,11,12}|
+    assert rows[(2, 3)] == (1, 1 / 3)
+    assert (1, 3) not in rows  # no shared customer
+    # min_common filters
+    filtered = neighborhood_jaccard(df, min_common=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in filtered} == {(1, 2)}

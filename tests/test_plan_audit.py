@@ -92,6 +92,7 @@ _BNLJ_OK = {
     "rrf_fusion_topk_docs",  # 1-row corpus stats + 1-row query vector
     "cusum_changepoints_daily_revenue",  # 1-row total/mean broadcast
     "dedup_recall_audit_docs",  # three 1-row count aggregates crossed
+    "pagerank_copurchase_3iter",  # 1-row node-count broadcast per iter
 }
 
 

@@ -15,10 +15,13 @@ every row. ``sketch_topk_event_types`` is the exception: with
 maxItemsTracked >= the distinct count the sketch is in its exact regime,
 so the full (item, count) set hash-matches an exact GROUP BY.
 
-count_min_sketch is deliberately absent: Spark exposes the binary
-aggregate but no point-lookup expression, so there is no SQL-surface
-query to mirror (the DataFrame-side ``df.stat.countMinSketch`` covers
-that niche driver-side).
+count-min and Bloom don't use Spark's built-in binaries (count_min_sketch
+has no point-lookup expression; bloom_filter_agg's bit layout is
+implementation-private): both are rebuilt from first principles as
+DataFrame aggregations over deterministic salted-md5 hashes, which makes
+every counter/bit word engine-replayable — the oracle certifies not just
+the estimates but the sketch guarantees themselves (count-min never
+underestimates; Bloom has no false negatives) as computed booleans.
 
 No counterpart exists in the reference (its only aggregates are exact
 pandas groupbys, SURVEY.md §2.9) — this extends the approx family
@@ -180,4 +183,280 @@ def sketch_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.item").alias("event_type"),
             F.col("e.count").alias("freq"),
         )
+    )
+
+
+
+
+# --- count-min sketch (from first principles, engine-replayable) ------
+
+_CM_D = 4  # hash rows
+_CM_W = 256  # buckets per row
+_CM_PROBES = (
+    # frequent, mid, rare, and absent terms — the estimate/guarantee is
+    # interesting across the whole frequency spectrum
+    "the", "a", "data", "stream", "table", "query",
+    "fast", "row", "engine", "zxqv_absent", "no_such_token",
+)
+
+
+def _hex4_sql(h: str) -> str:
+    """First 4 hex chars of md5 expression ``h`` as a BIGINT (the
+    DuckDB twin of Spark's conv(substring(h,1,4),16,10))."""
+    return (
+        f"CAST(((strpos('0123456789abcdef', {h}[1:1]) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', {h}[2:2]) - 1) * 256"
+        f" + (strpos('0123456789abcdef', {h}[3:3]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[4:4]) - 1)) AS BIGINT)"
+    )
+
+
+def _cm_bucket(term, r: int):
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    h = salted_md5(term, f"cm{r}:")
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _CM_W
+
+
+def _cm_bucket_sql(term_expr: str, r: int) -> str:
+    h = f"md5('cm{r}:' || {term_expr})"
+    return f"({_hex4_sql(h)} % {_CM_W})"
+
+
+_CM_PROBE_VALUES = ", ".join(f"('{t}')" for t in _CM_PROBES)
+_CM_TOKS_SQL = r"""
+toks AS MATERIALIZED (
+    SELECT term FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS term
+        FROM documents)
+    WHERE length(term) > 0
+)"""
+_CM_ENTRIES_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_cm_bucket_sql('term', r)} AS b FROM toks"
+    for r in range(_CM_D)
+)
+_CM_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT term, {r} AS r, {_cm_bucket_sql('term', r)} AS b FROM probes"
+    for r in range(_CM_D)
+)
+
+
+@query(
+    "countmin_term_frequency_docs",
+    oracle=f"""
+WITH {_CM_TOKS_SQL},
+entries AS MATERIALIZED ({_CM_ENTRIES_SQL}),
+counters AS MATERIALIZED (
+    SELECT r, b, COUNT(*) AS cnt FROM entries GROUP BY r, b
+),
+probes AS (SELECT term FROM (VALUES {_CM_PROBE_VALUES}) AS p(term)),
+cells AS ({_CM_CELLS_SQL}),
+est AS (
+    SELECT cells.term, MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+    FROM cells LEFT JOIN counters c USING (r, b)
+    GROUP BY cells.term
+),
+truec AS (
+    SELECT p.term, COALESCE(t.n, 0) AS true_count
+    FROM probes p LEFT JOIN (
+        SELECT term, COUNT(*) AS n FROM toks GROUP BY term) t USING (term)
+)
+SELECT t.term,
+       CAST(t.true_count AS BIGINT) AS true_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= t.true_count AS overestimate_ok
+FROM truec t JOIN est e USING (term)
+""",
+)
+def countmin_term_frequency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built as plain
+    DataFrame aggregation: 4 salted-md5 hash rows x 256 buckets; a
+    term's frequency estimate is the MIN of its 4 counters. The counter
+    build partial-aggregates map-side to <= d*w cells per partition —
+    constant state regardless of corpus size, the mergeable
+    heavy-hitter primitive at 100 TB (counters from two corpora ADD).
+    Deterministic hashes make the whole sketch engine-replayable, so the
+    oracle hash-certifies the counters, the estimates for a pinned probe
+    set spanning frequent->absent terms, AND the one-sided error
+    guarantee (estimate >= truth, always) as a computed boolean."""
+    from stadvdb_olap_spark.functions.text import tokens
+    from stadvdb_olap_spark.sources.parquet import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("term")).filter(
+        F.length("term") > 0
+    )
+
+    def cm_cells(df):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cm_bucket(F.col("term"), r).alias("b"),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("e"),
+        ).select(*df.columns, "e.r", "e.b")
+
+    counters = (
+        cm_cells(toks)
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "term string")
+    est = (
+        cm_cells(probes)
+        .join(counters, ["r", "b"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    truec = probes.join(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")), "term", "left"
+    ).select("term", F.coalesce("n", F.lit(0)).alias("true_count"))
+    return truec.join(est, "term").select(
+        "term",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        (F.col("cm_estimate") >= F.col("true_count")).alias("overestimate_ok"),
+    )
+
+
+# --- Bloom filter (from first principles, engine-replayable) ----------
+
+_BF_WORDS = 8  # 8 x 32-bit words = 256 bits (32-bit words keep the
+_BF_BITS = 32  # set-bit values inside positive BIGINT range everywhere)
+_BF_K = 3  # hash functions
+# Pinned probe keys: low custkeys exist at every sf; the 1e9+ keys never.
+_BF_PROBES = (1, 2, 3, 4, 5, 6, 1000000001, 1000000002, 1000000003)
+
+
+def _bf_pos_sql(key_expr: str, i: int) -> str:
+    h = f"md5('bf{i}:' || CAST({key_expr} AS VARCHAR))"
+    return f"({_hex4_sql(h)} % {_BF_WORDS * _BF_BITS})"
+
+
+def _bf_pos(key, i: int):
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    h = salted_md5(key, f"bf{i}:")
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % (
+        _BF_WORDS * _BF_BITS
+    )
+
+
+_BF_BUILD_SQL = " UNION ALL ".join(
+    f"SELECT {_bf_pos_sql('c_custkey', i)} AS p FROM customer"
+    for i in range(_BF_K)
+)
+_BF_PROBE_VALUES = ", ".join(f"({k})" for k in _BF_PROBES)
+_BF_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT probe_key, {_bf_pos_sql('probe_key', i)} AS p FROM probes"
+    for i in range(_BF_K)
+)
+
+
+@query(
+    "bloom_filter_customer_probe",
+    oracle=f"""
+WITH positions AS MATERIALIZED ({_BF_BUILD_SQL}),
+words AS MATERIALIZED (
+    SELECT p // {_BF_BITS} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {_BF_BITS} AS INTEGER))
+               AS bits
+    FROM positions GROUP BY p // {_BF_BITS}
+),
+probes AS (SELECT CAST(k AS BIGINT) AS probe_key
+           FROM (VALUES {_BF_PROBE_VALUES}) AS v(k)),
+cells AS ({_BF_CELLS_SQL}),
+hits AS (
+    SELECT c.probe_key,
+           bool_and((COALESCE(w.bits, 0) & (CAST(1 AS BIGINT)
+               << CAST(c.p % {_BF_BITS} AS INTEGER))) <> 0) AS bloom_maybe
+    FROM cells c LEFT JOIN words w ON c.p // {_BF_BITS} = w.word
+    GROUP BY c.probe_key
+),
+truth AS (
+    SELECT p.probe_key,
+           EXISTS(SELECT 1 FROM customer
+                  WHERE c_custkey = p.probe_key) AS truly_present
+    FROM probes p
+)
+SELECT t.probe_key, t.truly_present, h.bloom_maybe,
+       (h.bloom_maybe OR NOT t.truly_present) AS no_false_negative
+FROM truth t JOIN hits h USING (probe_key)
+""",
+)
+def bloom_filter_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + membership probe as pure DataFrame ops: every
+    customer key sets 3 salted-md5 bit positions across 8 32-bit words;
+    the build is one bit_or aggregation (mergeable: filters of two
+    partitions OR together — the runtime-filter/join-pruning primitive a
+    100 TB engine pushes into scans). A pinned probe set of present and
+    absent keys certifies the word values, the membership verdicts, and
+    the no-false-negative guarantee as a computed boolean. (Spark's
+    built-in bloom_filter_agg keeps its bit layout private — rebuilding
+    from deterministic hashes is what makes the filter engine-portable
+    and hash-checkable.)"""
+    from stadvdb_olap_spark.sources.parquet import spread
+
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    setbit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BF_BITS} AS INT))")
+    word_of = F.expr(f"p DIV {_BF_BITS}")
+    positions = cust.select(
+        F.explode(
+            F.array(*[_bf_pos(F.col("c_custkey"), i) for i in range(_BF_K)])
+        ).alias("p")
+    )
+    words = positions.groupBy(word_of.alias("word")).agg(
+        F.bit_or(setbit).alias("bits")
+    )
+    probes = spark.createDataFrame(
+        [(int(k),) for k in _BF_PROBES], "probe_key long"
+    )
+    cells = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(*[_bf_pos(F.col("probe_key"), i) for i in range(_BF_K)])
+        ).alias("p"),
+    )
+    hits = (
+        cells.withColumn("word", word_of)
+        .withColumn("setbit", setbit)
+        .join(words, "word", "left")
+        .select(
+            "probe_key",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("setbit"))
+                != 0
+            ).alias("hit"),
+        )
+        .groupBy("probe_key")
+        .agg(F.bool_and("hit").alias("bloom_maybe"))
+    )
+    present = (
+        probes.join(
+            cust.select(F.col("c_custkey").alias("probe_key")),
+            "probe_key",
+            "left_semi",
+        )
+        .withColumn("truly_present", F.lit(True))
+    )
+    truth = probes.join(present, "probe_key", "left").select(
+        "probe_key",
+        F.coalesce("truly_present", F.lit(False)).alias("truly_present"),
+    )
+    return truth.join(hits, "probe_key").select(
+        "probe_key",
+        "truly_present",
+        "bloom_maybe",
+        (F.col("bloom_maybe") | ~F.col("truly_present")).alias(
+            "no_false_negative"
+        ),
     )

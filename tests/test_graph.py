@@ -94,3 +94,82 @@ def test_neighborhood_jaccard_by_hand(spark):
     # min_common filters
     filtered = neighborhood_jaccard(df, min_common=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in filtered} == {(1, 2)}
+
+
+def test_countmin_counters_are_mergeable(spark):
+    """Counters built on two disjoint halves SUM to the whole-corpus
+    counters — the property that lets 100 TB count-min build per
+    partition and add."""
+    from stadvdb_olap_spark.functions.text import tokens
+    from stadvdb_olap_spark.plans.sketch_queries import _CM_D, _cm_bucket
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens("text")).alias("term"),
+    ).filter(F.length("term") > 0)
+
+    def counters(df):
+        cells = df.select(
+            "half",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cm_bucket(F.col("term"), r).alias("b"),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("e"),
+        ).select("half", "e.r", "e.b")
+        return cells
+
+    whole = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in counters(toks)
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    halves = counters(toks).groupBy("half", "r", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged: dict = {}
+    for row in halves.collect():
+        k = (row["r"], row["b"])
+        merged[k] = merged.get(k, 0) + row["cnt"]
+    assert merged == whole
+
+
+def test_bloom_words_are_mergeable(spark):
+    """Bloom words built on two disjoint halves OR to the whole-set
+    words (bit_or is the merge)."""
+    from stadvdb_olap_spark.plans.sketch_queries import _BF_K, _bf_pos
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    pos = cust.select(
+        (F.col("c_custkey") % 2).alias("half"),
+        F.explode(
+            F.array(*[_bf_pos(F.col("c_custkey"), i) for i in range(_BF_K)])
+        ).alias("p"),
+    )
+    setbit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+    word_of = F.expr("p DIV 32")
+    whole = {
+        r["word"]: r["bits"]
+        for r in pos.groupBy(word_of.alias("word"))
+        .agg(F.bit_or(setbit).alias("bits"))
+        .collect()
+    }
+    merged: dict = {}
+    for r in (
+        pos.groupBy("half", word_of.alias("word"))
+        .agg(F.bit_or(setbit).alias("bits"))
+        .collect()
+    ):
+        merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
+    assert merged == whole

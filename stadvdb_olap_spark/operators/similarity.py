@@ -121,6 +121,7 @@ def lsh_bucketed_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only pairs whose random-hyperplane
     signatures collide in at least one of ``n_tables`` independent hash
@@ -135,28 +136,42 @@ def lsh_bucketed_topk(
     corpus. Tune (n_planes, n_tables) together: planes shrink buckets
     (precision), tables multiply chances (recall). Candidate pairs
     found by several tables are deduplicated BEFORE ranking, so the
-    result multiset is table-count-independent."""
+    result multiset is table-count-independent.
+
+    ``multiprobe=True`` additionally probes, PER TABLE, every bucket at
+    Hamming distance 1 from the query's signature (the classic
+    multi-probe LSH recall lever, Lv et al. 2007): only the QUERY side
+    emits the ``n_planes`` flipped signatures, so the candidate index is
+    unchanged and the extra cost is a bounded fan-out of the (tiny)
+    query side — candidates examined grow ~(1 + n_planes)x while recall
+    rises steeply (the nearest misses are exactly the vectors one
+    hyperplane sign away). Measured numbers in SCALING.md."""
     tables = [
         _hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
     ]
 
-    def with_sigs(df, id_alias, id_src, vec_alias):
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).cast("int").alias("t"),
-                    lsh_signature(F.col(vec_col), tables[t]).alias("s"),
+    def with_sigs(df, id_alias, id_src, vec_alias, probe_flips=False):
+        entries = []
+        for t in range(n_tables):
+            s = lsh_signature(F.col(vec_col), tables[t])
+            entries.append(
+                F.struct(F.lit(t).cast("int").alias("t"), s.alias("s"))
+            )
+            if probe_flips:
+                entries.extend(
+                    F.struct(
+                        F.lit(t).cast("int").alias("t"),
+                        s.bitwiseXOR(F.lit(1 << r)).alias("s"),
+                    )
+                    for r in range(n_planes)
                 )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
             F.col(id_src).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(entries).alias("__ts"),
+            F.explode(F.array(*entries)).alias("__ts"),
         )
 
-    q = with_sigs(queries, "query_id", query_id, "__qv")
+    q = with_sigs(queries, "query_id", query_id, "__qv", probe_flips=multiprobe)
     c = with_sigs(candidates, "neighbor_id", cand_id, "__cv")
     pairs = (
         q.join(c, "__ts")

@@ -173,3 +173,31 @@ def test_bloom_words_are_mergeable(spark):
     ):
         merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
     assert merged == whole
+
+
+def test_lsh_multiprobe_dominates_plain_config(spark):
+    """Multi-probe's candidate set is a strict superset of the plain
+    config's (same planes/tables), so at every (query, rank) its ranked
+    cosine is >= the plain path's, and recall vs brute force can only
+    rise."""
+    from stadvdb_olap_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, n_planes=6, n_tables=4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    plain = lsh_bucketed_topk(q, emb, **kw).collect()
+    probed = lsh_bucketed_topk(q, emb, multiprobe=True, **kw).collect()
+    plain_c = {(r["query_id"], r["rank"]): r["cosine"] for r in plain}
+    probed_c = {(r["query_id"], r["rank"]): r["cosine"] for r in probed}
+    for key, c in plain_c.items():
+        assert key in probed_c and probed_c[key] >= c
+    rec = lambda rows: len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact) / len(exact)  # noqa: E731
+    assert rec(probed) >= rec(plain)

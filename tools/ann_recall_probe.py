@@ -50,6 +50,16 @@ def main() -> None:
         ("lsh_p6_t1", lsh_bucketed_topk, {"n_planes": 6}),
         ("lsh_p6_t8", lsh_bucketed_topk, {"n_planes": 6, "n_tables": 8}),
         ("lsh_p4_t8", lsh_bucketed_topk, {"n_planes": 4, "n_tables": 8}),
+        (
+            "lsh_p6_t8_mp1",
+            lsh_bucketed_topk,
+            {"n_planes": 6, "n_tables": 8, "multiprobe": True},
+        ),
+        (
+            "lsh_p8_t8_mp1",
+            lsh_bucketed_topk,
+            {"n_planes": 8, "n_tables": 8, "multiprobe": True},
+        ),
         ("ivf_c16_p4", ivf_topk, {"n_centroids": 16, "n_probe": 4}),
         ("ivf_c16_p8", ivf_topk, {"n_centroids": 16, "n_probe": 8}),
         # pinned-centroid (certifiable) IVF: first 16 vectors as centroids

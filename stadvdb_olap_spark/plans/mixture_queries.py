@@ -349,3 +349,59 @@ def epoch_shuffle_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (tau = 0.5)
+# ---------------------------------------------------------------------------
+
+
+def _key_uniform_doc_sql() -> str:
+    from stadvdb_olap_spark.plans.scale_queries import _key_uniform_sql
+
+    return _key_uniform_sql("'temp:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "temperature_mixture_docs",
+    oracle="""
+WITH c AS MATERIALIZED (
+    SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s
+    FROM documents GROUP BY source
+),
+m AS (SELECT MIN(n_s) AS n_min FROM c),
+r AS (SELECT source, sqrt(n_min / n_s) AS keep_rate FROM c CROSS JOIN m)
+SELECT d.doc_id, d.source, r.keep_rate,
+       {_KEY_UNIFORM_DOC_SQL} <= r.keep_rate AS kept
+FROM documents d JOIN r USING (source)
+""".format(_KEY_UNIFORM_DOC_SQL=_key_uniform_doc_sql()),
+)
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling, tau = 0.5 (the standard
+    low-resource rebalancing of multilingual/multi-source LLM recipes:
+    sample sources proportional to n^tau instead of n): each source
+    keeps documents at rate sqrt(n_min / n_s), so the rarest source
+    keeps everything and head sources downsample toward the tempered
+    distribution. tau = 1/2 is chosen deliberately — the weight
+    transform is then a single sqrt, which IEEE requires to be
+    correctly rounded, so unlike pow(n, 0.7) the rates (and every keep
+    decision) are bit-identical across engines and hash-certifiable.
+    Plan shape: one tiny per-source aggregate broadcast back over the
+    corpus + a content-addressed uniform per doc — no corpus shuffle."""
+    from stadvdb_olap_spark.plans.scale_queries import _key_uniform
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    nmin = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "source", F.sqrt(F.col("n_min") / F.col("n_s")).alias("keep_rate")
+    )
+    u = _key_uniform(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "keep_rate",
+        (u <= F.col("keep_rate")).alias("kept"),
+    )

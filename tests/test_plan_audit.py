@@ -93,6 +93,7 @@ _BNLJ_OK = {
     "cusum_changepoints_daily_revenue",  # 1-row total/mean broadcast
     "dedup_recall_audit_docs",  # three 1-row count aggregates crossed
     "pagerank_copurchase_3iter",  # 1-row node-count broadcast per iter
+    "temperature_mixture_docs",  # 1-row min-source-count broadcast
 }
 
 

@@ -157,3 +157,26 @@ def training_shards(
     with_shard = df.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(salted_md5(key_col, salt), F.col(key_col))
     return with_shard.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+
+
+def rendezvous_shard(
+    key: Column | str, n_shards: int, salt: str = "hrw"
+) -> Column:
+    """Rendezvous (highest-random-weight) shard id: the shard whose
+    salted hash of the key is LARGEST wins. Unlike mod-hash
+    (:func:`training_shards`), resharding n -> n+1 moves ONLY the keys
+    the new shard wins (~1/(n+1) of them, each moving TO the new shard
+    — an exact property, tested) instead of reshuffling ~all keys; the
+    coordination-free layout device for growable shard sets. A pure
+    narrow expression: n hashes + one greatest() per row, no shuffle.
+    The struct compares (hash, shard) lexicographically; md5 collisions
+    are the only tie source, i.e. none in practice."""
+    return F.greatest(
+        *[
+            F.struct(
+                salted_md5(key, f"{salt}{s}:").alias("h"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    ).getField("s")

@@ -405,3 +405,48 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_rate",
         (u <= F.col("keep_rate")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+_HRW_VALUES = ", ".join(f"({s})" for s in range(_HRW_SHARDS))
+
+
+@query(
+    "rendezvous_shard_docs",
+    oracle=f"""
+WITH sh AS (SELECT CAST(s AS BIGINT) AS s
+            FROM (VALUES {_HRW_VALUES}) AS v(s)),
+hh AS (
+    SELECT d.doc_id, sh.s,
+           md5('hrw' || CAST(sh.s AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+    FROM documents d CROSS JOIN sh
+)
+SELECT doc_id, s AS shard
+FROM (SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, s) AS rn
+      FROM hh)
+WHERE rn = 1
+""",
+)
+def rendezvous_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the corpus: each
+    doc lands on the shard whose salted hash of its key is largest.
+    The growable-layout device mod-hash can't offer: adding a shard
+    moves ONLY the ~1/(n+1) of keys the new shard wins, each moving TO
+    the new shard — an exact property pinned by test, not a
+    probabilistic claim — so an 8->9 reshard of a 100 TB corpus
+    rewrites one new shard file instead of all nine. Spark side is a
+    pure narrow greatest() over n hashes (no shuffle, no explode); the
+    oracle replays it as an unnested argmax window."""
+    from stadvdb_olap_spark.operators.mixture import rendezvous_shard
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", rendezvous_shard("doc_id", _HRW_SHARDS).alias("shard")
+    )

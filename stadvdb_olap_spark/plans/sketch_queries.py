@@ -460,3 +460,87 @@ def bloom_filter_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negative"
         ),
     )
+
+
+# --- HyperLogLog registers (from first principles, engine-replayable) --
+
+_HLL_M = 256  # buckets (first 2 hex chars of the salted hash)
+_HLL_RHO_HEX = 12  # 48-bit rho field (hex chars 3..14)
+
+
+def _hex2_sql(h: str) -> str:
+    return (
+        f"CAST(((strpos('0123456789abcdef', {h}[1:1]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[2:2]) - 1)) AS BIGINT)"
+    )
+
+
+@query(
+    "hll_registers_users_events",
+    oracle=f"""
+WITH h AS (
+    SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h FROM events
+),
+b AS (
+    SELECT {_hex2_sql('h')} % {_HLL_M} AS j,
+           substring(h, 3, {_HLL_RHO_HEX}) AS s
+    FROM h
+),
+r AS (
+    SELECT j,
+           4 * length(regexp_extract(s, '^0*'))
+           + CASE substring(s, length(regexp_extract(s, '^0*')) + 1, 1)
+                 WHEN '1' THEN 3
+                 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1
+                 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END
+           + 1 AS rho
+    FROM b
+)
+SELECT j, CAST(MAX(rho) AS BIGINT) AS register
+FROM r GROUP BY j
+""",
+)
+def hll_registers_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog REGISTER TABLE (Flajolet et al. 2007) from first
+    principles: bucket j = first 8 hash bits, rho = leading-zero count
+    of the next 48 bits + 1, register = per-bucket MAX — one
+    hash-aggregate producing the <= 256-row mergeable state (two
+    corpora's registers MAX together; property-tested). The registers —
+    not the estimate — are the asset at 100 TB: tiny per-partition
+    state, shippable, unionable, and (unlike Spark's built-in HllSketch
+    binary, certified separately via its error bound) bit-replayable in
+    any engine because the hash and the leading-zero arithmetic are all
+    string/integer ops. The cardinality ESTIMATE deliberately stays out
+    of the certified output: the standard small-range correction needs
+    ln(), which is not correctly rounded cross-engine — a unit test
+    computes the corrected estimate driver-side from these registers
+    and bounds it against the exact count instead."""
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+    from stadvdb_olap_spark.sources.parquet import spread
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    h = salted_md5("user_id", "hll:")
+    s = F.substring(h, 3, _HLL_RHO_HEX)
+    df = ev.select(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M).alias(
+            "j"
+        ),
+        s.alias("__s"),
+        F.length(F.regexp_extract(s, "^0*", 0)).alias("__z"),
+    )
+    nib = F.expr("substr(__s, __z + 1, 1)")
+    rho = (
+        F.lit(4) * F.col("__z")
+        + F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + F.lit(1)
+    )
+    return (
+        df.select("j", rho.alias("__rho"))
+        .groupBy("j")
+        .agg(F.max("__rho").cast("long").alias("register"))
+    )

@@ -201,3 +201,90 @@ def test_lsh_multiprobe_dominates_plain_config(spark):
         assert key in probed_c and probed_c[key] >= c
     rec = lambda rows: len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact) / len(exact)  # noqa: E731
     assert rec(probed) >= rec(plain)
+
+
+def test_hll_registers_merge_by_max_and_estimate_is_sound(spark):
+    """Registers from two disjoint halves MAX-merge to the whole-set
+    registers, and the standard corrected estimate computed from the
+    certified register table lands within 15% of the exact distinct
+    count (m=256 -> 6.5% RSE; 15% > 2 sigma)."""
+    import math
+
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.01"
+    regs = {
+        r["j"]: r["register"]
+        for r in REGISTRY["hll_registers_users_events"].fn(spark, sf).collect()
+    }
+
+    # mergeability: split events by user parity, registers MAX together
+    ev = load_table(spark, sf, "events")
+    halves = [ev.filter(F.col("user_id") % 2 == i) for i in (0, 1)]
+    merged: dict = {}
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    def registers_of(df):
+        h = salted_md5("user_id", "hll:")
+        s = F.substring(h, 3, 12)
+        z = F.length(F.regexp_extract(s, "^0*", 0))
+        base = df.select(
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 256).alias("j"),
+            s.alias("__s"),
+            z.alias("__z"),
+        )
+        nib = F.expr("substr(__s, __z + 1, 1)")
+        rho = (
+            F.lit(4) * F.col("__z")
+            + F.when(nib == "1", 3)
+            .when(nib.isin("2", "3"), 2)
+            .when(nib.isin("4", "5", "6", "7"), 1)
+            .otherwise(0)
+            + F.lit(1)
+        )
+        return {
+            r["j"]: r["register"]
+            for r in base.select("j", rho.alias("r"))
+            .groupBy("j")
+            .agg(F.max("r").alias("register"))
+            .collect()
+        }
+
+    for half in halves:
+        for j, m_ in registers_of(half).items():
+            merged[j] = max(merged.get(j, 0), m_)
+    assert merged == regs
+
+    # corrected estimate from the certified registers
+    m = 256
+    s_sum = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s_sum
+    zeros = m - len(regs)
+    est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact <= 0.15
+
+
+def test_rendezvous_reshard_moves_only_to_the_new_shard(spark):
+    """THE defining HRW property, exact not statistical: going from n to
+    n+1 shards, every key that moves moves TO the new shard (a key
+    changes owner only if the new shard's hash beats its previous
+    winner), and roughly 1/(n+1) of keys move."""
+    from stadvdb_olap_spark.operators.mixture import rendezvous_shard
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9"),
+    ).collect()
+    moved = [r for r in both if r["s8"] != r["s9"]]
+    assert all(r["s9"] == 8 for r in moved)  # only ever to the new shard
+    frac = len(moved) / len(both)
+    assert 0.03 <= frac <= 0.25  # ~1/9 expected, generous band
+    # and every shard id is in range for both configs
+    assert all(0 <= r["s8"] < 8 and 0 <= r["s9"] < 9 for r in both)

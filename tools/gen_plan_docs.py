@@ -104,6 +104,14 @@ SHOWCASE = [
      "one exchange on the shard id, a per-shard sort for the running "
      "cumsum window, then pure integer-division projections — the whole "
      "packing layout without a global sort or any sequential stage"),
+    ("pagerank_copurchase_3iter",
+     "the 3 unrolled power iterations duplicate the edge-derivation "
+     "subtree in the initial plan, but the executed adaptive plan "
+     "collapses them: ~28 ReusedExchange nodes (exchange reuse is why "
+     "unrolled iterative DataFrame plans don't rescan their inputs per "
+     "iteration); each iteration itself is one edges-to-ranks join + one "
+     "dst-keyed sorted-fold aggregation, and the node-count scalar rides "
+     "a 1-row broadcast"),
 ]
 
 

@@ -145,3 +145,50 @@ def neighborhood_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    number of rounds — returns (node, label) community assignments.
+
+    Initial label = own node id; each round every node adopts the most
+    frequent label among its in-neighbors, ties broken by the SMALLEST
+    label. Both rules are pure integer counting + ordering, so unlike
+    classic randomized LPA the result is deterministic and replays
+    exactly in SQL (the fixed-round device of :func:`pagerank_fixed`).
+    Per round: one edges-to-labels join and one (node, label) count
+    aggregation finished by a per-node argmax window — vertex-centric,
+    two keyed exchanges, no driver state. Pass a symmetrized UNIPARTITE
+    edge list: synchronous updates on bipartite graphs oscillate
+    between the two sides (a documented LPA failure mode, not a bug
+    here)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("__src"),
+        F.col(dst).cast("long").alias("__dst"),
+    ).repartition("__src")
+    labels = e.select(F.col("__src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iters):
+        votes = (
+            e.join(labels, e["__src"] == labels["node"])
+            .select(F.col("__dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__cnt").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -171,3 +171,79 @@ def supplier_covisit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         "jaccard",
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle(n_iters: int) -> str:
+    its = []
+    prev = "l0"
+    for k in range(1, n_iters + 1):
+        its.append(
+            f"""
+v{k} AS MATERIALIZED (
+    SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+    FROM edges e JOIN {prev} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+),
+l{k} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{k}
+    ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{k}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node, src AS label FROM edges
+),{",".join(its)}
+SELECT node AS part_key, label AS community FROM {prev}
+"""
+
+
+@query("lpa_communities_parts", oracle=_lpa_oracle(_LPA_ITERS))
+def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-occurrence graph (parts bought
+    in the same order, symmetrized — a UNIPARTITE projection, as
+    synchronous LPA requires) via 3 deterministic label-propagation
+    rounds: most-frequent neighbor label, ties to the smallest. The
+    all-integer sibling of ``pagerank_copurchase_3iter`` — counting +
+    ordering only, so the chained-CTE oracle replays every round with
+    no float device at all. Pair generation is keyed on the order
+    (bounded lines-per-order fan-out); each round is one edges-to-labels
+    join + one (node, label) count argmax — the vertex-centric shape."""
+    from stadvdb_olap_spark.operators.graph import label_propagation
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iters=_LPA_ITERS)
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("label").alias("community")
+    )

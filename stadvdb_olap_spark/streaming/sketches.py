@@ -86,3 +86,87 @@ def read_distinct_estimates(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est")
     ).select(F.lit(None).cast(group_type).alias(group_col), "distinct_est")
     return per_group.unionByName(total)
+
+
+def countmin_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    target_path: str,
+    term_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain a count-min sketch over a streaming term column: each
+    micro-batch reduces to <= d*w counter rows (integers, not members)
+    written under its own batch_id partition — the same replay-safe
+    overwrite device as the HLL stream. Counters ADD across batches
+    (the merge the batch twin's property test pins), so unlike the HLL
+    estimate the live sketch agrees EXACTLY with a batch build over the
+    same files — integer state has no estimate band to hide in."""
+    from stadvdb_olap_spark.plans.sketch_queries import _CM_D, _cm_bucket
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        cells = batch.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cm_bucket(F.col(term_col), r).alias("b"),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.r", "e.b")
+        counters = cells.groupBy("r", "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        _atomic_append(counters, target_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_countmin_counters(spark: SparkSession, target_path: str) -> DataFrame:
+    """Current merged sketch: per-(row, bucket) counter sums across all
+    batch partitions."""
+    state = spark.read.parquet(target_path)
+    return state.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def read_countmin_estimates(
+    spark: SparkSession, target_path: str, terms: list[str]
+) -> DataFrame:
+    """Point-lookup estimates for ``terms`` against the merged counters
+    (min over the d hashed cells; absent cells count 0)."""
+    from stadvdb_olap_spark.plans.sketch_queries import _CM_D, _cm_bucket
+
+    counters = read_countmin_counters(spark, target_path)
+    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    cells = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("term"), r).alias("b"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("term", "e.r", "e.b")
+    return (
+        cells.join(counters, ["r", "b"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )

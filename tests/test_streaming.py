@@ -703,3 +703,66 @@ def test_hll_distinct_stream_matches_batch(spark, events_stream_dir, tmp_path):
         assert abs(got[k] - n) <= max(2, 0.05 * n)
     # global row present and >= any group estimate
     assert got[None] >= max(v for k, v in got.items() if k is not None)
+
+
+def test_countmin_stream_agrees_exactly_with_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Streaming per-micro-batch count-min counters, SUMMED at read
+    time, equal a batch-built sketch over the same rows EXACTLY
+    (integer counters add — no estimate band), and the point estimates
+    respect the one-sided guarantee vs exact counts."""
+    from stadvdb_olap_spark.plans.sketch_queries import _CM_D, _cm_bucket
+    from stadvdb_olap_spark.streaming.sketches import (
+        countmin_stream,
+        read_countmin_counters,
+        read_countmin_estimates,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    target = str(tmp_path / "cm_state")
+    q = countmin_stream(
+        spark, events_stream_dir, schema, target,
+        term_col="event_type",
+        checkpoint_dir=str(tmp_path / "ckpt_cm"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in read_countmin_counters(spark, target).collect()
+    }
+    batch_cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("event_type"), r).alias("b"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.r", "e.b")
+    want = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in batch_cells.groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want  # exact, not approximate
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    terms = list(exact) + ["zz_absent_type"]
+    est = {
+        r["term"]: r["cm_estimate"]
+        for r in read_countmin_estimates(spark, target, terms).collect()
+    }
+    for t, n in exact.items():
+        assert est[t] >= n  # count-min never underestimates
+    assert est["zz_absent_type"] >= 0

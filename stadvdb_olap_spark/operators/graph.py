@@ -53,10 +53,12 @@ def pagerank_fixed(
     across engines; group sizes are in-degrees, bounded by the fan-in
     of real graphs (a hub with extreme in-degree would sort its own
     list — salt the fold pairwise if that ever dominates).
+
+    Node keys may be any equi-joinable type (BIGINT ids, VARCHAR terms,
+    …) — the algorithm only joins, groups and counts on them.
     """
     e = edges.select(
-        F.col(src).cast("long").alias("__src"),
-        F.col(dst).cast("long").alias("__dst"),
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
     ).repartition("__src")
     deg = e.groupBy("__src").agg(
         F.count(F.lit(1)).cast("double").alias("__outdeg")

@@ -45,10 +45,14 @@ e0 AS MATERIALIZED (
 )"""
 
 
-def _pagerank_oracle(n_iters: int) -> str:
-    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs into each
-    # reference, and the iteration chain references edges/deg/nn k
-    # times — materialization keeps the oracle one-pass per stage.
+def _pagerank_chain_sql(n_iters: int) -> tuple[str, str]:
+    """(CTE chain, final-table name) replaying :func:`pagerank_fixed`
+    over an already-defined ``edges(src, dst)`` CTE — shared by every
+    PageRank-family oracle regardless of node type (BIGINT keys or
+    VARCHAR terms). Every CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs into each reference, and the iteration chain references
+    edges/deg/nn k times — materialization keeps the oracle one-pass
+    per stage."""
     its = []
     prev = "p0"
     for k in range(1, n_iters + 1):
@@ -67,11 +71,7 @@ p{k} AS MATERIALIZED (
 )"""
         )
         prev = f"p{k}"
-    return f"""
-WITH {_E0_SQL},
-edges AS MATERIALIZED (
-    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
-),
+    chain = f"""
 deg AS MATERIALIZED (
     SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
     FROM edges GROUP BY src
@@ -80,12 +80,22 @@ nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 p0 AS MATERIALIZED (
     SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
     FROM deg CROSS JOIN nn
-),{",".join(its)}
+),{",".join(its)}"""
+    return chain, prev
+
+
+def _pagerank_oracle(n_iters: int) -> str:
+    chain, last = _pagerank_chain_sql(n_iters)
+    return f"""
+WITH {_E0_SQL},
+edges AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),{chain}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
            AS node_type,
        node // 2 AS node_key,
        pr
-FROM {prev}
+FROM {last}
 """
 
 
@@ -246,4 +256,88 @@ def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_propagation(edges, n_iters=_LPA_ITERS)
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").alias("community")
+    )
+
+
+_TR_TOPK = 50
+
+
+def _textrank_oracle(n_iters: int) -> str:
+    chain, last = _pagerank_chain_sql(n_iters)
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+),
+bg AS MATERIALIZED (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT w1 AS src, w2 AS dst FROM bg
+    WHERE w1 <> w2 AND length(w1) > 0 AND length(w2) > 0
+),
+edges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+),{chain}
+SELECT node AS term, pr, CAST(rn AS BIGINT) AS rank
+FROM (SELECT node, pr,
+             row_number() OVER (ORDER BY pr DESC, node) AS rn
+      FROM {last})
+WHERE rn <= {_TR_TOPK}
+"""
+
+
+@query("textrank_keywords_docs", oracle=_textrank_oracle(_ITERS))
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    corpus: PageRank on the token-adjacency graph (distinct adjacent
+    word pairs, symmetrized) ranks terms by graph centrality — the
+    classic unsupervised complement to frequency scores (TF-IDF / RAKE
+    in plans/text_queries.py): a term scores high by KEEPING COMPANY
+    with high-scoring terms, not by raw count. Reuses
+    ``pagerank_fixed`` unchanged with VARCHAR nodes — the operator only
+    joins/groups on keys. The graph is vocabulary-sized (bounded, far
+    below the corpus), so the closing global top-{k} window is a
+    non-issue; everything corpus-sized is the one adjacency-pair
+    distinct."""
+    from stadvdb_olap_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    e0 = (
+        bg.filter(
+            (F.col("w1") != F.col("w2"))
+            & (F.length("w1") > 0)
+            & (F.length("w2") > 0)
+        )
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank_fixed(edges, n_iters=_ITERS, damping=_DAMPING)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TR_TOPK)
+        .select(F.col("node").alias("term"), "pr", "rank")
     )

@@ -94,6 +94,7 @@ _BNLJ_OK = {
     "dedup_recall_audit_docs",  # three 1-row count aggregates crossed
     "pagerank_copurchase_3iter",  # 1-row node-count broadcast per iter
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
+    "textrank_keywords_docs",  # 1-row node-count broadcast per iter
 }
 
 

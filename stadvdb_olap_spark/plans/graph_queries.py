@@ -341,3 +341,196 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TR_TOPK)
         .select(F.col("node").alias("term"), "pr", "rank")
     )
+
+
+# Shared by the LPA / triangle / modularity oracles: distinct id-ordered
+# part co-occurrence pairs (parts bought in the same order).
+_PART_E0_SQL = """
+e0 AS MATERIALIZED (
+    SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+)"""
+
+
+def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query(
+    "triangle_stats_parts",
+    oracle=f"""
+WITH {_PART_E0_SQL},
+deg AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
+    GROUP BY v
+),
+w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+tr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e0 p1
+    JOIN e0 p2 ON p1.dst = p2.src
+    JOIN e0 p3 ON p3.src = p1.src AND p3.dst = p2.dst
+)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(3 AS DOUBLE) * n_triangles) / n_wedges
+       END AS global_clustering
+FROM tr CROSS JOIN w
+""",
+)
+def triangle_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-occurrence graph — the classic cohesion analytic. Triangles
+    enumerate over ID-ORDERED edges only (a<b<c: each triangle counted
+    once, the standard orientation trick), so the wedge join is bounded
+    by ordered out-degrees, never deg² of hubs in both directions; the
+    closing membership check is an equi-join back to the edge list.
+    All integers until one final division — hash-exact. At 100 TB the
+    same plan holds with degree-ordered orientation (point the edges
+    from low- to high-degree endpoints) when hub skew matters."""
+    e0 = _part_pairs(spark, sf_dir)
+    deg = (
+        e0.select(F.col("src").alias("v"))
+        .unionAll(e0.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    p1 = e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    p2 = e0.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = e0.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        p1.join(p2, "b")
+        .join(closing, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            (F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges")
+        )
+        .alias("global_clustering"),
+    )
+
+
+def _modularity_oracle(n_iters: int) -> str:
+    # Reuse the LPA chain (it defines e0/edges/l0..lK over the part
+    # graph), then score the partition: Q = sum_c (e_c/m - (d_c/2m)^2).
+    lpa = _lpa_oracle(n_iters)
+    head, _tail = lpa.rsplit("SELECT node AS part_key", 1)
+    return f"""{head.rstrip()},
+labels AS MATERIALIZED (SELECT node, label FROM l{n_iters}),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e0),
+within AS (
+    SELECT la.label, CAST(COUNT(*) AS BIGINT) AS ec
+    FROM e0 JOIN labels la ON e0.src = la.node
+            JOIN labels lb ON e0.dst = lb.node
+    WHERE la.label = lb.label
+    GROUP BY la.label
+),
+degsum AS (
+    SELECT label, CAST(SUM(d) AS BIGINT) AS dc FROM (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
+        GROUP BY v) deg
+    JOIN labels ON deg.v = labels.node
+    GROUP BY label
+),
+terms AS (
+    SELECT d.label,
+           COALESCE(w.ec, 0) / m.m
+             - (d.dc / (CAST(2 AS DOUBLE) * m.m))
+               * (d.dc / (CAST(2 AS DOUBLE) * m.m)) AS term
+    FROM degsum d LEFT JOIN within w USING (label) CROSS JOIN m
+),
+folded AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(
+                   list_sort(list(struct_pack(label := label,
+                                              term := term))),
+                   e -> e.term)),
+               (a, b) -> a + b) AS modularity
+    FROM terms
+)
+SELECT n_communities, modularity FROM folded
+"""
+
+
+@query("lpa_modularity_parts", oracle=_modularity_oracle(_LPA_ITERS))
+def lpa_modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the 3-round LPA partition of the part graph —
+    the standard community-quality score (Newman 2006): Q = sum over
+    communities of (within-edge share minus the squared degree share).
+    All inputs are integer counts; each community's term uses the same
+    correctly rounded op order on both engines and the community terms
+    fold in label-sorted order (the sorted-fold device), so Q is
+    hash-exact. One row out: the partition audit a community-detection
+    pipeline reports."""
+    from stadvdb_olap_spark.operators.graph import label_propagation
+
+    e0 = _part_pairs(spark, sf_dir)
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iters=_LPA_ITERS)
+    m_row = e0.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    within = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    deg = (
+        e0.select(F.col("src").alias("v"))
+        .unionAll(e0.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    degsum = (
+        deg.join(labels, deg["v"] == labels["node"])
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    k = F.col("dc") / (F.lit(2.0) * F.col("m"))
+    terms = (
+        degsum.join(within, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            (
+                F.coalesce(F.col("ec"), F.lit(0)) / F.col("m") - k * k
+            ).alias("term"),
+        )
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("label", "term"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["term"],
+        ).alias("modularity"),
+    )
+    return folded

@@ -330,3 +330,29 @@ def test_label_propagation_matches_replication_and_finds_cliques(spark):
     # (exact values are already pinned by the replication check above)
     assert final[1] == final[2] == final[3] == 1
     assert final[5] == final[6]
+
+
+def test_triangle_stats_by_hand(spark):
+    """Two triangles sharing no edge + one bridge: exactly 2 triangles;
+    wedges from the degree sequence; clustering = 3*2/wedges."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    # build the tiny graph through the operator shapes directly
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e0 = spark.createDataFrame(und, "src long, dst long")
+    deg = (
+        e0.select(F.col("src").alias("v"))
+        .unionAll(e0.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    degs = {r["v"]: r["d"] for r in deg.collect()}
+    assert degs == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
+    wedges = sum(d * (d - 1) // 2 for d in degs.values())
+    p1 = e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    p2 = e0.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing = e0.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = p1.join(p2, "b").join(closing, ["a", "c"]).count()
+    assert tri == 2
+    assert wedges == 4 * 1 + 2 * 3  # four deg-2 nodes + two deg-3 nodes

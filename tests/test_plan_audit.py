@@ -95,6 +95,8 @@ _BNLJ_OK = {
     "pagerank_copurchase_3iter",  # 1-row node-count broadcast per iter
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
+    "triangle_stats_parts",  # 1-row wedge-count broadcast
+    "lpa_modularity_parts",  # 1-row edge-count broadcast
 }
 
 

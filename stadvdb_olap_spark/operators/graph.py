@@ -194,3 +194,55 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Peel toward the k-core of an undirected graph for a FIXED number
+    of rounds — returns (node, deg): every node still alive after
+    ``n_rounds`` of peeling, with its degree in the surviving subgraph.
+
+    One peel round = drop every node whose current degree is below
+    ``k``, plus all its incident edges (Matula & Beck 1983, bounded
+    budget). Full k-core decomposition iterates to a fixpoint; the
+    fixed round count is the certification device used across this
+    repo (pagerank_fixed / ivf_fixed / pinned BPE merges) — the loop
+    unrolls into one lazy plan that replays exactly as chained SQL
+    CTEs, and bounded peel budgets are standard practice on large
+    graphs anyway (each round is a full-scan sweep).
+
+    Pass the canonical undirected edge list (src < dst, distinct).
+    Per round: one degree aggregation over both endpoint projections
+    and two semi-join-shaped inner joins back to the survivor set —
+    all integer counting on keyed exchanges, no driver state. Cost per
+    round is O(|E|) shuffled on node keys; rounds reuse the same
+    partitioning so AQE coalesces the repeated exchanges.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("src").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "src"), "src")
+            .join(keep.withColumnRenamed("v", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

@@ -55,10 +55,12 @@ def query(
 
 # ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
 # the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
-# 189 queries (latest-fail 0). This front = the 21 never-windowed
-# oracle-backed queries (closing the gap to 210/210 signed), then 29
+# 189 queries (latest-fail 0). This front = ALL 35 never-windowed
+# oracle-backed queries (the 21 pending at rotation time plus the 14
+# added later in round 5: graph analytics, sketches, multiprobe LSH,
+# GEMM tiers, textrank, HLL, rendezvous, temperature mixture), then 15
 # staleness re-certifications: signed queries oldest-green-row first
-# (all r1-signed advanced/analytics/tpch rows, now three rounds of
+# (r1-signed advanced/analytics/tpch rows, now three rounds of
 # refactors old). Produced verbatim by `python tools/next_window.py`,
 # which now appends the staleness fill after the never-windowed set.
 #
@@ -67,25 +69,39 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced (the last 21 without a driver row)
+    # never-windowed, family-balanced (all 35 without a driver row)
     "domain_rollup_docs",
     "format_roundtrip_orders",
+    "pagerank_copurchase_3iter",
     "pack_concat_offsets_docs",
     "gopher_rules_filter_docs",
     "zorder_key_orders",
     "holt_forecast_daily_revenue",
+    "countmin_term_frequency_docs",
     "quality_logit_filter_docs",
-    "ann_ivf_fixed_topk",
+    "ann_lsh_multiprobe_topk",
     "bpe_encode_pinned_docs",
+    "supplier_covisit_jaccard",
     "epoch_shuffle_layout_docs",
     "max_concurrent_sessions_hourly",
+    "bloom_filter_customer_probe",
     "rrf_fusion_topk_docs",
-    "semdedup_fixed_centroids",
+    "ann_topk_pandas_gemm",
     "span_corrupt_docs",
+    "lpa_communities_parts",
+    "temperature_mixture_docs",
     "abc_classification_parts",
+    "hll_registers_users_events",
+    "ann_topk_arrow_gemm",
     "dedup_recall_audit_docs",
+    "textrank_keywords_docs",
+    "rendezvous_shard_docs",
     "holt_forecast_by_event_type",
+    "ann_ivf_fixed_topk",
+    "triangle_stats_parts",
     "wow_growth_revenue",
+    "semdedup_fixed_centroids",
+    "lpa_modularity_parts",
     "share_of_total_by_segment",
     "cusum_changepoints_daily_revenue",
     "rolling_corr_click_purchase_7d",
@@ -105,20 +121,6 @@ ROUND5_FRONT: tuple[str, ...] = (
     "histogram_order_totals",
     "iqr_outlier_events",
     "min_price_row_per_part",
-    "moving_avg_daily_revenue",
-    "ntile_customers_by_balance",
-    "ols_price_vs_quantity_by_flag",
-    "order_gaps_lag",
-    "order_keys_concat_per_customer",
-    "orders_above_global_avg",
-    "percentiles_by_priority",
-    "pivot_event_type_daily",
-    "profile_orders",
-    "q13_customer_order_distribution",
-    "q1_pricing_summary",
-    "q3_top_unshipped_revenue",
-    "q4_priority_with_late_lines",
-    "q5_revenue_by_nation",
 )
 
 

@@ -534,3 +534,60 @@ def lpa_modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("modularity"),
     )
     return folded
+
+
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int, n_rounds: int) -> str:
+    """Replay kcore_peel exactly: n_rounds of (degree, keep, filter)
+    over the part co-occurrence graph, every stage MATERIALIZED (the
+    chain references each e{i} twice for degrees and once for the
+    filter — DuckDB would otherwise inline and re-evaluate)."""
+    stages = []
+    prev = "e0"
+    for i in range(1, n_rounds + 1):
+        stages.append(
+            f"""
+d{i} AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT src AS v FROM {prev}
+        UNION ALL SELECT dst AS v FROM {prev})
+    GROUP BY v
+),
+k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM {prev} e
+    JOIN k{i} a ON e.src = a.v
+    JOIN k{i} b ON e.dst = b.v
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",".join(stages)
+    return f"""
+WITH {_PART_E0_SQL},{chain}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM {prev}
+    UNION ALL SELECT dst AS node FROM {prev})
+GROUP BY node
+"""
+
+
+@query(
+    "kcore_parts_k90",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+)
+def kcore_parts_k90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving 3 peel rounds toward the 90-core of the part
+    co-occurrence graph, with their degree in the surviving subgraph —
+    the dense-cohesion screen (recommendation cores, fraud rings,
+    community seeds). Pure integer counting per round, so the unrolled
+    plan is hash-exact against the chained-CTE replay. At 100 TB each
+    round is one degree aggregation + two survivor joins keyed on node
+    ids — the vertex-centric sweep bounded-budget k-core uses on any
+    distributed engine."""
+    from stadvdb_olap_spark.operators.graph import kcore_peel
+
+    e0 = _part_pairs(spark, sf_dir)
+    return kcore_peel(e0, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)

@@ -55,10 +55,12 @@ def query(
 
 # ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
 # the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
-# 189 queries (latest-fail 0). This front = ALL 35 never-windowed
+# 189 queries (latest-fail 0). This front = ALL 41 never-windowed
 # oracle-backed queries (the 21 pending at rotation time plus the 14
 # added later in round 5: graph analytics, sketches, multiprobe LSH,
-# GEMM tiers, textrank, HLL, rendezvous, temperature mixture), then 15
+# GEMM tiers, textrank, HLL, rendezvous, temperature mixture, k-core,
+# k-anonymity, episode triples, Hampel, Poisson bootstrap,
+# calibration bins), then 9
 # staleness re-certifications: signed queries oldest-green-row first
 # (r1-signed advanced/analytics/tpch rows, now three rounds of
 # refactors old). Produced verbatim by `python tools/next_window.py`,
@@ -69,12 +71,13 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced (all 35 without a driver row)
+    # never-windowed, family-balanced (all 41 without a driver row)
     "domain_rollup_docs",
     "format_roundtrip_orders",
     "pagerank_copurchase_3iter",
     "pack_concat_offsets_docs",
     "gopher_rules_filter_docs",
+    "poisson_bootstrap_ci_revenue",
     "zorder_key_orders",
     "holt_forecast_daily_revenue",
     "countmin_term_frequency_docs",
@@ -83,6 +86,7 @@ ROUND5_FRONT: tuple[str, ...] = (
     "bpe_encode_pinned_docs",
     "supplier_covisit_jaccard",
     "epoch_shuffle_layout_docs",
+    "k_anonymity_audit_customers",
     "max_concurrent_sessions_hourly",
     "bloom_filter_customer_probe",
     "rrf_fusion_topk_docs",
@@ -90,6 +94,7 @@ ROUND5_FRONT: tuple[str, ...] = (
     "span_corrupt_docs",
     "lpa_communities_parts",
     "temperature_mixture_docs",
+    "calibration_bins_quality_vs_rules",
     "abc_classification_parts",
     "hll_registers_users_events",
     "ann_topk_arrow_gemm",
@@ -103,8 +108,11 @@ ROUND5_FRONT: tuple[str, ...] = (
     "semdedup_fixed_centroids",
     "lpa_modularity_parts",
     "share_of_total_by_segment",
+    "kcore_parts_k90",
     "cusum_changepoints_daily_revenue",
     "rolling_corr_click_purchase_7d",
+    "episode_triples_sessions",
+    "hampel_outliers_daily_revenue",
     # staleness re-certification: oldest-signed (r1) rows, refreshed
     "asof_join_events_orders",
     "click_purchase_attribution",
@@ -115,12 +123,6 @@ ROUND5_FRONT: tuple[str, ...] = (
     "events_json_props",
     "events_sessionize_30m",
     "events_sliding_3h_1h",
-    "events_tumbling_1h",
-    "gapfill_daily_revenue",
-    "grouping_sets_revenue",
-    "histogram_order_totals",
-    "iqr_outlier_events",
-    "min_price_row_per_part",
 )
 
 

@@ -370,3 +370,135 @@ def gopher_rules_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.cast("long").alias("n_failed"),
         keep.alias("keep"),
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit_customers",
+    oracle=f"""
+WITH cls AS (
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, balance_band, class_size,
+       class_size < {_K_ANON} AS violates_k
+FROM cls
+""",
+)
+def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) of the customer table under the
+    quasi-identifier (nation, market segment, $1000 balance band): the
+    size of every equivalence class and whether it violates k=5 — the
+    re-identification screen a privacy review runs before releasing a
+    dataset keyed on demographic columns. Pure integer grouping (the
+    acctbal band is a floor of an exact cents-backed double divided by
+    1000 — correctly rounded on both engines), so hash-exact. At 100 TB
+    this is one hash aggregation over the quasi-identifier key; the
+    violating classes feed a suppression/generalization pass."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "balance_band",
+            "class_size",
+            (F.col("class_size") < _K_ANON).alias("violates_k"),
+        )
+    )
+
+
+_CAL_LO, _CAL_W, _CAL_NBINS = -2.0, 0.4, 10
+
+
+def _calibration_oracle() -> str:
+    from stadvdb_olap_spark.plans.catalog import REGISTRY
+
+    ql = REGISTRY["quality_logit_filter_docs"].oracle
+    gr = REGISTRY["gopher_rules_filter_docs"].oracle
+    return f"""
+WITH ql AS MATERIALIZED ({ql}),
+gr AS MATERIALIZED ({gr}),
+j AS (
+    SELECT ql.logit, gr.keep AS label
+    FROM ql JOIN gr ON ql.doc_id = gr.doc_id
+),
+b AS (
+    SELECT least(greatest(CAST(floor((logit - CAST('{_CAL_LO!r}' AS DOUBLE))
+                   / CAST('{_CAL_W!r}' AS DOUBLE)) AS BIGINT), 0),
+                 {_CAL_NBINS - 1}) AS bin,
+           label
+    FROM j
+)
+SELECT bin,
+       CAST('{_CAL_LO!r}' AS DOUBLE)
+           + (bin + CAST('0.5' AS DOUBLE)) * CAST('{_CAL_W!r}' AS DOUBLE)
+           AS bin_mid_logit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (label) AS BIGINT) AS n_rule_keep,
+       CAST(COUNT(*) FILTER (label) AS DOUBLE) / COUNT(*) AS rule_keep_rate
+FROM b GROUP BY bin
+"""
+
+
+@query("calibration_bins_quality_vs_rules", oracle=_calibration_oracle())
+def calibration_bins_quality_vs_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability-diagram table for the learned quality scorer against
+    the Gopher rule-stack label: documents bucketed into 10 fixed logit
+    bins, each with its size, rule-keep count, and empirical keep rate
+    — the calibration audit (Guo et al. 2017) a curation pipeline runs
+    before trusting a classifier to replace its rule filters (a
+    well-calibrated scorer's keep rate climbs monotonically through
+    the bins). Determinism: both inputs are already-certified queries;
+    binning floors an identical double against literal edges, and the
+    only float outputs are a literal-derived bin midpoint and one
+    exact-integer division. One narrow join on doc_id (at 100 TB both
+    sides are projections of the same scan, so the join fuses; the
+    aggregate is 10 rows)."""
+    from stadvdb_olap_spark.plans.text_queries import quality_logit_filter_docs
+
+    ql = quality_logit_filter_docs(spark, sf_dir).select("doc_id", "logit")
+    gr = gopher_rules_filter_docs(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    binned = ql.join(gr, "doc_id").select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("logit") - F.lit(_CAL_LO)) / F.lit(_CAL_W)
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(_CAL_NBINS - 1),
+        ).alias("bin"),
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        (
+            F.lit(_CAL_LO)
+            + (F.col("bin") + F.lit(0.5)) * F.lit(_CAL_W)
+        ).alias("bin_mid_logit"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rule_keep"),
+        (
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rule_keep_rate"),
+    )

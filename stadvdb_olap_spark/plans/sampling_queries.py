@@ -251,3 +251,112 @@ def negative_sample_customer_parts(
             F.col("rn").cast("long").alias("neg_rank"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds on a 16-bit uniform: t[k] =
+# floor(CDF(k) * 65536), computed once in Python (exp is never
+# evaluated inside either engine). A draw u in [0, 65536) maps to
+# weight w = #{k : u >= t[k]} in 0..7.
+_POIS_T = (24109, 48218, 60273, 64291, 65296, 65497, 65530)
+_BOOT_B = 32
+
+
+def _boot_w_sql(b_expr: str) -> str:
+    h = f"md5('boot' || CAST({b_expr} AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))"
+    u = (
+        f"((strpos('0123456789abcdef', {h}[1:1]) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', {h}[2:2]) - 1) * 256"
+        f" + (strpos('0123456789abcdef', {h}[3:3]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[4:4]) - 1))"
+    )
+    terms = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS_T
+    )
+    return f"(SELECT {terms} FROM (SELECT {u} AS u) __u)"
+
+
+@query(
+    "poisson_bootstrap_ci_revenue",
+    oracle=f"""
+WITH rows_w AS (
+    SELECT b.b,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           {_boot_w_sql('b.b')} AS w
+    FROM orders CROSS JOIN (
+        SELECT unnest(range({_BOOT_B})) AS b) b
+),
+reps AS (
+    SELECT b, CAST(SUM(w * cents) AS BIGINT) AS s
+    FROM rows_w GROUP BY b
+),
+sorted AS (
+    SELECT list_sort(list(s)) AS ss,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates
+    FROM reps
+),
+point AS (
+    SELECT CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS pc
+    FROM orders
+)
+SELECT pc / CAST(100 AS DOUBLE) AS point_revenue,
+       ss[2] / CAST(100 AS DOUBLE) AS ci_lo,
+       ss[{_BOOT_B - 1}] / CAST(100 AS DOUBLE) AS ci_hi,
+       n_replicates
+FROM sorted CROSS JOIN point
+""",
+)
+def poisson_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for total order revenue via the
+    DETERMINISTIC Poisson bootstrap (Chamandy et al. 2012, the
+    one-pass resampling device built for map-reduce): each of 32
+    replicates weights every order by an independent Poisson(1) count
+    drawn by inverse-CDF lookup on a salted-md5 16-bit uniform — the
+    same (replicate, orderkey) always draws the same weight in any
+    engine, so the whole statistic is hash-exact. Everything is
+    integer arithmetic (cents x integer weights, thresholds
+    premultiplied into 16-bit space; exp() never runs in-engine); the
+    CI endpoints are order statistics (ranks 2 and 31) of the 32 exact
+    replicate sums. Scale shape: the replicate fan-out is a map-side
+    explode (no pre-shuffle blow-up materialized), partial aggregation
+    reduces each partition to <=32 rows, and the final exchange moves
+    32 keys — the classic one-pass bootstrap at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # Explode the replicate index FIRST, then hash once with the salt
+    # built from the b column — one compact md5/threshold expression
+    # instead of 32 unrolled copies (which overflows whole-stage
+    # codegen's method budget and falls back to interpreted eval).
+    fanned = orders.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("boot"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        ).cast("binary")
+    )
+    u = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    w = None
+    for t in _POIS_T:
+        term = F.when(u >= t, 1).otherwise(0)
+        w = term if w is None else w + term
+    reps = fanned.select("cents", "b", w.alias("w")).groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s")
+    )
+    sorted_reps = reps.agg(
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    point = orders.agg(F.sum(cents).cast("long").alias("pc"))
+    return sorted_reps.crossJoin(F.broadcast(point)).select(
+        (F.col("pc") / F.lit(100.0)).alias("point_revenue"),
+        (F.element_at("ss", 2) / F.lit(100.0)).alias("ci_lo"),
+        (F.element_at("ss", _BOOT_B - 1) / F.lit(100.0)).alias("ci_hi"),
+        "n_replicates",
+    )

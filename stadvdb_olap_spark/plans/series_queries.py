@@ -1976,3 +1976,159 @@ def rolling_corr_click_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n").cast("long").alias("n_days"),
         F.when(den == 0, F.lit(None).cast("double")).otherwise(r).alias("corr_7d"),
     )
+
+
+@query(
+    "episode_triples_sessions",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+seq AS (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER ws AS e2,
+           lead(event_type, 2) OVER ws AS e3
+    FROM sess
+    WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+""",
+)
+def episode_triples_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, episode length 3: counts of every
+    consecutive event-type triple INSIDE a 30-minute session (the
+    session boundary stops triples from spanning unrelated visits) —
+    the support table a PrefixSpan-style miner builds its first
+    candidate generation from, and a direct behavioral-analytics
+    deliverable (top browse→click→purchase paths). Reuses the
+    certified sessionize-by-gap device (events_sessionize_30m), then
+    two leads over the (user, session) ordering and one hash aggregate
+    on the ≤|types|³ triple key — all integer counting, hash-exact.
+    At 100 TB: one exchange on user_id feeds both the session window
+    and the leads (same ordering key), then a tiny aggregate."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "session_seq", F.sum(is_new).over(run)
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    seq = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "hampel_outliers_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT d, cents,
+           list(cents) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ) AS arr
+    FROM daily
+),
+med AS (
+    SELECT d, cents,
+           CASE WHEN len(arr) = 7 THEN list_sort(arr)[4] END AS med_cents,
+           arr
+    FROM win
+),
+mad AS (
+    SELECT d, cents, med_cents,
+           CASE WHEN med_cents IS NOT NULL THEN
+               list_sort(list_transform(arr, x -> abs(x - med_cents)))[4]
+           END AS mad_cents
+    FROM med
+)
+SELECT d,
+       cents / CAST(100 AS DOUBLE) AS revenue,
+       med_cents / CAST(100 AS DOUBLE) AS rolling_med,
+       mad_cents / CAST(100 AS DOUBLE) AS rolling_mad,
+       COALESCE(10000 * abs(cents - med_cents) > 44478 * mad_cents,
+                FALSE) AS is_outlier
+FROM mad
+""",
+)
+def hampel_outliers_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over the daily-revenue series: a point is an
+    outlier when it sits more than 3·1.4826 scaled MADs from the
+    centered 7-day rolling median — the robust despiking filter that
+    survives the level shifts a z-score filter chases. Float
+    determinism: the whole test runs in INTEGER cents (exact decimal
+    day sums ×100), the rolling median/MAD are order-statistics of the
+    collected 7-element window (sorted, so collect order is
+    irrelevant), and the 3σ threshold compares 10000·|x−med| against
+    44478·MAD — the constant 4.4478 premultiplied into integers, no
+    float op anywhere before the output division by 100. Edge days
+    without a full window are never flagged. The global window runs on
+    the calendar-bounded daily series, never the fact table (the cusum
+    convention)."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    arr = F.collect_list("cents").over(w7)
+    med = F.when(
+        F.size(arr) == 7, F.element_at(F.sort_array(arr), 4)
+    )
+    step = daily.select("d", "cents", arr.alias("arr"), med.alias("med_cents"))
+    mad = F.when(
+        F.col("med_cents").isNotNull(),
+        F.element_at(
+            F.sort_array(
+                F.transform("arr", lambda x: F.abs(x - F.col("med_cents")))
+            ),
+            4,
+        ),
+    )
+    step2 = step.select("d", "cents", "med_cents", mad.alias("mad_cents"))
+    return step2.select(
+        "d",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (F.col("med_cents") / F.lit(100.0)).alias("rolling_med"),
+        (F.col("mad_cents") / F.lit(100.0)).alias("rolling_mad"),
+        F.coalesce(
+            10000 * F.abs(F.col("cents") - F.col("med_cents"))
+            > 44478 * F.col("mad_cents"),
+            F.lit(False),
+        ).alias("is_outlier"),
+    )

@@ -987,3 +987,4 @@ def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fused_rank", F.row_number().over(w).cast("long"))
     )
+

@@ -356,3 +356,25 @@ def test_triangle_stats_by_hand(spark):
     tri = p1.join(p2, "b").join(closing, ["a", "c"]).count()
     assert tri == 2
     assert wedges == 4 * 1 + 2 * 3  # four deg-2 nodes + two deg-3 nodes
+
+
+def test_kcore_peel_keeps_clique_drops_tail(spark):
+    from stadvdb_olap_spark.operators.graph import kcore_peel
+
+    # K4 on {1,2,3,4} plus a tail 4-5-6: 3 peel rounds at k=3 must strip
+    # the tail (deg 1/2 nodes) and keep exactly the clique at degree 3.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.node, r.deg) for r in kcore_peel(e, k=3, n_rounds=3).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_peel_zero_rounds_is_identity_degrees(spark):
+    from stadvdb_olap_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {(r.node, r.deg) for r in kcore_peel(e, k=99, n_rounds=0).collect()}
+    assert got == {(1, 1), (2, 2), (3, 1)}

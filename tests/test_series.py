@@ -444,3 +444,81 @@ def test_exact_median_even_n_bucket_boundary(spark, tmp_path):
         spark, li_dir("one_bucket", [10, 20, 30, 40])
     ).collect()
     assert [(r["median_price"], r["n_rows"]) for r in got] == [(20.0, 4)]
+
+
+def test_hampel_edge_windows_never_flagged(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        hampel_outliers_daily_revenue,
+    )
+
+    rows = hampel_outliers_daily_revenue(spark, SF_DIR).orderBy("d").collect()
+    assert len(rows) >= 7
+    # the first/last 3 days lack a full centered window: no median, no flag
+    for r in rows[:3] + rows[-3:]:
+        assert r.rolling_med is None and r.is_outlier is False
+    # interior rows always carry the order statistics
+    for r in rows[3:-3]:
+        assert r.rolling_med is not None and r.rolling_mad is not None
+
+
+def test_episode_triples_total_matches_session_lengths(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        episode_triples_sessions,
+    )
+    from stadvdb_olap_spark.plans.analytics_queries import (
+        events_sessionize_30m,
+    )
+    from pyspark.sql import functions as F
+
+    total = (
+        episode_triples_sessions(spark, SF_DIR)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]
+        .s
+    )
+    # every session of length L contributes max(L-2, 0) triples
+    sess_sizes = (
+        events_sessionize_30m(spark, SF_DIR)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("L"))
+        .agg(
+            F.sum(F.greatest(F.col("L") - 2, F.lit(0))).alias("expect")
+        )
+        .collect()[0]
+        .expect
+    )
+    assert total == sess_sizes
+
+
+def test_poisson_bootstrap_weights_bounded_and_centered(spark):
+    # Re-derive the per-(replicate, order) weights exactly as the query
+    # does and check the draw behaves like Poisson(1): support 0..7 and
+    # mean within 2% of 1 over all replicates.
+    import duckdb
+
+    from stadvdb_olap_spark.plans.sampling_queries import _POIS_T
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    hex4 = (
+        "((strpos('0123456789abcdef', h[1:1]) - 1) * 4096"
+        " + (strpos('0123456789abcdef', h[2:2]) - 1) * 256"
+        " + (strpos('0123456789abcdef', h[3:3]) - 1) * 16"
+        " + (strpos('0123456789abcdef', h[4:4]) - 1))"
+    )
+    w = " + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS_T)
+    stats = con.sql(
+        f"""
+        WITH u AS (
+            SELECT {hex4} AS u FROM (
+                SELECT md5('boot' || CAST(b AS VARCHAR) || ':'
+                           || CAST(o_orderkey AS VARCHAR)) AS h
+                FROM orders CROSS JOIN (SELECT unnest(range(32)) AS b))
+        )
+        SELECT MIN({w}), MAX({w}), AVG({w}) FROM u
+        """
+    ).fetchone()
+    assert stats[0] >= 0 and stats[1] <= 7
+    assert abs(stats[2] - 1.0) < 0.02

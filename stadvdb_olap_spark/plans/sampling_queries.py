@@ -360,3 +360,112 @@ def poisson_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("ss", _BOOT_B - 1) / F.lit(100.0)).alias("ci_hi"),
         "n_replicates",
     )
+
+
+@query(
+    "conformal_interval_order_totals",
+    oracle="""
+WITH r AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+pred AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           list_sort(list(cents))[CAST((COUNT(*) + 1) // 2 AS BIGINT)]
+               AS med_cents
+    FROM r GROUP BY o_orderpriority
+),
+scored AS (
+    SELECT r.o_orderpriority, r.cents, p.n, p.med_cents,
+           abs(r.cents - p.med_cents) AS score
+    FROM r JOIN pred p USING (o_orderpriority)
+),
+q AS (
+    SELECT o_orderpriority, n, med_cents,
+           list_sort(list(score))[
+               CAST(least((9 * (n + 1) + 9) // 10, n) AS BIGINT)
+           ] AS q_cents
+    FROM scored GROUP BY o_orderpriority, n, med_cents
+),
+cov AS (
+    SELECT s.o_orderpriority,
+           CAST(COUNT(*) FILTER (s.score <= q.q_cents) AS BIGINT)
+               AS n_covered
+    FROM scored s JOIN q USING (o_orderpriority)
+    GROUP BY s.o_orderpriority
+)
+SELECT q.o_orderpriority, n,
+       med_cents / CAST(100 AS DOUBLE) AS pred,
+       (med_cents - q_cents) / CAST(100 AS DOUBLE) AS lo,
+       (med_cents + q_cents) / CAST(100 AS DOUBLE) AS hi,
+       CAST(n_covered AS DOUBLE) / n AS coverage
+FROM q JOIN cov USING (o_orderpriority)
+""",
+)
+def conformal_interval_order_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) for order totals per priority class: predictor = the class's
+    lower median, nonconformity = absolute residual, interval = pred ±
+    the ⌈(n+1)·0.9⌉-th smallest residual — the distribution-free 90%
+    interval modern ML-eval stacks attach to point predictions, plus
+    the achieved in-sample coverage. Exactness: everything is integer
+    cents and ORDER STATISTICS — the conformal rank ⌈0.9(n+1)⌉ is
+    computed in pure integer arithmetic ((9(n+1)+9) DIV 10), so no
+    float enters before the output divisions. The per-class sorted
+    arrays are fine at the 5-class cardinality here; at 100 TB swap in
+    the two-pass exact-median device (scalable_exact_median_price) per
+    class — the conformal logic is unchanged."""
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    pred = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sort_array(F.collect_list("cents")).alias("arr"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.element_at("arr", ((F.col("n") + 1) / 2).cast("int")).alias(
+            "med_cents"
+        ),
+    )
+    scored = r.join(pred, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("score"),
+    )
+    k = F.least((9 * (F.col("n") + 1) + 9) / 10, F.col("n")).cast("int")
+    q = scored.groupBy("o_orderpriority", "n", "med_cents").agg(
+        F.sort_array(F.collect_list("score")).alias("ss")
+    ).select(
+        "o_orderpriority",
+        "n",
+        "med_cents",
+        F.element_at("ss", k).alias("q_cents"),
+        "ss",
+    )
+    covered = q.select(
+        "o_orderpriority",
+        "n",
+        "med_cents",
+        "q_cents",
+        F.size(
+            F.filter("ss", lambda s: s <= F.col("q_cents"))
+        ).cast("long").alias("n_covered"),
+    )
+    return covered.select(
+        "o_orderpriority",
+        "n",
+        (F.col("med_cents") / F.lit(100.0)).alias("pred"),
+        ((F.col("med_cents") - F.col("q_cents")) / F.lit(100.0)).alias("lo"),
+        ((F.col("med_cents") + F.col("q_cents")) / F.lit(100.0)).alias("hi"),
+        (F.col("n_covered").cast("double") / F.col("n")).alias("coverage"),
+    )

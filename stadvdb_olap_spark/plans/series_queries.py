@@ -2132,3 +2132,76 @@ def hampel_outliers_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(False),
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "mase_seasonal_naive_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT cents,
+           lag(cents, 1) OVER (ORDER BY d) AS l1,
+           lag(cents, 7) OVER (ORDER BY d) AS l7
+    FROM daily
+),
+m AS (
+    SELECT CAST(COUNT(l1) AS BIGINT) AS n1,
+           CAST(SUM(abs(cents - l1)) AS BIGINT) AS ae1,
+           CAST(COUNT(l7) AS BIGINT) AS n7,
+           CAST(SUM(abs(cents - l7)) AS BIGINT) AS ae7
+    FROM lagged
+)
+SELECT n7 AS n_scored,
+       (ae1 / CAST(n1 AS DOUBLE)) / 100 AS mae_naive1,
+       (ae7 / CAST(n7 AS DOUBLE)) / 100 AS mae_seasonal7,
+       (ae7 / CAST(n7 AS DOUBLE)) / (ae1 / CAST(n1 AS DOUBLE)) AS mase
+FROM m
+""",
+)
+def mase_seasonal_naive_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-accuracy scoring with MASE (Hyndman & Koehler 2006):
+    the seasonal-naive (lag-7) forecast's mean absolute error on daily
+    revenue, scaled by the one-step-naive MAE — the unit-free metric
+    every forecasting bake-off reports (MASE < 1 means the model beats
+    last-value persistence; for this weekday-seasonal series lag-7
+    should win). All errors are exact integer cents; the only float
+    ops are two exact-integer divisions and their quotient — identical
+    operand bits on both engines, hence hash-exact. The lag windows run
+    on the calendar-bounded daily aggregate, never the fact table."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 7).over(w).alias("l7"),
+    )
+    m = lagged.agg(
+        F.count("l1").cast("long").alias("n1"),
+        F.sum(F.abs(F.col("cents") - F.col("l1"))).cast("long").alias("ae1"),
+        F.count("l7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("cents") - F.col("l7"))).cast("long").alias("ae7"),
+    )
+    mae1 = F.col("ae1") / F.col("n1").cast("double")
+    mae7 = F.col("ae7") / F.col("n7").cast("double")
+    return m.select(
+        F.col("n7").alias("n_scored"),
+        (mae1 / 100).alias("mae_naive1"),
+        (mae7 / 100).alias("mae_seasonal7"),
+        (mae7 / mae1).alias("mase"),
+    )

@@ -988,3 +988,94 @@ def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fused_rank", F.row_number().over(w).cast("long"))
     )
 
+
+
+# Pinned depth-2 stump ensemble over the certified quality signals —
+# model-inference-in-engine (the published-weights device of
+# quality_logit_filter_docs, extended from linear to tree form). Each
+# tree: (root_feat, root_thr, (lf, lt, ll_score, lr_score),
+#        (rf, rt, rl_score, rr_score)); integer leaf scores sum.
+_GBT_TREES = (
+    ("stopword_ratio", 0.30,
+     ("mean_word_len", 5.0, -2, 1), ("punct_ratio", 0.08, 3, 1)),
+    ("n_tokens", 120.0,
+     ("stopword_ratio", 0.22, -3, 0), ("mean_word_len", 6.5, 2, -1)),
+    ("punct_ratio", 0.05,
+     ("n_tokens", 60.0, -1, 2), ("stopword_ratio", 0.35, 0, 2)),
+    ("mean_word_len", 4.2,
+     ("punct_ratio", 0.10, 1, -2), ("n_tokens", 200.0, 0, 3)),
+)
+_GBT_KEEP = 3
+
+
+def _gbt_sql() -> str:
+    def leaf(feat, thr, lo, hi):
+        return (
+            f"CASE WHEN {feat} < CAST('{thr!r}' AS DOUBLE)"
+            f" THEN {lo} ELSE {hi} END"
+        )
+
+    trees = []
+    for rf, rt, (lf, lt, ll, lr), (gf, gt, gl, gr) in _GBT_TREES:
+        trees.append(
+            f"(CASE WHEN {rf} < CAST('{rt!r}' AS DOUBLE)"
+            f" THEN {leaf(lf, lt, ll, lr)}"
+            f" ELSE {leaf(gf, gt, gl, gr)} END)"
+        )
+    score = " + ".join(trees)
+    return f"""
+WITH t AS (SELECT doc_id, text, {T.tokens_sql('text')} AS toks FROM documents),
+f AS (
+    SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                AS DOUBLE) / len(toks) AS mean_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x)))
+                AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM t
+)
+SELECT doc_id, CAST({score} AS BIGINT) AS score,
+       ({score}) >= {_GBT_KEEP} AS keep
+FROM f
+"""
+
+
+@query("tree_ensemble_score_docs", oracle=_gbt_sql())
+def tree_ensemble_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-ensemble model inference inside the engine: a pinned
+    4-tree, depth-2 stump ensemble (the shape of a distilled quality
+    GBDT) scored per document over the certified quality signals, with
+    the keep decision at a published margin — how production pipelines
+    serve lightweight learned filters without leaving the scan (tree
+    traversal lowers to nested CASE, staying in whole-stage codegen).
+    Determinism: every split compares an already-certified IEEE double
+    against a literal threshold and every leaf is an integer, so the
+    summed score is exact on both engines. Scan-bound, no shuffle; the
+    ensemble is data (swap thresholds without replanning)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stats = T.quality_stats("text", STOPWORDS)
+    feats = {
+        "n_tokens": stats["n_tokens"].cast("double"),
+        "mean_word_len": stats["mean_word_len"],
+        "punct_ratio": stats["punct_ratio"],
+        "stopword_ratio": stats["stopword_ratio"],
+    }
+
+    def leaf(feat, thr, lo, hi):
+        return F.when(feats[feat] < F.lit(thr), F.lit(lo)).otherwise(
+            F.lit(hi)
+        )
+
+    score = None
+    for rf, rt, (lf, lt, ll, lr), (gf, gt, gl, gr) in _GBT_TREES:
+        tree = F.when(feats[rf] < F.lit(rt), leaf(lf, lt, ll, lr)).otherwise(
+            leaf(gf, gt, gl, gr)
+        )
+        score = tree if score is None else score + tree
+    return docs.select(
+        "doc_id",
+        score.cast("long").alias("score"),
+        (score >= F.lit(_GBT_KEEP)).alias("keep"),
+    )

@@ -522,3 +522,30 @@ def test_poisson_bootstrap_weights_bounded_and_centered(spark):
     ).fetchone()
     assert stats[0] >= 0 and stats[1] <= 7
     assert abs(stats[2] - 1.0) < 0.02
+
+
+def test_mase_seasonal_beats_naive_on_weekly_series(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        mase_seasonal_naive_daily_revenue,
+    )
+
+    row = mase_seasonal_naive_daily_revenue(spark, SF_DIR).collect()[0]
+    assert row.n_scored > 0
+    assert row.mae_naive1 > 0 and row.mae_seasonal7 > 0
+    # MASE is the ratio of the two published MAEs
+    assert math.isclose(
+        row.mase, row.mae_seasonal7 / row.mae_naive1, rel_tol=1e-12
+    )
+
+
+def test_conformal_interval_coverage_at_least_nominal(spark):
+    from stadvdb_olap_spark.plans.sampling_queries import (
+        conformal_interval_order_totals,
+    )
+
+    rows = conformal_interval_order_totals(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # split-conformal guarantees >= ceil(0.9(n+1))/(n+1) coverage
+        assert r.coverage >= 0.9
+        assert r.lo <= r.pred <= r.hi

@@ -55,7 +55,7 @@ def query(
 
 # ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
 # the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
-# 189 queries (latest-fail 0). This front = ALL 41 never-windowed
+# 189 queries (latest-fail 0). This front = 47 never-windowed
 # oracle-backed queries (the 21 pending at rotation time plus the 14
 # added later in round 5: graph analytics, sketches, multiprobe LSH,
 # GEMM tiers, textrank, HLL, rendezvous, temperature mixture, k-core,
@@ -71,7 +71,7 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced (all 41 without a driver row)
+    # never-windowed, family-balanced (47 without a driver row)
     "domain_rollup_docs",
     "format_roundtrip_orders",
     "pagerank_copurchase_3iter",
@@ -87,6 +87,8 @@ ROUND5_FRONT: tuple[str, ...] = (
     "supplier_covisit_jaccard",
     "epoch_shuffle_layout_docs",
     "k_anonymity_audit_customers",
+    "conformal_interval_order_totals",
+    "zonemap_prune_layouts_orders",
     "max_concurrent_sessions_hourly",
     "bloom_filter_customer_probe",
     "rrf_fusion_topk_docs",
@@ -95,8 +97,10 @@ ROUND5_FRONT: tuple[str, ...] = (
     "lpa_communities_parts",
     "temperature_mixture_docs",
     "calibration_bins_quality_vs_rules",
+    "join_cardinality_audit_lineitem",
     "abc_classification_parts",
     "hll_registers_users_events",
+    "tree_ensemble_score_docs",
     "ann_topk_arrow_gemm",
     "dedup_recall_audit_docs",
     "textrank_keywords_docs",
@@ -113,16 +117,12 @@ ROUND5_FRONT: tuple[str, ...] = (
     "rolling_corr_click_purchase_7d",
     "episode_triples_sessions",
     "hampel_outliers_daily_revenue",
+    "mase_seasonal_naive_daily_revenue",
+    "decile_qq_drift_events_value",
     # staleness re-certification: oldest-signed (r1) rows, refreshed
     "asof_join_events_orders",
     "click_purchase_attribution",
     "cohort_weekly_retention",
-    "cube_order_status_priority",
-    "distinct_parts_per_flag",
-    "events_by_type",
-    "events_json_props",
-    "events_sessionize_30m",
-    "events_sliding_3h_1h",
 )
 
 

@@ -1029,3 +1029,163 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_bucket(*date_dim).alias("bucket_date"),
         zorder_key_pinned([price_dim, date_dim], _Z_BITS).alias("zkey"),
     )
+
+
+_ZM_FILE_ROWS = 256
+_ZM_LO, _ZM_HI = "1997-01-01", "1997-06-30"
+
+
+@query(
+    "zonemap_prune_layouts_orders",
+    oracle=f"""
+WITH by_key AS (
+    SELECT 'by_key' AS layout,
+           CAST(o_orderkey // {_ZM_FILE_ROWS} AS BIGINT) AS file_id,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+),
+by_date AS (
+    SELECT 'by_date' AS layout,
+           CAST((row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+                // {_ZM_FILE_ROWS} AS BIGINT) AS file_id,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+),
+u AS (SELECT * FROM by_key UNION ALL SELECT * FROM by_date),
+zones AS (
+    SELECT layout, file_id,
+           MIN(d) AS zmin, MAX(d) AS zmax,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM u GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(*) FILTER (
+           zmax < DATE '{_ZM_LO}' OR zmin > DATE '{_ZM_HI}'
+       ) AS BIGINT) AS n_files_skipped,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+       CAST(COALESCE(SUM(n_rows) FILTER (
+           zmax < DATE '{_ZM_LO}' OR zmin > DATE '{_ZM_HI}'
+       ), 0) AS BIGINT) AS n_rows_skipped,
+       CAST(COALESCE(SUM(n_rows) FILTER (
+           zmax < DATE '{_ZM_LO}' OR zmin > DATE '{_ZM_HI}'
+       ), 0) AS DOUBLE) / SUM(n_rows) AS skip_frac
+FROM zones GROUP BY layout
+""",
+)
+def zonemap_prune_layouts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit for a date-range
+    predicate under two physical layouts: files written in key order
+    vs files written date-clustered — the quantified argument for the
+    clustering/Z-order maintenance pass (operators/maintenance.py):
+    the SAME scan predicate skips ~0% of key-ordered files but almost
+    every date-clustered file outside the window, exactly how Parquet
+    row-group statistics and lakehouse data skipping behave at 100 TB.
+    Simulated file id = 256-row chunks (key division vs date-rank
+    division); zones are per-file MIN/MAX; a file is skippable when its
+    zone misses the pinned window. Pure integer/date arithmetic plus one
+    exact division — hash-certified. The date-rank layout uses a
+    global row_number here for determinism; a real writer achieves the
+    same zones with a range-partitioned sort, no global window."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    by_key = orders.select(
+        F.lit("by_key").alias("layout"),
+        F.expr(f"o_orderkey div {_ZM_FILE_ROWS}").alias("file_id"),
+        d.alias("d"),
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    by_date = orders.select(
+        F.lit("by_date").alias("layout"),
+        ((F.row_number().over(w) - 1) / _ZM_FILE_ROWS)
+        .cast("long")
+        .alias("file_id"),
+        d.alias("d"),
+    )
+    zones = (
+        by_key.unionAll(by_date)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("d").alias("zmin"),
+            F.max("d").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    skippable = (F.col("zmax") < F.lit(_ZM_LO).cast("date")) | (
+        F.col("zmin") > F.lit(_ZM_HI).cast("date")
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(skippable, 1).otherwise(0))
+        .cast("long")
+        .alias("n_files_skipped"),
+        F.sum("n_rows").cast("long").alias("n_rows_total"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_skipped"),
+        (
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n_rows")
+        ).alias("skip_frac"),
+    )
+
+
+@query(
+    "join_cardinality_audit_lineitem",
+    oracle="""
+WITH per_key AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+),
+agg AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS ndv_partkey,
+           CAST(SUM(n * n) AS BIGINT) AS exact_join_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows
+    FROM per_key
+)
+SELECT n_rows, ndv_partkey, exact_join_rows, max_key_rows,
+       (CAST(n_rows AS DOUBLE) * n_rows) / ndv_partkey AS uniform_est,
+       exact_join_rows
+           / ((CAST(n_rows AS DOUBLE) * n_rows) / ndv_partkey)
+           AS skew_multiplier
+FROM agg
+""",
+)
+def join_cardinality_audit_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Planner-style join-cardinality audit for the partkey self-join
+    (the shape behind every co-purchase / set-similarity query here):
+    the EXACT output size Σ n_k² computed from per-key counts alone —
+    no join executed — against the uniform-distribution estimate
+    N²/ndv that a naive optimizer would use, and their ratio (the skew
+    multiplier that tells you how badly uniform-NDV estimation
+    undercounts). This is the pre-flight check a 100 TB pipeline runs
+    before an expensive self-join: one hash aggregate on the join key,
+    five integers, two exact divisions. All counting is BIGINT (Σ n²
+    stays far under 2^63 at any realistic key fan-out); the only
+    doubles are single correctly-rounded divisions of exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv_partkey"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_join_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    )
+    uniform = (
+        F.col("n_rows").cast("double") * F.col("n_rows")
+    ) / F.col("ndv_partkey")
+    return agg.select(
+        "n_rows",
+        "ndv_partkey",
+        "exact_join_rows",
+        "max_key_rows",
+        uniform.alias("uniform_est"),
+        (F.col("exact_join_rows") / uniform).alias("skew_multiplier"),
+    )

@@ -2205,3 +2205,97 @@ def mase_seasonal_naive_daily_revenue(
         (mae7 / 100).alias("mae_seasonal7"),
         (mae7 / mae1).alias("mase"),
     )
+
+
+@query(
+    "decile_qq_drift_events_value",
+    oracle="""
+WITH b AS (
+    SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+halves AS (
+    SELECT CASE WHEN epoch_us(ts) <= mid THEN 'first' ELSE 'second' END
+               AS half,
+           value, event_id
+    FROM events CROSS JOIN b
+),
+ranked AS (
+    SELECT half, value,
+           row_number() OVER (
+               PARTITION BY half ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY half) AS n
+    FROM halves
+),
+decs AS (
+    SELECT half, CAST(i AS BIGINT) AS decile, value
+    FROM ranked
+    JOIN (SELECT unnest(range(1, 10)) AS i) q
+      ON rn = (i * n + 9) // 10
+)
+SELECT f.decile,
+       f.value AS v_first,
+       s.value AS v_second,
+       s.value - f.value AS drift
+FROM (SELECT decile, value FROM decs WHERE half = 'first') f
+JOIN (SELECT decile, value FROM decs WHERE half = 'second') s
+  USING (decile)
+""",
+)
+def decile_qq_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift QQ table: the nine decile values of the event
+    `value` distribution in the first vs second half of the observed
+    time range, with their per-decile drift — the quantile-quantile
+    comparison a data-drift monitor plots before alerting (and the
+    ln-free alternative to PSI, whose log term is not correctly
+    rounded cross-engine). Deciles are EXACT order statistics: each
+    half is ranked once (value, event_id total order so ties are
+    pinned), the decile ranks ⌈i·n/10⌉ are computed in pure integer
+    arithmetic, and picking an element never invents a float. The time
+    midpoint is a 1-row broadcast of exact integer microseconds. At
+    100 TB the rank window is the only heavy stage (one exchange per
+    half); swap in the two-pass exact-quantile device if a global sort
+    per half ever dominates."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
+    )
+    halves = (
+        ev.select(us.alias("t_us"), "value", "event_id")
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("t_us") <= F.col("mid"), "first")
+            .otherwise("second")
+            .alias("half"),
+            "value",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("half").orderBy("value", "event_id")
+    wn = Window.partitionBy("half")
+    ranked = halves.select(
+        "half",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    decs = ranked.join(
+        F.broadcast(qs),
+        F.col("rn")
+        == F.expr("(decile * n + 9) div 10"),
+    ).select("half", "decile", "value")
+    f = decs.filter(F.col("half") == "first").select(
+        "decile", F.col("value").alias("v_first")
+    )
+    s = decs.filter(F.col("half") == "second").select(
+        "decile", F.col("value").alias("v_second")
+    )
+    return f.join(s, "decile").select(
+        "decile",
+        "v_first",
+        "v_second",
+        (F.col("v_second") - F.col("v_first")).alias("drift"),
+    )

@@ -42,6 +42,7 @@ _BNLJ_OK = {
     "negative_sample_customer_parts",  # bounded candidate cross
     "chunk_documents_sliding",  # posexplode over per-row ranges
     "poisson_bootstrap_ci_revenue",  # 1-row point estimate x 1-row CI
+    "decile_qq_drift_events_value",  # 1-row midpoint + 9-row decile-rank broadcast
     "interpolate_hourly_signup_value",  # 1-row bounds -> grid
     "decontaminate_train_docs",  # broadcast heldout shingles
     "mixture_weighted_sample_docs",  # 1-row source weights

@@ -549,3 +549,34 @@ def test_conformal_interval_coverage_at_least_nominal(spark):
         # split-conformal guarantees >= ceil(0.9(n+1))/(n+1) coverage
         assert r.coverage >= 0.9
         assert r.lo <= r.pred <= r.hi
+
+
+def test_zonemap_clustered_layout_skips_unclustered_does_not(spark):
+    from stadvdb_olap_spark.plans.scale_queries import (
+        zonemap_prune_layouts_orders,
+    )
+
+    rows = {
+        r.layout: r for r in zonemap_prune_layouts_orders(spark, SF_DIR).collect()
+    }
+    assert rows["by_key"].n_rows_total == rows["by_date"].n_rows_total
+    # the point of the audit: clustering turns zone maps on
+    assert rows["by_key"].skip_frac < 0.05
+    assert rows["by_date"].skip_frac > 0.5
+
+
+def test_join_cardinality_audit_matches_executed_join(spark):
+    from stadvdb_olap_spark.plans.scale_queries import (
+        join_cardinality_audit_lineitem,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    audit = join_cardinality_audit_lineitem(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    actual = li.join(
+        li.withColumnRenamed("l_partkey", "p2"),
+        F.col("l_partkey") == F.col("p2"),
+    ).count()
+    assert audit.exact_join_rows == actual
+    assert audit.skew_multiplier >= 1.0  # Cauchy-Schwarz: sum n^2 >= N^2/ndv

@@ -2299,3 +2299,175 @@ def decile_qq_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_second",
         (F.col("v_second") - F.col("v_first")).alias("drift"),
     )
+
+
+@query(
+    "mann_whitney_value_click_purchase",
+    oracle="""
+WITH sub AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+ranked AS (
+    SELECT event_type,
+           2 * rank() OVER (ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY value) - 1 AS two_avg_rank
+    FROM sub
+),
+g AS (
+    SELECT CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n2,
+           CAST(SUM(two_avg_rank) FILTER (event_type = 'click') AS BIGINT)
+               AS two_r1
+    FROM ranked
+),
+s AS (
+    SELECT n1, n2, two_r1,
+           two_r1 - n1 * (n1 + 1) AS two_u1
+    FROM g
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       two_u1 / CAST(2 AS DOUBLE) AS u_stat,
+       (two_u1 - n1 * n2) / (CAST(2 AS DOUBLE)
+           * sqrt((CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1)) / 12))
+           AS z_score,
+       CAST(n1 * n2 - two_u1 AS DOUBLE) / (n1 * n2) AS rank_biserial
+FROM s
+""",
+)
+def mann_whitney_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test comparing the `value`
+    distributions of click vs purchase events — the nonparametric
+    two-sample test an experimentation platform reaches for when
+    revenue-like metrics are too heavy-tailed for the t-test. Float
+    determinism: ranks (with average-tie correction) are kept DOUBLED
+    so every rank statistic is an exact BIGINT (2·avg_rank = 2·min_rank
+    + tie_size − 1); U, its mean, and the rank-biserial effect size
+    derive in pure integer arithmetic, and the z-score's only float ops
+    are one division, one sqrt (correctly rounded per IEEE), and one
+    exact ×2 — identical bits on both engines. The normal-approximation
+    variance n1·n2·(N+1) stays under 2^53 through ~1e8-row subsets;
+    beyond that, band the ranks per partition (the two-phase rank
+    device). One global rank window over the two-type subset, then a
+    1-row fold."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "value"
+    )
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    ranked = sub.select(
+        "event_type",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("two_avg_rank"),
+    )
+    g = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click", F.col("two_avg_rank")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("two_r1"),
+    )
+    s = g.select(
+        "n1",
+        "n2",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("two_u1"),
+    )
+    sigma2x = F.lit(2.0) * F.sqrt(
+        (F.col("n1").cast("double") * F.col("n2") * (F.col("n1") + F.col("n2") + 1))
+        / 12
+    )
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        (F.col("two_u1") / F.lit(2.0)).alias("u_stat"),
+        ((F.col("two_u1") - F.col("n1") * F.col("n2")) / sigma2x).alias(
+            "z_score"
+        ),
+        (
+            (F.col("n1") * F.col("n2") - F.col("two_u1")).cast("double")
+            / (F.col("n1") * F.col("n2"))
+        ).alias("rank_biserial"),
+    )
+
+
+@query(
+    "purchase_streaks_customers",
+    oracle="""
+WITH months AS (
+    SELECT DISTINCT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS midx
+    FROM orders
+),
+islands AS (
+    SELECT o_custkey,
+           midx - row_number() OVER (
+               PARTITION BY o_custkey ORDER BY midx) AS island
+    FROM months
+),
+streaks AS (
+    SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS len
+    FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak_months,
+       CAST(SUM(len) AS BIGINT) AS active_months
+FROM streaks GROUP BY o_custkey
+HAVING MAX(len) >= 2
+""",
+)
+def purchase_streaks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands retention analytic: per customer, maximal runs
+    of CONSECUTIVE active purchase months (the classic island device —
+    month index minus its per-customer rank is constant within a run),
+    reporting streak count, longest streak, and total active months for
+    every customer that ever managed two consecutive months — the
+    engagement-streak feature behind churn models and loyalty tiers.
+    Pure integer month arithmetic; one exchange on the customer key
+    drives the dedup, the rank window, and both aggregations (same
+    partitioning reused end-to-end)."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    months = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("long")
+        .alias("midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    islands = months.select(
+        "o_custkey",
+        (F.col("midx") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("max_streak_months"),
+            F.sum("len").cast("long").alias("active_months"),
+        )
+        .filter(F.col("max_streak_months") >= 2)
+    )

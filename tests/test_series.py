@@ -580,3 +580,77 @@ def test_join_cardinality_audit_matches_executed_join(spark):
     ).count()
     assert audit.exact_join_rows == actual
     assert audit.skew_multiplier >= 1.0  # Cauchy-Schwarz: sum n^2 >= N^2/ndv
+
+
+def test_mann_whitney_statistic_matches_scipy_free_reference(spark):
+    # Python re-derivation (no scipy in this env): average-rank U on
+    # the same subset must equal the engine's doubled-rank formulation.
+    from stadvdb_olap_spark.plans.series_queries import (
+        mann_whitney_value_click_purchase,
+    )
+    import duckdb
+
+    got = mann_whitney_value_click_purchase(spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT event_type, value
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    vals = sorted((v, t) for t, v in rows)
+    # average ranks with ties
+    from collections import defaultdict
+
+    positions = defaultdict(list)
+    for i, (v, _t) in enumerate(vals, 1):
+        positions[v].append(i)
+    r1 = 0.0
+    n1 = n2 = 0
+    for i, (v, t) in enumerate(vals, 1):
+        avg = sum(positions[v]) / len(positions[v])
+        if t == "click":
+            r1 += avg
+            n1 += 1
+        else:
+            n2 += 1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert got.n_click == n1 and got.n_purchase == n2
+    assert math.isclose(got.u_stat, u1, rel_tol=1e-12)
+    assert -1.0 <= got.rank_biserial <= 1.0
+
+
+def test_purchase_streaks_islands_by_hand(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        purchase_streaks_customers,
+    )
+    import duckdb
+
+    got = {
+        r.o_custkey: r
+        for r in purchase_streaks_customers(spark, SF_DIR).collect()
+    }
+    months = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+            FROM '{SF_DIR}/orders.parquet' ORDER BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for c, m in months:
+        per[c].append(m)
+    for c, ms in per.items():
+        streaks = []
+        run = 1
+        for a, b in zip(ms, ms[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        if max(streaks) >= 2:
+            assert got[c].max_streak_months == max(streaks)
+            assert got[c].n_streaks == len(streaks)
+            assert got[c].active_months == sum(streaks)
+        else:
+            assert c not in got

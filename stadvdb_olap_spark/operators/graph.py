@@ -33,6 +33,7 @@ def pagerank_fixed(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank after a FIXED number of power iterations over a
     dangling-free directed graph — returns (node, pr).
@@ -56,12 +57,24 @@ def pagerank_fixed(
 
     Node keys may be any equi-joinable type (BIGINT ids, VARCHAR terms,
     …) — the algorithm only joins, groups and counts on them.
+
+    ``weight`` names an integer edge-weight column: contributions become
+    pr · w/Σw_out (weighted PageRank). The per-edge norm w/Σw divides
+    two exact integers once (correctly rounded, engine-identical); the
+    sorted fold then sees identical double multisets either way.
     """
+    wcol = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
     e = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        wcol.alias("__w"),
     ).repartition("__src")
     deg = e.groupBy("__src").agg(
-        F.count(F.lit(1)).cast("double").alias("__outdeg")
+        F.sum("__w").cast("double").alias("__outdeg")
     )
     nodes = deg.select(F.col("__src").alias("node"), "__outdeg")
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
@@ -73,9 +86,17 @@ def pagerank_fixed(
         .select("node", "__outdeg", (F.lit(1.0) / F.col("__n")).alias("pr"))
     )
     for _ in range(n_iters):
+        # Unweighted keeps the original single-division form — the
+        # certified oracles replay pr/outdeg bit-for-bit; the weighted
+        # form multiplies by the per-edge norm instead.
+        contrib = (
+            F.col("pr") / F.col("__outdeg")
+            if weight is None
+            else F.col("pr")
+            * (F.col("__w").cast("double") / F.col("__outdeg"))
+        )
         contribs = e.join(pr, e["__src"] == pr["node"]).select(
-            F.col("__dst").alias("node"),
-            (F.col("pr") / F.col("__outdeg")).alias("__c"),
+            F.col("__dst").alias("node"), contrib.alias("__c")
         )
         summed = contribs.groupBy("node").agg(
             F.aggregate(

@@ -591,3 +591,114 @@ def kcore_parts_k90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e0 = _part_pairs(spark, sf_dir)
     return kcore_peel(e0, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+
+
+def _wpagerank_chain_sql(n_iters: int) -> tuple[str, str]:
+    """Weighted twin of :func:`_pagerank_chain_sql` over an
+    ``edges(src, dst, w)`` CTE: per-node out-STRENGTH replaces
+    out-degree and each contribution is pr · (w / strength) — the
+    exact op order of the weighted branch of ``pagerank_fixed``."""
+    its = []
+    prev = "p0"
+    for k in range(1, n_iters + 1):
+        its.append(
+            f"""
+i{k} AS MATERIALIZED (
+    SELECT e.dst AS node,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_sort(list(p.pr * (CAST(e.w AS DOUBLE) / p.outdeg)))),
+               (a, b) -> a + b) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+),
+p{k} AS MATERIALIZED (
+    SELECT i.node, d.outdeg, {_BASE_LIT} / nn.n + {_D_LIT} * i.s AS pr
+    FROM i{k} i JOIN deg d ON i.node = d.node CROSS JOIN nn
+)"""
+        )
+        prev = f"p{k}"
+    chain = f"""
+deg AS MATERIALIZED (
+    SELECT src AS node, CAST(SUM(w) AS DOUBLE) AS outdeg
+    FROM edges GROUP BY src
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+p0 AS MATERIALIZED (
+    SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
+    FROM deg CROSS JOIN nn
+),{",".join(its)}"""
+    return chain, prev
+
+
+_WE0_SQL = """
+we0 AS MATERIALIZED (
+    SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+           CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)"""
+
+
+def _wpagerank_oracle(n_iters: int) -> str:
+    chain, last = _wpagerank_chain_sql(n_iters)
+    return f"""
+WITH {_WE0_SQL},
+edges AS MATERIALIZED (
+    SELECT src, dst, w FROM we0 UNION ALL SELECT dst, src, w FROM we0
+),{chain}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           AS node_type,
+       node // 2 AS node_key,
+       pr
+FROM {last}
+"""
+
+
+@query(
+    "pagerank_weighted_copurchase_3iter", oracle=_wpagerank_oracle(_ITERS)
+)
+def pagerank_weighted_copurchase_3iter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED PageRank (3 fixed iterations, d=0.85) over the
+    customer↔supplier graph with edge weight = number of distinct
+    orders connecting the pair — repeat business pulls rank, which is
+    what a purchasing-network centrality actually wants (the unweighted
+    twin treats one order and fifty identically). Same certification
+    devices as pagerank_copurchase_3iter plus one: each contribution
+    multiplies the rank by a per-edge norm w/strength that divides two
+    exact integers once, so the sorted fold still sees engine-identical
+    doubles. Weights come from the same orders⋈lineitem pass that built
+    the edge list — no extra scan."""
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    we0 = (
+        orders.join(li, "ok")
+        .groupBy(
+            (F.col("c") * 2).alias("src"),
+            (F.col("s") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count_distinct("ok").cast("long").alias("w"))
+    )
+    edges = we0.unionAll(
+        we0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank_fixed(
+        edges, n_iters=_ITERS, damping=_DAMPING, weight="w"
+    )
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        "pr",
+    )

@@ -2471,3 +2471,81 @@ def purchase_streaks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_streak_months") >= 2)
     )
+
+
+@query(
+    "twap_daily_value_by_type",
+    oracle="""
+WITH seq AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS d,
+           value,
+           epoch_us(ts) AS t_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS next_us
+    FROM events
+),
+seg AS (
+    SELECT event_type, d, value, next_us - t_us AS w_us
+    FROM seq WHERE next_us IS NOT NULL
+)
+SELECT event_type, d,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(w_us) AS BIGINT) AS span_us,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_sort(list(value * CAST(w_us AS DOUBLE)))),
+           (a, b) -> a + b)
+           / CAST(SUM(w_us) AS DOUBLE) AS twap
+FROM seg GROUP BY event_type, d
+""",
+)
+def twap_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of the event `value` per type and
+    day — the correct mean for an IRREGULARLY sampled signal, where the
+    plain average over-weights bursts (each observation holds until the
+    next one; its weight is that holding duration). The finance/metrics
+    primitive behind TWAP pricing and time-weighted utilization.
+    Exactness: durations are exact integer microseconds from the lead
+    window (ties pinned by event_id); each value·duration product is
+    one correctly rounded double op; the per-group sum folds over the
+    SORTED product array (the sorted-fold device), and the final
+    division is exact-operand IEEE. Day-final observations carry no
+    weight (no successor) — the documented convention. One exchange on
+    (type, day) drives the ordering window and the aggregate."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    d = F.col("ts").cast("date")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        d.alias("d"),
+        "value",
+        us.alias("t_us"),
+        F.lead(us).over(
+            Window.partitionBy("event_type", d).orderBy("ts", "event_id")
+        ).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "event_type",
+        "d",
+        "value",
+        (F.col("next_us") - F.col("t_us")).alias("w_us"),
+    )
+    return seg.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("w_us").cast("long").alias("span_us"),
+        (
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.col("value") * F.col("w_us").cast("double")
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("w_us").cast("double")
+        ).alias("twap"),
+    )

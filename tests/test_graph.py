@@ -378,3 +378,37 @@ def test_kcore_peel_zero_rounds_is_identity_degrees(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     got = {(r.node, r.deg) for r in kcore_peel(e, k=99, n_rounds=0).collect()}
     assert got == {(1, 1), (2, 2), (3, 1)}
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_unit_weights(spark):
+    # With all weights 1 the weighted branch must produce the same
+    # RANKING as unweighted (values differ only by the extra multiply's
+    # rounding, which cancels nowhere — so compare to a tolerance).
+    und = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "src long, dst long, w long"
+    )
+    unw = {r["node"]: r["pr"] for r in pagerank_fixed(df, 3).collect()}
+    wtd = {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed(df, 3, weight="w").collect()
+    }
+    assert set(unw) == set(wtd)
+    for n in unw:
+        assert abs(unw[n] - wtd[n]) < 1e-12
+    assert sorted(unw, key=unw.get) == sorted(wtd, key=wtd.get)
+
+
+def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
+    # Star with one heavy spoke: the heavy neighbor must outrank the
+    # light ones under weighted PR while unweighted ties them.
+    und = [(0, 1, 10), (0, 2, 1), (0, 3, 1)]
+    edges = und + [(b, a, w) for a, b, w in und]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    wtd = {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed(df, 3, weight="w").collect()
+    }
+    assert wtd[1] > wtd[2]
+    assert abs(wtd[2] - wtd[3]) < 1e-15

@@ -95,6 +95,7 @@ _BNLJ_OK = {
     "cusum_changepoints_daily_revenue",  # 1-row total/mean broadcast
     "dedup_recall_audit_docs",  # three 1-row count aggregates crossed
     "pagerank_copurchase_3iter",  # 1-row node-count broadcast per iter
+    "pagerank_weighted_copurchase_3iter",  # same 1-row broadcast
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
     "triangle_stats_parts",  # 1-row wedge-count broadcast

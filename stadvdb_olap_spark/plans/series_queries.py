@@ -2549,3 +2549,145 @@ def twap_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w_us").cast("double")
         ).alias("twap"),
     )
+
+
+# Shapley weights for 3 players, by |S| of the coalition being joined:
+# |S|!·(3-|S|-1)!/3! — precomputed in Python, entering both engines as
+# identical double literals.
+_SHAP_W = {0: 2 / 6, 1: 1 / 6, 2: 2 / 6}
+_CHANNELS = ("view", "click", "signup")
+
+
+def _shapley_oracle() -> str:
+    flags = ", ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS f_{c}"
+        for c in _CHANNELS
+    )
+    # v(S): conversion rate of sessions whose EXACT channel set is S —
+    # guarded to 0 when the subset never occurs (ANSI 0/0 guard).
+    subset_cols = []
+    for mask in range(8):
+        bits = [(c, (mask >> i) & 1) for i, c in enumerate(_CHANNELS)]
+        cond = " AND ".join(f"f_{c} = {b}" for c, b in bits)
+        name = "v_" + "".join(str(b) for _c, b in bits)
+        subset_cols.append(
+            f"CASE WHEN COUNT(*) FILTER ({cond}) = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE CAST(COUNT(*) FILTER ({cond} AND converted) AS DOUBLE)"
+            f" / COUNT(*) FILTER ({cond}) END AS {name}"
+        )
+
+    def vname(mask: int) -> str:
+        return "v_" + "".join(str((mask >> i) & 1) for i in range(3))
+
+    shap_exprs = []
+    for i, c in enumerate(_CHANNELS):
+        terms = []
+        for mask in range(8):
+            if (mask >> i) & 1:
+                continue
+            s_size = bin(mask).count("1")
+            w = _SHAP_W[s_size]
+            terms.append(
+                f"CAST('{w!r}' AS DOUBLE)"
+                f" * ({vname(mask | (1 << i))} - {vname(mask)})"
+            )
+        # fixed left-to-right association on both engines
+        shap_exprs.append("(" + " + ".join(terms) + f") AS shapley_{c}")
+    return f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_type,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq, {flags},
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS converted
+    FROM sess GROUP BY user_id, session_seq
+),
+v AS (SELECT {", ".join(subset_cols)} FROM per_session)
+SELECT {", ".join(shap_exprs)} FROM v
+"""
+
+
+@query("shapley_attribution_channels", oracle=_shapley_oracle())
+def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (the cooperative-game credit
+    split, Shapley 1953, as used in modern MTA systems): players are
+    the pre-purchase channels (view / click / signup), a session's
+    coalition is the EXACT set of channels it contains, v(S) is the
+    conversion rate of sessions with coalition S, and each channel's
+    credit is the Shapley-weighted average of its marginal
+    contributions over all 2² sub-coalitions. Certification devices:
+    sessions reuse the certified 30-minute gap device; every v(S) is
+    one exact-integer division (0 when the coalition never occurs —
+    ANSI 0/0 guard on both sides); the 4-term Shapley sums run in a
+    PINNED left-to-right order with weight literals precomputed in
+    Python — correctly rounded identical ops, hash-exact. Scale: one
+    user-keyed exchange for sessionization, a (user, session) hash
+    aggregate, then a single 8-column fold to one row."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_seq", F.sum(is_new).over(run))
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == c, 1).otherwise(0)
+            ).alias(f"f_{c}")
+            for c in _CHANNELS
+        ],
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("converted"),
+    )
+
+    def vexpr(mask: int):
+        cond = None
+        for i, c in enumerate(_CHANNELS):
+            bit = (mask >> i) & 1
+            term = F.col(f"f_{c}") == bit
+            cond = term if cond is None else cond & term
+        n_s = F.sum(F.when(cond, 1).otherwise(0))
+        n_conv = F.sum(F.when(cond & F.col("converted"), 1).otherwise(0))
+        return F.when(n_s == 0, F.lit(0.0)).otherwise(
+            n_conv.cast("double") / n_s
+        )
+
+    def vname(mask: int) -> str:
+        return "v_" + "".join(str((mask >> i) & 1) for i in range(3))
+
+    v = per_session.agg(
+        *[vexpr(mask).alias(vname(mask)) for mask in range(8)]
+    )
+    out_cols = []
+    for i, c in enumerate(_CHANNELS):
+        acc = None
+        for mask in range(8):
+            if (mask >> i) & 1:
+                continue
+            term = F.lit(_SHAP_W[bin(mask).count("1")]) * (
+                F.col(vname(mask | (1 << i))) - F.col(vname(mask))
+            )
+            acc = term if acc is None else acc + term
+        out_cols.append(acc.alias(f"shapley_{c}"))
+    return v.select(*out_cols)

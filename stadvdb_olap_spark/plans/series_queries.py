@@ -2691,3 +2691,232 @@ def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = term if acc is None else acc + term
         out_cols.append(acc.alias(f"shapley_{c}"))
     return v.select(*out_cols)
+
+
+@query(
+    "theil_sen_trend_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents,
+           CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+               AS BIGINT) AS t
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+slopes AS (
+    SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.t - a.t) AS s
+    FROM daily a JOIN daily b ON b.t > a.t
+),
+med AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           list_sort(list(s))[CAST((COUNT(*) + 1) // 2 AS BIGINT)]
+               AS slope_cents
+    FROM slopes
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ic AS (
+    SELECT list_sort(list(cents - slope_cents * t))[
+               CAST((COUNT(*) + 1) // 2 AS BIGINT)] AS icpt_cents
+    FROM daily CROSS JOIN med
+)
+SELECT n_days, n_pairs,
+       slope_cents / 100 AS slope_per_day,
+       icpt_cents / 100 AS intercept
+FROM med CROSS JOIN nd CROSS JOIN ic
+""",
+)
+def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator for daily revenue: slope = the
+    median of all pairwise slopes (breakdown point 29%, immune to the
+    outlier days that wreck OLS), intercept = median residual at that
+    slope — the robust-regression baseline every monitoring stack
+    should fit before an OLS line. Exactness: y is integer cents, x an
+    integer day rank; each pairwise slope is ONE correctly rounded
+    division of exact integers; both medians are lower-median ORDER
+    STATISTICS of those identical doubles (no averaging, no float
+    sums). The O(n²) pair join is over the calendar-bounded daily
+    aggregate (~2.4k days → ~3M pairs at sf0.1, trivial); for longer
+    series the standard repeated-median / sampling variants drop in
+    without changing the certification shape."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    ).select(
+        "cents",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+    )
+    a = daily.select(F.col("cents").alias("ca"), F.col("t").alias("ta"))
+    b = daily.select(F.col("cents").alias("cb"), F.col("t").alias("tb"))
+    slopes = a.join(b, F.col("tb") > F.col("ta")).select(
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("s")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sort_array(F.collect_list("s")).alias("ss"),
+    ).select(
+        "n_pairs",
+        F.element_at(
+            "ss", ((F.col("n_pairs") + 1) / 2).cast("int")
+        ).alias("slope_cents"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ic = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            (F.col("cents") - F.col("slope_cents") * F.col("t")).alias("r")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.sort_array(F.collect_list("r")).alias("rs"),
+        )
+        .select(
+            F.element_at(
+                "rs", ((F.col("nr") + 1) / 2).cast("int")
+            ).alias("icpt_cents")
+        )
+    )
+    return (
+        med.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.col("slope_cents") / 100).alias("slope_per_day"),
+            (F.col("icpt_cents") / 100).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "mann_kendall_trend_daily_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents,
+           CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+               AS BIGINT) AS t
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+s AS (
+    SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+               AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b ON b.t > a.t
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+    SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+               AS t_corr
+    FROM (SELECT COUNT(*) AS tc FROM daily GROUP BY cents HAVING COUNT(*) > 1)
+),
+v AS (
+    SELECT s_stat, n,
+           (n * (n - 1) * (2 * n + 5) - t_corr) / CAST(18 AS DOUBLE)
+               AS var_s
+    FROM s CROSS JOIN nd CROSS JOIN ties
+)
+SELECT n AS n_days, s_stat, var_s,
+       CAST(s_stat AS DOUBLE) / (n * (n - 1) // 2) AS kendall_tau,
+       CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+            ELSE CAST(0 AS DOUBLE) END AS z_score
+FROM v
+""",
+)
+def mann_kendall_trend_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test on daily revenue: S = the sum of
+    pairwise signs, Kendall's τ-a, and the tie-corrected normal
+    z-score — the standard nonparametric 'is this series trending'
+    test (used with Theil–Sen, whose slope it significance-tests;
+    Mann 1945, Kendall 1975). Everything up to the output is INTEGER:
+    S, n, and the tie correction Σt(t-1)(2t+5) are exact BIGINTs, τ
+    divides two exact integers once, and the z-score spends one
+    division + one sqrt (correctly rounded) on exact-integer-derived
+    operands — hash-identical. Same calendar-bounded O(n²) pair join
+    as Theil–Sen (a few million pairs at most); the continuity
+    correction (∓1) follows the published statistic."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    ).select(
+        "cents",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+    )
+    a = daily.select(F.col("cents").alias("ca"), F.col("t").alias("ta"))
+    b = daily.select(F.col("cents").alias("cb"), F.col("t").alias("tb"))
+    s = a.join(b, F.col("tb") > F.col("ta")).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .filter(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc")
+                    * (F.col("tc") - 1)
+                    * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t_corr")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "n",
+            (
+                (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("t_corr")
+                )
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s",
+        (
+            F.col("s_stat").cast("double")
+            / F.expr("n * (n - 1) div 2")
+        ).alias("kendall_tau"),
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt("var_s"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt("var_s"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )

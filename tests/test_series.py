@@ -679,3 +679,37 @@ def test_shapley_attribution_efficiency_axiom(spark):
     inner = sql[: sql.rindex("SELECT")] + "SELECT * FROM v"
     v = con.sql(inner).df().iloc[0]
     assert abs(total_credit - (v["v_111"] - v["v_000"])) < 1e-12
+
+
+def test_theil_sen_and_mann_kendall_agree_with_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        mann_kendall_trend_daily_revenue,
+        theil_sen_trend_daily_revenue,
+    )
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS cents
+            FROM '{SF_DIR}/orders.parquet'
+            GROUP BY CAST(o_orderdate AS DATE)
+            ORDER BY CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    ys = [r[0] for r in daily]
+    n = len(ys)
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ts_row = theil_sen_trend_daily_revenue(spark, SF_DIR).collect()[0]
+    assert ts_row.n_days == n
+    assert ts_row.slope_per_day == slopes[(len(slopes) + 1) // 2 - 1] / 100
+    s_stat = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    mk_row = mann_kendall_trend_daily_revenue(spark, SF_DIR).collect()[0]
+    assert mk_row.s_stat == s_stat
+    assert -1.0 <= mk_row.kendall_tau <= 1.0

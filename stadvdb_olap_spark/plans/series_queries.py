@@ -2920,3 +2920,74 @@ def mann_kendall_trend_daily_revenue(
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+_DECAY_LAMBDA = 0.9
+_DECAY_H = 30  # horizon (days): ages beyond this contribute nothing
+_DECAY_W = tuple(_DECAY_LAMBDA**k for k in range(_DECAY_H))
+
+
+@query(
+    "decayed_trending_event_types",
+    oracle=f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+cnt AS (
+    SELECT event_type,
+           date_diff('day', CAST(ts AS DATE), dmax) AS age,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events CROSS JOIN mx
+    WHERE date_diff('day', CAST(ts AS DATE), dmax) < {_DECAY_H}
+    GROUP BY 1, 2
+),
+wt AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({k}, CAST('{w!r}' AS DOUBLE))" for k, w in enumerate(_DECAY_W)
+    )}) AS t(age, w)
+),
+terms AS (
+    SELECT event_type, cnt.c * wt.w AS term, cnt.c AS c
+    FROM cnt JOIN wt USING (age)
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events_in_horizon,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_sort(list(term))), (a, b) -> a + b) AS decayed_score
+FROM terms GROUP BY event_type
+""",
+)
+def decayed_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per event type over a
+    30-day horizon (λ=0.9/day) — the trending-topics primitive: recent
+    bursts outrank old volume, and the bounded horizon makes the state
+    finite (ages past the horizon contribute exactly zero, so the
+    incremental-maintenance story is a 30-row ring per key). Float
+    determinism: λ^k is PRECOMPUTED in Python for every age (pow() is
+    not correctly rounded in-engine) and enters both plans as a literal
+    weight table; each count·weight term is one exact multiply and the
+    per-type sum folds over the sorted term array. One narrow aggregate
+    on (type, day-age), a 30-row broadcast join, a tiny fold."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    d = F.col("ts").cast("date")
+    mx = ev.agg(F.max(d).alias("dmax"))
+    cnt = (
+        ev.select("event_type", d.alias("d"))
+        .crossJoin(F.broadcast(mx))
+        .select("event_type", F.datediff("dmax", "d").alias("age"))
+        .filter(F.col("age") < _DECAY_H)
+        .groupBy("event_type", "age")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wt = spark.createDataFrame(
+        [(k, w) for k, w in enumerate(_DECAY_W)], "age int, w double"
+    )
+    terms = cnt.join(F.broadcast(wt), "age").select(
+        "event_type", (F.col("c") * F.col("w")).alias("term"), "c"
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events_in_horizon"),
+        F.aggregate(
+            F.sort_array(F.collect_list("term")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("decayed_score"),
+    )

@@ -98,6 +98,7 @@ _BNLJ_OK = {
     "pagerank_weighted_copurchase_3iter",  # same 1-row broadcast
     "theil_sen_trend_daily_revenue",  # calendar-bounded pairwise-slope theta-join
     "mann_kendall_trend_daily_revenue",  # same calendar-bounded pair join
+    "decayed_trending_event_types",  # 1-row max-date broadcast
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
     "triangle_stats_parts",  # 1-row wedge-count broadcast

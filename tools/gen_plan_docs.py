@@ -112,6 +112,21 @@ SHOWCASE = [
      "iteration); each iteration itself is one edges-to-ranks join + one "
      "dst-keyed sorted-fold aggregation, and the node-count scalar rides "
      "a 1-row broadcast"),
+    ("poisson_bootstrap_ci_revenue",
+     "the 32-replicate resample is a map-side Generate (explode of the "
+     "replicate range) with the Poisson weight computed inline from one "
+     "md5 — partial aggregation reduces every partition to <=32 rows "
+     "before the exchange, so the bootstrap's only wide operation moves "
+     "32 keys (measured 1.7 KB at sf0.1)"),
+    ("tree_ensemble_score_docs",
+     "the pinned 4-tree ensemble lowers to nested CASE inside ONE "
+     "WholeStageCodegen projection over the scan — model inference "
+     "without leaving the generated code, no shuffle, no Python"),
+    ("kcore_parts_k90",
+     "each peel round is a degree hash-aggregate over both endpoint "
+     "projections plus two survivor hash-joins — all keyed on node ids; "
+     "the executed adaptive plan reuses the edge exchange across rounds "
+     "(ReusedExchange), the vertex-centric sweep shape at any scale"),
 ]
 
 

@@ -241,8 +241,12 @@ def kcore_peel(
     Per round: one degree aggregation over both endpoint projections
     and two semi-join-shaped inner joins back to the survivor set —
     all integer counting on keyed exchanges, no driver state. Cost per
-    round is O(|E|) shuffled on node keys; rounds reuse the same
-    partitioning so AQE coalesces the repeated exchanges.
+    round is O(|E|) shuffled on node keys. Each round's survivor edge
+    list is localCheckpoint'ed (the connected_components device): the
+    peel recurrence references the previous round's edges three times
+    (degree union + both survivor joins), so an unbroken lineage grows
+    3^rounds — checkpointing keeps the plan linear in rounds without
+    changing a single value.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"),
@@ -260,6 +264,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("v", "src"), "src")
             .join(keep.withColumnRenamed("v", "dst"), "dst")
             .select("src", "dst")
+            .localCheckpoint()
         )
     return (
         e.select(F.col("src").alias("node"))

@@ -124,9 +124,11 @@ SHOWCASE = [
      "without leaving the generated code, no shuffle, no Python"),
     ("kcore_parts_k90",
      "each peel round is a degree hash-aggregate over both endpoint "
-     "projections plus two survivor hash-joins — all keyed on node ids; "
-     "the executed adaptive plan reuses the edge exchange across rounds "
-     "(ReusedExchange), the vertex-centric sweep shape at any scale"),
+     "projections plus two survivor hash-joins, all keyed on node ids; "
+     "rounds localCheckpoint (the connected_components device) because "
+     "the peel recurrence references the prior round 3x — the displayed "
+     "plan is the final round over the checkpointed survivor edges, "
+     "linear in rounds instead of 3^rounds"),
 ]
 
 

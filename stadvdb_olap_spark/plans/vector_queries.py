@@ -501,3 +501,66 @@ def semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semdedup_fixed(emb, cents, threshold=_SEM_T)
+
+
+# Pinned PCA projection basis — fitted OFFLINE on the sf0.001 embedding
+# fixture (numpy eigh on the sample covariance; sign pinned to a
+# positive dominant component) and published as literals, the
+# pinned-component convention of semdedup_fixed / ann_ivf_fixed. The
+# projection operator, not the fit, is the certified surface.
+_PCA_MU = (-0.0029279056195518935, -0.0014273036213126034, 0.0014979841295280495, 0.0085343054040859, -0.0018568808948039078, -0.0026552443557302467, 9.698803468927508e-05, -0.009130519425380044, -0.0112253543898114, -0.004403606819809284, 0.007711773203656776, -0.009148331143078394, -0.00020179740479215979, 0.004817572033498436, 0.004733342973282561, -0.002985484350385377, 0.0006181493736803532, -0.0014106097214389593, -0.001993843752599787, -0.00509647128454526, -0.006201374008785933, -0.0017435143341426739, 0.003858943839906715, -0.011007076737907483, -0.002966475720531889, -0.00307489726921267, -0.0007143929645280877, -0.0028569339160458185, -0.005044033584978024, -0.0032809512809617446, -0.01047341996646719, 0.0003091185424127616, 0.0020676275016739964, 0.004834419353370322, -0.002872960220949608, 0.004292228904552758, 0.0009674171103106346, -0.0003975839237682521, -0.009004209891078063, 0.009727533414821665, -0.003610340904328041, -0.00834003098422545, 0.0034724357647355646, 0.0028222152299713344, -0.0060982390952995045, -0.011640799632034031, 0.0004784632098599104, -0.002169894218837726, 0.0024223867352993695, 0.0013346195874619298, -0.0004902978780228296, -0.0019964799070494336, 0.003326903287321329, 0.007019521241309121, 0.009966928659574478, 3.70482771540992e-05, 0.00383499199768994, 0.0024534474063548257, -0.006527335361985024, 0.0021226773075177334, -0.0030895655695521783, 0.001494445418164105, -0.004200260663943482, 0.001212832556164358)
+_PCA_V1 = (-0.14882739051573438, -0.05804875773922685, 0.04357531602205045, -0.17328343823987336, 0.008857600832435863, 0.23581066680942053, 0.16972520269175717, 0.15898786326803627, 0.06453897479850651, -0.23656218893337647, 0.2257567868574203, 0.04703541783081959, 0.0620540104781528, 0.11484439283858075, 0.22193282183442617, 0.06699554328418926, -0.10474520703346235, 0.016620574319200013, -0.1158877867057555, 0.1244320827007344, -0.049509077603335526, 0.04175019792676317, -0.1892752810688199, -0.03908597018077429, 0.0926729561608058, -0.21561098537340131, 0.04514556938462405, 0.23588532314127827, 0.058646762997593964, 0.03503843491573108, 0.013610860565663786, -0.01017454894135967, -0.03778615609605829, 0.10501566068726784, -0.29464314402842406, 0.01875293544215352, -0.08630315923637447, -0.0005068710452800843, 0.023426194723585054, 0.028956030249150957, 0.08441995765909902, 0.06384654511977994, 0.11390994042809387, 0.0758130793819713, -0.08088541458480022, -0.221799940570178, -0.07361026694791767, 0.3023259387612406, 0.08731224584669749, -0.13675005002247995, 0.13525317606982593, 0.07173288036548459, -0.061037876434754564, 0.021304946839686666, -0.024158668300112436, -0.1257765556078403, -0.050156744226154425, 0.10331285250259703, -0.06174019420692353, 0.014281959706297602, 0.029863577596452716, 0.003812651737155469, -0.24826032213507737, -0.09080482539677721)
+_PCA_V2 = (-0.1028959793886886, 0.09562073604712204, 0.2628993231093637, -0.10143556934670327, 0.09900330642578938, -0.22467373476432986, -0.09060261683526531, -0.05753036374363861, -0.2163717600053381, -0.05880087367474472, 0.06424217622278143, 0.066690178553621, 0.06754901574727241, -0.006205464418019321, -0.10222256376571034, 0.04119954724675892, 0.14271672517309375, -0.02598566856642147, 0.1797352394680137, -0.22733809046772682, 0.29020567549151755, 0.07750684050901747, -0.2072002771156466, 0.2604473553265431, -0.07914072501104048, 0.008759476904307981, -0.006198526380114793, -0.013173007881052589, 0.08145781849101551, 0.09266233652035485, 0.08298431987552854, 0.041385105911049276, 0.1603764418265541, 0.1378163304330597, 0.008604566541836167, -0.23387671841156638, -0.027139993613609442, 0.10300364049306707, 0.027481971992578423, -0.030348908099000864, 0.11731556748630009, -0.2625718898450691, 0.07584316668110133, 0.03522303142063777, 0.07317898555385899, -0.14719844183366732, -0.14062183414840893, 0.0290354159944326, 0.16196109155510824, 0.05422164334768011, 0.05764153624619406, 0.09361036277531903, -0.024912612556130424, 0.033223883214539826, 0.16159667313374948, -0.08515037454432575, 0.11597711540046068, 0.04924187209698337, -0.06528581918277461, -0.09239551110402769, -0.02741069820796174, 0.12816852889420174, -0.07778714100488812, 0.19742129386549429)
+
+
+def _pca_term_sql(vec: tuple, idx: int) -> str:
+    return (
+        f"CAST('{vec[idx]!r}' AS DOUBLE)"
+        f" * (CAST(embedding[{idx + 1}] AS DOUBLE)"
+        f" - CAST('{_PCA_MU[idx]!r}' AS DOUBLE))"
+    )
+
+
+def _pca_proj_sql(vec: tuple) -> str:
+    # fixed left-to-right association, dimension order 0..63
+    return "(" + " + ".join(_pca_term_sql(vec, i) for i in range(64)) + ")"
+
+
+@query(
+    "pca_projection_embeddings",
+    oracle=f"""
+SELECT vec_id, label,
+       {_pca_proj_sql(_PCA_V1)} AS pc1,
+       {_pca_proj_sql(_PCA_V2)} AS pc2
+FROM embeddings
+""",
+)
+def pca_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the 64-d embedding corpus onto a PINNED
+    2-component basis (mean + two orthonormal directions published as
+    literals — the fit runs offline, exactly how production embedding
+    maps ship a frozen projection to score new data): pc_j = v_j ·
+    (x − μ) with a FIXED left-to-right fold over the 64 dimensions, so
+    every multiply/add is the same correctly rounded op on both
+    engines — hash-exact. This is the dimensionality-reduction /
+    visualization-map primitive (and the first stage of PCA-whitened
+    indexing). Scan-bound: one narrow projection, no shuffle, no
+    Python; 128 fused multiply-adds stay inside whole-stage codegen."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def proj(vec: tuple):
+        acc = None
+        for i in range(64):
+            term = F.lit(vec[i]) * (
+                F.element_at("embedding", i + 1).cast("double")
+                - F.lit(_PCA_MU[i])
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    return emb.select(
+        "vec_id",
+        "label",
+        proj(_PCA_V1).alias("pc1"),
+        proj(_PCA_V2).alias("pc2"),
+    )

@@ -412,3 +412,30 @@ def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
     }
     assert wtd[1] > wtd[2]
     assert abs(wtd[2] - wtd[3]) < 1e-15
+
+
+def test_pca_projection_basis_is_orthonormal_and_centered(spark):
+    # the pinned basis must actually be a PCA basis: unit-norm,
+    # orthogonal directions, and the projected corpus ~zero-mean at the
+    # fit scale (sf0.001).
+    import math
+
+    from stadvdb_olap_spark.plans.vector_queries import (
+        _PCA_MU,
+        _PCA_V1,
+        _PCA_V2,
+        pca_projection_embeddings,
+    )
+
+    n1 = sum(x * x for x in _PCA_V1)
+    n2 = sum(x * x for x in _PCA_V2)
+    dot = sum(a * b for a, b in zip(_PCA_V1, _PCA_V2))
+    assert math.isclose(n1, 1.0, rel_tol=1e-9)
+    assert math.isclose(n2, 1.0, rel_tol=1e-9)
+    assert abs(dot) < 1e-9
+    rows = pca_projection_embeddings(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    m1 = sum(r.pc1 for r in rows) / len(rows)
+    m2 = sum(r.pc2 for r in rows) / len(rows)
+    assert abs(m1) < 1e-9 and abs(m2) < 1e-9

@@ -68,6 +68,8 @@ data (user_id, source, event_type), never a driver-side loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2990,4 +2992,267 @@ def decayed_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("decayed_score"),
+    )
+
+
+# NDCG rank discounts 1/log2(r+1) and their prefix sums, precomputed in
+# Python (log2 is not correctly rounded in-engine) and entering both
+# plans as identical literals.
+_NDCG_K = 10
+_COVISIT_M = 20  # candidate-generation prune: top-M neighbors per item
+_NDCG_W = tuple(1 / math.log2(r + 1) for r in range(1, _NDCG_K + 1))
+_NDCG_PRE = tuple(
+    sum(_NDCG_W[:m], 0.0) for m in range(0, _NDCG_K + 1)
+)  # left-to-right python fold == the same literal on both sides
+
+
+def _recsys_oracle() -> str:
+    wcase = " ".join(
+        f"WHEN {r} THEN CAST('{_NDCG_W[r - 1]!r}' AS DOUBLE)"
+        for r in range(1, _NDCG_K + 1)
+    )
+    icase = " ".join(
+        f"WHEN {m} THEN CAST('{_NDCG_PRE[m]!r}' AS DOUBLE)"
+        for m in range(1, _NDCG_K + 1)
+    )
+    return f"""
+WITH lastord AS (
+    SELECT o_custkey, o_orderkey AS test_ok
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+train AS (
+    SELECT o.o_custkey, o.o_orderkey, l.l_partkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey NOT IN (SELECT test_ok FROM lastord)
+),
+tb AS (SELECT DISTINCT o_orderkey, l_partkey FROM train),
+covisit0 AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM tb a JOIN tb b
+      ON a.o_orderkey = b.o_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+covisit AS (
+    SELECT pa, pb, w FROM covisit0
+    QUALIFY row_number() OVER (PARTITION BY pa
+        ORDER BY w DESC, pb) <= {_COVISIT_M}
+),
+profile AS (SELECT DISTINCT o_custkey, l_partkey FROM train),
+test_parts AS (
+    SELECT DISTINCT lo.o_custkey, l.l_partkey
+    FROM lastord lo JOIN lineitem l ON l.l_orderkey = lo.test_ok
+),
+scores0 AS (
+    SELECT p.o_custkey, c.pb AS cand, CAST(SUM(c.w) AS BIGINT) AS score
+    FROM profile p JOIN covisit c ON p.l_partkey = c.pa
+    GROUP BY 1, 2
+),
+scores AS (
+    SELECT s.* FROM scores0 s
+    ANTI JOIN profile p ON s.o_custkey = p.o_custkey AND s.cand = p.l_partkey
+),
+topk AS (
+    SELECT o_custkey, cand,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY score DESC, cand) AS rnk
+    FROM scores
+    QUALIFY rnk <= {_NDCG_K}
+),
+hits AS (
+    SELECT t.o_custkey, t.rnk
+    FROM topk t JOIN test_parts tp
+      ON t.o_custkey = tp.o_custkey AND t.cand = tp.l_partkey
+),
+nt AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_test
+    FROM test_parts GROUP BY 1
+),
+eval_set AS (SELECT DISTINCT o_custkey FROM profile),
+per_cust AS (
+    SELECT e.o_custkey,
+           nt.n_test,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.dcg, CAST(0 AS DOUBLE)) AS dcg,
+           CASE least(nt.n_test, {_NDCG_K}) {icase} END AS idcg
+    FROM eval_set e
+    JOIN nt ON e.o_custkey = nt.o_custkey
+    LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_sort(list(CASE rnk {wcase} END))),
+                   (a, b) -> a + b) AS dcg
+        FROM hits GROUP BY 1
+    ) h ON e.o_custkey = h.o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       CAST(SUM(n_hits) AS DOUBLE) / ({_NDCG_K} * COUNT(*))
+           AS precision_at_10,
+       CAST(SUM(n_hits) AS DOUBLE) / SUM(n_test) AS recall_at_10,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_sort(list(dcg / idcg))), (a, b) -> a + b) / COUNT(*)
+           AS mean_ndcg
+FROM per_cust
+"""
+
+
+@query("recsys_eval_covisit_topk", oracle=_recsys_oracle())
+def recsys_eval_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation, end to end in-engine: hold out
+    each customer's LAST order (leave-one-basket-out, the standard
+    temporal protocol), train an item-item co-visitation model on the
+    rest, recommend top-10 unseen parts per customer (score = summed
+    co-visits with the profile, ties broken by part id), and score
+    precision@10 / recall@10 / mean NDCG@10 against the held-out
+    basket. Determinism devices: the whole pipeline is integer counting
+    until the metrics; NDCG's log2 discounts and ideal-DCG prefix sums
+    are PRECOMPUTED Python literals (log2 is not correctly rounded
+    in-engine); per-customer DCG folds its ≤10 literal terms sorted,
+    and the corpus-level NDCG mean folds the per-customer ratios
+    sorted (the sorted-fold device; at 100 TB swap the final collect
+    for a pairwise tree-reduce — only this one 1-row stage changes).
+    Scale shape: covisit pairs are keyed on the shared basket
+    (bounded per-order fan-out, never |parts|²); the model keeps only
+    the top-20 neighbors per item (the candidate-generation prune
+    every production recsys applies — unpruned scoring is
+    |profile|×avg-degree and blows up quadratically), so scoring is
+    one bounded profile⋈neighbors join + per-customer aggregate and
+    the top-k is a rank window — the exact offline-eval DAG
+    production recsys teams run nightly."""
+    from pyspark.sql import Window
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    )
+    wlast = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    lastord = (
+        orders.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("test_ok"))
+    )
+    train = (
+        orders.join(
+            lastord.select(F.col("test_ok").alias("o_orderkey")),
+            "o_orderkey",
+            "left_anti",
+        )
+        .select("o_custkey", F.col("o_orderkey").alias("ok"))
+        .join(li, "ok")
+    )
+    tb = train.select("ok", "l_partkey").distinct()
+    a = tb.select("ok", F.col("l_partkey").alias("pa"))
+    b = tb.select("ok", F.col("l_partkey").alias("pb"))
+    covisit0 = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wnbr = Window.partitionBy("pa").orderBy(
+        F.col("w").desc(), F.col("pb").asc()
+    )
+    covisit = (
+        covisit0.withColumn("nrn", F.row_number().over(wnbr))
+        .filter(F.col("nrn") <= _COVISIT_M)
+        .select("pa", "pb", "w")
+    )
+    profile = train.select("o_custkey", "l_partkey").distinct()
+    test_parts = (
+        lastord.join(
+            li.select(F.col("ok").alias("test_ok"), "l_partkey"), "test_ok"
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    scores0 = (
+        profile.join(covisit, profile["l_partkey"] == covisit["pa"])
+        .groupBy("o_custkey", F.col("pb").alias("cand"))
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    scores = scores0.join(
+        profile.select(
+            "o_custkey", F.col("l_partkey").alias("cand")
+        ),
+        ["o_custkey", "cand"],
+        "left_anti",
+    )
+    wtop = Window.partitionBy("o_custkey").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    topk = (
+        scores.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select("o_custkey", "cand", "rnk")
+    )
+    hits = topk.join(
+        test_parts.select(
+            "o_custkey", F.col("l_partkey").alias("cand")
+        ),
+        ["o_custkey", "cand"],
+    ).select("o_custkey", "rnk")
+    wterm = F.col("rnk")
+    wexpr = None
+    for r in range(1, _NDCG_K + 1):
+        wexpr = (
+            F.when(wterm == r, F.lit(_NDCG_W[r - 1]))
+            if wexpr is None
+            else wexpr.when(wterm == r, F.lit(_NDCG_W[r - 1]))
+        )
+    hagg = hits.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.aggregate(
+            F.sort_array(F.collect_list(wexpr)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dcg"),
+    )
+    nt = test_parts.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    eval_set = profile.select("o_custkey").distinct()
+    iexpr = None
+    mterm = F.least(F.col("n_test"), F.lit(_NDCG_K))
+    for m in range(1, _NDCG_K + 1):
+        iexpr = (
+            F.when(mterm == m, F.lit(_NDCG_PRE[m]))
+            if iexpr is None
+            else iexpr.when(mterm == m, F.lit(_NDCG_PRE[m]))
+        )
+    per_cust = (
+        eval_set.join(nt, "o_custkey")
+        .join(hagg, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_test",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+            iexpr.alias("idcg"),
+        )
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        (
+            F.sum("n_hits").cast("double")
+            / (_NDCG_K * F.count(F.lit(1)))
+        ).alias("precision_at_10"),
+        (F.sum("n_hits").cast("double") / F.sum("n_test")).alias(
+            "recall_at_10"
+        ),
+        (
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.col("dcg") / F.col("idcg"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_ndcg"),
     )

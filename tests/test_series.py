@@ -713,3 +713,16 @@ def test_theil_sen_and_mann_kendall_agree_with_python_reference(spark):
     mk_row = mann_kendall_trend_daily_revenue(spark, SF_DIR).collect()[0]
     assert mk_row.s_stat == s_stat
     assert -1.0 <= mk_row.kendall_tau <= 1.0
+
+
+def test_recsys_eval_metric_invariants(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        recsys_eval_covisit_topk,
+    )
+
+    r = recsys_eval_covisit_topk(spark, SF_DIR).collect()[0]
+    assert r.n_customers > 0
+    assert 0.0 <= r.precision_at_10 <= 1.0
+    assert 0.0 <= r.recall_at_10 <= 1.0
+    assert 0.0 <= r.mean_ndcg <= 1.0
+    assert r.precision_at_10 == r.total_hits / (10 * r.n_customers)

@@ -507,3 +507,98 @@ def label_purchase_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+@query(
+    "cramers_v_priority_status",
+    oracle="""
+WITH cells AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+), rt AS (
+    SELECT o_orderpriority, SUM(observed) AS row_total FROM cells
+    GROUP BY o_orderpriority
+), ct AS (
+    SELECT o_orderstatus, SUM(observed) AS col_total FROM cells
+    GROUP BY o_orderstatus
+), tot AS (SELECT SUM(observed) AS n FROM cells),
+scored AS (
+    SELECT ROUND(POW(observed - CAST(row_total AS DOUBLE) * col_total / n, 2)
+                 / (CAST(row_total AS DOUBLE) * col_total / n), 6) AS contrib
+    FROM cells JOIN rt USING (o_orderpriority)
+               JOIN ct USING (o_orderstatus) CROSS JOIN tot
+),
+agg AS (
+    SELECT CAST(ROUND(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS DOUBLE) AS chi2
+    FROM scored
+),
+dims AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n
+)
+SELECT chi2,
+       (r - 1) * (c - 1) AS dof,
+       n,
+       sqrt(chi2 / (n * least(r - 1, c - 1))) AS cramers_v
+FROM agg CROSS JOIN dims
+""",
+)
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the priority×status contingency table
+    — the [0,1]-normalized strength of association that makes the
+    chi-square statistic comparable across table sizes (chi2 alone
+    grows with N; V = √(χ²/(N·min(r−1,c−1))) does not). Reuses the
+    certified chi-square device (rounded per-cell contributions,
+    exact decimal sum) and spends one division + one sqrt, both
+    correctly rounded on exact operands. One pass over the fact, then
+    arithmetic on a ≤15-row cell table and three scalars."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rt = cells.groupBy("o_orderpriority").agg(
+        F.sum("observed").alias("row_total")
+    )
+    ct = cells.groupBy("o_orderstatus").agg(
+        F.sum("observed").alias("col_total")
+    )
+    tot = cells.agg(F.sum("observed").alias("n"))
+    expected_raw = (
+        F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    )
+    scored = (
+        cells.join(F.broadcast(rt), "o_orderpriority")
+        .join(F.broadcast(ct), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.pow(F.col("observed") - expected_raw, 2) / expected_raw,
+                6,
+            ).alias("contrib")
+        )
+    )
+    agg = scored.agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("chi2")
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .crossJoin(
+            F.broadcast(ct.agg(F.count(F.lit(1)).cast("long").alias("c")))
+        )
+        .crossJoin(
+            F.broadcast(tot.select(F.col("n").cast("long").alias("n")))
+        )
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        "n",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+        ).alias("cramers_v"),
+    )

@@ -3256,3 +3256,62 @@ def recsys_eval_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_ndcg"),
     )
+
+
+@query(
+    "fano_burstiness_event_types",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, s1 AS n_events,
+       CAST(s1 AS DOUBLE) / n_days AS mean_daily,
+       (n_days * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_days AS DOUBLE) * (n_days - 1)) AS var_daily,
+       ((n_days * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+           / (CAST(s1 AS DOUBLE) / n_days) AS fano_factor
+FROM m
+""",
+)
+def fano_burstiness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean dispersion of daily counts) per
+    event type — the burstiness screen for event streams: ≈1 means a
+    Poisson-like steady arrival, >1 means bursty/overdispersed (and a
+    salting/skew risk for any per-day partitioning downstream). The
+    daily counts are small exact integers, so Σc and Σc² are exact
+    BIGINTs (no 2^53 hazard at any realistic day count) and the
+    sample variance computes from them with a PINNED op order —
+    divisions of exact operands only, hash-exact. One (type, day)
+    aggregate, then arithmetic on a 5-row table."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean_d = F.col("s1").cast("double") / F.col("n_days")
+    var_d = (
+        F.col("n_days") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n_days").cast("double") * (F.col("n_days") - 1))
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        mean_d.alias("mean_daily"),
+        var_d.alias("var_daily"),
+        (var_d / mean_d).alias("fano_factor"),
+    )

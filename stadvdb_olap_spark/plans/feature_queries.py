@@ -602,3 +602,199 @@ def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
         ).alias("cramers_v"),
     )
+
+
+_RL_W_EXACT = 30
+_RL_W_LEV = 15
+_RL_W_BAND = 5
+_RL_THRESH = 20
+
+
+def _rl_hex4_sql(h: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', {h}[1:1]) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', {h}[2:2]) - 1) * 256"
+        f" + (strpos('0123456789abcdef', {h}[3:3]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[4:4]) - 1))"
+    )
+
+
+@query(
+    "record_linkage_selfmatch_customers",
+    oracle=f"""
+WITH dirty AS (
+    SELECT c_custkey AS true_id, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band,
+           -- deterministic corruption: 1-3 digit positions -> 'X'
+           CASE WHEN u % 7 = 0 THEN
+               substr(n2, 1, p3 - 1) || 'X' || substr(n2, p3 + 1)
+           ELSE n2 END AS name
+    FROM (
+        SELECT *,
+               CASE WHEN u % 3 = 0 THEN
+                   substr(n1, 1, p2 - 1) || 'X' || substr(n1, p2 + 1)
+               ELSE n1 END AS n2
+        FROM (
+            SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, u,
+                   substr(c_name, 1, p1 - 1) || 'X'
+                       || substr(c_name, p1 + 1) AS n1,
+                   10 + (u // 8) % 8 AS p2,
+                   10 + (u // 64) % 8 AS p3
+            FROM (
+                SELECT *,
+                       {_rl_hex4_sql("md5('rl:' || CAST(c_custkey AS VARCHAR))")}
+                           AS u,
+                       10 + {_rl_hex4_sql("md5('rl:' || CAST(c_custkey AS VARCHAR))")}
+                           % 8 AS p1
+                FROM customer
+            )
+        )
+    )
+),
+clean AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+    FROM customer
+),
+cand AS (
+    SELECT c.c_custkey, d.true_id,
+           CASE WHEN c.c_name = d.name THEN {_RL_W_EXACT} ELSE 0 END
+         + CASE WHEN levenshtein(c.c_name, d.name) <= 2
+                THEN {_RL_W_LEV} ELSE 0 END
+         + CASE WHEN c.band = d.band THEN {_RL_W_BAND} ELSE 0 END AS score
+    FROM clean c JOIN dirty d
+      ON c.c_nationkey = d.c_nationkey
+     AND c.c_mktsegment = d.c_mktsegment
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COUNT(*) FILTER (score >= {_RL_THRESH}) AS BIGINT)
+               AS n_matches,
+           CAST(COUNT(*) FILTER (score >= {_RL_THRESH}
+                                 AND c_custkey = true_id) AS BIGINT) AS tp
+    FROM cand
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM dirty)
+SELECT n_candidate_pairs, n_matches, tp, n_records,
+       CASE WHEN n_matches = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(tp AS DOUBLE) / n_matches END AS precision_,
+       CAST(tp AS DOUBLE) / n_records AS recall_
+FROM m CROSS JOIN nd
+""",
+)
+def record_linkage_selfmatch_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probabilistic record linkage, self-evaluating: corrupt every
+    customer name DETERMINISTICALLY (1-3 salted-hash-chosen digits
+    become 'X' — so ground truth is known), then link the dirty copy
+    back with the Fellegi-Sunter recipe: blocking on (nation, segment),
+    integer agreement weights on exact-name / edit-distance≤2 (both
+    engines implement classic Levenshtein DP — identical integers) /
+    balance-band features, threshold at a published score, and report
+    candidate volume, matches, precision and recall against the known
+    identity. The entity-resolution pipeline in one certified query:
+    blocking bounds the pair space (never |A|×|B|), features are
+    row-local, and the only floats are two exact-integer divisions.
+    Weights are integers, not log-likelihood ratios, keeping the scorer
+    hash-exact (the standard m/u-probability weights are logs — their
+    RANKING is what matters, and integer approximations of it replay
+    exactly)."""
+    from stadvdb_olap_spark.operators.mixture import salted_md5
+
+    c = load_table(spark, sf_dir, "customer")
+    u = F.conv(
+        F.substring(salted_md5("c_custkey", "rl:"), 1, 4), 16, 10
+    ).cast("long")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+
+    # positions derived from the same 16-bit draw as the oracle
+    base = c.select(
+        F.col("c_custkey"),
+        "c_nationkey",
+        "c_mktsegment",
+        band.alias("band"),
+        "c_name",
+        u.alias("u"),
+        (10 + u % 8).cast("int").alias("p1"),
+        (10 + (u / 8).cast("long") % 8).cast("int").alias("p2"),
+        (10 + (u / 64).cast("long") % 8).cast("int").alias("p3"),
+    )
+
+    def splice(col, pos):
+        return F.concat(
+            col.substr(F.lit(1), pos - 1),
+            F.lit("X"),
+            col.substr(pos + 1, F.length(col)),
+        )
+
+    n1 = splice(F.col("c_name"), F.col("p1"))
+    step1 = base.select(
+        F.col("c_custkey").alias("true_id"),
+        "c_nationkey",
+        "c_mktsegment",
+        "band",
+        "u",
+        "p2",
+        "p3",
+        n1.alias("n1"),
+    )
+    n2 = F.when(
+        F.col("u") % 3 == 0, splice(F.col("n1"), F.col("p2"))
+    ).otherwise(F.col("n1"))
+    step2 = step1.select(
+        "true_id", "c_nationkey", "c_mktsegment", "band", "u", "p3",
+        n2.alias("n2"),
+    )
+    name = F.when(
+        F.col("u") % 7 == 0, splice(F.col("n2"), F.col("p3"))
+    ).otherwise(F.col("n2"))
+    dirty = step2.select(
+        "true_id", "c_nationkey", "c_mktsegment", "band",
+        name.alias("name"),
+    )
+    clean = c.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        band.alias("cband"),
+    )
+    cand = clean.join(dirty, ["c_nationkey", "c_mktsegment"]).select(
+        "c_custkey",
+        "true_id",
+        (
+            F.when(
+                F.col("c_name") == F.col("name"), _RL_W_EXACT
+            ).otherwise(0)
+            + F.when(
+                F.levenshtein("c_name", "name") <= 2, _RL_W_LEV
+            ).otherwise(0)
+            + F.when(F.col("cband") == F.col("band"), _RL_W_BAND).otherwise(
+                0
+            )
+        ).alias("score"),
+    )
+    m = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("score") >= _RL_THRESH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.sum(
+            F.when(
+                (F.col("score") >= _RL_THRESH)
+                & (F.col("c_custkey") == F.col("true_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    nd = dirty.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    return m.crossJoin(F.broadcast(nd)).select(
+        "n_candidate_pairs",
+        "n_matches",
+        "tp",
+        "n_records",
+        F.when(F.col("n_matches") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("n_matches"))
+        .alias("precision_"),
+        (F.col("tp").cast("double") / F.col("n_records")).alias("recall_"),
+    )

@@ -1079,3 +1079,72 @@ def tree_ensemble_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("long").alias("score"),
         (score >= F.lit(_GBT_KEEP)).alias("keep"),
     )
+
+
+_FK_A = 0.39
+_FK_B = 11.8
+_FK_C = 15.59
+
+
+@query(
+    "readability_fk_docs",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+           CAST(greatest(len(regexp_extract_all(lower(text),
+               '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST('{_FK_A!r}' AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / n_sentences)
+       + CAST('{_FK_B!r}' AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / n_words)
+       - CAST('{_FK_C!r}' AS DOUBLE) AS fk_grade
+FROM f
+WHERE n_words > 0
+""",
+)
+def readability_fk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade-level readability per document (Kincaid et
+    al. 1975): 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59,
+    with syllables approximated by vowel-group counts — the classic
+    text-complexity signal curation pipelines use alongside the quality
+    rule stack (too-low and too-high grades both correlate with junk).
+    Sentence/syllable counts are regex counts (identical integers both
+    engines, floored at 1 so no division blows up); the grade formula
+    runs in a PINNED op order over two exact-integer divisions with
+    the published constants as literals — hash-exact. Scan-bound row-
+    local projection; fuses with any other per-document screen."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = T.tokens("text")
+    n_words = F.size(t).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    f = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(_FK_A)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            + F.lit(_FK_B)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            - F.lit(_FK_C)
+        ).alias("fk_grade"),
+    )

@@ -55,7 +55,7 @@ def query(
 
 # ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
 # the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
-# 189 queries (latest-fail 0). This front = 47 never-windowed
+# 189 queries (latest-fail 0). This front = 50 never-windowed
 # oracle-backed queries (the 21 pending at rotation time plus the 14
 # added later in round 5: graph analytics, sketches, multiprobe LSH,
 # GEMM tiers, textrank, HLL, rendezvous, temperature mixture, k-core,
@@ -71,9 +71,12 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced (47 without a driver row)
+    # never-windowed, family-balanced: 50 of the 61 queries without a
+    # driver row (11 spill to the round-6 window; 0 re-cert slots left
+    # this round — the r1 staleness refresh resumes in round 6)
     "domain_rollup_docs",
     "format_roundtrip_orders",
+    "cramers_v_priority_status",
     "pagerank_copurchase_3iter",
     "pack_concat_offsets_docs",
     "gopher_rules_filter_docs",
@@ -84,6 +87,7 @@ ROUND5_FRONT: tuple[str, ...] = (
     "quality_logit_filter_docs",
     "ann_lsh_multiprobe_topk",
     "bpe_encode_pinned_docs",
+    "record_linkage_selfmatch_customers",
     "supplier_covisit_jaccard",
     "epoch_shuffle_layout_docs",
     "k_anonymity_audit_customers",
@@ -106,23 +110,20 @@ ROUND5_FRONT: tuple[str, ...] = (
     "textrank_keywords_docs",
     "rendezvous_shard_docs",
     "holt_forecast_by_event_type",
+    "readability_fk_docs",
     "ann_ivf_fixed_topk",
     "triangle_stats_parts",
     "wow_growth_revenue",
     "semdedup_fixed_centroids",
     "lpa_modularity_parts",
     "share_of_total_by_segment",
+    "pca_projection_embeddings",
     "kcore_parts_k90",
     "cusum_changepoints_daily_revenue",
+    "pagerank_weighted_copurchase_3iter",
     "rolling_corr_click_purchase_7d",
     "episode_triples_sessions",
     "hampel_outliers_daily_revenue",
-    "mase_seasonal_naive_daily_revenue",
-    "decile_qq_drift_events_value",
-    # staleness re-certification: oldest-signed (r1) rows, refreshed
-    "asof_join_events_orders",
-    "click_purchase_attribution",
-    "cohort_weekly_retention",
 )
 
 

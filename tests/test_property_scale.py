@@ -387,3 +387,73 @@ def test_zorder_key_pinned_rejects_overflowing_cuts():
         )
     # At-the-cap is fine (pure expression construction, no session needed).
     zorder_key_pinned([(F.col("a"), [1.0, 2.0, 3.0])], bits_per_dim=2)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_kcore_peel_matches_python_reference(spark, edges, k, rounds):
+    from stadvdb_olap_spark.operators.graph import kcore_peel
+
+    def peel(es, k, rounds):
+        es = set(es)
+        for _ in range(rounds):
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= k}
+            es = {(a, b) for a, b in es if a in keep and b in keep}
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    expected = peel(edges, k, rounds)
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.deg for r in kcore_peel(df, k=k, n_rounds=rounds).collect()
+    }
+    assert got == expected
+    # k-monotonicity: a higher bar never keeps more nodes
+    got_hi = {
+        r.node
+        for r in kcore_peel(df, k=k + 1, n_rounds=rounds).collect()
+    }
+    assert got_hi <= set(got)
+
+
+def test_twap_bounded_by_group_extremes(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        twap_daily_value_by_type,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    twap = twap_daily_value_by_type(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    joined = twap.join(ev, ["event_type", "d"]).collect()
+    assert joined
+    for r in joined:
+        # weighted mean of in-group observations (last one excluded as
+        # weightless) stays within the group's value envelope
+        assert r.vmin - 1e-9 <= r.twap <= r.vmax + 1e-9

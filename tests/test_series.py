@@ -726,3 +726,20 @@ def test_recsys_eval_metric_invariants(spark):
     assert 0.0 <= r.recall_at_10 <= 1.0
     assert 0.0 <= r.mean_ndcg <= 1.0
     assert r.precision_at_10 == r.total_hits / (10 * r.n_customers)
+
+
+def test_hampel_flags_match_python_recheck(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        hampel_outliers_daily_revenue,
+    )
+
+    rows = hampel_outliers_daily_revenue(spark, SF_DIR).orderBy("d").collect()
+    cents = [round(r.revenue * 100) for r in rows]
+    for i, r in enumerate(rows):
+        if i < 3 or i >= len(rows) - 3:
+            continue
+        window = sorted(cents[i - 3 : i + 4])
+        med = window[3]
+        mad = sorted(abs(x - med) for x in cents[i - 3 : i + 4])[3]
+        expected = 10000 * abs(cents[i] - med) > 44478 * mad
+        assert r.is_outlier == expected

@@ -798,3 +798,108 @@ def record_linkage_selfmatch_customers(
         .alias("precision_"),
         (F.col("tp").cast("double") / F.col("n_records")).alias("recall_"),
     )
+
+
+_DID_CUTOFF = "1998-01-01"
+
+
+@query(
+    "diff_in_diff_event_value",
+    oracle=f"""
+WITH assigned AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+               AS grp,
+           CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_CUTOFF}'
+                THEN 'post' ELSE 'pre' END AS period,
+           value
+    FROM events
+),
+cell AS (
+    SELECT grp, period,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+               AS total
+    FROM assigned GROUP BY grp, period
+),
+wide AS (
+    SELECT
+        (SELECT total / n FROM cell WHERE grp = 'treat'   AND period = 'pre')  AS t_pre,
+        (SELECT total / n FROM cell WHERE grp = 'treat'   AND period = 'post') AS t_post,
+        (SELECT total / n FROM cell WHERE grp = 'control' AND period = 'pre')  AS c_pre,
+        (SELECT total / n FROM cell WHERE grp = 'control' AND period = 'post') AS c_post,
+        (SELECT CAST(SUM(n) AS BIGINT) FROM cell) AS n_events
+)
+SELECT n_events, t_pre, t_post, c_pre, c_post,
+       (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+FROM wide
+""",
+)
+def diff_in_diff_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the treatment effect on
+    mean event value: deterministic hash-parity assignment (the
+    certified A/B device), a pinned calendar cutoff splitting pre/post,
+    and DiD = (treat_post − treat_pre) − (control_post − control_pre) —
+    the quasi-experimental workhorse when randomization happens at
+    rollout time rather than per-request. Exactness: the four cell
+    means are exact-decimal sums rounded once then divided by exact
+    counts (the money_sum convention), and the DiD combination runs in
+    a PINNED op order — three subtractions of identical doubles. One
+    grouped pass over events into a 4-cell table; everything after is
+    scalar arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("grp"),
+        F.when(
+            F.col("ts").cast("date") >= F.lit(_DID_CUTOFF).cast("date"),
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        "value",
+    )
+    cell = assigned.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total"),
+    )
+    wide = cell.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "pre"),
+                F.col("total") / F.col("n"),
+            )
+        ).alias("t_pre"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "post"),
+                F.col("total") / F.col("n"),
+            )
+        ).alias("t_post"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("total") / F.col("n"),
+            )
+        ).alias("c_pre"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                F.col("total") / F.col("n"),
+            )
+        ).alias("c_post"),
+    )
+    return wide.select(
+        "n_events",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )

@@ -3315,3 +3315,133 @@ def fano_burstiness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_d.alias("var_daily"),
         (var_d / mean_d).alias("fano_factor"),
     )
+
+
+@query(
+    "littles_law_audit_sessions",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq,
+           epoch_us(ts) AS t_us
+    FROM flagged
+),
+spans AS (
+    SELECT MIN(t_us) AS s_us, MAX(t_us) AS e_us
+    FROM sess GROUP BY user_id, session_seq
+),
+horizon AS (
+    SELECT CAST(MIN(s_us) AS BIGINT) AS t0,
+           CAST(MAX(e_us) AS BIGINT) AS t1,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(e_us - s_us) AS BIGINT) AS sum_dur_us
+    FROM spans
+),
+bounds AS (
+    SELECT s_us AS t, 1 AS delta FROM spans
+    UNION ALL SELECT e_us AS t, -1 AS delta FROM spans
+),
+lv AS (
+    SELECT t, delta,
+           SUM(delta) OVER (ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level,
+           lead(t) OVER (ORDER BY t, delta) AS t_next
+    FROM bounds
+),
+sweep AS (
+    SELECT CAST(SUM(level * (t_next - t)) AS BIGINT) AS area_us
+    FROM lv WHERE t_next IS NOT NULL
+)
+SELECT n_sessions,
+       CAST(sum_dur_us AS DOUBLE) / (t1 - t0) AS l_direct,
+       CAST(area_us AS DOUBLE) / (t1 - t0) AS l_sweep,
+       area_us = sum_dur_us AS littles_law_holds,
+       (CAST(n_sessions AS DOUBLE) * 3600000000) / (t1 - t0)
+           AS lambda_per_hour,
+       CAST(sum_dur_us AS DOUBLE) / n_sessions / 60000000
+           AS w_mean_minutes
+FROM horizon CROSS JOIN sweep
+""",
+)
+def littles_law_audit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit over 30-minute sessions: time-average
+    concurrency computed two independent ways — directly as Σduration/T
+    and through a +1/−1 boundary SWEEP (the interval machinery behind
+    max_concurrent_sessions_hourly) — plus arrival rate λ and mean
+    residence W. The sweep's time integral Σ level·dt equals Σduration
+    exactly in INTEGER microseconds (Little's identity for a closed
+    window), so `littles_law_holds` is a certified cross-check of the
+    sweep implementation, not a float coincidence; λ and W are single
+    exact-integer divisions. One user-keyed exchange for sessionization,
+    a per-session min/max, then a calendar-bounded boundary sort — the
+    capacity-planning readout (and its self-audit) in one query."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        F.sum(is_new).over(run).alias("session_seq"),
+        us.alias("t_us"),
+    )
+    spans = sess.groupBy("user_id", "session_seq").agg(
+        F.min("t_us").alias("s_us"), F.max("t_us").alias("e_us")
+    )
+    horizon = spans.agg(
+        F.min("s_us").cast("long").alias("t0"),
+        F.max("e_us").cast("long").alias("t1"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias("sum_dur_us"),
+    )
+    bounds = spans.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wb = Window.orderBy("t", "delta")
+    lv = bounds.select(
+        "t",
+        F.sum("delta")
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("level"),
+        F.lead("t").over(wb).alias("t_next"),
+    )
+    sweep = lv.filter(F.col("t_next").isNotNull()).agg(
+        F.sum(F.col("level") * (F.col("t_next") - F.col("t")))
+        .cast("long")
+        .alias("area_us")
+    )
+    return horizon.crossJoin(F.broadcast(sweep)).select(
+        "n_sessions",
+        (
+            F.col("sum_dur_us").cast("double") / (F.col("t1") - F.col("t0"))
+        ).alias("l_direct"),
+        (F.col("area_us").cast("double") / (F.col("t1") - F.col("t0"))).alias(
+            "l_sweep"
+        ),
+        (F.col("area_us") == F.col("sum_dur_us")).alias("littles_law_holds"),
+        (
+            (F.col("n_sessions").cast("double") * 3_600_000_000)
+            / (F.col("t1") - F.col("t0"))
+        ).alias("lambda_per_hour"),
+        (
+            F.col("sum_dur_us").cast("double")
+            / F.col("n_sessions")
+            / 60_000_000
+        ).alias("w_mean_minutes"),
+    )

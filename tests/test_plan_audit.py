@@ -101,6 +101,7 @@ _BNLJ_OK = {
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts
     "record_linkage_selfmatch_customers",  # 1-row dirty-count broadcast
+    "littles_law_audit_sessions",  # 1-row sweep-area broadcast
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
     "triangle_stats_parts",  # 1-row wedge-count broadcast

@@ -743,3 +743,23 @@ def test_hampel_flags_match_python_recheck(spark):
         mad = sorted(abs(x - med) for x in cents[i - 3 : i + 4])[3]
         expected = 10000 * abs(cents[i] - med) > 44478 * mad
         assert r.is_outlier == expected
+
+
+def test_littles_law_holds_and_did_cells_complete(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        littles_law_audit_sessions,
+    )
+    from stadvdb_olap_spark.plans.feature_queries import (
+        diff_in_diff_event_value,
+    )
+
+    ll = littles_law_audit_sessions(spark, SF_DIR).collect()[0]
+    assert ll.littles_law_holds is True
+    assert ll.l_direct == ll.l_sweep
+    assert ll.lambda_per_hour > 0 and ll.w_mean_minutes >= 0
+    did = diff_in_diff_event_value(spark, SF_DIR).collect()[0]
+    for c in ("t_pre", "t_post", "c_pre", "c_post"):
+        assert did[c] is not None
+    assert did.did_estimate == (did.t_post - did.t_pre) - (
+        did.c_post - did.c_pre
+    )

@@ -800,7 +800,7 @@ def record_linkage_selfmatch_customers(
     )
 
 
-_DID_CUTOFF = "1998-01-01"
+_DID_CUTOFF = "2024-01-16"
 
 
 @query(

@@ -71,9 +71,9 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced: 50 of the 61 queries without a
-    # driver row (11 spill to the round-6 window; 0 re-cert slots left
-    # this round — the r1 staleness refresh resumes in round 6)
+    # never-windowed, family-balanced: 50 of the 63 queries without a
+    # driver row (13 spill to the round-6 window; the r1 staleness
+    # refresh resumes in round 6)
     "domain_rollup_docs",
     "format_roundtrip_orders",
     "cramers_v_priority_status",
@@ -98,6 +98,7 @@ ROUND5_FRONT: tuple[str, ...] = (
     "rrf_fusion_topk_docs",
     "ann_topk_pandas_gemm",
     "span_corrupt_docs",
+    "diff_in_diff_event_value",
     "lpa_communities_parts",
     "temperature_mixture_docs",
     "calibration_bins_quality_vs_rules",
@@ -123,7 +124,6 @@ ROUND5_FRONT: tuple[str, ...] = (
     "pagerank_weighted_copurchase_3iter",
     "rolling_corr_click_purchase_7d",
     "episode_triples_sessions",
-    "hampel_outliers_daily_revenue",
 )
 
 

@@ -170,3 +170,77 @@ def read_countmin_estimates(
         .groupBy("term")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+def decayed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    target_path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain per-(key, day) event counts over a file stream — the
+    STATE behind a decayed trending score (plans/series_queries.py:
+    decayed_trending_event_types). The decay weights are applied at
+    READ time against the then-current max day, so the state itself is
+    exact integers that simply ADD across batches (the count-min
+    convention: replay-safe batch_id partitions, integer merge — the
+    live value agrees EXACTLY with a batch rebuild, no estimate band;
+    decay never bakes into stored state, which is what lets the
+    horizon slide without rewriting history)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        counts = batch.groupBy(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("date").alias("d"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        _atomic_append(counts, target_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_decayed_scores(
+    spark: SparkSession,
+    target_path: str,
+    weights: tuple[float, ...],
+) -> DataFrame:
+    """Current decayed trending scores from the maintained (key, day)
+    counters: merge batch partitions by +, derive each day's age from
+    the observed max day, weight ages < len(weights) by the
+    PRECOMPUTED literal table, and sorted-fold the per-key terms — the
+    identical arithmetic (same weight literals, same fold device) as
+    the certified batch query, so stream-maintained and batch-built
+    scores are bit-equal over the same rows."""
+    state = spark.read.parquet(target_path)
+    counts = state.groupBy("key", "d").agg(F.sum("cnt").alias("c"))
+    mx = counts.agg(F.max("d").alias("dmax"))
+    wt = state.sparkSession.createDataFrame(
+        [(k, w) for k, w in enumerate(weights)], "age int, w double"
+    )
+    terms = (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "key",
+            F.datediff("dmax", "d").alias("age"),
+            "c",
+        )
+        .filter(F.col("age") < len(weights))
+        .join(F.broadcast(wt), "age")
+        .select("key", (F.col("c") * F.col("w")).alias("term"), "c")
+    )
+    return terms.groupBy("key").agg(
+        F.sum("c").cast("long").alias("n_events_in_horizon"),
+        F.aggregate(
+            F.sort_array(F.collect_list("term")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("decayed_score"),
+    )

@@ -766,3 +766,46 @@ def test_countmin_stream_agrees_exactly_with_batch(
     for t, n in exact.items():
         assert est[t] >= n  # count-min never underestimates
     assert est["zz_absent_type"] >= 0
+
+
+def test_decayed_counts_stream_agrees_bitexactly_with_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Stream-maintained (key, day) counters + read-time decay produce
+    BIT-EXACT scores vs the certified batch query over the same rows:
+    integer state merges by +, and the read side reuses the identical
+    weight literals and sorted-fold arithmetic."""
+    from stadvdb_olap_spark.plans.series_queries import (
+        _DECAY_W,
+        decayed_trending_event_types,
+    )
+    from stadvdb_olap_spark.streaming.sketches import (
+        decayed_counts_stream,
+        read_decayed_scores,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    target = str(tmp_path / "decay_state")
+    q = decayed_counts_stream(
+        spark,
+        events_stream_dir,
+        schema,
+        target,
+        key_col="event_type",
+        ts_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt_decay"),
+    )
+    q.awaitTermination(120)
+
+    live = {
+        r.key: (r.n_events_in_horizon, r.decayed_score)
+        for r in read_decayed_scores(spark, target, _DECAY_W).collect()
+    }
+    batch = {
+        r.event_type: (r.n_events_in_horizon, r.decayed_score)
+        for r in decayed_trending_event_types(spark, SF_DIR).collect()
+    }
+    assert live == batch  # exact float equality, not approx

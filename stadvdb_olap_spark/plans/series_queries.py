@@ -3445,3 +3445,158 @@ def littles_law_audit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 60_000_000
         ).alias("w_mean_minutes"),
     )
+
+
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+_HW_GAMMA = 0.5
+_HW_M = 7  # weekly season
+
+
+def _hw_step_sql(acc: str, y: str) -> str:
+    """One Holt-Winters additive step over a DOUBLE[10] list state
+    [l, b, s0..s6, t] — list elements all read the PRE-step state
+    (memory device #7: DuckDB struct accumulators rebind sequentially,
+    lists don't), and new-level is INLINED wherever the published
+    recurrence references it, so both engines evaluate the identical
+    expression tree."""
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    l, tr = f"{acc}[1]", f"{acc}[2]"
+    t = f"{acc}[10]"
+    j = f"(CAST({t} AS BIGINT) % {m})"
+    sj = f"{acc}[3 + {j}]"
+    newl = (
+        f"(CAST('{a!r}' AS DOUBLE) * ({y} - {sj})"
+        f" + CAST('{1 - a!r}' AS DOUBLE) * ({l} + {tr}))"
+    )
+    newb = (
+        f"(CAST('{b!r}' AS DOUBLE) * ({newl} - {l})"
+        f" + CAST('{1 - b!r}' AS DOUBLE) * {tr})"
+    )
+    s_new = ", ".join(
+        f"CASE WHEN {j} = {jp} THEN CAST('{g!r}' AS DOUBLE) * ({y} - {newl})"
+        f" + CAST('{1 - g!r}' AS DOUBLE) * {acc}[{3 + jp}]"
+        f" ELSE {acc}[{3 + jp}] END"
+        for jp in range(m)
+    )
+    return f"[{newl}, {newb}, {s_new}, {t} + 1]"
+
+
+@query(
+    "holt_winters_forecast_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+l AS (
+    SELECT list_transform(
+               list_sort(list(struct_pack(d := d, v := revenue))),
+               e -> e.v) AS a
+    FROM daily
+),
+state AS (
+    -- DuckDB list_reduce takes no init: the init state rides as the
+    -- first element (DOUBLE[] elements may differ in length)
+    SELECT len(a) AS n,
+           list_reduce(
+               list_prepend(
+                   [a[1], CAST(0 AS DOUBLE),
+                    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                    CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)],
+                   list_transform(a[2:], y -> [y])),
+               (acc, x) -> {_hw_step_sql('acc', 'x[1]')}) AS s
+    FROM l
+)
+SELECT h.h AS horizon_days,
+       CAST(n AS BIGINT) AS n_days,
+       s[1] AS level,
+       s[2] AS trend,
+       s[3 + (n - 1 + h.h) % {_HW_M}] AS seasonal,
+       s[1] + h.h * s[2] + s[3 + (n - 1 + h.h) % {_HW_M}] AS forecast
+FROM state, (SELECT unnest(generate_series(1, {_HW_M})) AS h) h
+""",
+)
+def holt_winters_forecast_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecast (weekly m=7) of daily
+    revenue — the full triple-exponential-smoothing upgrade of the
+    certified Holt query, the workhorse for seasonal operational
+    series. State is a 10-element DOUBLE list [level, trend, s0..s6,
+    t] folded over the date-sorted series: the list accumulator is the
+    established cross-engine device (struct accumulators rebind
+    sequentially in DuckDB), the new level is INLINED into the trend
+    and seasonal updates so both engines evaluate one identical
+    expression tree, and α=0.5, β=0.25, γ=0.5 are binary-exact. Init
+    is pinned (l0 = y0, b0 = 0, s = 0⃗ — the first week learns the
+    seasonals). Forecast ŷ(h) = l + h·b + s[(n−1+h) mod 7]. Like all
+    the calendar folds: one fact-sized rollup, then one row of
+    state."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("d", F.col("revenue").alias("v")))
+            ),
+            lambda e: e["v"],
+        ).alias("a")
+    )
+    a_, b_, g_, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+
+    def step(acc, y):
+        l = F.element_at(acc, 1)
+        tr = F.element_at(acc, 2)
+        t = F.element_at(acc, 10)
+        j = t.cast("long") % m
+        sj = F.element_at(acc, (j + 3).cast("int"))
+        newl = F.lit(a_) * (y - sj) + F.lit(1 - a_) * (l + tr)
+        newb = F.lit(b_) * (newl - l) + F.lit(1 - b_) * tr
+        parts = [newl, newb]
+        for jp in range(m):
+            sjp = F.element_at(acc, 3 + jp)
+            parts.append(
+                F.when(
+                    j == jp,
+                    F.lit(g_) * (y - newl) + F.lit(1 - g_) * sjp,
+                ).otherwise(sjp)
+            )
+        parts.append(t + 1)
+        return F.array(*parts)
+
+    init = F.array(
+        F.element_at(F.col("a"), 1),
+        *([F.lit(0.0)] * (m + 1)),
+        F.lit(1.0),
+    )
+    state = arr.select(
+        F.size("a").alias("n"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1), init, step
+        ).alias("s"),
+    )
+    return state.select(
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("horizon_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.element_at("s", 1).alias("level"),
+        F.element_at("s", 2).alias("trend"),
+        F.element_at(
+            "s",
+            (3 + (F.col("n") - 1 + F.col("horizon_days")) % m).cast("int"),
+        ).alias("seasonal"),
+        (
+            F.element_at("s", 1)
+            + F.col("horizon_days") * F.element_at("s", 2)
+            + F.element_at(
+                "s",
+                (3 + (F.col("n") - 1 + F.col("horizon_days")) % m).cast(
+                    "int"
+                ),
+            )
+        ).alias("forecast"),
+    )

@@ -763,3 +763,45 @@ def test_littles_law_holds_and_did_cells_complete(spark):
     assert did.did_estimate == (did.t_post - did.t_pre) - (
         did.c_post - did.c_pre
     )
+
+
+def test_holt_winters_matches_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_M,
+        holt_winters_forecast_daily_revenue,
+    )
+    import duckdb
+
+    ys = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                           AS DOUBLE) AS revenue
+                FROM '{SF_DIR}/orders.parquet'
+                GROUP BY date_trunc('day', o_orderdate)
+                ORDER BY date_trunc('day', o_orderdate)"""
+        ).fetchall()
+    ]
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    l, tr, s = ys[0], 0.0, [0.0] * m
+    for t, y in enumerate(ys[1:], start=1):
+        j = t % m
+        newl = a * (y - s[j]) + (1 - a) * (l + tr)
+        newb = b * (newl - l) + (1 - b) * tr
+        s[j] = g * (y - newl) + (1 - g) * s[j]
+        l, tr = newl, newb
+    rows = (
+        holt_winters_forecast_daily_revenue(spark, SF_DIR)
+        .orderBy("horizon_days")
+        .collect()
+    )
+    n = len(ys)
+    assert rows[0].n_days == n
+    for r in rows:
+        h = r.horizon_days
+        assert r.level == l and r.trend == tr
+        assert r.seasonal == s[(n - 1 + h) % m]
+        assert r.forecast == l + h * tr + s[(n - 1 + h) % m]

@@ -3600,3 +3600,188 @@ def holt_winters_forecast_daily_revenue(
             )
         ).alias("forecast"),
     )
+
+
+@query(
+    "session_engagement_summary",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq,
+           epoch_us(ts) AS t_us
+    FROM flagged
+),
+spans AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(t_us) - MIN(t_us) AS BIGINT) AS dur_us
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+       CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE) / COUNT(*)
+           AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+       (CAST(SUM(dur_us) AS DOUBLE) / COUNT(*)) / 60000000
+           AS mean_dwell_minutes,
+       list_sort(list(dur_us))[CAST((COUNT(*) + 1) // 2 AS BIGINT)]
+           / CAST(60000000 AS DOUBLE) AS median_dwell_minutes
+FROM spans
+""",
+)
+def session_engagement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics engagement readout over 30-minute sessions:
+    session count, bounce rate (single-event sessions), events per
+    session, and mean + median dwell time — the dashboard row every
+    web/app analytics stack reports. Durations are exact integer
+    microseconds; the median is a lower-median ORDER STATISTIC and
+    every rate is one exact-integer division, so the whole row is
+    hash-exact. Same one-exchange sessionize device as the certified
+    session family; the final fold is one row."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        F.sum(is_new).over(run).alias("session_seq"),
+        us.alias("t_us"),
+    )
+    spans = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("dur_us"),
+    )
+    agg = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("n_events").cast("long").alias("tot_events"),
+        F.sum("dur_us").cast("long").alias("tot_dur"),
+        F.sort_array(F.collect_list("dur_us")).alias("ds"),
+    )
+    return agg.select(
+        "n_sessions",
+        "n_bounces",
+        (F.col("n_bounces").cast("double") / F.col("n_sessions")).alias(
+            "bounce_rate"
+        ),
+        (F.col("tot_events").cast("double") / F.col("n_sessions")).alias(
+            "events_per_session"
+        ),
+        (
+            (F.col("tot_dur").cast("double") / F.col("n_sessions"))
+            / 60_000_000
+        ).alias("mean_dwell_minutes"),
+        (
+            F.element_at(
+                "ds", ((F.col("n_sessions") + 1) / 2).cast("int")
+            )
+            / F.lit(60_000_000.0)
+        ).alias("median_dwell_minutes"),
+    )
+
+
+def _abc_xyz_oracle() -> str:
+    from stadvdb_olap_spark.plans.catalog import REGISTRY
+
+    abc = REGISTRY["abc_classification_parts"].oracle
+    return f"""
+WITH abc AS MATERIALIZED ({abc}),
+wk AS (
+    SELECT l_partkey,
+           date_trunc('week', l_shipdate) AS w,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+),
+horizon AS (
+    SELECT CAST(COUNT(DISTINCT date_trunc('week', l_shipdate)) AS BIGINT)
+        AS n_weeks
+    FROM lineitem
+),
+mom AS (
+    SELECT l_partkey,
+           CAST(SUM(q) AS BIGINT) AS s1,
+           CAST(SUM(q * q) AS BIGINT) AS s2
+    FROM wk GROUP BY l_partkey
+),
+cv AS (
+    SELECT l_partkey,
+           sqrt(greatest(
+               CAST(s2 AS DOUBLE) / n_weeks
+                   - (CAST(s1 AS DOUBLE) / n_weeks)
+                   * (CAST(s1 AS DOUBLE) / n_weeks),
+               CAST(0 AS DOUBLE)))
+               / (CAST(s1 AS DOUBLE) / n_weeks) AS cv
+    FROM mom CROSS JOIN horizon
+)
+SELECT abc.l_partkey, abc.abc_class, cv.cv,
+       CASE WHEN cv.cv <= 0.5 THEN 'X'
+            WHEN cv.cv <= 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM abc JOIN cv USING (l_partkey)
+"""
+
+
+@query("abc_xyz_matrix_parts", oracle=_abc_xyz_oracle())
+def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory matrix: the certified Pareto revenue classes
+    crossed with demand-variability classes from the coefficient of
+    variation of WEEKLY demand (zero-demand weeks included via the
+    global week horizon — the standard XYZ convention: X ≤ 0.5 steady,
+    Y ≤ 1.0 seasonal/irregular, Z erratic). The planning matrix behind
+    stocking policy (A-X → automate, C-Z → make-to-order). Exactness:
+    weekly quantities are exact BIGINTs, population variance derives
+    from Σq, Σq² and the week count with a PINNED op order (guarded at
+    zero), and CV spends one sqrt + divisions — identical doubles both
+    engines. One extra (part, week) aggregate + a part-keyed join onto
+    the ABC ranking."""
+    from stadvdb_olap_spark.plans.compat import money_sum
+
+    abc = abc_classification_parts(spark, sf_dir).select(
+        "l_partkey", "abc_class"
+    )
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    horizon = li.agg(
+        F.count_distinct(F.date_trunc("week", "l_shipdate"))
+        .cast("long")
+        .alias("n_weeks")
+    )
+    mom = wk.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_weeks")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_weeks") - mean * mean,
+        F.lit(0.0),
+    )
+    cv = mom.crossJoin(F.broadcast(horizon)).select(
+        "l_partkey", (F.sqrt(var) / mean).alias("cv")
+    )
+    return abc.join(cv, "l_partkey").select(
+        "l_partkey",
+        "abc_class",
+        "cv",
+        F.when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

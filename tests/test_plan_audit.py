@@ -102,6 +102,7 @@ _BNLJ_OK = {
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts
     "record_linkage_selfmatch_customers",  # 1-row dirty-count broadcast
     "littles_law_audit_sessions",  # 1-row sweep-area broadcast
+    "abc_xyz_matrix_parts",  # 1-row week-horizon broadcast
     "temperature_mixture_docs",  # 1-row min-source-count broadcast
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
     "triangle_stats_parts",  # 1-row wedge-count broadcast

@@ -3750,7 +3750,6 @@ def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero), and CV spends one sqrt + divisions — identical doubles both
     engines. One extra (part, week) aggregate + a part-keyed join onto
     the ABC ranking."""
-    from stadvdb_olap_spark.plans.compat import money_sum
 
     abc = abc_classification_parts(spark, sf_dir).select(
         "l_partkey", "abc_class"

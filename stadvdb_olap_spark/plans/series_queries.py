@@ -3784,3 +3784,111 @@ def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+_CROSTON_ALPHA = 0.5
+_CROSTON_QMIN = 49  # rare-demand screen: quantity >= 49 is ~4% of lines
+
+
+def _croston_step_sql(acc: str, x: str) -> str:
+    a = _CROSTON_ALPHA
+    z, p, prev = f"{acc}[1]", f"{acc}[2]", f"{acc}[3]"
+    y, day = f"{x}[1]", f"{x}[2]"
+    newz = f"(CAST('{a!r}' AS DOUBLE) * {y} + CAST('{1 - a!r}' AS DOUBLE) * {z})"
+    newp = (
+        f"(CAST('{a!r}' AS DOUBLE) * ({day} - {prev})"
+        f" + CAST('{1 - a!r}' AS DOUBLE) * {p})"
+    )
+    return f"[{newz}, {newp}, {day}]"
+
+
+@query(
+    "croston_intermittent_demand",
+    oracle=f"""
+WITH demand AS (
+    SELECT CAST(l_shipdate AS DATE) AS d,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem WHERE l_quantity >= {_CROSTON_QMIN}
+    GROUP BY 1
+),
+l AS (
+    SELECT list_transform(
+               list_sort(list(struct_pack(d := d, q := q))),
+               e -> [CAST(e.q AS DOUBLE),
+                     CAST(date_diff('day', DATE '1970-01-01', e.d)
+                          AS DOUBLE)]) AS a
+    FROM demand
+),
+state AS (
+    SELECT len(a) AS n,
+           list_reduce(
+               list_prepend([a[1][1], CAST(1 AS DOUBLE), a[1][2]], a[2:]),
+               (acc, x) -> {_croston_step_sql('acc', 'x')}) AS s
+    FROM l
+)
+SELECT CAST(n AS BIGINT) AS n_demand_days,
+       s[1] AS demand_level,
+       s[2] AS mean_interval_days,
+       s[1] / s[2] AS forecast_per_day
+FROM state
+""",
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand — the standard
+    forecaster when most periods have zero demand (spare parts, tail
+    SKUs), where plain exponential smoothing collapses toward zero:
+    smooth the nonzero demand sizes and the inter-demand intervals
+    SEPARATELY (α=0.5, binary-exact), forecast = level/interval per
+    day. The demand series is the rare-tail screen (daily quantity
+    from lines with q >= 49); the fold runs over nonzero-demand
+    days only with calendar-day intervals, state [z, p, last_day] as a
+    DOUBLE[3] list (the Holt-Winters list-fold device, init prepended),
+    so both engines replay the identical recurrence. One fact-sized
+    filtered rollup, one row of state."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    demand = (
+        li.filter(F.col("l_quantity") >= _CROSTON_QMIN)
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    arr = demand.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "q"))),
+            lambda e: F.array(
+                e["q"].cast("double"),
+                F.datediff(e["d"], F.lit("1970-01-01").cast("date")).cast(
+                    "double"
+                ),
+            ),
+        ).alias("a")
+    )
+    a_ = _CROSTON_ALPHA
+
+    def step(acc, x):
+        z = F.element_at(acc, 1)
+        p = F.element_at(acc, 2)
+        prev = F.element_at(acc, 3)
+        y = F.element_at(x, 1)
+        day = F.element_at(x, 2)
+        newz = F.lit(a_) * y + F.lit(1 - a_) * z
+        newp = F.lit(a_) * (day - prev) + F.lit(1 - a_) * p
+        return F.array(newz, newp, day)
+
+    first = F.element_at(F.col("a"), 1)
+    init = F.array(
+        F.element_at(first, 1), F.lit(1.0), F.element_at(first, 2)
+    )
+    state = arr.select(
+        F.size("a").alias("n"),
+        F.aggregate(
+            F.slice("a", 2, F.size("a") - 1), init, step
+        ).alias("s"),
+    )
+    return state.select(
+        F.col("n").cast("long").alias("n_demand_days"),
+        F.element_at("s", 1).alias("demand_level"),
+        F.element_at("s", 2).alias("mean_interval_days"),
+        (F.element_at("s", 1) / F.element_at("s", 2)).alias(
+            "forecast_per_day"
+        ),
+    )

@@ -805,3 +805,34 @@ def test_holt_winters_matches_python_reference(spark):
         assert r.level == l and r.trend == tr
         assert r.seasonal == s[(n - 1 + h) % m]
         assert r.forecast == l + h * tr + s[(n - 1 + h) % m]
+
+
+def test_croston_matches_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        _CROSTON_ALPHA,
+        _CROSTON_QMIN,
+        croston_intermittent_demand,
+    )
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(l_shipdate AS DATE) AS d,
+                   SUM(CAST(l_quantity AS BIGINT)) AS q
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_quantity >= {_CROSTON_QMIN}
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    a = _CROSTON_ALPHA
+    z = float(rows[0][1])
+    p = 1.0
+    prev = rows[0][0].toordinal()
+    for d, q in rows[1:]:
+        day = d.toordinal()
+        z = a * float(q) + (1 - a) * z
+        p = a * (day - prev) + (1 - a) * p
+        prev = day
+    got = croston_intermittent_demand(spark, SF_DIR).collect()[0]
+    assert got.n_demand_days == len(rows)
+    assert got.demand_level == z
+    assert got.mean_interval_days == p
+    assert got.forecast_per_day == z / p

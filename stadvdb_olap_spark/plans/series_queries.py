@@ -3892,3 +3892,80 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_per_day"
         ),
     )
+
+
+@query(
+    "price_index_laspeyres_yearly",
+    oracle="""
+WITH py AS (
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+           l_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p
+    FROM lineitem GROUP BY 1, 2
+),
+base AS (
+    SELECT l_partkey, q AS q0, p AS p0 FROM py
+    WHERE y = (SELECT MIN(y) FROM py)
+),
+terms AS (
+    SELECT py.y,
+           py.p * b.q0 AS num_term,
+           b.p0 * b.q0 AS den_term
+    FROM py JOIN base b USING (l_partkey)
+)
+SELECT y,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_sort(list(num_term))), (a, b) -> a + b)
+       / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_sort(list(den_term))), (a, b) -> a + b) AS laspeyres_index
+FROM terms GROUP BY y
+""",
+)
+def price_index_laspeyres_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship-year: Σ p_t·q₀ / Σ p₀·q₀ over the
+    parts traded in the base (first) year — the fixed-basket inflation
+    measure (the CPI construction), answering "how much would the
+    base-year basket cost at year-t prices". Per-(year, part) unit
+    price = exact decimal revenue / exact integer quantity (one
+    division); each basket term is one double multiply; both basket
+    sums fold over SORTED term arrays (the sorted-fold device) so the
+    index is hash-exact. Two keyed aggregates + one part-keyed join;
+    the base-year basket broadcasts at any scale."""
+    from pyspark.sql import Window  # noqa: F401
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    py = li.groupBy(
+        F.year("l_shipdate").cast("long").alias("y"), "l_partkey"
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.sum(F.col("l_quantity").cast("long")).cast("double")
+        ).alias("p"),
+    )
+    y0 = py.agg(F.min("y").alias("y0"))
+    base = (
+        py.join(F.broadcast(y0), py["y"] == y0["y0"])
+        .select(
+            "l_partkey",
+            F.col("q").alias("q0"),
+            F.col("p").alias("p0"),
+        )
+    )
+    terms = py.join(base, "l_partkey").select(
+        "y",
+        (F.col("p") * F.col("q0")).alias("num_term"),
+        (F.col("p0") * F.col("q0")).alias("den_term"),
+    )
+    fold = lambda c: F.aggregate(
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    return terms.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (fold("num_term") / fold("den_term")).alias("laspeyres_index"),
+    )

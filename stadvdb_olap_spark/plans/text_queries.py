@@ -1148,3 +1148,56 @@ def readability_fk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(_FK_C)
         ).alias("fk_grade"),
     )
+
+
+@query(
+    "lexical_diversity_by_source",
+    oracle=f"""
+WITH t AS (
+    SELECT source, unnest({T.tokens_sql('text')}) AS tok FROM documents
+),
+tf AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS DOUBLE) / SUM(n) AS type_token_ratio,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) FILTER (n = 1) AS DOUBLE) / COUNT(*)
+           AS hapax_share
+FROM tf GROUP BY source
+""",
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document source: token count,
+    vocabulary size (types), type-token ratio, and the hapax-legomenon
+    share (types appearing exactly once) — the corpus-health metrics
+    a pretraining data report tracks per source (synthetic or
+    template-generated sources show up immediately as low TTR / low
+    hapax share; near-random text as the opposite). Pure integer
+    counting with two exact divisions — hash-exact. One explode + two
+    hash aggregates keyed on (source, token) then source; at 100 TB
+    the (source, token) aggregate is the only real shuffle and is
+    exactly the TF pass the certified TF-IDF queries already run."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n")).alias(
+            "type_token_ratio"
+        ),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_share"),
+    )

@@ -71,8 +71,8 @@ def query(
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
 ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced: 50 of the 63 queries without a
-    # driver row (13 spill to the round-6 window; the r1 staleness
+    # never-windowed, family-balanced: 50 of the 69 queries without a
+    # driver row (19 spill to the round-6 window; the r1 staleness
     # refresh resumes in round 6)
     "domain_rollup_docs",
     "format_roundtrip_orders",
@@ -115,6 +115,7 @@ ROUND5_FRONT: tuple[str, ...] = (
     "ann_ivf_fixed_topk",
     "triangle_stats_parts",
     "wow_growth_revenue",
+    "lexical_diversity_by_source",
     "semdedup_fixed_centroids",
     "lpa_modularity_parts",
     "share_of_total_by_segment",
@@ -123,7 +124,6 @@ ROUND5_FRONT: tuple[str, ...] = (
     "cusum_changepoints_daily_revenue",
     "pagerank_weighted_copurchase_3iter",
     "rolling_corr_click_purchase_7d",
-    "episode_triples_sessions",
 )
 
 

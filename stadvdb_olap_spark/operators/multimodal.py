@@ -456,9 +456,12 @@ def sample_frames(
         .select(
             id_col,
             F.col("frame_no").cast("long").alias("frame_no"),
+            # hex, not base64: Spark's base64() MIME-chunks with \r\n
+            # every 76 chars, so its output is not the RFC 4648 string
+            # other engines produce; hex is unambiguous everywhere.
             F.md5(
                 F.concat(
-                    F.base64(F.col("__content")),
+                    F.hex(F.col("__content")),
                     F.lit("|"),
                     F.col("frame_no").cast("string"),
                 )

@@ -53,90 +53,90 @@ def query(
     return deco
 
 
-# ROUND-5 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. Rounds 1-4 signed
-# 189 queries (latest-fail 0). This front = 50 never-windowed
-# oracle-backed queries (the 21 pending at rotation time plus the 14
-# added later in round 5: graph analytics, sketches, multiprobe LSH,
-# GEMM tiers, textrank, HLL, rendezvous, temperature mixture, k-core,
-# k-anonymity, episode triples, Hampel, Poisson bootstrap,
-# calibration bins), then 9
-# staleness re-certifications: signed queries oldest-green-row first
-# (r1-signed advanced/analytics/tpch rows, now three rounds of
-# refactors old). Produced verbatim by `python tools/next_window.py`,
-# which now appends the staleness fill after the never-windowed set.
+# ROUND-6 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-5 signed
+# 239 queries (latest-fail 0). This front = the 19 remaining never-windowed
+# oracle-backed queries (the late-round-5 forecasting/ops additions:
+# Holt-Winters, Croston, Theil-Sen, Mann-Kendall, Mann-Whitney, Shapley,
+# recsys offline eval, TWAP, Laspeyres, ABC-XYZ, streaks, Little's law,
+# engagement, QQ drift, Hampel, Fano, episodes, decayed trending, lexical
+# diversity) followed by 31 staleness re-certifications: signed queries
+# oldest-green-row-first (r1-signed advanced/analytics/tpch rows, now four
+# rounds of refactors old). Produced verbatim by `python
+# tools/next_window.py`, which appends the staleness fill after the
+# never-windowed set. After this round every oracle-backed query has a
+# driver-signed row.
 #
-# ROUND-6 ROTATION: run `python tools/next_window.py` — it diffs the
+# ROUND-7 ROTATION: run `python tools/next_window.py` — it diffs the
 # catalog against every CORRECTNESS_r*.json (counting only
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
-ROUND5_FRONT: tuple[str, ...] = (
-    # never-windowed, family-balanced: 50 of the 69 queries without a
-    # driver row (19 spill to the round-6 window; the r1 staleness
-    # refresh resumes in round 6)
-    "domain_rollup_docs",
-    "format_roundtrip_orders",
-    "cramers_v_priority_status",
-    "pagerank_copurchase_3iter",
-    "pack_concat_offsets_docs",
-    "gopher_rules_filter_docs",
-    "poisson_bootstrap_ci_revenue",
-    "zorder_key_orders",
-    "holt_forecast_daily_revenue",
-    "countmin_term_frequency_docs",
-    "quality_logit_filter_docs",
-    "ann_lsh_multiprobe_topk",
-    "bpe_encode_pinned_docs",
-    "record_linkage_selfmatch_customers",
-    "supplier_covisit_jaccard",
-    "epoch_shuffle_layout_docs",
-    "k_anonymity_audit_customers",
-    "conformal_interval_order_totals",
-    "zonemap_prune_layouts_orders",
-    "max_concurrent_sessions_hourly",
-    "bloom_filter_customer_probe",
-    "rrf_fusion_topk_docs",
-    "ann_topk_pandas_gemm",
-    "span_corrupt_docs",
-    "diff_in_diff_event_value",
-    "lpa_communities_parts",
-    "temperature_mixture_docs",
-    "calibration_bins_quality_vs_rules",
-    "join_cardinality_audit_lineitem",
-    "abc_classification_parts",
-    "hll_registers_users_events",
-    "tree_ensemble_score_docs",
-    "ann_topk_arrow_gemm",
-    "dedup_recall_audit_docs",
-    "textrank_keywords_docs",
-    "rendezvous_shard_docs",
-    "holt_forecast_by_event_type",
-    "readability_fk_docs",
-    "ann_ivf_fixed_topk",
-    "triangle_stats_parts",
-    "wow_growth_revenue",
-    "lexical_diversity_by_source",
-    "semdedup_fixed_centroids",
-    "lpa_modularity_parts",
-    "share_of_total_by_segment",
-    "pca_projection_embeddings",
-    "kcore_parts_k90",
-    "cusum_changepoints_daily_revenue",
-    "pagerank_weighted_copurchase_3iter",
-    "rolling_corr_click_purchase_7d",
+ROUND6_FRONT: tuple[str, ...] = (
+    # 19 never-windowed (judge-verified MATCH in the r5 verdict)
+    "episode_triples_sessions",
+    "hampel_outliers_daily_revenue",
+    "mase_seasonal_naive_daily_revenue",
+    "decile_qq_drift_events_value",
+    "mann_whitney_value_click_purchase",
+    "purchase_streaks_customers",
+    "twap_daily_value_by_type",
+    "shapley_attribution_channels",
+    "theil_sen_trend_daily_revenue",
+    "mann_kendall_trend_daily_revenue",
+    "decayed_trending_event_types",
+    "recsys_eval_covisit_topk",
+    "fano_burstiness_event_types",
+    "littles_law_audit_sessions",
+    "holt_winters_forecast_daily_revenue",
+    "session_engagement_summary",
+    "abc_xyz_matrix_parts",
+    "croston_intermittent_demand",
+    "price_index_laspeyres_yearly",
+    # 31 staleness re-certs (signed r1, oldest green rows)
+    "asof_join_events_orders",
+    "click_purchase_attribution",
+    "cohort_weekly_retention",
+    "cube_order_status_priority",
+    "distinct_parts_per_flag",
+    "events_by_type",
+    "events_json_props",
+    "events_sessionize_30m",
+    "events_sliding_3h_1h",
+    "events_tumbling_1h",
+    "gapfill_daily_revenue",
+    "grouping_sets_revenue",
+    "histogram_order_totals",
+    "iqr_outlier_events",
+    "min_price_row_per_part",
+    "moving_avg_daily_revenue",
+    "ntile_customers_by_balance",
+    "ols_price_vs_quantity_by_flag",
+    "order_gaps_lag",
+    "order_keys_concat_per_customer",
+    "orders_above_global_avg",
+    "percentiles_by_priority",
+    "pivot_event_type_daily",
+    "profile_orders",
+    "q13_customer_order_distribution",
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q4_priority_with_late_lines",
+    "q5_revenue_by_nation",
+    "q7_nation_trade_volume",
+    "q9_profit_by_nation_year",
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND5_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND6_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
     # 50-query certification window — fail loudly instead (real raises,
     # not asserts: the guard must survive python -O).
-    missing = set(ROUND5_FRONT) - set(REGISTRY)
+    missing = set(ROUND6_FRONT) - set(REGISTRY)
     if missing:
         raise ValueError(f"front names not in registry: {sorted(missing)}")
-    bad = [n for n in ROUND5_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    bad = [n for n in ROUND6_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
     if bad:
         raise ValueError(
             f"front names must be oracle-backed and non-deferred: {bad}"
@@ -170,7 +170,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # Window positions are decided by the ROUND5_FRONT tuple above, not
+    # Window positions are decided by the ROUND6_FRONT tuple above, not
     # by this import order (front names sort first; everything else
     # keeps registration order behind them, deferred rows-only last).
     # Import order only breaks ties among non-front queries, so the

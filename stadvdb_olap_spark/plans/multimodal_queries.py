@@ -63,11 +63,28 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None, defer=True)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS frame_no,
+       md5(concat(hex(encode(text)), '|', CAST(k AS VARCHAR)))
+         AS frame_fingerprint
+FROM docs, unnest(generate_series(0, (length(text) - 1) // 64)) AS u(k)
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling plumbing (rows-only check): one row per
-    sampled offset, exploded on the executors."""
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    """Video-style frame sampling plumbing: one row per sampled offset,
+    exploded on the executors (never the driver). Fully SQL-certifiable —
+    the fake fingerprint is md5(hex(payload) || '|' || frame_no), and
+    both engines produce identical uppercase hex and md5 strings, so the
+    oracle reconstructs every row exactly (fixture text is ASCII: char
+    length == byte length). Deterministic doc subset via a key
+    predicate, not LIMIT."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = attach_media_column(docs, F.encode("text", "utf-8"), "video", "raw")
     return sample_frames(media, "content", "doc_id", every_n_bytes=64)
 
@@ -179,12 +196,76 @@ def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_decoded(media, "content", "doc_id", every_n_frames=2)
 
 
-@query("multimodal_wav_real_decode", oracle=None, defer=True)
+# The wav feature math is exactly reconstructible in SQL because every
+# intermediate is a dyadic rational below 2^53: samples are
+# (byte-128)/128 (denominator 2^7), squares m/2^14 with <=400 terms
+# (sum numerator < 2^23+lg400 < 2^53), so float addition is EXACT in any
+# order — numpy's pairwise sum and DuckDB's sequential sum agree
+# bit-for-bit — and the final avg/sqrt divisions are single correctly-
+# rounded IEEE ops on identical inputs. (Contrast the PPM/Y4M codecs,
+# whose /255 terms are non-dyadic and stay rows-only.)
+_WAV_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, 400) AS t
+  FROM documents WHERE doc_id < 200
+),
+samp AS (
+  SELECT doc_id,
+         k,
+         CAST(ascii(substr(t, k, 1)) - 128 AS DOUBLE)
+           / CAST(128 AS DOUBLE) AS x
+  FROM docs, unnest(generate_series(1, length(t))) AS u(k)
+),
+lagged AS (
+  SELECT doc_id, x,
+         CASE WHEN x < 0 THEN 1 ELSE 0 END AS sb,
+         lag(CASE WHEN x < 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY k) AS psb
+  FROM samp
+)
+SELECT doc_id,
+       CAST(44 + 2 * count(*) AS BIGINT) AS n_bytes,
+       sqrt(avg(x * x)) AS f0,
+       max(abs(x)) AS f1,
+       CAST(sum(abs(sb - psb)) AS DOUBLE)
+         / CAST(count(*) - 1 AS DOUBLE) AS f2,
+       avg(x) AS f3,
+       CAST((count(*) * 1000) // 8000 AS DOUBLE)
+         / CAST(1000 AS DOUBLE) AS f4,
+       CAST(1 AS DOUBLE) AS f5,
+       CAST(8000 AS DOUBLE) / CAST(48000 AS DOUBLE) AS f6,
+       CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS f7,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM lagged
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_wav_real_decode", oracle=_WAV_ORACLE)
 def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode path via the stdlib wave module: docs rendered
-    into valid 16-bit PCM WAVs, decoded back to RMS / peak /
-    zero-crossing / duration features. Unit-tested exactly
-    (`test_wav_decode_features_exact`); rows-only at corpus width."""
-    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    into valid 16-bit PCM WAVs (44-byte header + one int16 sample per
+    text byte), decoded back to RMS / peak / zero-crossing-rate / DC /
+    duration features. Unit-tested exactly
+    (`test_wav_decode_features_exact`) AND oracle-certified: the sample
+    values (byte-128)/128 and their squares are dyadic rationals whose
+    sums stay exact in float64, so DuckDB re-derives every feature
+    bit-for-bit from the text bytes (see _WAV_ORACLE). Features publish
+    as wide f0..f7 DOUBLE columns per the certification output-type
+    rule; pipeline consumers take the array form from
+    ``extract_features`` directly. Deterministic doc subset via a key
+    predicate, not LIMIT. Fixture min text length is 44 chars, so the
+    zero-crossing denominator n-1 is never 0."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
     media = docs.mapInPandas(_text_to_wav_batch, _MEDIA_GEN_SCHEMA)
-    return extract_features(media, "content", "doc_id", codec="wav")
+    feats = extract_features(media, "content", "doc_id", codec="wav")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
+        "decode_error",
+    )

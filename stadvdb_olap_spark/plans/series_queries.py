@@ -3969,3 +3969,194 @@ def price_index_laspeyres_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         (fold("num_term") / fold("den_term")).alias("laspeyres_index"),
     )
+
+
+_TREND_WINDOW_DAYS = 90
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue as exact integer cents with a dense day rank —
+    shared base of the trend estimators (exact: decimal sum, *100,
+    BIGINT)."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "cents",
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        )
+    )
+
+
+def _windowed_pairs(daily: DataFrame, w: int) -> DataFrame:
+    """All (a, b) day pairs with 1 <= t_b - t_a <= w, built as an
+    explode + EQUI-join rather than a range join: each left row fans
+    out into its w candidate lags and joins hash-partitioned on the
+    right day rank. A `b.t BETWEEN a.t+1 AND a.t+w` predicate would
+    plan as BroadcastNestedLoopJoin (all-pairs work bounded only by
+    the broadcast); the explode form shuffles O(n*w) rows on an exact
+    key and survives a minute-grain series where n^2 pairs would not."""
+    a = daily.select(F.col("cents").alias("ca"), F.col("t").alias("ta"))
+    b = daily.select(F.col("cents").alias("cb"), F.col("t").alias("tb"))
+    fan = a.select(
+        "ca",
+        "ta",
+        F.explode(F.sequence(F.lit(1), F.lit(w))).alias("lag"),
+    ).select("ca", "ta", (F.col("ta") + F.col("lag")).alias("tb"))
+    return fan.join(b, "tb")
+
+
+@query(
+    "theil_sen_windowed_trend_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents,
+           CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+               AS BIGINT) AS t
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+slopes AS (
+    SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.t - a.t) AS s
+    FROM daily a JOIN daily b
+      ON b.t > a.t AND b.t <= a.t + {_TREND_WINDOW_DAYS}
+),
+med AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           list_sort(list(s))[CAST((COUNT(*) + 1) // 2 AS BIGINT)]
+               AS slope_cents
+    FROM slopes
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ic AS (
+    SELECT list_sort(list(cents - slope_cents * t))[
+               CAST((COUNT(*) + 1) // 2 AS BIGINT)] AS icpt_cents
+    FROM daily CROSS JOIN med
+)
+SELECT n_days, n_pairs,
+       slope_cents / 100 AS slope_per_day,
+       icpt_cents / 100 AS intercept
+FROM med CROSS JOIN nd CROSS JOIN ic
+""",
+)
+def theil_sen_windowed_trend_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-lag Theil–Sen: the median pairwise slope restricted to
+    pairs at most 90 days apart — the variant that survives a
+    100x-finer time grain, where the exact estimator's O(n^2) pair set
+    (fine at calendar resolution, see `theil_sen_trend_daily_revenue`)
+    would explode. Pair generation is an explode + equi-join on the
+    day rank (O(n*W) rows, hash-shuffled — never a nested-loop range
+    join), so cost is linear in series length at fixed W. The
+    windowed estimator keeps Theil–Sen's exactness story: integer
+    cents / integer day gaps, one correctly rounded division per pair,
+    lower-median order statistics only. Siegel (1982) and the
+    monitoring literature use the same bounded-lag device for long
+    series."""
+    daily = _daily_cents(spark, sf_dir)
+    slopes = _windowed_pairs(daily, _TREND_WINDOW_DAYS).select(
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("s")
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sort_array(F.collect_list("s")).alias("ss"),
+    ).select(
+        "n_pairs",
+        F.element_at(
+            "ss", ((F.col("n_pairs") + 1) / 2).cast("int")
+        ).alias("slope_cents"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ic = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            (F.col("cents") - F.col("slope_cents") * F.col("t")).alias("r")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nr"),
+            F.sort_array(F.collect_list("r")).alias("rs"),
+        )
+        .select(
+            F.element_at(
+                "rs", ((F.col("nr") + 1) / 2).cast("int")
+            ).alias("icpt_cents")
+        )
+    )
+    return (
+        med.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.col("slope_cents") / 100).alias("slope_per_day"),
+            (F.col("icpt_cents") / 100).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "mann_kendall_windowed_trend_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents,
+           CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+               AS BIGINT) AS t
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+s AS (
+    SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+               AS BIGINT) AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM daily a JOIN daily b
+      ON b.t > a.t AND b.t <= a.t + {_TREND_WINDOW_DAYS}
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs, s_stat,
+       CAST(s_stat AS DOUBLE) / n_pairs AS tau_windowed
+FROM s CROSS JOIN nd
+""",
+)
+def mann_kendall_windowed_trend_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-lag Mann–Kendall trend agreement: S summed over pairs at
+    most 90 days apart, published with the windowed pair count and
+    the ratio S/n_pairs (a windowed tau in [-1, 1]). The classical
+    variance/z-score formula assumes the FULL pair set, so this
+    variant deliberately reports the agreement score only — the exact
+    tie-corrected test lives in `mann_kendall_trend_daily_revenue`;
+    this one is the long-series screen run at grains where n^2 pairs
+    are unaffordable. Same explode + equi-join pair plan as windowed
+    Theil–Sen (O(n*W), hash-shuffled); all-integer arithmetic until
+    the single output division."""
+    daily = _daily_cents(spark, sf_dir)
+    s = _windowed_pairs(daily, _TREND_WINDOW_DAYS).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        (F.col("s_stat").cast("double") / F.col("n_pairs")).alias(
+            "tau_windowed"
+        ),
+    )

@@ -98,6 +98,8 @@ _BNLJ_OK = {
     "pagerank_weighted_copurchase_3iter",  # same 1-row broadcast
     "theil_sen_trend_daily_revenue",  # calendar-bounded pairwise-slope theta-join
     "mann_kendall_trend_daily_revenue",  # same calendar-bounded pair join
+    "theil_sen_windowed_trend_daily_revenue",  # pair join IS equi; 1-row median/count scalars crossed
+    "mann_kendall_windowed_trend_daily_revenue",  # same 1-row scalar cross
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts
     "record_linkage_selfmatch_customers",  # 1-row dirty-count broadcast

@@ -1201,3 +1201,96 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_share"),
     )
+
+
+_COLLOC_MIN_SUPPORT = 5
+_COLLOC_TOPK = 50
+
+
+@query(
+    "collocation_lift_bigrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+), bg AS MATERIALIZED (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {_COLLOC_MIN_SUPPORT}
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+scored AS (
+  SELECT w1, w2, c12, c1, c2,
+         CAST(c12 * n_bg AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS lift
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+)
+SELECT w1, w2, c12, c1, c2, lift,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rk
+  FROM scored
+)
+WHERE rk <= {_COLLOC_TOPK}
+""",
+)
+def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining by LIFT — observed bigram frequency over
+    the frequency expected if the two positions were independent,
+    lift = c12 * N / (c1 * c2) with first-/second-position margins (the
+    log of this is PMI; publishing the ratio keeps the output inside
+    the correctly-rounded-ops canon, per compat: ln is not correctly
+    rounded). Min support {_COLLOC_MIN_SUPPORT}, top {_COLLOC_TOPK} by
+    (lift DESC, w1, w2). Every count is an exact BIGINT, products stay
+    far under 2^53, and lift is ONE double division — both engines rank
+    bit-identical values, so the row_number cut is deterministic.
+    100 TB shape: three map-side-combinable hash aggregates over the
+    bigram stream and two model-key joins (the margins are dictionary-
+    sized); the final top-k is a single bounded window over the
+    support-filtered candidate set."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    n = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= _COLLOC_MIN_SUPPORT)
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (
+                (F.col("c12") * F.col("n_bg")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _COLLOC_TOPK)
+    )

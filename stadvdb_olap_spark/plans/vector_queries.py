@@ -564,3 +564,110 @@ def pca_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj(_PCA_V1).alias("pc1"),
         proj(_PCA_V2).alias("pc2"),
     )
+
+
+@query(
+    "embedding_centroid_drift_labels",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+cent AS MATERIALIZED (
+  SELECT label, dim,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list_sort(list(val))),
+           (a, x) -> a + x
+         ) / COUNT(*) AS c
+  FROM e GROUP BY label, dim
+),
+cv AS MATERIALIZED (
+  SELECT label,
+         list(c ORDER BY dim) AS v,
+         sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(list(c ORDER BY dim), x -> x * x)),
+           (a, x) -> a + x
+         )) AS nrm
+  FROM cent GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(generate_series(1, 64),
+                                     i -> a.v[i] * b.v[i])),
+         (acc, x) -> acc + x
+       ) / (a.nrm * b.nrm) AS cosine,
+       sqrt(list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(generate_series(1, 64),
+                                     i -> (a.v[i] - b.v[i])
+                                          * (a.v[i] - b.v[i]))),
+         (acc, x) -> acc + x
+       )) AS l2
+FROM cv a JOIN cv b ON a.label < b.label
+""",
+)
+def embedding_centroid_drift_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding centroids and their pairwise cosine / L2
+    separation — the drift screen a training pipeline runs between data
+    snapshots or label slices (centroids collapsing together = label
+    noise; a centroid walking away from its past position = distribution
+    shift). Certification exactness: float32 inputs widen to double
+    exactly; each centroid coordinate is a SORTED left-fold sum divided
+    once (compat device #4 — same addition order in both engines, so
+    bit-identical without dyadic restrictions); dot products and norms
+    fold the 64 dims in fixed index order on both sides; sqrt and the
+    final divisions are single correctly rounded ops. 100 TB shape: the
+    certified sorted-fold is the CANON device — the production path is
+    the plain per-dim map-side-combinable `F.sum`, one hash aggregate
+    over (label, dim) — and the pair stage is |labels|^2/2 = 45 rows,
+    driver-trivial either way."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select("label", "dim", F.col("val").cast("double").alias("val"))
+    cent = e.groupBy("label", "dim").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list("val")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    cv = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("v")
+    ).select(
+        "label",
+        "v",
+        F.sqrt(fold_sum(F.transform("v", lambda x: x * x))).alias("nrm"),
+    )
+    a = cv.select(
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cv.select(
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return a.join(b, F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        (
+            fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+            / (F.col("na") * F.col("nb"))
+        ).alias("cosine"),
+        F.sqrt(
+            fold_sum(F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)))
+        ).alias("l2"),
+    )

@@ -100,6 +100,8 @@ _BNLJ_OK = {
     "mann_kendall_trend_daily_revenue",  # same calendar-bounded pair join
     "theil_sen_windowed_trend_daily_revenue",  # pair join IS equi; 1-row median/count scalars crossed
     "mann_kendall_windowed_trend_daily_revenue",  # same 1-row scalar cross
+    "collocation_lift_bigrams",  # 1-row bigram-total broadcast
+    "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts
     "record_linkage_selfmatch_customers",  # 1-row dirty-count broadcast

@@ -836,3 +836,91 @@ def test_croston_matches_python_reference(spark):
     assert got.demand_level == z
     assert got.mean_interval_days == p
     assert got.forecast_per_day == z / p
+
+
+def test_windowed_trend_matches_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        _TREND_WINDOW_DAYS,
+        mann_kendall_windowed_trend_daily_revenue,
+        theil_sen_windowed_trend_daily_revenue,
+    )
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS cents
+            FROM '{SF_DIR}/orders.parquet'
+            GROUP BY CAST(o_orderdate AS DATE)
+            ORDER BY CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    ys = [r[0] for r in daily]
+    n = len(ys)
+    w = _TREND_WINDOW_DAYS
+    pairs = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, min(i + w, n - 1) + 1)
+    ]
+    slopes = sorted((ys[j] - ys[i]) / (j - i) for i, j in pairs)
+    ts = theil_sen_windowed_trend_daily_revenue(spark, SF_DIR).collect()[0]
+    assert ts.n_days == n
+    assert ts.n_pairs == len(pairs)
+    assert ts.slope_per_day == slopes[(len(slopes) + 1) // 2 - 1] / 100
+    # bounded-lag pair set is a strict subset of the full O(n^2) set
+    assert ts.n_pairs < n * (n - 1) // 2
+
+    s_stat = sum((ys[j] > ys[i]) - (ys[j] < ys[i]) for i, j in pairs)
+    mk = mann_kendall_windowed_trend_daily_revenue(spark, SF_DIR).collect()[0]
+    assert mk.s_stat == s_stat
+    assert mk.n_pairs == len(pairs)
+    assert -1.0 <= mk.tau_windowed <= 1.0
+
+
+def test_stratified_ate_matches_python_reference(spark):
+    from stadvdb_olap_spark.plans.series_queries import (
+        stratified_ate_priority_value,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT c_mktsegment,
+                   year(CAST(o_orderdate AS DATE)),
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF_DIR}/orders.parquet' o
+            JOIN '{SF_DIR}/customer.parquet' c
+              ON o_custkey = c_custkey"""
+    ).fetchall()
+    strata: dict = {}
+    for seg, y, tr, cents in rows:
+        st = strata.setdefault((seg, y), [0, 0, 0, 0])  # n1, n0, s1, s0
+        if tr:
+            st[0] += 1
+            st[2] += cents
+        else:
+            st[1] += 1
+            st[3] += cents
+    used = {k: v for k, v in strata.items() if v[0] > 0 and v[1] > 0}
+    n_total = sum(v[0] + v[1] for v in used.values())
+    n1t = sum(v[0] for v in used.values())
+    n0t = sum(v[1] for v in used.values())
+    ate_ref = (
+        sum(
+            ((v[0] + v[1]) / n_total) * (v[2] / v[0] - v[3] / v[1])
+            for v in used.values()
+        )
+        / 100
+    )
+    naive_ref = (
+        sum(v[2] for v in used.values()) / n1t
+        - sum(v[3] for v in used.values()) / n0t
+    ) / 100
+    got = stratified_ate_priority_value(spark, SF_DIR).collect()[0]
+    assert got.n_strata == len(used)
+    assert got.n_treated == n1t and got.n_control == n0t
+    # reference sums in arbitrary order -> approx; the EXACT cross-engine
+    # equality is the parity suite's job (sorted-fold canon)
+    assert got.ate == pytest.approx(ate_ref, rel=1e-9)
+    assert got.naive_diff == pytest.approx(naive_ref, rel=1e-9)
+    # the adjusted estimate must differ from naive only through the
+    # stratum reweighting; both live on the same cents scale
+    assert abs(got.att - got.ate) < abs(got.naive_diff) + 1e-6

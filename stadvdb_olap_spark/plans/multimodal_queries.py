@@ -269,3 +269,63 @@ def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
         "decode_error",
     )
+
+
+@query(
+    "multimodal_ppm_resize_fingerprint",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+px AS (
+  SELECT doc_id,
+         j,
+         chr(ascii(substr(
+           text,
+           ((3 * (8 * ((j // 3 // 16) // 2) + ((j // 3) % 16) // 2)
+             + j % 3) % length(text)) + 1,
+           1
+         ))) AS ch
+  FROM docs, unnest(generate_series(0, 767)) AS u(j)
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(781 AS BIGINT) AS n_bytes,
+       md5('P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10)
+           || string_agg(ch, '' ORDER BY j)) AS fp
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_ppm_resize_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image resize certified end-to-end at corpus width: docs
+    render into valid 8x8 binary P6 PPMs, the numpy nearest-neighbor
+    resample upscales to 16x16 (`resize_media(codec="ppm")`, the same
+    path the exact-pixel unit tests pin), and the output publishes the
+    new dimensions plus the md5 fingerprint of the RESIZED container
+    bytes. Certifiable because every byte is deterministic integer
+    arithmetic: output pixel (r, c) maps to source pixel
+    (r*8//16, c*8//16), the source body is the doc's ASCII bytes
+    repeated to 192, and the oracle rebuilds the full resized payload
+    (header + 768 body bytes, all ASCII) with string_agg and hashes it
+    — certifying the actual pixel bytes, not just counts. The sibling
+    `multimodal_resize` keeps the raw binary output surface (rows-only:
+    a binary cell has no canon hash). 100 TB shape: one Arrow-batched
+    mapInPandas pass, no shuffle until the final tiny projection."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    media = docs.mapInPandas(_text_to_ppm_batch, _MEDIA_GEN_SCHEMA)
+    resized = resize_media(media, target_w=16, target_h=16, codec="ppm")
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("fp"),
+    )

@@ -516,19 +516,30 @@ def sample_frames_decoded(
         raise ValueError(f"every_n_frames must be >= 1, got {every_n_frames}")
 
     def _rows_for(doc_id, payload: bytes):
+        import math
+
         import numpy as np
 
         data = _transcode_to_y4m(payload) if codec == "ffmpeg" else payload
         _, _, num, den, frames = decode_y4m(data)
         for frame_no in range(0, len(frames), every_n_frames):
             f = frames[frame_no]
-            lum = f.astype(np.float64) / 255.0
+            # Luma stats from exact integer moments: s1/s2 are exact
+            # BIGINTs, so mean = s1/(255n) and
+            # std = sqrt(n*s2 - s1^2)/(255n) each spend ONE correctly
+            # rounded float op per stage — deterministic across engines
+            # and summation orders (a naive float mean over b/255 terms
+            # is order-sensitive in the last ulp).
+            n = int(f.size)
+            s1 = int(f.sum(dtype=np.int64))
+            s2 = int((f.astype(np.int64) ** 2).sum())
+            scale = 255.0 * n
             yield (
                 doc_id,
                 frame_no,
                 frame_no * 1000 * den // num,
-                float(lum.mean()),
-                float(lum.std()),
+                s1 / scale,
+                math.sqrt(n * s2 - s1 * s1) / scale,
                 hashlib.md5(f.tobytes()).hexdigest(),
                 None,
             )

@@ -182,16 +182,54 @@ def _text_to_y4m_batch(pdfs):
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
 
-@query("multimodal_y4m_frame_sample", oracle=None, defer=True)
+# Frame i's byte j is the doc's ASCII byte (64*i + j) mod len(text)
+# (the y4m body is the text repeated to 256 bytes, split into 4 8x8
+# frames). All stats come from exact integer moments s1/s2, so the
+# oracle re-derives mean = s1/(255n) and std = sqrt(n*s2 - s1^2)/(255n)
+# bit-for-bit, and rebuilds each frame's bytes for the md5 fingerprint.
+_Y4M_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+px AS (
+  SELECT doc_id, fr, j,
+         ascii(substr(text, ((64 * fr + j) % length(text)) + 1, 1)) AS b,
+         chr(ascii(substr(text, ((64 * fr + j) % length(text)) + 1, 1)))
+           AS ch
+  FROM docs,
+       unnest([0, 2]) AS f(fr),
+       unnest(generate_series(0, 63)) AS u(j)
+)
+SELECT doc_id,
+       CAST(fr AS BIGINT) AS frame_no,
+       CAST(fr * 100 AS BIGINT) AS ts_ms,
+       CAST(SUM(b) AS DOUBLE) / (255 * 64) AS mean_luma,
+       sqrt(CAST(64 * SUM(b * b) - SUM(b) * SUM(b) AS DOUBLE))
+         / (255 * 64) AS std_luma,
+       md5(string_agg(ch, '' ORDER BY j)) AS frame_fingerprint,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM px
+GROUP BY doc_id, fr
+"""
+
+
+@query("multimodal_y4m_frame_sample", oracle=_Y4M_ORACLE)
 def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame-sampling path, no media libs needed: docs
     rendered into valid 4-frame Cmono y4m streams (mapInPandas), then
     ``sample_frames_decoded`` parses the container and emits every 2nd
     frame's timestamp, luma statistics and fingerprint. Exact-frame unit
     tests pin the codec; this query certifies the same path at corpus
-    width. Rows-only by design: decoded per-frame statistics have no SQL
-    twin."""
-    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    width, ORACLE-BACKED: the luma stats are exact-integer-moment
+    formulas (one correctly rounded division/sqrt each) and the
+    fingerprint hashes frame bytes the oracle rebuilds from the ASCII
+    fixture text (see _Y4M_ORACLE). Deterministic doc subset via a key
+    predicate, not LIMIT."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
     media = docs.mapInPandas(_text_to_y4m_batch, _MEDIA_GEN_SCHEMA)
     return sample_frames_decoded(media, "content", "doc_id", every_n_frames=2)
 
@@ -202,8 +240,10 @@ def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum numerator < 2^23+lg400 < 2^53), so float addition is EXACT in any
 # order — numpy's pairwise sum and DuckDB's sequential sum agree
 # bit-for-bit — and the final avg/sqrt divisions are single correctly-
-# rounded IEEE ops on identical inputs. (Contrast the PPM/Y4M codecs,
-# whose /255 terms are non-dyadic and stay rows-only.)
+# rounded IEEE ops on identical inputs. (The PPM decode-FEATURES query
+# stays rows-only: its /255 channel-mean and luminance-std sums are
+# non-dyadic and order-sensitive; Y4M luma stats moved to exact integer
+# moments and are certified above.)
 _WAV_ORACLE = """
 WITH docs AS (
   SELECT doc_id, substr(text, 1, 400) AS t

@@ -1262,11 +1262,21 @@ def test_y4m_roundtrip_and_frame_sampling_exact(spark):
         for r in sample_frames_decoded(df, every_n_frames=2).collect()
     }
     assert sorted(rows) == [0, 2, 4]
+    import math
+
     for fno, r in rows.items():
-        lum = frames[fno].astype(np.float64) / 255.0
+        f = frames[fno]
+        n = int(f.size)
+        s1 = int(f.sum(dtype=np.int64))
+        s2 = int((f.astype(np.int64) ** 2).sum())
         assert r["ts_ms"] == fno * 100
-        assert r["mean_luma"] == pytest.approx(lum.mean(), abs=0)
-        assert r["std_luma"] == pytest.approx(lum.std(), abs=0)
+        # exact integer-moment replay (the operator's deterministic
+        # formula); numpy's float mean/std agree to ~1 ulp
+        assert r["mean_luma"] == s1 / (255.0 * n)
+        assert r["std_luma"] == math.sqrt(n * s2 - s1 * s1) / (255.0 * n)
+        lum = f.astype(np.float64) / 255.0
+        assert r["mean_luma"] == pytest.approx(lum.mean(), rel=1e-12)
+        assert r["std_luma"] == pytest.approx(lum.std(), rel=1e-12)
         assert r["frame_fingerprint"] == hashlib.md5(
             frames[fno].tobytes()
         ).hexdigest()

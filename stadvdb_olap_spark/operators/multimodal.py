@@ -138,18 +138,40 @@ def _image_stats(img) -> tuple[int, int, list[float]]:
     energy), aspect ratio — the cheap statistics a curation pipeline
     filters on (flat/blank or noise images score at the extremes). One
     implementation so every image codec (PPM, Pillow, future) produces
-    comparable feature vectors."""
+    comparable feature vectors.
+
+    All statistics come from EXACT integer moments (Python ints never
+    overflow; luminance uses the Rec.709 weights as the exact rationals
+    1063/5000, 3576/5000, 361/5000), so each published value spends one
+    correctly rounded float division/sqrt on exact operands — the same
+    determinism device as the wav codec, making the features
+    reproducible bit-for-bit by any engine that can sum integers. (The
+    variance numerator n*l2 - l1^2 stays under 2^53 for images up to
+    ~64x64; larger frames keep exactness Python-side regardless.)"""
+    import math
+
     import numpy as np
 
-    img = img.astype(np.float64) / 255.0
     h, w, _ = img.shape
-    lum = 0.2126 * img[:, :, 0] + 0.7152 * img[:, :, 1] + 0.0722 * img[:, :, 2]
-    grad = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    n = h * w
+    arr = img.astype(np.int64)
+    s_r = int(arr[:, :, 0].sum())
+    s_g = int(arr[:, :, 1].sum())
+    s_b = int(arr[:, :, 2].sum())
+    lum = 1063 * arr[:, :, 0] + 3576 * arr[:, :, 1] + 361 * arr[:, :, 2]
+    l1 = int(lum.sum())
+    l2 = int((lum * lum).sum())
+    lum_scale = 5000.0 * 255.0 * n
+    if w > 1:
+        g1 = int(np.abs(np.diff(lum, axis=1)).sum())
+        grad = g1 / (5000.0 * 255.0 * (h * (w - 1)))
+    else:
+        grad = 0.0
     return w, h, [
-        float(img[:, :, 0].mean()),
-        float(img[:, :, 1].mean()),
-        float(img[:, :, 2].mean()),
-        float(lum.std()),
+        s_r / (255.0 * n),
+        s_g / (255.0 * n),
+        s_b / (255.0 * n),
+        math.sqrt(n * l2 - l1 * l1) / lum_scale,
         grad,
         float(w) / float(h),
         float(w * h) / 1e6,

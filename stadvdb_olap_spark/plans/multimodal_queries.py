@@ -147,18 +147,86 @@ def _text_to_wav_batch(pdfs):
 _MEDIA_GEN_SCHEMA = "doc_id long, content binary"
 
 
-@query("multimodal_ppm_real_decode", oracle=None, defer=True)
+# Pixel p's channel bytes are the doc's ASCII bytes (3p+c) mod len(text)
+# (the 8x8 P6 body is the text repeated to 192 bytes). _image_stats
+# publishes exact-integer-moment statistics (luminance weights as the
+# rationals 1063/5000 etc.), so the oracle re-derives every feature from
+# the bytes: channel means s/(255n), luminance std
+# sqrt(n*l2 - l1^2)/(5000*255*n), edge energy over the horizontal
+# neighbor pairs (p, p+1 within a row), and the constant geometry terms.
+_PPM_DECODE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+lum AS MATERIALIZED (
+  SELECT doc_id, p, r, g, b,
+         CAST(1063 * r + 3576 * g + 361 * b AS BIGINT) AS l
+  FROM (
+    SELECT doc_id, p,
+           ascii(substr(text, ((3 * p) % length(text)) + 1, 1)) AS r,
+           ascii(substr(text, ((3 * p + 1) % length(text)) + 1, 1)) AS g,
+           ascii(substr(text, ((3 * p + 2) % length(text)) + 1, 1)) AS b
+    FROM docs, unnest(generate_series(0, 63)) AS u(p)
+  )
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(r) AS BIGINT) AS sr,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(l) AS BIGINT) AS l1,
+         CAST(SUM(l * l) AS BIGINT) AS l2
+  FROM lum GROUP BY doc_id
+),
+grad AS (
+  SELECT a.doc_id, CAST(SUM(abs(n.l - a.l)) AS BIGINT) AS g1
+  FROM lum a JOIN lum n ON n.doc_id = a.doc_id AND n.p = a.p + 1
+  WHERE a.p % 8 < 7
+  GROUP BY a.doc_id
+)
+SELECT agg.doc_id,
+       CAST(203 AS BIGINT) AS n_bytes,
+       CAST(sr AS DOUBLE) / (255 * 64) AS f0,
+       CAST(sg AS DOUBLE) / (255 * 64) AS f1,
+       CAST(sb AS DOUBLE) / (255 * 64) AS f2,
+       sqrt(CAST(64 * l2 - l1 * l1 AS DOUBLE))
+         / (5000 * 255 * 64) AS f3,
+       CAST(g1 AS DOUBLE) / (5000 * 255 * 8 * 7) AS f4,
+       CAST(1 AS DOUBLE) AS f5,
+       CAST(64 AS DOUBLE) / 1000000 AS f6,
+       CAST(1 AS DOUBLE) AS f7,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM agg JOIN grad ON agg.doc_id = grad.doc_id
+"""
+
+
+@query("multimodal_ppm_real_decode", oracle=_PPM_DECODE_ORACLE)
 def multimodal_ppm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode path, no media libs needed: docs rendered into
     valid binary P6 PPMs (mapInPandas), then the numpy PPM codec parses
     headers and pixels and emits channel means / luminance std / edge
     energy. Exact-pixel unit tests pin the codec
     (`test_ppm_decode_features_exact`); this query certifies the same
-    path at corpus width. Rows-only by design: the features are real
-    decoded statistics with no SQL twin."""
-    docs = load_table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    path at corpus width, ORACLE-BACKED now that `_image_stats`
+    publishes exact-integer-moment statistics (see _PPM_DECODE_ORACLE):
+    DuckDB re-derives every feature from the same ASCII bytes
+    bit-for-bit. Features publish as wide f0..f7 DOUBLE columns per the
+    certification output-type rule; pipeline consumers take the array
+    form from ``extract_features`` directly. Deterministic doc subset
+    via a key predicate, not LIMIT."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
     media = docs.mapInPandas(_text_to_ppm_batch, _MEDIA_GEN_SCHEMA)
-    return extract_features(media, "content", "doc_id", codec="ppm")
+    feats = extract_features(media, "content", "doc_id", codec="ppm")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
+        "decode_error",
+    )
 
 
 def _text_to_y4m_batch(pdfs):

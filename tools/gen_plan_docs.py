@@ -129,6 +129,16 @@ SHOWCASE = [
      "the peel recurrence references the prior round 3x — the displayed "
      "plan is the final round over the checkpointed survivor edges, "
      "linear in rounds instead of 3^rounds"),
+    ("theil_sen_windowed_trend_daily_revenue",
+     "the bounded-lag pair set builds as explode(1..W) + HASH equi-join "
+     "on the day rank (never a BroadcastNestedLoop range join): O(n*W) "
+     "rows through one keyed exchange, so the trend estimator survives "
+     "a minute-grain series where the exact O(n^2) theta-join would not"),
+    ("multimodal_ppm_resize_fingerprint",
+     "render -> REAL nearest-neighbor resample -> fingerprint is three "
+     "chained Arrow-batched mapInPandas nodes over a narrow projection — "
+     "ZERO shuffle bytes end-to-end (measured at sf0.1); the media path "
+     "scales embarrassingly with input splits"),
 ]
 
 

@@ -903,3 +903,98 @@ def diff_in_diff_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "quantile_normalize_order_totals",
+    oracle="""
+WITH vals AS MATERIALIZED (
+  SELECT o_orderkey,
+         o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+g AS MATERIALIZED (
+  SELECT o_orderkey, o_orderpriority, cents,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+         ) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ng
+  FROM vals
+),
+gdist AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+           AS gr,
+         cents AS gcents
+  FROM vals
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM vals)
+SELECT o_orderkey, o_orderpriority,
+       cents AS total_cents,
+       CAST(gcents AS DOUBLE) / 100 AS qnorm_total
+FROM g CROSS JOIN n
+JOIN gdist ON gdist.gr = (g.i * n.n_all + g.ng - 1) // g.ng
+""",
+)
+def quantile_normalize_order_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-wise quantile normalization (the cross-batch feature-scaling
+    primitive used to remove per-group distribution shift, e.g.
+    microarray/feature pipelines): each order's total is replaced by the
+    GLOBAL distribution's value at the same within-group quantile —
+    rank i of a group of n_g maps to global order statistic
+    ceil(i*N/n_g). After normalization every priority group follows the
+    pooled distribution exactly while preserving within-group ranks.
+    Exactness: ranks and target indices are pure BIGINT arithmetic
+    (i*N < 2^38 at sf0.1), the mapping is an equi-join on the target
+    rank, and the only float op is the final cents/100 division.
+    Deterministic total order via the (cents, o_orderkey) tiebreak
+    (o_orderkey is unique). 100 TB shape: two rank assignments (the
+    group rank partitions by the group key; the global rank is the
+    sort-based zipWithIndex pattern) and one hash equi-join on the
+    computed index — no theta join, no driver collect; at cluster scale
+    the global rank comes from a range-partitioned sort, the same
+    machinery a global ORDER BY already uses."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    g = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(gw).cast("long").alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("ng"),
+    )
+    glob = o.select(
+        F.row_number()
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("long")
+        .alias("gr"),
+        F.col("cents").alias("gcents"),
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return (
+        g.crossJoin(F.broadcast(n))
+        .withColumn(
+            "target",
+            F.expr("(i * n_all + ng - 1) DIV ng").cast("long"),
+        )
+        .join(glob, F.col("target") == F.col("gr"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("cents").alias("total_cents"),
+            (F.col("gcents").cast("double") / 100).alias("qnorm_total"),
+        )
+    )

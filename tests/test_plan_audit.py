@@ -102,6 +102,7 @@ _BNLJ_OK = {
     "mann_kendall_windowed_trend_daily_revenue",  # same 1-row scalar cross
     "collocation_lift_bigrams",  # 1-row bigram-total broadcast
     "stratified_ate_priority_value",  # 1-row stratum-totals broadcast
+    "quantile_normalize_order_totals",  # 1-row global-count broadcast
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

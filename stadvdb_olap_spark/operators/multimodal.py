@@ -160,7 +160,11 @@ def _image_stats(img) -> tuple[int, int, list[float]]:
     s_b = int(arr[:, :, 2].sum())
     lum = 1063 * arr[:, :, 0] + 3576 * arr[:, :, 1] + 361 * arr[:, :, 2]
     l1 = int(lum.sum())
-    l2 = int((lum * lum).sum())
+    # Row-wise int64 partials, accumulated in Python ints: a full-frame
+    # int64 sum of lum^2 (elements up to ~1.6e12) would silently wrap
+    # past ~5.6M pixels; per-row sums stay exact to ~5.6M-px WIDTHS and
+    # the Python accumulator is arbitrary-precision.
+    l2 = sum(int(v) for v in (lum * lum).sum(axis=1))
     lum_scale = 5000.0 * 255.0 * n
     if w > 1:
         g1 = int(np.abs(np.diff(lum, axis=1)).sum())

@@ -4310,3 +4310,129 @@ def stratified_ate_priority_value(
         "att",
         "naive_diff",
     )
+
+
+@query(
+    "position_attribution_channels",
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmicro
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+seq AS MATERIALIZED (
+  SELECT c.conv_id, c.vmicro, t.channel,
+         CAST(row_number() OVER (
+           PARTITION BY c.conv_id ORDER BY t.ts, t.touch_id
+         ) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY c.conv_id) AS BIGINT) AS k
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 1 DAY
+),
+credit AS (
+  SELECT conv_id, channel,
+         vmicro * CASE
+           WHEN k = 1 THEN 1000
+           WHEN k = 2 THEN 500
+           WHEN pos = 1 OR pos = k THEN 400
+           ELSE (200 // (k - 2))
+                + CASE WHEN pos - 1 <= 200 - (200 // (k - 2)) * (k - 2)
+                       THEN 1 ELSE 0 END
+         END AS units
+  FROM seq
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(CAST(SUM(units) AS BIGINT) AS VARCHAR) AS credit_units,
+       CAST(CAST(SUM(units) AS BIGINT) // 10000000 AS DOUBLE) / 100
+         AS credit_dollars
+FROM credit
+GROUP BY channel
+""",
+)
+def position_attribution_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the rules-based
+    industry model beside the game-theoretic
+    `shapley_attribution_channels`: each purchase's value splits 40/20/40
+    across its prior-day touch sequence (first touch 400 per-mille, last
+    400, the middle 200 split evenly with the integer REMAINDER going
+    one per-mille each to the earliest middle touches; k=1 takes all
+    1000, k=2 splits 500/500). Credits are EXACT INTEGERS end-to-end:
+    value in micro-units x per-mille weights, so conservation (every
+    conversion's credits sum to exactly vmicro*1000) holds by integer
+    arithmetic, not float approximation — the published total converts
+    via the DIV-to-cents device (channel sums exceed 2^53, where a
+    direct BIGINT->DOUBLE conversion diverges between engines) plus the
+    exact digit string. The touch join shuffles BOTH roles once on
+    user_id with the day bound as a residual predicate (same plan
+    family as `click_purchase_attribution`), then one window per
+    conversion and one hash aggregate to |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("vmicro"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    seq = (
+        conv.join(
+            touch,
+            (F.col("tu") == F.col("cu"))
+            & (F.col("tts") < F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 1 DAY")),
+        )
+        .select(
+            "conv_id",
+            "vmicro",
+            "channel",
+            F.row_number()
+            .over(
+                Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+            )
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("conv_id"))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    units = F.col("vmicro") * (
+        F.when(F.col("k") == 1, F.lit(1000))
+        .when(F.col("k") == 2, F.lit(500))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(400))
+        .otherwise(
+            F.expr("200 DIV (k - 2)")
+            + F.when(
+                F.col("pos") - 1 <= 200 - F.expr("200 DIV (k - 2)") * (F.col("k") - 2),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+    )
+    credit = seq.select("conv_id", "channel", units.alias("units"))
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.sum("units").cast("long").cast("string").alias("credit_units"),
+        (
+            F.expr("sum(units) DIV 10000000").cast("double") / 100
+        ).alias("credit_dollars"),
+    )

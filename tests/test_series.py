@@ -924,3 +924,33 @@ def test_stratified_ate_matches_python_reference(spark):
     # the adjusted estimate must differ from naive only through the
     # stratum reweighting; both live on the same cents scale
     assert abs(got.att - got.ate) < abs(got.naive_diff) + 1e-6
+
+
+def test_position_attribution_conserves_value(spark):
+    """Every attributed conversion's credits sum to exactly vmicro*1000
+    (integer conservation — the property float-weighted attribution
+    can only approximate)."""
+    from stadvdb_olap_spark.plans.series_queries import (
+        position_attribution_channels,
+    )
+
+    total_credit = sum(
+        int(r.credit_units)
+        for r in position_attribution_channels(spark, SF_DIR).collect()
+    )
+    want = duckdb.sql(
+        f"""WITH conv AS (
+              SELECT event_id, user_id, ts,
+                     CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS vmicro
+              FROM '{SF_DIR}/events.parquet' WHERE event_type = 'purchase'
+            )
+            SELECT COALESCE(SUM(vmicro), 0) * 1000 FROM conv c
+            WHERE EXISTS (
+              SELECT 1 FROM '{SF_DIR}/events.parquet' t
+              WHERE t.event_type IN ('view', 'click', 'signup')
+                AND t.user_id = c.user_id
+                AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 1 DAY
+            )"""
+    ).fetchone()[0]
+    assert total_credit == int(want)

@@ -182,3 +182,71 @@ def json_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+# Candidate functional dependencies to profile: (name, table, lhs, rhs).
+# Mix of true FDs (key-determined) and plausible-but-false ones — the
+# point of FD profiling is MEASURING violation mass, not asserting.
+_FD_CANDIDATES = (
+    ("nation_region", "nation", "n_nationkey", "n_regionkey"),
+    ("customer_segment", "customer", "c_custkey", "c_mktsegment"),
+    ("order_priority_by_customer", "orders", "o_custkey", "o_orderpriority"),
+    ("returnflag_by_order", "lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+       CAST(COUNT(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violating_groups,
+       CAST(MAX(d) AS BIGINT) AS max_rhs_per_lhs,
+       CAST(COUNT(*) FILTER (WHERE d > 1) AS DOUBLE) / COUNT(*)
+         AS violation_rate
+FROM (
+  SELECT {lhs}, COUNT(DISTINCT {rhs}) AS d
+  FROM {table} GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("fd_violation_audit", oracle=_fd_oracle())
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the FD-discovery primitive of
+    data-profiling systems, cf. Papenbrock et al., VLDB 2015): for each
+    candidate X -> Y, how many X-groups carry more than one distinct Y —
+    zero violating groups certifies the dependency on this snapshot,
+    nonzero quantifies the violation mass (a schema-design and
+    DQ-regression signal; run per snapshot and diff). All-integer
+    outputs plus one exact-operand division for the rate. 100 TB shape:
+    per FD one map-side-combinable distinct-count aggregate keyed on X,
+    then a 1-row reduce; candidates union at the row level, so adding
+    candidates never rescans others' tables."""
+    out = None
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = (
+            t.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.max("d").cast("long").alias("max_rhs_per_lhs"),
+            )
+            .select(
+                F.lit(name).alias("fd"),
+                "n_lhs_groups",
+                "n_violating_groups",
+                "max_rhs_per_lhs",
+                (
+                    F.col("n_violating_groups").cast("double")
+                    / F.col("n_lhs_groups")
+                ).alias("violation_rate"),
+            )
+        )
+        out = g if out is None else out.unionAll(g)
+    return out

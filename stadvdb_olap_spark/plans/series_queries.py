@@ -4436,3 +4436,113 @@ def position_attribution_channels(
             F.expr("sum(units) DIV 10000000").cast("double") / 100
         ).alias("credit_dollars"),
     )
+
+
+@query(
+    "arc_price_elasticity_brand_yearly",
+    oracle="""
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         year(CAST(o.o_orderdate AS DATE)) AS y,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+by_year AS MATERIALIZED (
+  SELECT brand, y,
+         CAST(SUM(q) AS BIGINT) AS qty,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM li GROUP BY brand, y
+),
+paired AS (
+  SELECT brand, y, qty, cents,
+         lag(qty) OVER (PARTITION BY brand ORDER BY y) AS q1,
+         lag(cents) OVER (PARTITION BY brand ORDER BY y) AS c1,
+         lag(y) OVER (PARTITION BY brand ORDER BY y) AS y1
+  FROM by_year
+)
+SELECT brand, y1 AS year_from, y AS year_to,
+       CAST(q1 AS BIGINT) AS qty_from,
+       CAST(qty AS BIGINT) AS qty_to,
+       CAST(c1 AS DOUBLE) / q1 / 100 AS unit_price_from,
+       CAST(cents AS DOUBLE) / qty / 100 AS unit_price_to,
+       CASE WHEN (CAST(cents AS DOUBLE) / qty - CAST(c1 AS DOUBLE) / q1)
+                 = CAST(0 AS DOUBLE)
+            THEN CAST(NULL AS DOUBLE)
+            ELSE (CAST(qty - q1 AS DOUBLE) / CAST(qty + q1 AS DOUBLE))
+                 / ((CAST(cents AS DOUBLE) / qty - CAST(c1 AS DOUBLE) / q1)
+                    / (CAST(cents AS DOUBLE) / qty + CAST(c1 AS DOUBLE) / q1))
+       END AS arc_elasticity
+FROM paired
+WHERE y1 IS NOT NULL AND y1 = y - 1
+""",
+)
+def arc_price_elasticity_brand_yearly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arc (midpoint) price elasticity of demand per brand across
+    consecutive years — Allen's midpoint formula
+    ((q2-q1)/(q2+q1)) / ((p2-p1)/(p2+p1)), the log-free elasticity
+    every pricing team computes before fitting a log-log model (ln is
+    banned from hashed outputs per compat). Unit price = yearly revenue
+    cents / yearly quantity, both exact BIGINTs, so every published
+    value is a short chain of correctly rounded IEEE ops on exact
+    operands — bit-identical across engines; a zero price change yields
+    NULL (explicit CASE on BOTH sides — Spark runs ANSI, 0-division
+    would throw). 100 TB shape: one fact-side double join (part/orders
+    dims broadcast-eligible), ONE hash aggregate to brand x year grain,
+    then a lag window over the tiny aggregate."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("y")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    by_year = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("brand", "y")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("y")
+    paired = by_year.select(
+        "brand",
+        "y",
+        "qty",
+        "cents",
+        F.lag("qty").over(w).alias("q1"),
+        F.lag("cents").over(w).alias("c1"),
+        F.lag("y").over(w).alias("y1"),
+    ).filter(F.col("y1").isNotNull() & (F.col("y1") == F.col("y") - 1))
+    p2 = F.col("cents").cast("double") / F.col("qty")
+    p1 = F.col("c1").cast("double") / F.col("q1")
+    return paired.select(
+        "brand",
+        F.col("y1").alias("year_from"),
+        F.col("y").alias("year_to"),
+        F.col("q1").cast("long").alias("qty_from"),
+        F.col("qty").cast("long").alias("qty_to"),
+        (p1 / 100).alias("unit_price_from"),
+        (p2 / 100).alias("unit_price_to"),
+        F.when((p2 - p1) == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(
+            (
+                (F.col("qty") - F.col("q1")).cast("double")
+                / (F.col("qty") + F.col("q1")).cast("double")
+            )
+            / ((p2 - p1) / (p2 + p1))
+        )
+        .alias("arc_elasticity"),
+    )

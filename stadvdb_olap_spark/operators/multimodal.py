@@ -145,9 +145,12 @@ def _image_stats(img) -> tuple[int, int, list[float]]:
     1063/5000, 3576/5000, 361/5000), so each published value spends one
     correctly rounded float division/sqrt on exact operands — the same
     determinism device as the wav codec, making the features
-    reproducible bit-for-bit by any engine that can sum integers. (The
-    variance numerator n*l2 - l1^2 stays under 2^53 for images up to
-    ~64x64; larger frames keep exactness Python-side regardless.)"""
+    reproducible bit-for-bit by any engine that can sum integers.
+    (Python's unbounded ints keep the moments exact at ANY frame size;
+    an engine porting the oracle formula to BIGINT SQL must mind that
+    the variance numerator n*l2 - l1^2 passes 2^53 as early as ~12x12
+    worst-case frames — the certified 8x8 fixture peaks near 1.7e15,
+    under 2^53, which is why the SQL twin is exact there.)"""
     import math
 
     import numpy as np

@@ -53,90 +53,89 @@ def query(
     return deco
 
 
-# ROUND-6 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. Rounds 1-5 signed
-# 239 queries (latest-fail 0). This front = the 19 remaining never-windowed
-# oracle-backed queries (the late-round-5 forecasting/ops additions:
-# Holt-Winters, Croston, Theil-Sen, Mann-Kendall, Mann-Whitney, Shapley,
-# recsys offline eval, TWAP, Laspeyres, ABC-XYZ, streaks, Little's law,
-# engagement, QQ drift, Hampel, Fano, episodes, decayed trending, lexical
-# diversity) followed by 31 staleness re-certifications: signed queries
-# oldest-green-row-first (r1-signed advanced/analytics/tpch rows, now four
-# rounds of refactors old). Produced verbatim by `python
-# tools/next_window.py`, which appends the staleness fill after the
-# never-windowed set. After this round every oracle-backed query has a
-# driver-signed row.
+# ROUND-7 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-6 signed
+# 258 queries (latest-fail 0). This front = the 14 remaining never-windowed
+# oracle-backed queries (the late-round-6 additions: 5 multimodal
+# rows-only→oracle conversions, windowed Theil-Sen/Mann-Kendall,
+# collocation lift, centroid drift, stratified ATE, position attribution,
+# arc elasticity, FD audit, quantile normalize) followed by 36 staleness
+# re-certifications: signed queries oldest-green-row-first (the r1/r2-signed
+# ETL/dedup/text rows, now 5-6 rounds of refactors old). Produced verbatim
+# by `python tools/next_window.py`, which appends the staleness fill after
+# the never-windowed set. After this round every oracle-backed query has a
+# driver-signed row and no signed row is older than round 3.
 #
-# ROUND-7 ROTATION: run `python tools/next_window.py` — it diffs the
+# ROUND-8 ROTATION: run `python tools/next_window.py` — it diffs the
 # catalog against every CORRECTNESS_r*.json (counting only
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
-ROUND6_FRONT: tuple[str, ...] = (
-    # 19 never-windowed (judge-verified MATCH in the r5 verdict)
-    "episode_triples_sessions",
-    "hampel_outliers_daily_revenue",
-    "mase_seasonal_naive_daily_revenue",
-    "decile_qq_drift_events_value",
-    "mann_whitney_value_click_purchase",
-    "purchase_streaks_customers",
-    "twap_daily_value_by_type",
-    "shapley_attribution_channels",
-    "theil_sen_trend_daily_revenue",
-    "mann_kendall_trend_daily_revenue",
-    "decayed_trending_event_types",
-    "recsys_eval_covisit_topk",
-    "fano_burstiness_event_types",
-    "littles_law_audit_sessions",
-    "holt_winters_forecast_daily_revenue",
-    "session_engagement_summary",
-    "abc_xyz_matrix_parts",
-    "croston_intermittent_demand",
-    "price_index_laspeyres_yearly",
-    # 31 staleness re-certs (signed r1, oldest green rows)
-    "asof_join_events_orders",
-    "click_purchase_attribution",
-    "cohort_weekly_retention",
-    "cube_order_status_priority",
-    "distinct_parts_per_flag",
-    "events_by_type",
-    "events_json_props",
-    "events_sessionize_30m",
-    "events_sliding_3h_1h",
-    "events_tumbling_1h",
-    "gapfill_daily_revenue",
-    "grouping_sets_revenue",
-    "histogram_order_totals",
-    "iqr_outlier_events",
-    "min_price_row_per_part",
-    "moving_avg_daily_revenue",
-    "ntile_customers_by_balance",
-    "ols_price_vs_quantity_by_flag",
-    "order_gaps_lag",
-    "order_keys_concat_per_customer",
-    "orders_above_global_avg",
-    "percentiles_by_priority",
-    "pivot_event_type_daily",
-    "profile_orders",
-    "q13_customer_order_distribution",
-    "q1_pricing_summary",
-    "q3_top_unshipped_revenue",
-    "q4_priority_with_late_lines",
-    "q5_revenue_by_nation",
-    "q7_nation_trade_volume",
-    "q9_profit_by_nation_year",
+ROUND7_FRONT: tuple[str, ...] = (
+    # 14 never-windowed (late-round-6 additions; judge-verified MATCH in the
+    # r6 verdict at sf0.01, risk set at sf0.1)
+    "fd_violation_audit",
+    "quantile_normalize_order_totals",
+    "multimodal_frame_sample",
+    "theil_sen_windowed_trend_daily_revenue",
+    "collocation_lift_bigrams",
+    "embedding_centroid_drift_labels",
+    "multimodal_ppm_real_decode",
+    "mann_kendall_windowed_trend_daily_revenue",
+    "multimodal_y4m_frame_sample",
+    "stratified_ate_priority_value",
+    "multimodal_wav_real_decode",
+    "position_attribution_channels",
+    "multimodal_ppm_resize_fingerprint",
+    "arc_price_elasticity_brand_yearly",
+    "range_join_price_bands",  # re-cert (signed r1)
+    "recode_segments_via_join",  # re-cert (signed r1)
+    "rollup_revenue_region_nation",  # re-cert (signed r1)
+    "running_total_per_customer",  # re-cert (signed r1)
+    "scd2_customer_priority",  # re-cert (signed r1)
+    "semi_join_active_customers",  # re-cert (signed r1)
+    "set_ops_customer_status",  # re-cert (signed r1)
+    "skew_twophase_agg_events",  # re-cert (signed r1)
+    "sql_surface_revenue_by_region",  # re-cert (signed r1)
+    "stats_quantity_price",  # re-cert (signed r1)
+    "top3_parts_per_brand",  # re-cert (signed r1)
+    "train_val_test_split_docs",  # re-cert (signed r1)
+    "unpivot_part_measures",  # re-cert (signed r1)
+    "window_rank_showcase",  # re-cert (signed r1)
+    "word_frequencies",  # re-cert (signed r1)
+    "zscore_quantity_per_flag",  # re-cert (signed r1)
+    "bm25_topk_docs",  # re-cert (signed r2)
+    "chunk_documents_sliding",  # re-cert (signed r2)
+    "clean_customer_strings",  # re-cert (signed r2)
+    "coerce_numeric_events",  # re-cert (signed r2)
+    "curate_corpus_docs",  # re-cert (signed r2)
+    "dedup_clusters_canonical",  # re-cert (signed r2)
+    "dedup_exact_docs",  # re-cert (signed r2)
+    "dedup_first_order_per_customer",  # re-cert (signed r2)
+    "dedup_jaccard_verified",  # re-cert (signed r2)
+    "dedup_minhash_pairs",  # re-cert (signed r2)
+    "dim_customer",  # re-cert (signed r2)
+    "dim_date",  # re-cert (signed r2)
+    "dim_location",  # re-cert (signed r2)
+    "dim_part",  # re-cert (signed r2)
+    "distinct_order_dates",  # re-cert (signed r2)
+    "fact_star",  # re-cert (signed r2)
+    "flagship_fact_build",  # re-cert (signed r2)
+    "fuzzy_part_name_pairs",  # re-cert (signed r2)
+    "jdbc_merge_roundtrip_orders",  # re-cert (signed r2)
+    "merge_upsert_orders",  # re-cert (signed r2)
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND6_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND7_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
     # 50-query certification window — fail loudly instead (real raises,
     # not asserts: the guard must survive python -O).
-    missing = set(ROUND6_FRONT) - set(REGISTRY)
+    missing = set(ROUND7_FRONT) - set(REGISTRY)
     if missing:
         raise ValueError(f"front names not in registry: {sorted(missing)}")
-    bad = [n for n in ROUND6_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    bad = [n for n in ROUND7_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
     if bad:
         raise ValueError(
             f"front names must be oracle-backed and non-deferred: {bad}"
@@ -170,7 +169,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # Window positions are decided by the ROUND6_FRONT tuple above, not
+    # Window positions are decided by the ROUND7_FRONT tuple above, not
     # by this import order (front names sort first; everything else
     # keeps registration order behind them, deferred rows-only last).
     # Import order only breaks ties among non-front queries, so the

@@ -482,7 +482,9 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the round-trip test (test_bpe_encode_roundtrip)."""
     from stadvdb_olap_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = spread(load_table(spark, sf_dir, "documents")).limit(300)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
     merges = [
         (r["left"], r["right"])
         for r in bpe_train(spark, docs, n_merges=16).orderBy("rank").collect()

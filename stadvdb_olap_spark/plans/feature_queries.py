@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.functions.text import tokens, tokens_sql
+from stadvdb_olap_spark.operators.rank import global_row_number
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.sources.parquet import load_table, spread
 
@@ -950,12 +951,17 @@ def quantile_normalize_order_totals(
     (i*N < 2^38 at sf0.1), the mapping is an equi-join on the target
     rank, and the only float op is the final cents/100 division.
     Deterministic total order via the (cents, o_orderkey) tiebreak
-    (o_orderkey is unique). 100 TB shape: two rank assignments (the
-    group rank partitions by the group key; the global rank is the
-    sort-based zipWithIndex pattern) and one hash equi-join on the
-    computed index — no theta join, no driver collect; at cluster scale
-    the global rank comes from a range-partitioned sort, the same
-    machinery a global ORDER BY already uses."""
+    (o_orderkey is unique). 100 TB shape: the group rank partitions by
+    the group key (one hash shuffle); the GLOBAL rank is the two-pass
+    offset rank of ``operators/rank.py:global_row_number`` —
+    ``repartitionByRange`` on the sort key (the same range-partitioned
+    machinery a global ORDER BY uses) plus a broadcast of the tiny
+    cumulative per-partition offsets — so NO row ever funnels through
+    an Exchange SinglePartition at fact grain (the only
+    single-partition window runs over the |shuffle partitions| offset
+    rows; determinism and the 2^33-rows-per-partition bound are argued
+    in the operator's docstring). Final mapping is one hash equi-join
+    on the computed index — no theta join, no driver collect."""
     o = spread(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderpriority",
@@ -976,13 +982,9 @@ def quantile_normalize_order_totals(
         .cast("long")
         .alias("ng"),
     )
-    glob = o.select(
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("gr"),
-        F.col("cents").alias("gcents"),
-    )
+    glob = global_row_number(
+        o.select("cents", "o_orderkey"), ["cents", "o_orderkey"], out="gr"
+    ).select("gr", F.col("cents").alias("gcents"))
     n = o.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     return (
         g.crossJoin(F.broadcast(n))

@@ -89,19 +89,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, "content", "doc_id", every_n_bytes=64)
 
 
-@query("multimodal_resize", oracle=None, defer=True)
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(256 AS BIGINT) AS n_bytes,
+       upper(repeat(md5(text), 16)) AS content_hex
+FROM documents WHERE doc_id < 50
+""",
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over fake image payloads (rows-only: binary output;
-    a unit-style assertion lives in the schema itself — every row carries
-    the new dimensions in meta). 16x16 target => 256-byte payloads."""
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    """Resize plumbing over fake image payloads, certified end-to-end:
+    the fake codec's deterministic stretch (md5-digest blocks repeated
+    to target_w*target_h bytes) makes every output byte reconstructable
+    in SQL, so the query publishes hex(content) — the ACTUAL resized
+    payload bytes as a 512-char hex string — and the oracle rebuilds it
+    as upper(repeat(md5(text), 16)) (16x16 target = 256 bytes = exactly
+    16 copies of the 16-byte digest; DuckDB md5 is lowercase hex, Spark
+    hex() uppercase). The REAL pixel resample is certified by the
+    sibling `multimodal_ppm_resize_fingerprint`; this row certifies the
+    generic binary-in/binary-out plumbing surface (dims published from
+    meta, payload from content). Deterministic doc subset via a key
+    predicate, not LIMIT. 100 TB shape: one Arrow-batched mapInPandas
+    pass, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = attach_media_column(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
         "payload",
         "image",
         "raw",
     )
-    return resize_media(media, target_w=16, target_h=16)
+    resized = resize_media(media, target_w=16, target_h=16)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.hex("content").alias("content_hex"),
+    )
 
 
 def _text_to_ppm_batch(pdfs):
@@ -308,10 +335,9 @@ def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum numerator < 2^23+lg400 < 2^53), so float addition is EXACT in any
 # order — numpy's pairwise sum and DuckDB's sequential sum agree
 # bit-for-bit — and the final avg/sqrt divisions are single correctly-
-# rounded IEEE ops on identical inputs. (The PPM decode-FEATURES query
-# stays rows-only: its /255 channel-mean and luminance-std sums are
-# non-dyadic and order-sensitive; Y4M luma stats moved to exact integer
-# moments and are certified above.)
+# rounded IEEE ops on identical inputs. (The PPM decode features are
+# likewise certified via exact integer moments — see _PPM_DECODE_ORACLE
+# — matching the Y4M note above.)
 _WAV_ORACLE = """
 WITH docs AS (
   SELECT doc_id, substr(text, 1, 400) AS t
@@ -420,9 +446,10 @@ def multimodal_ppm_resize_fingerprint(
     repeated to 192, and the oracle rebuilds the full resized payload
     (header + 768 body bytes, all ASCII) with string_agg and hashes it
     — certifying the actual pixel bytes, not just counts. The sibling
-    `multimodal_resize` keeps the raw binary output surface (rows-only:
-    a binary cell has no canon hash). 100 TB shape: one Arrow-batched
-    mapInPandas pass, no shuffle until the final tiny projection."""
+    `multimodal_resize` certifies the generic fake-codec plumbing the
+    same way (hex of the full resized payload). 100 TB shape: one
+    Arrow-batched mapInPandas pass, no shuffle until the final tiny
+    projection."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 200)

@@ -1084,9 +1084,12 @@ def zonemap_prune_layouts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Simulated file id = 256-row chunks (key division vs date-rank
     division); zones are per-file MIN/MAX; a file is skippable when its
     zone misses the pinned window. Pure integer/date arithmetic plus one
-    exact division — hash-certified. The date-rank layout uses a
-    global row_number here for determinism; a real writer achieves the
-    same zones with a range-partitioned sort, no global window."""
+    exact division — hash-certified. The date-rank layout's global
+    row_number comes from ``operators/rank.py:global_row_number`` (a
+    range-partitioned two-pass offset rank — exactly the sort a real
+    clustering writer performs), never an unpartitioned window."""
+    from stadvdb_olap_spark.operators.rank import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     by_key = orders.select(
@@ -1094,13 +1097,14 @@ def zonemap_prune_layouts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"o_orderkey div {_ZM_FILE_ROWS}").alias("file_id"),
         d.alias("d"),
     )
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    by_date = orders.select(
+    by_date = global_row_number(
+        orders.select("o_orderdate", "o_orderkey"),
+        ["o_orderdate", "o_orderkey"],
+        out="gr",
+    ).select(
         F.lit("by_date").alias("layout"),
-        ((F.row_number().over(w) - 1) / _ZM_FILE_ROWS)
-        .cast("long")
-        .alias("file_id"),
-        d.alias("d"),
+        F.expr(f"(gr - 1) div {_ZM_FILE_ROWS}").alias("file_id"),
+        F.col("o_orderdate").cast("date").alias("d"),
     )
     zones = (
         by_key.unionAll(by_date)

@@ -664,16 +664,22 @@ def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketize feature step — with per-bin count, edges, and exact-
     decimal mass. ``ntile`` over (value, key) is fully deterministic
     (unique tiebreak), same definition in both engines. The global
-    ntile is the honest cost: ONE total-order sort (rangepartition +
-    local sort) — the same cost as any global quantile assignment; at
-    100 TB you'd swap in approx_percentile edges + a broadcast
-    range-join (see ``histogram_order_totals``) and keep this exact
-    variant for per-partition-sized slices."""
+    ntile costs ONE range-partitioned sort — computed by
+    ``operators/rank.py:global_ntile`` (two-pass offset rank + the
+    closed-form ntile bucket from the global row number), NOT an
+    unpartitioned window, so no row funnels through a single task; at
+    100 TB you could also swap in approx_percentile edges + a
+    broadcast range-join (see ``histogram_order_totals``) when exact
+    equi-depth edges aren't required."""
+    from stadvdb_olap_spark.operators.rank import global_ntile
+
     orders = spread(load_table(spark, sf_dir, "orders"))
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
-    )
+    binned = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        out="decile",
+    ).select("o_totalprice", "decile")
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").cast("double").alias("lo"),
@@ -2350,37 +2356,40 @@ def mann_whitney_value_click_purchase(
     derive in pure integer arithmetic, and the z-score's only float ops
     are one division, one sqrt (correctly rounded per IEEE), and one
     exact ×2 — identical bits on both engines. The normal-approximation
-    variance n1·n2·(N+1) stays under 2^53 through ~1e8-row subsets;
-    beyond that, band the ranks per partition (the two-phase rank
-    device). One global rank window over the two-type subset, then a
-    1-row fold."""
+    variance n1·n2·(N+1) stays under 2^53 through ~1e8-row subsets.
+    Plan shape: rank sums only need PER-VALUE counts, so the fact rows
+    hash-aggregate to the distinct-value grain FIRST (one shuffle, big
+    reduction) and the rank cumsum window runs over that post-
+    aggregation relation — never an unpartitioned window at event
+    grain (2·rank(v) + tie(v) − 1 = 2·cum_prev(v) + c(v) + 1, summed
+    with weight c1(v))."""
     from pyspark.sql import Window
 
     ev = spread(load_table(spark, sf_dir, "events"))
     sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_type", "value"
     )
-    w_rank = Window.orderBy("value")
-    w_tie = Window.partitionBy("value")
-    ranked = sub.select(
-        "event_type",
-        (
-            2 * F.rank().over(w_rank)
-            + F.count(F.lit(1)).over(w_tie)
-            - 1
-        ).alias("two_avg_rank"),
-    )
-    g = ranked.agg(
+    pv = sub.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("c1"),
+    )
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pv.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0))
         .cast("long")
-        .alias("n2"),
+        .alias("fprev"),
+    )
+    g = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
         F.sum(
-            F.when(
-                F.col("event_type") == "click", F.col("two_avg_rank")
-            ).otherwise(0)
+            F.col("c1") * (2 * F.col("fprev") + F.col("c") + 1)
         )
         .cast("long")
         .alias("two_r1"),

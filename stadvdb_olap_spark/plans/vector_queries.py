@@ -594,13 +594,13 @@ cv AS MATERIALIZED (
 SELECT a.label AS label_a, b.label AS label_b,
        list_reduce(
          list_prepend(CAST(0 AS DOUBLE),
-                      list_transform(generate_series(1, 64),
+                      list_transform(generate_series(1, len(a.v)),
                                      i -> a.v[i] * b.v[i])),
          (acc, x) -> acc + x
        ) / (a.nrm * b.nrm) AS cosine,
        sqrt(list_reduce(
          list_prepend(CAST(0 AS DOUBLE),
-                      list_transform(generate_series(1, 64),
+                      list_transform(generate_series(1, len(a.v)),
                                      i -> (a.v[i] - b.v[i])
                                           * (a.v[i] - b.v[i]))),
          (acc, x) -> acc + x

@@ -381,8 +381,11 @@ def test_multimodal_resize_payload_and_meta(spark):
     rows = REGISTRY["multimodal_resize"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows
     for r in rows:
-        assert len(r["content"]) == 16 * 16
-        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 16
+        # content is published as hex (the certifiable surface): 256
+        # payload bytes -> 512 hex chars, dims from meta
+        assert r["n_bytes"] == 16 * 16
+        assert len(r["content_hex"]) == 2 * 16 * 16
+        assert r["width"] == 16 and r["height"] == 16
 
 
 def test_curate_corpus_invariants(spark):

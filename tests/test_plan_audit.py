@@ -12,6 +12,14 @@ query that trips a rule must either fix its plan or document why here):
 3. ``BatchEvalPython`` (row-at-a-time pickled Python UDF) never
    appears: Python reaches plans only through Arrow-vectorized nodes
    (ArrowEvalPython / *InPandas / MapInArrow).
+4. An UNPARTITIONED window (``Exchange SinglePartition`` + WindowExec)
+   may only consume a bounded grain: its input subtree must contain an
+   aggregate (post-aggregation grains: calendar days, vocab, strata,
+   per-range-partition offsets) or bottom out in local relations —
+   never raw fact rows. A window the detector can't prove bounded
+   (e.g. top-k-limited inputs) needs an ``_SP_WINDOW_OK`` entry naming
+   the bound. Global ranks at data grain use the two-pass offset rank
+   (``operators/rank.py``) instead.
 """
 
 from __future__ import annotations
@@ -103,6 +111,7 @@ _BNLJ_OK = {
     "collocation_lift_bigrams",  # 1-row bigram-total broadcast
     "stratified_ate_priority_value",  # 1-row stratum-totals broadcast
     "quantile_normalize_order_totals",  # 1-row global-count broadcast
+    "decile_bins_order_totals",  # 1-row global-count broadcast (ntile N)
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts
@@ -114,6 +123,52 @@ _BNLJ_OK = {
     "triangle_stats_parts",  # 1-row wedge-count broadcast
     "lpa_modularity_parts",  # 1-row edge-count broadcast
 }
+
+
+# Queries whose unpartitioned window consumes an input that is bounded
+# by construction but not provably so from plan structure alone.
+_SP_WINDOW_OK = {
+    # full-outer join of two top-k lists (k=20 each, window-limit
+    # filters upstream) — the fused window sees <= 2k rows
+    "rrf_fusion_topk_docs",
+}
+
+
+def _children(node):
+    cs = node.children()
+    kids = [cs.apply(i) for i in range(cs.length())]
+    if not kids:
+        try:  # ReusedExchangeExec: follow the reused subtree
+            kids = [node.child()]
+        except Exception:
+            pass
+    return kids
+
+
+def _bounded_grain(node, depth=0):
+    """True when every path from `node` to a leaf passes through an
+    aggregate or ends in a local relation — i.e. the relation's size is
+    set by group cardinality / literals, not by raw fact rows."""
+    if depth > 80:
+        return False
+    cn = node.getClass().getSimpleName()
+    if "Aggregate" in cn or cn in ("LocalTableScanExec", "RangeExec"):
+        return True
+    kids = _children(node)
+    if not kids:
+        return False  # a real scan leaf
+    return all(_bounded_grain(k, depth + 1) for k in kids)
+
+
+def _walk(node):
+    stack, seen = [node], set()
+    while stack:
+        n = stack.pop()
+        if id(n) in seen:
+            continue
+        seen.add(id(n))
+        yield n
+        stack.extend(_children(n))
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -140,3 +195,22 @@ def test_plan_has_no_antipatterns(spark, name):
     assert "BatchEvalPython" not in scalar_body, (
         f"{name}: row-at-a-time Python UDF — use Arrow"
     )
+    # Rule 4: unpartitioned windows only over bounded grains.
+    if name not in _SP_WINDOW_OK and "SinglePartition" in body:
+        exec_plan = df._jdf.queryExecution().executedPlan()
+        if exec_plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            exec_plan = exec_plan.initialPlan()
+        for node in _walk(exec_plan):
+            cn = node.getClass().getSimpleName()
+            if cn in ("WindowExec", "WindowGroupLimitExec"):
+                if node.partitionSpec().isEmpty():
+                    child = _children(node)[0]
+                    assert _bounded_grain(child), (
+                        f"{name}: unpartitioned window over an unbounded "
+                        "(fact-grain) input — every row funnels through "
+                        "one task. Use the two-pass offset rank "
+                        "(operators/rank.py) or aggregate first; if the "
+                        "input is bounded in a way the detector can't "
+                        "see, allowlist it in _SP_WINDOW_OK with the "
+                        "bound."
+                    )

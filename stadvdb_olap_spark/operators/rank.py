@@ -1,93 +1,104 @@
 """Distributed global order statistics WITHOUT the single-partition
 window funnel.
 
-``row_number().over(Window.orderBy(...))`` — i.e. a window with no
-``partitionBy`` — plans as ``Exchange SinglePartition`` + sort: every row
-funnels through ONE task, which is fatal at fact grain (Spark itself
-warns "Moving all data to a single partition"). A global ORDER BY does
-NOT have this problem: it range-partitions the sort. This module gives
-global ranks the same range-partitioned shape:
+``row_number().over(Window.orderBy(...))`` — a window with no
+``partitionBy`` — plans as ``Exchange SinglePartition`` + sort: every
+row funnels through ONE task, which is fatal at fact grain (Spark
+itself warns "Moving all data to a single partition"). The fix here is
+a two-phase offset rank over a DETERMINISTIC coarse bucketing of the
+sort key:
 
-two-pass offset rank
-    1. ``repartitionByRange`` on the order keys — one full-data shuffle,
-       the identical machinery a global ORDER BY uses; ascending key
-       ranges land in ascending partition ids.
-    2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the
-       id packs the partition id into the upper bits and a CONSECUTIVE
-       0-based in-partition counter into the lower 33, so
-       ``pid = id >> 33`` and ``local_rank = (id & (2^33-1)) + 1`` come
-       out of pure JVM bit math, no Python, no extra shuffle.
-    3. per-partition row counts (= max local rank) aggregate to
-       |shuffle partitions| rows; a cumulative-sum window over THAT tiny
-       relation (the only single-partition window, bounded by the
-       partition count) yields each partition's global offset, broadcast
-       back and added.
+1. ``bucket`` — a caller-supplied expression that is a pure, monotone
+   non-decreasing function of the leading order key (floor-division of
+   a numeric key, the day/month of a date key). It plays the role the
+   range-partition id plays in a global ORDER BY, but is derived from
+   the ROW VALUE, not from physical placement.
+2. local rank: ``row_number`` over ``Window.partitionBy(bucket)
+   .orderBy(keys)`` — ONE hash shuffle of the data, each bucket sorted
+   independently in parallel.
+3. global offset: per-bucket counts hash-aggregate to |buckets| rows;
+   a cumulative sum over that tiny post-aggregation relation (the only
+   single-partition window, bounded by the bucket count) is broadcast
+   back and added.
 
-Determinism despite ``monotonically_increasing_id``'s nondeterministic
-flag: the explicit ``sortWithinPartitions`` on a caller-guaranteed
-UNIQUE key list fixes every partition's row order before ids are
-assigned, so recomputation (task retry, branch re-evaluation) reproduces
-identical ranks; additionally both consumers of the ranked relation
-share one exchange subtree, which Spark's exchange reuse dedupes. The
-lower-33-bit counter caps a partition at 2^33 rows — ordinary partition
-sizing at 100 TB keeps partitions ~6 orders of magnitude below that.
+Why not ``repartitionByRange`` + ``monotonically_increasing_id`` (the
+textbook zipWithIndex shape)? Spark's RangePartitioner SAMPLES its
+bounds with an rdd-id-seeded RNG, so the ranked relation's two
+consumers (the count branch and the output branch) are two separate
+exchanges with DIFFERENT bounds whenever exchange reuse doesn't kick
+in — offsets computed for one layout get added to local ranks from
+another, silently corrupting ranks (observed: a modulus filter over
+such ranks returned a different row count per run). A value-derived
+bucket makes both passes pure functions of the data: deterministic
+under recomputation, task retry, AQE re-planning, and plain sessions,
+with no ``localCheckpoint``/``persist`` materialization.
 
-Used by ``quantile_normalize_order_totals``, ``decile_bins_order_totals``
-and ``zonemap_prune_layouts_orders`` (plans/), replacing their former
-unpartitioned windows; ``tests/test_plan_audit.py`` now rejects any new
-fact-grain single-partition window.
+Scale contract: buckets are the unit of sort parallelism — size the
+bucket width so the largest bucket fits one task comfortably (aim for
+~10x the shuffle partition count; at 100 TB pick widths from table
+stats the same way a clustering writer picks split points). Order keys
+must be NON-NULL (the offset join is an inner equi-join on the bucket)
+and must form a total order (include a unique tiebreak) for
+deterministic ranks.
+
+Used by ``quantile_normalize_order_totals``, ``decile_bins_order_
+totals``, ``zonemap_prune_layouts_orders`` and ``systematic_sample_
+orders`` (plans/), replacing their former unpartitioned windows;
+``tests/test_plan_audit.py`` rejects any new fact-grain
+single-partition window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-_LOW_BITS = (1 << 33) - 1
 
 
 def global_row_number(
-    df: DataFrame, order_keys: list[str], out: str = "gr"
+    df: DataFrame,
+    order_keys: list[str],
+    bucket: Column,
+    out: str = "gr",
 ) -> DataFrame:
     """All columns of ``df`` plus BIGINT ``out`` = the 1-based global
-    ``row_number`` under ``ORDER BY order_keys`` — computed with ONE
-    range shuffle of the data and a broadcast of per-partition offsets,
-    never an ``Exchange SinglePartition`` at data grain.
+    ``row_number`` under ``ORDER BY order_keys`` — one hash shuffle of
+    the data plus a broadcast of per-bucket cumulative offsets, never
+    an ``Exchange SinglePartition`` at data grain.
 
-    ``order_keys`` must be a deterministic TOTAL order (include a unique
-    tiebreak column); otherwise ranks within ties are partition-order
-    dependent, exactly as with a window ``row_number``.
+    ``bucket`` must be a deterministic, monotone non-decreasing
+    function of the leading order key(s): rows in a smaller bucket must
+    never sort after rows in a larger one. Monotonicity is the caller's
+    contract (a floor-division or date-truncation of the leading key
+    satisfies it by construction).
     """
-    parts = (
-        df.repartitionByRange(*[F.col(k) for k in order_keys])
-        .sortWithinPartitions(*order_keys)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.shiftright("__mid", 33).cast("long"))
-        .withColumn(
-            "__lr",
-            (F.col("__mid").bitwiseAND(F.lit(_LOW_BITS)) + 1).cast("long"),
-        )
-        .drop("__mid")
-    )
-    counts = parts.groupBy("__pid").agg(F.max("__lr").alias("__cnt"))
-    off_w = Window.orderBy("__pid").rowsBetween(
+    b = df.withColumn("__bkt", bucket)
+    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        "__pid",
+        "__bkt",
         F.coalesce(F.sum("__cnt").over(off_w), F.lit(0))
         .cast("long")
         .alias("__off"),
     )
+    lw = Window.partitionBy("__bkt").orderBy(*order_keys)
     return (
-        parts.join(F.broadcast(offsets), "__pid")
-        .withColumn(out, (F.col("__off") + F.col("__lr")).cast("long"))
-        .drop("__pid", "__lr", "__off")
+        b.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out,
+            (F.col("__off") + F.row_number().over(lw)).cast("long"),
+        )
+        .drop("__bkt", "__off")
     )
 
 
 def global_ntile(
-    df: DataFrame, order_keys: list[str], n: int, out: str = "bucket"
+    df: DataFrame,
+    order_keys: list[str],
+    n: int,
+    bucket: Column,
+    out: str = "bucket",
 ) -> DataFrame:
     """All columns of ``df`` plus BIGINT ``out`` = ``ntile(n)`` under
     ``ORDER BY order_keys``, via :func:`global_row_number` plus the
@@ -97,12 +108,12 @@ def global_ntile(
     BIGINT arithmetic on the global rank; same plan shape as
     :func:`global_row_number` plus one broadcast 1-row count.
     """
-    ranked = global_row_number(df, order_keys, out="__gr")
+    ranked = global_row_number(df, order_keys, bucket, out="__gr")
     total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     # Pure BIGINT: the first (N % n) buckets hold (N DIV n)+1 rows, the
     # rest (N DIV n). CASE short-circuits, so the ELSE's DIV never sees
     # a zero divisor (N < n puts every rank in the WHEN branch).
-    bucket = (
+    expr = (
         f"CAST(CASE WHEN __gr <= (__n % {n}) * ((__n DIV {n}) + 1) "
         f"THEN (__gr - 1) DIV ((__n DIV {n}) + 1) "
         f"ELSE (__n % {n}) + "
@@ -111,6 +122,6 @@ def global_ntile(
     )
     return (
         ranked.crossJoin(F.broadcast(total))
-        .withColumn(out, F.expr(bucket))
+        .withColumn(out, F.expr(expr))
         .drop("__gr", "__n")
     )

@@ -492,6 +492,68 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+_PAD_CTXS = (512, 1024, 2048)
+
+
+@query(
+    "padding_waste_audit_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n
+    FROM documents
+),
+per_ctx AS (
+    SELECT ctx, n, (n + ctx - 1) // ctx AS n_seq
+    FROM toks, unnest([{', '.join(str(c) for c in _PAD_CTXS)}]) AS c(ctx)
+)
+SELECT CAST(ctx AS BIGINT) AS ctx_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_seq) AS BIGINT) AS n_sequences,
+       CAST(SUM(n_seq * ctx - n) AS BIGINT) AS padded_tokens,
+       CAST(SUM(n_seq * ctx - n) AS DOUBLE) / SUM(n_seq * ctx)
+           AS waste_frac
+FROM per_ctx GROUP BY ctx
+""",
+)
+def padding_waste_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for sequence packing: for each candidate
+    context length, the token budget a naive one-doc-per-sequence
+    batcher burns on pad tokens (each doc occupies ceil(n/ctx)
+    sequences; waste = that capacity minus real tokens) — the number
+    that justifies the packed-sequence pipeline (`operators/packing.py`)
+    and picks the context length. Token counts come from the certified
+    whitespace tokenizer, all arithmetic is BIGINT ceil-division, and
+    the only float op is the final waste fraction. 100 TB shape: one
+    narrow projection per doc, a 3x literal explode, and a hash
+    aggregate to |contexts| rows — no shuffle of text bytes."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n")
+    )
+    per_ctx = toks.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(c) for c in _PAD_CTXS])
+        ).alias("ctx"),
+    ).withColumn("n_seq", F.expr("(n + ctx - 1) DIV ctx"))
+    return (
+        per_ctx.groupBy(F.col("ctx").cast("long").alias("ctx_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("n_seq").cast("long").alias("n_sequences"),
+            F.sum(F.expr("n_seq * ctx - n")).cast("long").alias(
+                "padded_tokens"
+            ),
+            (
+                F.sum(F.expr("n_seq * ctx - n")).cast("double")
+                / F.sum(F.expr("n_seq * ctx"))
+            ).alias("waste_frac"),
+        )
+    )
+
+
 _DUPSPAN_N = 8
 _DUPSPAN_MIN = 2
 

@@ -952,16 +952,15 @@ def quantile_normalize_order_totals(
     rank, and the only float op is the final cents/100 division.
     Deterministic total order via the (cents, o_orderkey) tiebreak
     (o_orderkey is unique). 100 TB shape: the group rank partitions by
-    the group key (one hash shuffle); the GLOBAL rank is the two-pass
-    offset rank of ``operators/rank.py:global_row_number`` —
-    ``repartitionByRange`` on the sort key (the same range-partitioned
-    machinery a global ORDER BY uses) plus a broadcast of the tiny
-    cumulative per-partition offsets — so NO row ever funnels through
-    an Exchange SinglePartition at fact grain (the only
-    single-partition window runs over the |shuffle partitions| offset
-    rows; determinism and the 2^33-rows-per-partition bound are argued
-    in the operator's docstring). Final mapping is one hash equi-join
-    on the computed index — no theta join, no driver collect."""
+    the group key (one hash shuffle); the GLOBAL rank is the two-phase
+    offset rank of ``operators/rank.py:global_row_number`` — a
+    deterministic $10k value bucket partitions the sort, per-bucket
+    ranks run in parallel, and the tiny cumulative per-bucket offsets
+    broadcast back — so NO row ever funnels through an Exchange
+    SinglePartition at fact grain (the only single-partition window
+    runs over the |buckets| offset rows; determinism rationale in the
+    operator's docstring). Final mapping is one hash equi-join on the
+    computed index — no theta join, no driver collect."""
     o = spread(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderpriority",
@@ -983,7 +982,10 @@ def quantile_normalize_order_totals(
         .alias("ng"),
     )
     glob = global_row_number(
-        o.select("cents", "o_orderkey"), ["cents", "o_orderkey"], out="gr"
+        o.select("cents", "o_orderkey"),
+        ["cents", "o_orderkey"],
+        bucket=F.expr("cents DIV 1000000"),  # $10k value buckets
+        out="gr",
     ).select("gr", F.col("cents").alias("gcents"))
     n = o.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     return (

@@ -421,6 +421,58 @@ def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L_DIV = 3
+
+
+@query(
+    "l_diversity_audit_customers",
+    oracle=f"""
+WITH cls AS (
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT c_nationkey, balance_band, class_size, l_distinct,
+       l_distinct < {_L_DIV} AS violates_l
+FROM cls
+""",
+)
+def l_diversity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    companion screen to `k_anonymity_audit_customers`: a class can be
+    large (k-anonymous) yet still leak its sensitive attribute when
+    every member shares one value. Quasi-identifier = (nation, $1000
+    balance band); sensitive attribute = market segment; a class
+    violates l=3 when fewer than 3 distinct segments appear. Pure
+    integer grouping + COUNT(DISTINCT) — hash-exact. 100 TB shape: one
+    hash aggregation over the QI key with a distinct-aggregate
+    (two-phase partial/final under AQE); violating classes feed the
+    same suppression pass as the k-anonymity audit."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "balance_band",
+            "class_size",
+            "l_distinct",
+            (F.col("l_distinct") < _L_DIV).alias("violates_l"),
+        )
+    )
+
+
 _CAL_LO, _CAL_W, _CAL_NBINS = -2.0, 0.4, 10
 
 

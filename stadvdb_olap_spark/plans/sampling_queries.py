@@ -469,3 +469,107 @@ def conformal_interval_order_totals(
         ((F.col("med_cents") + F.col("q_cents")) / F.lit(100.0)).alias("hi"),
         (F.col("n_covered").cast("double") / F.col("n")).alias("coverage"),
     )
+
+
+_SYS_K = 100
+
+
+@query(
+    "systematic_sample_orders",
+    oracle=f"""
+WITH ranked AS (
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS gr
+    FROM orders
+)
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       gr
+FROM ranked WHERE (gr - 1) % {_SYS_K} = 0
+""",
+)
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling along the order-date timeline —
+    the evenly-spaced eval slice survey methodology prefers over
+    Bernoulli when the frame has a meaningful order (guaranteed temporal
+    spread, exactly ceil(N/k) rows). The global position comes from
+    ``operators/rank.py:global_row_number`` (deterministic daily
+    buckets + per-bucket parallel ranks + broadcast cumulative offsets
+    — ONE full shuffle, no single-partition funnel), then a modulus
+    filter; the oracle uses the equivalent single-node window.
+    Deterministic: (o_orderdate, o_orderkey) is a total order. 100 TB
+    shape: identical to a global ORDER BY plus a narrow filter."""
+    from stadvdb_olap_spark.operators.rank import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranked = global_row_number(
+        orders,
+        ["o_orderdate", "o_orderkey"],
+        bucket=F.col("o_orderdate").cast("date"),  # daily buckets
+        out="gr",
+    )
+    return ranked.filter((F.col("gr") - 1) % _SYS_K == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "gr",
+    )
+
+
+_RES_K = 5
+
+
+@query(
+    "reservoir_k_per_priority_orders",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(pos AS BIGINT) AS pos
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+           ) AS pos
+    FROM orders
+)
+WHERE pos <= {_RES_K}
+""",
+)
+def reservoir_k_per_priority_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic fixed-k-per-group sample (the reproducible stand-in
+    for per-group reservoir sampling): rank rows inside each group by
+    the md5 of their key — a uniform, content-addressed order — and
+    keep the first k. Every engine, run, and partition layout selects
+    the SAME k rows per group, unlike rdd.takeSample / reservoir
+    algorithms whose result depends on visit order. 100 TB shape: one
+    hash shuffle on the group key; with heavy groups the rank is
+    top-k-pruned per partition before the shuffle by Spark's
+    WindowGroupLimit (rank filter pushdown), so no group's full row set
+    is ever sorted."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+        "o_orderkey",
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") <= _RES_K)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "pos",
+        )
+    )

@@ -1085,9 +1085,10 @@ def zonemap_prune_layouts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     division); zones are per-file MIN/MAX; a file is skippable when its
     zone misses the pinned window. Pure integer/date arithmetic plus one
     exact division — hash-certified. The date-rank layout's global
-    row_number comes from ``operators/rank.py:global_row_number`` (a
-    range-partitioned two-pass offset rank — exactly the sort a real
-    clustering writer performs), never an unpartitioned window."""
+    row_number comes from ``operators/rank.py:global_row_number``
+    (deterministic daily buckets + per-bucket ranks + broadcast
+    cumulative offsets — exactly the sort a real clustering writer
+    performs), never an unpartitioned window."""
     from stadvdb_olap_spark.operators.rank import global_row_number
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1100,6 +1101,7 @@ def zonemap_prune_layouts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_date = global_row_number(
         orders.select("o_orderdate", "o_orderkey"),
         ["o_orderdate", "o_orderkey"],
+        bucket=F.col("o_orderdate").cast("date"),  # daily buckets
         out="gr",
     ).select(
         F.lit("by_date").alias("layout"),
@@ -1192,4 +1194,70 @@ def join_cardinality_audit_lineitem(
         "max_key_rows",
         uniform.alias("uniform_est"),
         (F.col("exact_join_rows") / uniform).alias("skew_multiplier"),
+    )
+
+
+_INC_CUTOFF = "1997-07-01"
+
+
+@query(
+    "incremental_agg_maintenance_orders",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {compat.money_sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def incremental_agg_maintenance_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance, certified by the
+    algebraic-merge property: the pipeline maintains a (priority, year)
+    revenue rollup as BASE (orders before {_INC_CUTOFF}) and folds in a
+    DELTA batch (orders on/after it) by MERGING the two partial
+    aggregates — full-outer join on the group key, coalesced count adds
+    and decimal sum adds — instead of recomputing over all history. The
+    oracle IS the full recompute, so a hash match proves merge ==
+    recompute exactly (counts and sums are algebraic; the decimal->
+    double conversion happens once, after the merge, per compat.py).
+    100 TB shape: the delta aggregate touches only the new partition's
+    rows; the merge joins two |groups|-sized relations (broadcastable),
+    never the fact — turning a daily full-table scan into an
+    O(delta + groups) update, the lakehouse merge-tree pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_INC_CUTOFF).cast("date")
+    d = F.col("o_orderdate").cast("date")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                f"s_{tag}"
+            ),
+        )
+
+    base = partial(orders.filter(d < cutoff), "b")
+    delta = partial(orders.filter(d >= cutoff), "d")
+    merged = base.join(delta, ["o_orderpriority", "yr"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "o_orderpriority",
+        "yr",
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            + F.coalesce(F.col("n_d"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s_b"), zero) + F.coalesce(F.col("s_d"), zero)
+        )
+        .cast("double")
+        .alias("revenue"),
     )

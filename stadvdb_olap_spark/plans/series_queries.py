@@ -665,7 +665,7 @@ def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal mass. ``ntile`` over (value, key) is fully deterministic
     (unique tiebreak), same definition in both engines. The global
     ntile costs ONE range-partitioned sort — computed by
-    ``operators/rank.py:global_ntile`` (two-pass offset rank + the
+    ``operators/rank.py:global_ntile`` (bucketed two-phase offset rank + the
     closed-form ntile bucket from the global row number), NOT an
     unpartitioned window, so no row funnels through a single task; at
     100 TB you could also swap in approx_percentile edges + a
@@ -678,6 +678,7 @@ def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
         10,
+        bucket=F.floor(F.col("o_totalprice") / 10000).cast("long"),
         out="decile",
     ).select("o_totalprice", "decile")
     return binned.groupBy("decile").agg(

@@ -26,10 +26,15 @@ def _orders(spark):
     )
 
 
+def _bkt():
+    # $100 buckets over the leading sort key — monotone by construction
+    return F.floor(F.col("o_totalprice") / 100).cast("long")
+
+
 def test_global_row_number_matches_window_row_number(spark):
     o = _orders(spark)
     got = global_row_number(
-        o, ["o_totalprice", "o_orderkey"], out="gr"
+        o, ["o_totalprice", "o_orderkey"], bucket=_bkt(), out="gr"
     ).select("o_orderkey", "gr")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     want = o.select(
@@ -41,10 +46,15 @@ def test_global_row_number_matches_window_row_number(spark):
 
 def test_global_row_number_deterministic_across_reevaluation(spark):
     # The ranked relation is consumed twice (self-join on the key): both
-    # branches must see identical ranks despite monotonically_increasing_id
-    # being nondeterministic-flagged — sortWithinPartitions pins the order.
+    # branches must see identical ranks — guaranteed because bucket ids
+    # and offsets are pure functions of the data, never of physical
+    # placement (the repartitionByRange+monotonic-id shape failed this:
+    # RangePartitioner samples with an rdd-id seed, so unreused branches
+    # got different bounds).
     o = _orders(spark)
-    r = global_row_number(o, ["o_totalprice", "o_orderkey"], out="gr")
+    r = global_row_number(
+        o, ["o_totalprice", "o_orderkey"], bucket=_bkt(), out="gr"
+    )
     a = r.select("o_orderkey", F.col("gr").alias("g1"))
     b = r.select("o_orderkey", F.col("gr").alias("g2"))
     mismatched = (
@@ -59,7 +69,7 @@ def test_global_ntile_matches_window_ntile(spark):
     o = _orders(spark)
     for n in (3, 10, 7):
         got = global_ntile(
-            o, ["o_totalprice", "o_orderkey"], n, out="b"
+            o, ["o_totalprice", "o_orderkey"], n, bucket=_bkt(), out="b"
         ).select("o_orderkey", "b")
         w = Window.orderBy("o_totalprice", "o_orderkey")
         want = o.select(
@@ -71,12 +81,15 @@ def test_global_ntile_matches_window_ntile(spark):
 
 def test_global_ntile_fewer_rows_than_buckets(spark):
     o = _orders(spark).limit(0)  # empty input: no rows, no DIV-by-zero
-    assert global_ntile(o, ["o_totalprice", "o_orderkey"], 10).count() == 0
+    assert (
+        global_ntile(o, ["o_totalprice", "o_orderkey"], 10, bucket=_bkt())
+        .count() == 0
+    )
     few = _orders(spark).filter(F.col("o_orderkey") <= 7)
     n_rows = few.count()
     assert 0 < n_rows < 10
     got = global_ntile(
-        few, ["o_totalprice", "o_orderkey"], 10, out="b"
+        few, ["o_totalprice", "o_orderkey"], 10, bucket=_bkt(), out="b"
     )
     # each row lands alone in buckets 1..n_rows
     assert sorted(r["b"] for r in got.select("b").collect()) == list(
@@ -86,22 +99,22 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
 
 def test_global_row_number_plan_has_no_fact_grain_single_partition(spark):
     df = global_row_number(
-        _orders(spark), ["o_totalprice", "o_orderkey"], out="gr"
+        _orders(spark), ["o_totalprice", "o_orderkey"], bucket=_bkt(), out="gr"
     )
     plan = df._jdf.queryExecution().executedPlan()
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         plan = plan.initialPlan()
-    saw_range_exchange = False
+    saw_partitioned_window = False
     for node in _walk(plan):
         cn = node.getClass().getSimpleName()
-        if cn == "ShuffleExchangeExec":
-            part = node.outputPartitioning().toString()
-            if "rangepartitioning" in part.lower():
-                saw_range_exchange = True
         if cn in ("WindowExec", "WindowGroupLimitExec"):
             if node.partitionSpec().isEmpty():
                 assert _bounded_grain(_children(node)[0]), (
-                    "offset-rank window must sit on the per-partition "
+                    "offset-rank window must sit on the per-bucket "
                     "count aggregate, not data rows"
                 )
-    assert saw_range_exchange, "data must move via ONE range shuffle"
+            else:
+                saw_partitioned_window = True
+    assert saw_partitioned_window, (
+        "the data-grain rank must be a bucket-PARTITIONED window"
+    )

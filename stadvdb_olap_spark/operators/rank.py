@@ -109,19 +109,31 @@ def global_ntile(
     :func:`global_row_number` plus one broadcast 1-row count.
     """
     ranked = global_row_number(df, order_keys, bucket, out="__gr")
+    return ntile_from_global_rank(ranked, "__gr", n, out=out).drop("__gr")
+
+
+def ntile_from_global_rank(
+    df: DataFrame, rank_col: str, n: int, out: str = "bucket"
+) -> DataFrame:
+    """BIGINT ``out`` = the ntile(n) bucket of an ALREADY-COMPUTED
+    1-based dense global rank column (e.g. a :func:`global_row_number`
+    output) — one broadcast row count plus closed-form integer
+    arithmetic, no second rank pass. ``rank_col`` must hold exactly
+    1..N once each."""
     total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     # Pure BIGINT: the first (N % n) buckets hold (N DIV n)+1 rows, the
     # rest (N DIV n). CASE short-circuits, so the ELSE's DIV never sees
     # a zero divisor (N < n puts every rank in the WHEN branch).
     expr = (
-        f"CAST(CASE WHEN __gr <= (__n % {n}) * ((__n DIV {n}) + 1) "
-        f"THEN (__gr - 1) DIV ((__n DIV {n}) + 1) "
+        f"CAST(CASE WHEN {rank_col} <= (__n % {n}) * ((__n DIV {n}) + 1) "
+        f"THEN ({rank_col} - 1) DIV ((__n DIV {n}) + 1) "
         f"ELSE (__n % {n}) + "
-        f"(__gr - (__n % {n}) * ((__n DIV {n}) + 1) - 1) DIV (__n DIV {n}) "
+        f"({rank_col} - (__n % {n}) * ((__n DIV {n}) + 1) - 1) "
+        f"DIV (__n DIV {n}) "
         f"END + 1 AS BIGINT)"
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        df.crossJoin(F.broadcast(total))
         .withColumn(out, F.expr(expr))
-        .drop("__gr", "__n")
+        .drop("__n")
     )

@@ -973,3 +973,124 @@ def dedup_recall_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_exact") - F.col("n_missed")).cast("double") / F.col("n_exact")
     )
     return joined.select("n_exact", "n_lsh", "n_missed", recall.alias("recall"))
+
+
+_CURR_PHASES = 10
+
+
+@query(
+    "curriculum_phases_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(ntile({_CURR_PHASES}) OVER (ORDER BY n_tokens, doc_id)
+            AS BIGINT) AS phase,
+       CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+           AS position
+FROM toks
+""",
+)
+def curriculum_phases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering: rank the corpus easiest-first
+    (shorter documents first — the standard curriculum-learning
+    difficulty proxy) and cut it into 10 equal-depth training phases.
+    Both the global position and the phase come from
+    ``operators/rank.py`` (``global_row_number`` / the closed-form
+    ntile on it) over deterministic 16-token-wide buckets — ONE data
+    shuffle, per-bucket parallel sorts, broadcast offsets, never an
+    unpartitioned window at corpus grain. Token counts use the
+    certified whitespace tokenizer; ranks and phases are pure BIGINT.
+    100 TB shape: the curriculum writer streams phase-by-phase with a
+    partition filter on `phase`; the same plan serves any monotone
+    difficulty score (swap the key and bucket expressions)."""
+    from stadvdb_olap_spark.operators.rank import (
+        global_row_number,
+        ntile_from_global_rank,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    ranked = global_row_number(
+        toks,
+        ["n_tokens", "doc_id"],
+        bucket=F.expr("n_tokens DIV 16"),
+        out="position",
+    )
+    phased = ntile_from_global_rank(
+        ranked, "position", _CURR_PHASES, out="phase"
+    )
+    return phased.select("doc_id", "n_tokens", "phase", "position")
+
+
+_SENT_MIN_CHARS = 20
+
+
+@query(
+    "sentence_boilerplate_docs",
+    oracle=f"""
+WITH s0 AS (
+    SELECT doc_id, trim(s) AS sent
+    FROM documents,
+         unnest(regexp_split_to_array(text, '\\. ')) AS u(s)
+),
+s1 AS MATERIALIZED (
+    SELECT doc_id, sent FROM s0 WHERE length(sent) >= {_SENT_MIN_CHARS}
+),
+sdf AS MATERIALIZED (
+    SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+    FROM s1 GROUP BY sent
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS boilerplate_frac
+FROM s1 JOIN sdf USING (sent)
+GROUP BY doc_id
+""",
+)
+def sentence_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level cross-document boilerplate screen (the CCNet /
+    RefinedWeb sentence-dedup grain, complementing the 3-token
+    `segment_dedup_docs`): split each document on '. ', keep sentences
+    of >= 20 chars, count how many DISTINCT documents each exact
+    sentence appears in, and report per-document how much of it is
+    corpus boilerplate (sentences shared with any other doc). Split is
+    the same regex on both engines; counting is all-BIGINT with one
+    final fraction. 100 TB shape: explode -> one sentence-keyed
+    hash aggregate (sentences would be md5-keyed at scale to bound key
+    width) -> one same-keyed join back -> one doc-keyed aggregate; the
+    flagged sentences feed a removal pass exactly like the segment
+    variant."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s1 = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", r"\. ")).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("sent"))
+        .filter(F.length("sent") >= _SENT_MIN_CHARS)
+    )
+    sdf = s1.groupBy("sent").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    boiler = F.sum(
+        F.when(F.col("nd") >= 2, 1).otherwise(0)
+    ).cast("long")
+    return (
+        s1.join(sdf, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            boiler.alias("n_boilerplate"),
+            (boiler.cast("double") / F.count(F.lit(1))).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )

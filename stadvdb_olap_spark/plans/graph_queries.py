@@ -702,3 +702,95 @@ def pagerank_weighted_copurchase_3iter(
         F.expr("node DIV 2").alias("node_key"),
         "pr",
     )
+
+
+@query(
+    "hits_copurchase_2iter",
+    oracle="""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+           CAST(l_suppkey AS BIGINT) AS s
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a1 AS MATERIALIZED (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s
+),
+h1 AS MATERIALIZED (
+    SELECT c, CAST(SUM(a) AS BIGINT) AS h
+    FROM e JOIN a1 USING (s) GROUP BY c
+),
+a2 AS MATERIALIZED (
+    SELECT s, CAST(SUM(h) AS BIGINT) AS a
+    FROM e JOIN h1 USING (c) GROUP BY s
+),
+h2 AS MATERIALIZED (
+    SELECT c, CAST(SUM(a) AS BIGINT) AS h
+    FROM e JOIN a2 USING (s) GROUP BY c
+),
+mh AS (SELECT CAST(MAX(h) AS BIGINT) AS m FROM h2),
+ma AS (SELECT CAST(MAX(a) AS BIGINT) AS m FROM a2)
+SELECT 'hub_customer' AS node_type, c AS node_key, h AS score,
+       CAST(h AS DOUBLE) / m AS score_norm
+FROM h2 CROSS JOIN mh
+UNION ALL
+SELECT 'authority_supplier' AS node_type, s AS node_key, a AS score,
+       CAST(a AS DOUBLE) / m AS score_norm
+FROM a2 CROSS JOIN ma
+""",
+)
+def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→supplier purchase graph, 2 full power iterations
+    UNNORMALIZED: customers that buy broadly from important suppliers
+    are hubs, suppliers bought by important hubs are authorities.
+    Skipping the per-step normalization keeps every score an EXACT
+    BIGINT (a1 = indegree; each later step is an integer-sum join —
+    h2 peaks ~1e8 at sf0.1 and stays far under 2^63 at 1000x), so the
+    only float op is the final score/max division — no sorted-fold
+    needed at all, the strongest determinism device in the graph
+    family (cf. the sorted-fold PageRank). HITS ranks are invariant to
+    the skipped scaling because normalization multiplies each side by
+    a constant per step. 100 TB shape: vertex-centric — each
+    iteration is one edges-to-scores hash join plus one key-grouped
+    integer aggregate; edge relation partitions once per join key,
+    max-score scalars broadcast."""
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    e = orders.join(li, "ok").select("c", "s").distinct()
+    a1 = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        e.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        e.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    mh = h2.agg(F.max("h").cast("long").alias("m"))
+    ma = a2.agg(F.max("a").cast("long").alias("m"))
+    hubs = h2.crossJoin(F.broadcast(mh)).select(
+        F.lit("hub_customer").alias("node_type"),
+        F.col("c").alias("node_key"),
+        F.col("h").alias("score"),
+        (F.col("h").cast("double") / F.col("m")).alias("score_norm"),
+    )
+    auths = a2.crossJoin(F.broadcast(ma)).select(
+        F.lit("authority_supplier").alias("node_type"),
+        F.col("s").alias("node_key"),
+        F.col("a").alias("score"),
+        (F.col("a").cast("double") / F.col("m")).alias("score_norm"),
+    )
+    return hubs.unionAll(auths)

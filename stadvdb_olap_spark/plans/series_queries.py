@@ -365,6 +365,108 @@ def autocorr_daily_revenue_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_MAX_LAG = 14
+
+
+@query(
+    "acf_panel_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+),
+ks AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k),
+pairs AS (
+    SELECT ks.k, a.d AS d, a.revenue AS x, b.revenue AS y
+    FROM daily a
+    CROSS JOIN ks
+    JOIN daily b ON b.d = a.d + ks.k * (INTERVAL 1 DAY)
+),
+l AS (
+    SELECT k, list_sort(list(struct_pack(d := d, x := x, y := y))) AS a
+    FROM pairs GROUP BY k
+),
+m AS (
+    SELECT k, CAST(len(a) AS DOUBLE) AS n,
+           {_fold_sql('e.x')} AS sx,
+           {_fold_sql('e.y')} AS sy,
+           {_fold_sql('e.x * e.y')} AS sxy,
+           {_fold_sql('e.x * e.x')} AS sxx,
+           {_fold_sql('e.y * e.y')} AS syy
+    FROM l
+)
+SELECT CAST(k AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       {_pearson_from_sums_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS acf
+FROM m
+""",
+)
+def acf_panel_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function panel: Pearson autocorrelation of daily
+    revenue at every lag 1..14 in ONE pass — the seasonality fingerprint
+    (a weekly cycle shows as peaks at 7 and 14) that generalizes
+    `autocorr_daily_revenue_lag7` from a point probe to the full
+    correlogram. Pair generation is the explode+equi-join device (the
+    windowed-trend plan): the calendar-grain series crosses a 14-row
+    literal lag set and equi-joins itself on the shifted date — an
+    O(days·L) hash join, never a theta join and never one window per
+    lag. Per-lag moment sums fold over the DATE-SORTED pair array
+    (identical fold order both engines, every op correctly rounded), so
+    the hash is stable at full precision — valid because the grain is a
+    calendar; fact-sized series would use `_quantized` moments. 100 TB
+    shape: one fact shuffle for the daily rollup; everything after runs
+    on ≤ days·14 rows."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    ks = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = daily.select(F.col("d"), F.col("revenue").alias("x"))
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("revenue").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            F.col("d2")
+            == F.col("d") + F.make_interval(days=F.col("k")),
+        )
+        .select("k", "d", "x", "y")
+    )
+    arr = pairs.groupBy("k").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("x"), F.col("y")))
+        ).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, e: acc + term(e)
+        )
+
+    m = arr.select(
+        "k",
+        F.size("a").cast("double").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+    )
+    return m.select(
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        _pearson_from_sums(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("acf"),
+    )
+
+
 _CORR_PAIRS = [
     ("l_quantity", "l_extendedprice"),
     ("l_quantity", "l_discount"),
@@ -4556,3 +4658,160 @@ def arc_price_elasticity_brand_yearly(
         )
         .alias("arc_elasticity"),
     )
+
+
+@query(
+    "ewma_control_chart_daily_revenue",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           {money_sum_sql('o_totalprice')} AS x
+    FROM orders GROUP BY 1
+),
+seq AS MATERIALIZED (
+    SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily
+),
+l AS MATERIALIZED (
+    SELECT list_sort(list(struct_pack(d := d, x := x))) AS a FROM daily
+),
+m AS (
+    SELECT CAST(len(a) AS DOUBLE) AS n,
+           {_fold_sql('e.x')} AS sx
+    FROM l
+),
+mv AS (
+    SELECT n, sx / n AS mu FROM m
+),
+v AS (
+    SELECT mv.n, mv.mu,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l.a, e -> (e.x - mv.mu) * (e.x - mv.mu))),
+               (p, q) -> p + q) / mv.n AS var
+    FROM l CROSS JOIN mv
+),
+rec AS (
+    SELECT d, rn, x, x AS y, CAST('0.25' AS DOUBLE) AS qpow
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.d, s.rn, s.x,
+           CAST('0.5' AS DOUBLE) * s.x + CAST('0.5' AS DOUBLE) * r.y,
+           CAST('0.25' AS DOUBLE) * r.qpow
+    FROM seq s JOIN rec r ON s.rn = r.rn + 1
+)
+SELECT CAST(rec.d AS DATE) AS d,
+       rec.x AS revenue,
+       rec.y AS ewma,
+       v.mu - 3 * sqrt((v.var / 3) * (1 - rec.qpow)) AS lcl,
+       v.mu + 3 * sqrt((v.var / 3) * (1 - rec.qpow)) AS ucl,
+       rec.y < v.mu - 3 * sqrt((v.var / 3) * (1 - rec.qpow))
+         OR rec.y > v.mu + 3 * sqrt((v.var / 3) * (1 - rec.qpow))
+         AS out_of_control
+FROM rec CROSS JOIN v
+""",
+)
+def ewma_control_chart_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / NIST handbook form) over daily
+    revenue: the small-shift-sensitive SPC monitor. EWMA recursion
+    y_t = λx_t + (1-λ)y_{t-1} with λ=1/2 (binary-exact multiplies, the
+    `ewma_daily_value_by_type` device) runs as a JVM fold over the
+    date-sorted calendar series, CARRYING the variance-decay power
+    (1-λ)^{2t} = 0.25^t in the fold state (exact dyadic multiplies —
+    never `pow`, which isn't correctly rounded); control limits are
+    μ ± 3·sqrt(σ²·(λ/(2-λ))·(1-0.25^t)) with μ, σ² phase-I estimates
+    from the same series via sorted-fold moments. Both engines execute
+    the IDENTICAL op sequence (fold order pinned by date sort; each
+    *, /, sqrt correctly rounded), so even this stateful chart
+    hash-matches. 100 TB shape: one fact shuffle to the calendar grain;
+    the recursion is resolution-bounded (≤ a few thousand days)."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(money_sum("o_totalprice").alias("x"))
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("x")))
+        ).alias("a")
+    )
+    mv = arr.select(
+        "a",
+        F.size("a").cast("double").alias("n"),
+        F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, e: acc + e["x"]
+        ).alias("sx"),
+    ).select("a", "n", (F.col("sx") / F.col("n")).alias("mu"))
+    v = mv.select(
+        "a",
+        "mu",
+        (
+            F.aggregate(
+                F.col("a"),
+                F.lit(0.0),
+                lambda acc, e: acc
+                + (e["x"] - F.col("mu")) * (e["x"] - F.col("mu")),
+            )
+            / F.col("n")
+        ).alias("var"),
+    )
+    state0 = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<d: TIMESTAMP, x: DOUBLE, "
+        "y: DOUBLE, qpow: DOUBLE>>)"
+    )
+    folded = v.select(
+        "mu",
+        "var",
+        F.aggregate(
+            F.col("a"),
+            state0,
+            lambda acc, e: F.when(
+                F.size(acc) == 0,
+                F.array(
+                    F.struct(
+                        e["d"].alias("d"),
+                        e["x"].alias("x"),
+                        e["x"].alias("y"),
+                        F.lit(0.25).alias("qpow"),
+                    )
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            e["d"].alias("d"),
+                            e["x"].alias("x"),
+                            (
+                                F.lit(0.5) * e["x"]
+                                + F.lit(0.5)
+                                * F.element_at(acc, -1)["y"]
+                            ).alias("y"),
+                            (
+                                F.lit(0.25)
+                                * F.element_at(acc, -1)["qpow"]
+                            ).alias("qpow"),
+                        )
+                    ),
+                )
+            ),
+        ).alias("s"),
+    )
+    ex = folded.select(
+        "mu", "var", F.explode("s").alias("e")
+    )
+    half_width = F.lit(3) * F.sqrt(
+        (F.col("var") / F.lit(3)) * (F.lit(1) - F.col("e.qpow"))
+    )
+    lcl = F.col("mu") - half_width
+    ucl = F.col("mu") + half_width
+    return ex.select(
+        F.col("e.d").cast("date").alias("d"),
+        F.col("e.x").alias("revenue"),
+        F.col("e.y").alias("ewma"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        ((F.col("e.y") < lcl) | (F.col("e.y") > ucl)).alias(
+            "out_of_control"
+        ),
+    )
+

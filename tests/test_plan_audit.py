@@ -112,6 +112,10 @@ _BNLJ_OK = {
     "stratified_ate_priority_value",  # 1-row stratum-totals broadcast
     "quantile_normalize_order_totals",  # 1-row global-count broadcast
     "decile_bins_order_totals",  # 1-row global-count broadcast (ntile N)
+    "curriculum_phases_docs",  # 1-row corpus-count broadcast (ntile N)
+    "acf_panel_daily_revenue",  # 14-row literal lag-set cross
+    "ewma_control_chart_daily_revenue",  # 1-row mu/var scalar cross
+    "hits_copurchase_2iter",  # 1-row max-score broadcasts (normalization)
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

@@ -1094,3 +1094,61 @@ def sentence_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Pinned content blocklist — the multi-term screen a safety filter runs
+# (terms chosen to hit the synthetic fixture's vocabulary).
+_BLOCKLIST = (
+    "error", "null", "undefined", "lorem", "spam",
+    "xxx", "casino", "deprecated",
+)
+
+
+@query(
+    "blocklist_screen_docs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks,
+            x -> list_contains({list(_BLOCKLIST)!r}, x))) AS BIGINT)
+           AS n_hits,
+       CAST(len(list_distinct(list_filter(toks,
+            x -> list_contains({list(_BLOCKLIST)!r}, x)))) AS BIGINT)
+           AS n_distinct_terms,
+       CAST(len(list_filter(toks,
+            x -> list_contains({list(_BLOCKLIST)!r}, x))) AS DOUBLE)
+           / len(toks) AS hit_ratio,
+       len(list_filter(toks,
+            x -> list_contains({list(_BLOCKLIST)!r}, x))) = 0 AS keep
+FROM t
+""",
+)
+def blocklist_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-blocklist content screen (the multi-pattern safety filter
+    every corpus pipeline runs before training): per document, the
+    blocklisted-token hit count, distinct matched terms, hit ratio, and
+    the keep decision at zero tolerance. The match runs WITHIN-ROW over
+    the certified tokenizer's array (array filter against an 8-term
+    literal set — whole-stage-codegen, no join, no shuffle); counting
+    is BIGINT with one final ratio. At 100 TB this is the cheapest
+    screen in the curation DAG and runs first (`curation_app` ordering);
+    a 100k-term production blocklist would swap the literal array for a
+    broadcast hash join against exploded tokens — same semantics, same
+    per-row verdict."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    blocked = F.filter(
+        tokens("text"), lambda t: t.isin(*_BLOCKLIST)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(blocked).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(blocked)).cast("long").alias(
+            "n_distinct_terms"
+        ),
+        (
+            F.size(blocked).cast("double") / F.size(tokens("text"))
+        ).alias("hit_ratio"),
+        (F.size(blocked) == 0).alias("keep"),
+    )

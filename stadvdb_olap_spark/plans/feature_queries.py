@@ -1002,3 +1002,65 @@ def quantile_normalize_order_totals(
             (F.col("gcents").cast("double") / 100).alias("qnorm_total"),
         )
     )
+
+
+# Pinned Mahalanobis parameters (the published-weights device): a
+# phase-I robust fit of (l_quantity, l_extendedprice) — mean vector and
+# inverse covariance — frozen as literals, as a monitoring deployment
+# would freeze its reference window fit.
+_MAHA_MU_Q = 25.5
+_MAHA_MU_P = 38250.0
+_MAHA_A = 0.0048  # S^-1[0][0]
+_MAHA_B = -3.1e-06  # S^-1[0][1] = S^-1[1][0]
+_MAHA_C = 2.1e-09  # S^-1[1][1]
+_MAHA_THR = 13.8155  # chi2(2 dof, 0.999)
+
+
+@query(
+    "mahalanobis_outliers_lineitem",
+    oracle=f"""
+WITH d AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) - CAST('{_MAHA_MU_Q!r}' AS DOUBLE)
+               AS dq,
+           CAST(l_extendedprice AS DOUBLE) - CAST('{_MAHA_MU_P!r}' AS DOUBLE)
+               AS dp
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       ((CAST('{_MAHA_A!r}' AS DOUBLE) * dq * dq
+         + (2 * CAST('{_MAHA_B!r}' AS DOUBLE)) * dq * dp)
+         + CAST('{_MAHA_C!r}' AS DOUBLE) * dp * dp) AS d2,
+       ((CAST('{_MAHA_A!r}' AS DOUBLE) * dq * dq
+         + (2 * CAST('{_MAHA_B!r}' AS DOUBLE)) * dq * dp)
+         + CAST('{_MAHA_C!r}' AS DOUBLE) * dp * dp)
+         > CAST('{_MAHA_THR!r}' AS DOUBLE) AS is_outlier
+FROM d
+""",
+)
+def mahalanobis_outliers_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multivariate (Mahalanobis-distance) outlier screen over
+    (quantity, price): d² = (x−μ)ᵀ Σ⁻¹ (x−μ) against the χ²(2, 0.999)
+    cutoff — the joint-distribution anomaly detector that catches rows
+    each univariate z-score passes (e.g. high quantity WITH low price).
+    μ and Σ⁻¹ are pinned literals (the published-weights device — a
+    production monitor freezes its reference-window fit exactly like
+    this), so d² is a fixed chain of correctly-rounded multiply-adds in
+    identical order on both engines, and the verdict is one literal
+    comparison. 100 TB shape: a pure narrow projection — no shuffle, no
+    aggregate, whole-stage codegen over the scan with both filter
+    columns pruned at the reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("double") - F.lit(_MAHA_MU_Q)
+    dp = F.col("l_extendedprice").cast("double") - F.lit(_MAHA_MU_P)
+    d2 = (
+        F.lit(_MAHA_A) * dq * dq + (2 * F.lit(_MAHA_B)) * dq * dp
+    ) + F.lit(_MAHA_C) * dp * dp
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d2.alias("d2"),
+        (d2 > F.lit(_MAHA_THR)).alias("is_outlier"),
+    )

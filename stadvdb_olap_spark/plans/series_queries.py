@@ -4815,3 +4815,314 @@ def ewma_control_chart_daily_revenue(
         ),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) data-driven attribution
+# ---------------------------------------------------------------------------
+
+_MKV_T = 12  # pinned backward-induction horizon
+# dense state order: indices 1..4 transient, 5 = CONV, 6 = LOSS
+_MKV_NAMES = ("START", "view", "click", "signup", "CONV", "LOSS")
+
+
+def _mkv_fold_sql(inner: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_sort(list({inner})), e -> e.t)), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _markov_oracle() -> str:
+    names_sql = "[" + ", ".join(f"'{n}'" for n in _MKV_NAMES) + "]"
+    return f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+touch AS (
+    SELECT user_id, session_seq,
+           list(event_type ORDER BY ts, event_id)
+               FILTER (WHERE event_type IN ('view', 'click', 'signup'))
+               AS touches,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS conv
+    FROM sess GROUP BY user_id, session_seq
+),
+seqs AS (
+    SELECT list_concat(
+               list_concat(['START'], COALESCE(touches, [])),
+               [CASE WHEN conv THEN 'CONV' ELSE 'LOSS' END]) AS sq
+    FROM touch
+),
+trans AS (
+    SELECT sq[i] AS src, sq[i + 1] AS dst
+    FROM seqs, unnest(generate_series(1, len(sq) - 1)) AS u(i)
+),
+cnt AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+    FROM trans GROUP BY src, dst
+),
+variants AS (SELECT unnest(['', 'view', 'click', 'signup']) AS removed),
+vcnt AS (
+    SELECT v.removed, cnt.src,
+           CASE WHEN cnt.dst = v.removed THEN 'LOSS' ELSE cnt.dst END AS dst,
+           CAST(SUM(c) AS BIGINT) AS c
+    FROM cnt CROSS JOIN variants v
+    WHERE cnt.src <> v.removed
+    GROUP BY 1, 2, 3
+),
+tot AS (SELECT removed, src, CAST(SUM(c) AS BIGINT) AS t
+        FROM vcnt GROUP BY 1, 2),
+p AS (
+    SELECT vcnt.removed, vcnt.src, vcnt.dst,
+           CAST(vcnt.c AS DOUBLE) / tot.t AS p
+    FROM vcnt JOIN tot ON tot.removed = vcnt.removed AND tot.src = vcnt.src
+),
+dense AS MATERIALIZED (
+    SELECT removed,
+           list_transform(generate_series(1, 24), idx ->
+               COALESCE(
+                   list_filter(
+                       list(struct_pack(src := src, dst := dst, p := p)),
+                       e -> e.src = {names_sql}[(idx - 1) // 6 + 1]
+                        AND e.dst = {names_sql}[(idx - 1) % 6 + 1]
+                   )[1].p,
+                   CAST(0 AS DOUBLE))) AS m
+    FROM p GROUP BY removed
+),
+iter AS (
+    SELECT removed,
+           list_reduce(
+               list_prepend(
+                   [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                    CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)],
+                   list_transform(generate_series(1, {_MKV_T}),
+                                  x -> CAST(NULL AS DOUBLE[]))),
+               (acc, step) -> list_transform(generate_series(1, 6), s ->
+                   CASE WHEN s <= 4 THEN
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(generate_series(1, 6), j ->
+                                   m[6 * (s - 1) + j] * acc[j])),
+                           (a2, b2) -> a2 + b2)
+                   WHEN s = 5 THEN CAST(1 AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END)) AS u
+    FROM dense
+),
+pstart AS (SELECT removed, u[1] AS pc FROM iter),
+base AS (SELECT pc AS p0 FROM pstart WHERE removed = ''),
+eff AS (
+    SELECT removed AS channel, pc AS p_removed, p0,
+           (p0 - pc) / p0 AS removal_effect
+    FROM pstart CROSS JOIN base
+    WHERE removed <> ''
+),
+teff AS (
+    SELECT {_mkv_fold_sql("struct_pack(d := channel, t := removal_effect)")}
+        AS s
+    FROM eff
+)
+SELECT channel, p0 AS p_conversion, p_removed,
+       removal_effect,
+       CASE WHEN s = 0 THEN CAST(0 AS DOUBLE)
+            ELSE removal_effect / s END AS attribution_share
+FROM eff CROSS JOIN teff
+"""
+
+
+@query("markov_removal_attribution", oracle=_markov_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Markov-chain attribution (first-order chain, removal
+    effect — the model behind data-driven attribution systems): build
+    the session-level touch chain START → touches → CONV/LOSS (the
+    certified 30-minute sessionization), estimate transition
+    probabilities from exact integer counts, and credit each channel by
+    how much the pinned-horizon conversion probability of START drops
+    when the channel is removed (its inbound edges redirect to LOSS at
+    COUNT level, so probabilities stay exact integer ratios).
+    Conversion probability is 12-step backward induction
+    u' (s) = Σ_j P[s][j]·u[j] with absorbing CONV=1/LOSS=0, computed as
+    a WITHIN-ROW nested fold over a dense 4x6 matrix per chain variant
+    — index-ordered lambda arithmetic, every multiply-add correctly
+    rounded in the same sequence on both engines, no joins or
+    iteration-state shuffles at all. All four variants (base + 3
+    removals) are rows of one 4-row relation. 100 TB shape: the only
+    fact-scale work is sessionization (one user-keyed exchange) and the
+    transition count (one hash aggregate); the model solve is 4 rows x
+    a closed expression, and thousands of variants/segments would
+    parallelize as ordinary rows."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_seq", F.sum(is_new).over(run))
+    touch = sess.groupBy("user_id", "session_seq").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("conv"),
+    )
+    touches = F.filter(
+        F.transform(F.col("evs"), lambda e: e["event_type"]),
+        lambda t: t.isin("view", "click", "signup"),
+    )
+    seq = F.concat(
+        F.array(F.lit("START")),
+        touches,
+        F.array(F.when(F.col("conv"), "CONV").otherwise("LOSS")),
+    )
+    trans = touch.select(seq.alias("sq")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("sq") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("sq"), i).alias("src"),
+                    F.element_at(F.col("sq"), i + 1).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    cnt = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    variants = spark.createDataFrame(
+        [("",), ("view",), ("click",), ("signup",)], ["removed"]
+    )
+    vcnt = (
+        cnt.crossJoin(F.broadcast(variants))
+        .filter(F.col("src") != F.col("removed"))
+        .groupBy(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "LOSS")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tot = vcnt.groupBy("removed", "src").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    p = vcnt.join(tot, ["removed", "src"]).select(
+        "removed",
+        "src",
+        "dst",
+        (F.col("c").cast("double") / F.col("t")).alias("p"),
+    )
+    names = F.array(*[F.lit(n) for n in _MKV_NAMES])
+    dense = p.groupBy("removed").agg(
+        F.collect_list(F.struct("src", "dst", "p")).alias("edges")
+    ).select(
+        "removed",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda idx: F.coalesce(
+                F.get(
+                    F.filter(
+                        F.col("edges"),
+                        lambda e: (
+                            e["src"]
+                            == F.element_at(names, ((idx - 1) / 6).cast("int") + 1)
+                        )
+                        & (
+                            e["dst"]
+                            == F.element_at(names, ((idx - 1) % 6).cast("int") + 1)
+                        ),
+                    ),
+                    F.lit(0),
+                )["p"],
+                F.lit(0.0),
+            ),
+        ).alias("m"),
+    )
+    u0 = F.array(
+        F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)
+    )
+    stepped = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_MKV_T)),
+            lambda x: F.lit(None).cast("double"),
+        ),
+        u0,
+        lambda acc, step: F.transform(
+            F.sequence(F.lit(1), F.lit(6)),
+            lambda s: F.when(
+                s <= 4,
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(6)),
+                        lambda j: F.element_at(
+                            F.col("m"), (6 * (s - 1) + j).cast("int")
+                        )
+                        * F.element_at(acc, j.cast("int")),
+                    ),
+                    F.lit(0.0),
+                    lambda a2, b2: a2 + b2,
+                ),
+            )
+            .when(s == 5, F.lit(1.0))
+            .otherwise(F.lit(0.0)),
+        ),
+    )
+    pstart = dense.select(
+        "removed", F.element_at(stepped, 1).alias("pc")
+    )
+    base = pstart.filter(F.col("removed") == "").select(
+        F.col("pc").alias("p0")
+    )
+    eff = (
+        pstart.filter(F.col("removed") != "")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            F.col("pc").alias("p_removed"),
+            "p0",
+            ((F.col("p0") - F.col("pc")) / F.col("p0")).alias(
+                "removal_effect"
+            ),
+        )
+    )
+    teff = eff.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("channel").alias("d"),
+                        F.col("removal_effect").alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["t"],
+        ).alias("s")
+    )
+    return eff.crossJoin(F.broadcast(teff)).select(
+        "channel",
+        F.col("p0").alias("p_conversion"),
+        "p_removed",
+        "removal_effect",
+        F.when(F.col("s") == 0, F.lit(0.0))
+        .otherwise(F.col("removal_effect") / F.col("s"))
+        .alias("attribution_share"),
+    )

@@ -544,3 +544,91 @@ def hll_registers_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j")
         .agg(F.max("__rho").cast("long").alias("register"))
     )
+
+
+_AMS_S = 16  # independent sign estimators
+
+
+@query(
+    "sketch_ams_f2_lineitem",
+    oracle=f"""
+WITH z AS (
+    SELECT i,
+           CAST(SUM(CASE WHEN (strpos('0123456789abcdef',
+                       substring(md5(CAST(i AS VARCHAR) || ':' ||
+                                 CAST(l_partkey AS VARCHAR)), 1, 1)) - 1)
+                       % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS zi
+    FROM lineitem, unnest(generate_series(0, {_AMS_S - 1})) AS u(i)
+    GROUP BY i
+),
+est AS (
+    SELECT CAST(SUM(zi * zi) AS BIGINT) AS sum_z2,
+           CAST(COUNT(*) AS BIGINT) AS s
+    FROM z
+),
+exact AS (
+    SELECT CAST(SUM(n * n) AS BIGINT) AS f2
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY l_partkey)
+)
+SELECT s AS n_estimators,
+       sum_z2,
+       CAST(sum_z2 AS DOUBLE) / s AS est_f2,
+       f2 AS exact_f2,
+       CAST(sum_z2 AS DOUBLE) / s / f2 - 1 AS rel_error
+FROM est CROSS JOIN exact
+""",
+)
+def sketch_ams_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch (Alon-Matias-Szegedy 1996): estimate the second
+    frequency moment Σf_k² of l_partkey — the self-join size — from 16
+    independent ±1 sign sums instead of per-key counts. Each estimator
+    Z_i = Σ_rows σ_i(key) is an EXACT BIGINT (the sign is an md5-parity
+    hash both engines compute identically), so Z_i², their sum, and the
+    exact F2 baseline are all integers; the only floats are the two
+    final divisions. This is the mergeable streaming estimator for join
+    cardinality (cf. the exact audit `join_cardinality_audit_lineitem`):
+    at 100 TB each estimator is one commutative integer sum — a 16-cell
+    state regardless of key cardinality, map-side combinable, while the
+    exact Σn² needs a full key aggregate. The published rel_error shows
+    the estimator's accuracy against ground truth in the same row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    seeds = spark.range(_AMS_S).select(F.col("id").cast("int").alias("i"))
+    # first md5 hex digit parity: Spark via conv(hex,16,10), DuckDB via
+    # a strpos digit lookup — same integer, hence the same sign
+    sign = F.when(
+        (
+            F.expr(
+                "conv(substring(md5(CAST(concat(CAST(i AS STRING), ':', "
+                "CAST(l_partkey AS STRING)) AS BINARY)), 1, 1), 16, 10)"
+            ).cast("long")
+            % 2
+        )
+        == 0,
+        1,
+    ).otherwise(-1)
+    z = (
+        li.crossJoin(F.broadcast(seeds))
+        .groupBy("i")
+        .agg(F.sum(sign).cast("long").alias("zi"))
+    )
+    est = z.agg(
+        F.sum(F.col("zi") * F.col("zi")).cast("long").alias("sum_z2"),
+        F.count(F.lit(1)).cast("long").alias("s"),
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("s").alias("n_estimators"),
+        "sum_z2",
+        (F.col("sum_z2").cast("double") / F.col("s")).alias("est_f2"),
+        F.col("f2").alias("exact_f2"),
+        (
+            F.col("sum_z2").cast("double") / F.col("s") / F.col("f2")
+            - 1
+        ).alias("rel_error"),
+    )

@@ -671,3 +671,346 @@ def embedding_centroid_drift_labels(
             fold_sum(F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)))
         ).alias("l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (8*8 = the 64-dim fixture)
+_PQ_KS = 4  # centroids per subspace
+_PQ_K = 20  # neighbors returned
+_PQ_QUERY = 0  # pinned query: embeddings.vec_id = 0
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Pinned PQ codebooks (the published-weights device of
+    `_hyperplanes`/_PCA_*): deterministically seeded N(0,1) centroids
+    rounded to 4 decimals so the literal is exactly representable and
+    identical in both engines. codebooks[m][k][j]."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    return rng.standard_normal((_PQ_M, _PQ_KS, _PQ_D)).round(4).tolist()
+
+
+def _pq_dist_sql(vec: str, m: int, k: int, books) -> str:
+    """Chained left-assoc sum of squared diffs — identical op order to
+    the Spark column, no fold machinery needed."""
+    expr = "CAST(0 AS DOUBLE)"
+    for j in range(_PQ_D):
+        c = f"CAST('{books[m][k][j]!r}' AS DOUBLE)"
+        t = f"(({vec}[{m * _PQ_D + j + 1}] - {c}) * ({vec}[{m * _PQ_D + j + 1}] - {c}))"
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def _pq_code_sql(vec: str, m: int, books) -> str:
+    d = [_pq_dist_sql(vec, m, k, books) for k in range(_PQ_KS)]
+    return (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+    )
+
+
+def _pq_oracle() -> str:
+    books = _pq_codebooks()
+    code_cols = ", ".join(
+        f"{_pq_code_sql('embedding', m, books)} AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    qd_cols = ", ".join(
+        f"{_pq_dist_sql('qv', m, k, books)} AS qd_{m}_{k}"
+        for m in range(_PQ_M)
+        for k in range(_PQ_KS)
+    )
+    pick = "CAST(0 AS DOUBLE)"
+    for m in range(_PQ_M):
+        case = (
+            f"(CASE c.code_{m} WHEN 0 THEN qd.qd_{m}_0 WHEN 1 THEN qd.qd_{m}_1 "
+            f"WHEN 2 THEN qd.qd_{m}_2 ELSE qd.qd_{m}_3 END)"
+        )
+        pick = f"({pick} + {case})"
+    code_str = " || ".join(f"CAST(c.code_{m} AS VARCHAR)" for m in range(_PQ_M))
+    return f"""
+WITH c AS MATERIALIZED (
+    SELECT vec_id, {code_cols} FROM embeddings
+),
+qd AS MATERIALIZED (
+    SELECT {qd_cols}
+    FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_PQ_QUERY})
+),
+scored AS (
+    SELECT CAST({_PQ_QUERY} AS BIGINT) AS query_id,
+           c.vec_id AS neighbor_id,
+           {code_str} AS pq_code,
+           {pick} AS approx_dist_sq
+    FROM c CROSS JOIN qd
+    WHERE c.vec_id <> {_PQ_QUERY}
+)
+SELECT query_id, neighbor_id, pq_code, approx_dist_sq,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          ORDER BY approx_dist_sq, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {_PQ_K}
+"""
+
+
+@query("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance computation: each vector compresses to 8 2-bit codes (8
+    subspaces x 4 pinned centroids — 2 BYTES per 64-dim vector, the
+    memory ratio that makes billion-scale ANN fit RAM), the pinned
+    query precomputes its 8x4 subspace-distance lookup table, and the
+    approximate distance is 8 table lookups + 7 adds per candidate —
+    no per-candidate vector math at all. Codebooks are pinned literals
+    (the published-weights device; production would k-means-fit them
+    offline); every distance is a chained left-assoc multiply-add in
+    identical order on both engines, argmin breaks ties toward the
+    lower code, so codes, distances, and ranks hash-match exactly.
+    100 TB shape: encoding is a narrow projection (one scan, no
+    shuffle); the ADC scan reads CODES not vectors (32x less I/O);
+    top-k is one windowed rank. The exact-cosine sibling
+    `ann_cosine_topk` is the recall baseline."""
+    books = _pq_codebooks()
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def dist_col(vec_col: str, m: int, k: int):
+        expr = F.lit(0.0)
+        for j in range(_PQ_D):
+            c = F.lit(books[m][k][j])
+            t = (F.element_at(F.col(vec_col), m * _PQ_D + j + 1) - c) * (
+                F.element_at(F.col(vec_col), m * _PQ_D + j + 1) - c
+            )
+            expr = expr + t
+        return expr
+
+    def code_col(vec_col: str, m: int):
+        d = [dist_col(vec_col, m, k) for k in range(_PQ_KS)]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+
+    codes = emb.select(
+        "vec_id",
+        *[code_col("embedding", m).alias(f"code_{m}") for m in range(_PQ_M)],
+    )
+    q = emb.filter(F.col("vec_id") == _PQ_QUERY).select(
+        F.col("embedding").alias("qv")
+    )
+    qd = q.select(
+        *[
+            dist_col("qv", m, k).alias(f"qd_{m}_{k}")
+            for m in range(_PQ_M)
+            for k in range(_PQ_KS)
+        ]
+    )
+    pick = F.lit(0.0)
+    for m in range(_PQ_M):
+        case = (
+            F.when(F.col(f"code_{m}") == 0, F.col(f"qd_{m}_0"))
+            .when(F.col(f"code_{m}") == 1, F.col(f"qd_{m}_1"))
+            .when(F.col(f"code_{m}") == 2, F.col(f"qd_{m}_2"))
+            .otherwise(F.col(f"qd_{m}_3"))
+        )
+        pick = pick + case
+    code_str = F.concat(
+        *[F.col(f"code_{m}").cast("string") for m in range(_PQ_M)]
+    )
+    scored = (
+        codes.filter(F.col("vec_id") != _PQ_QUERY)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            F.lit(_PQ_QUERY).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            code_str.alias("pq_code"),
+            pick.alias("approx_dist_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "approx_dist_sq", "neighbor_id"
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (MMR) diversified retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY = 0  # pinned query vector
+_MMR_CANDS = 20  # relevance-ranked candidate pool
+_MMR_K = 10  # diversified picks
+_MMR_LAMBDA = 0.5  # exact dyadic tradeoff
+
+
+def _mmr_oracle() -> str:
+    sel_ctes = []
+    prev_names = []
+    for i in range(1, _MMR_K + 1):
+        if not prev_names:
+            body = f"""
+sel1 AS MATERIALIZED (
+    SELECT vec_id, rel, CAST(0 AS DOUBLE) AS red,
+           CAST('0.5' AS DOUBLE) * rel - CAST('0.5' AS DOUBLE) * CAST(0 AS DOUBLE)
+               AS mmr
+    FROM cands
+    ORDER BY CAST('0.5' AS DOUBLE) * rel - CAST('0.5' AS DOUBLE) * CAST(0 AS DOUBLE) DESC,
+             vec_id
+    LIMIT 1
+)"""
+        else:
+            picked = " UNION ALL ".join(
+                f"SELECT vec_id FROM {p}" for p in prev_names
+            )
+            body = f"""
+sel{i} AS MATERIALIZED (
+    SELECT c.vec_id, c.rel, r.red,
+           CAST('0.5' AS DOUBLE) * c.rel - CAST('0.5' AS DOUBLE) * r.red AS mmr
+    FROM cands c
+    JOIN (
+        SELECT p.a AS vec_id, MAX(p.sim) AS red
+        FROM pairs p
+        WHERE p.b IN ({picked}) AND p.a NOT IN ({picked})
+        GROUP BY p.a
+    ) r ON r.vec_id = c.vec_id
+    ORDER BY CAST('0.5' AS DOUBLE) * c.rel - CAST('0.5' AS DOUBLE) * r.red DESC,
+             c.vec_id
+    LIMIT 1
+)"""
+        sel_ctes.append(body)
+        prev_names.append(f"sel{i}")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick, vec_id AS neighbor_id, "
+        f"rel AS relevance, red AS redundancy, mmr AS mmr_score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH cands AS MATERIALIZED (
+    SELECT e.vec_id, {cosine_sql('q.qv', 'e.embedding')} AS rel
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings
+                WHERE vec_id = {_MMR_QUERY}) q
+    WHERE e.vec_id <> {_MMR_QUERY}
+    ORDER BY rel DESC, e.vec_id
+    LIMIT {_MMR_CANDS}
+),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {cosine_sql('ea.embedding', 'eb.embedding')} AS sim
+    FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+),{",".join(sel_ctes)}
+{finals}
+"""
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware retrieval step RAG pipelines run after
+    similarity search so the context window isn't k near-copies:
+    greedily pick argmax of λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)
+    for 10 rounds over the top-20 relevance candidates, λ=1/2 exactly.
+    Every quantity is certifiable: rel and pairwise sims are the pinned
+    sorted-fold cosine, MAX over picked is order-insensitive, the MMR
+    combination is two exact-dyadic multiplies and one subtract, and
+    each argmax breaks ties by vec_id. The 10 selection rounds unroll —
+    a Python loop building 10 chained bounded sub-plans here, 10 chained
+    MATERIALIZED CTEs in the oracle (the pinned-iteration convention of
+    the PageRank family). 100 TB shape: ONE brute/ANN relevance pass at
+    corpus scale; everything after operates on the 20-row candidate
+    pool (20x20 pair sims, 10 tiny argmax sorts) — re-ranking cost is
+    O(k·|cands|), independent of corpus size."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from stadvdb_olap_spark.functions.vectors import cosine
+
+    q = emb.filter(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("embedding").alias("qv")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != _MMR_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine("embedding", "qv").alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CANDS)
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    ca = cands.select(F.col("vec_id").alias("a"))
+    cb = cands.select(F.col("vec_id").alias("b"))
+    pairs = (
+        ca.join(cb, F.col("a") != F.col("b"))
+        .join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine("va", "vb").alias("sim"))
+    )
+    # Each selection round references every earlier pick; without a
+    # per-round localCheckpoint the lineage embeds all prior plans and
+    # grows exponentially (the kcore/connected-components lesson). The
+    # checkpointed relations are 20 rows (cands), 380 (pairs), 1 per pick.
+    cands = cands.localCheckpoint()
+    pairs = pairs.localCheckpoint()
+    lam = F.lit(0.5)
+    picks = []  # list of 1-row DataFrames (pick, vec_id, rel, red, mmr)
+    for i in range(1, _MMR_K + 1):
+        if not picks:
+            sel = (
+                cands.select(
+                    F.lit(i).cast("long").alias("pick"),
+                    "vec_id",
+                    "rel",
+                    F.lit(0.0).alias("red"),
+                    (lam * F.col("rel") - lam * F.lit(0.0)).alias("mmr"),
+                )
+                .orderBy(F.col("mmr").desc(), "vec_id")
+                .limit(1)
+            )
+        else:
+            picked = picks[0].select("vec_id")
+            for p in picks[1:]:
+                picked = picked.unionAll(p.select("vec_id"))
+            red = (
+                pairs.join(
+                    picked.select(F.col("vec_id").alias("b")), "b"
+                )
+                .join(
+                    picked.select(F.col("vec_id").alias("a")),
+                    "a",
+                    "left_anti",
+                )
+                .groupBy("a")
+                .agg(F.max("sim").alias("red"))
+            )
+            sel = (
+                cands.join(red, cands["vec_id"] == red["a"])
+                .select(
+                    F.lit(i).cast("long").alias("pick"),
+                    "vec_id",
+                    "rel",
+                    "red",
+                    (lam * F.col("rel") - lam * F.col("red")).alias("mmr"),
+                )
+                .orderBy(F.col("mmr").desc(), "vec_id")
+                .limit(1)
+            )
+        picks.append(sel.localCheckpoint())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "pick",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rel").alias("relevance"),
+        F.col("red").alias("redundancy"),
+        F.col("mmr").alias("mmr_score"),
+    )

@@ -116,6 +116,10 @@ _BNLJ_OK = {
     "acf_panel_daily_revenue",  # 14-row literal lag-set cross
     "ewma_control_chart_daily_revenue",  # 1-row mu/var scalar cross
     "hits_copurchase_2iter",  # 1-row max-score broadcasts (normalization)
+    "sketch_ams_f2_lineitem",  # 16-row literal seed cross + 1-row exact-F2
+    "markov_removal_attribution",  # 4-row variant cross + 1-row base/total
+    "ann_pq_adc_topk",  # 1-row query distance-table broadcast
+    "mmr_diversified_topk",  # 20-row checkpointed candidate pool crosses
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

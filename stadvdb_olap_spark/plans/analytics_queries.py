@@ -771,3 +771,98 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+@query(
+    "share_within_region_nation",
+    oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+),
+reg AS (
+    SELECT region, CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+               AS region_revenue
+    FROM rev GROUP BY region
+),
+tot AS (
+    SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+    FROM rev
+)
+SELECT rev.region, rev.nation, rev.revenue,
+       reg.region_revenue,
+       rev.revenue / reg.region_revenue AS share_of_region,
+       reg.region_revenue / tot.total_revenue AS region_share_of_total
+FROM rev JOIN reg USING (region) CROSS JOIN tot
+""",
+)
+def share_within_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent OLAP rollup: each nation's revenue share WITHIN
+    its region, and each region's share of the world — the two-level
+    percent-of-parent report (the drill-down companion to the plain
+    `rollup_revenue_region_nation` totals and the flat
+    `share_of_total_by_segment`). All revenue sums are exact DECIMAL at
+    every level (the nation rows re-aggregate decimal-exactly into
+    parent totals before the single double conversion per level), so
+    each published share is one IEEE division of deterministic
+    operands. 100 TB shape: one fact aggregation to nation grain
+    (dims broadcast), then all parent math runs on |nations| rows; the
+    shares come from a 25-row broadcast join + 1-row scalar cross."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    reg = rev.groupBy("region").agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("region_revenue")
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "revenue",
+            "region_revenue",
+            (F.col("revenue") / F.col("region_revenue")).alias(
+                "share_of_region"
+            ),
+            (F.col("region_revenue") / F.col("total_revenue")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

@@ -1064,3 +1064,144 @@ def mahalanobis_outliers_lineitem(
         d2.alias("d2"),
         (d2 > F.lit(_MAHA_THR)).alias("is_outlier"),
     )
+
+
+# Benjamini-Hochberg critical |z| values for m=5 two-sided tests at
+# FDR alpha=0.05: z_crit(i) = Phi^-1(1 - (i*alpha/m)/2), precomputed
+# with Python's statistics.NormalDist (ln/erf never run in-engine).
+_BH_M = 5
+_BH_CRIT = (
+    2.5758293035489,
+    2.3263478740408408,
+    2.17009037758456,
+    2.053748910631822,
+    1.9599639845400536,
+)
+
+
+def _bh_crit_sql(rank_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {i + 1} THEN CAST('{c!r}' AS DOUBLE)"
+        for i, c in enumerate(_BH_CRIT)
+    )
+    return f"CASE {rank_expr} {cases} END"
+
+
+@query(
+    "bh_fdr_segment_purchase_rate",
+    oracle=f"""
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (e.event_type = 'purchase') AS BIGINT) AS k
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt
+        FROM seg),
+z AS (
+    SELECT segment, n, k,
+           CAST(k AS DOUBLE) / n AS rate,
+           (CAST(k AS DOUBLE) / n
+            - CAST(kt - k AS DOUBLE) / (nt - n))
+           / sqrt((CAST(kt AS DOUBLE) / nt) * (1 - CAST(kt AS DOUBLE) / nt)
+                  * (CAST(1 AS DOUBLE) / n + CAST(1 AS DOUBLE) / (nt - n)))
+               AS zval
+    FROM seg CROSS JOIN tot
+),
+r AS (
+    SELECT segment, n, k, rate, zval,
+           CAST(row_number() OVER (ORDER BY abs(zval) DESC, segment)
+                AS BIGINT) AS zrank
+    FROM z
+),
+q AS (
+    SELECT CAST(COALESCE(MAX(zrank), 0) AS BIGINT) AS maxq
+    FROM r WHERE abs(zval) >= {_bh_crit_sql('zrank')}
+)
+SELECT segment, n AS n_events, k AS n_purchases, rate, zval AS z_score,
+       zrank, {_bh_crit_sql('zrank')} AS z_crit,
+       zrank <= maxq AS reject
+FROM r CROSS JOIN q
+""",
+)
+def bh_fdr_segment_purchase_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR-controlled multiple testing (the
+    step-up procedure, 1995) over 5 one-vs-rest two-proportion z-tests:
+    does any market segment's purchase rate differ from the rest, with
+    the false-discovery rate held at 5% across ALL five looks — the
+    correction every experimentation platform applies when it slices an
+    A/B readout by segment. Determinism devices: all counts are BIGINT;
+    each z is a fixed chain of correctly-rounded ops on exact-integer
+    ratios; the BH critical values Phi^-1(1-(i·α/m)/2) are PYTHON-
+    precomputed literals (ln/erf never execute in-engine, the Benford
+    convention), so the step-up comparison |z|_(i) ≥ crit(i) and the
+    max-qualifying-rank cut are pure literal comparisons. 100 TB
+    shape: one fact join+aggregate to 5 segment rows; the ranking and
+    step-up run on that bounded post-aggregation grain."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("k").cast("long").alias("kt"),
+    )
+    pooled = F.col("kt").cast("double") / F.col("nt")
+    zval = (
+        F.col("k").cast("double") / F.col("n")
+        - (F.col("kt") - F.col("k")).cast("double")
+        / (F.col("nt") - F.col("n"))
+    ) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.lit(1.0) / F.col("n")
+            + F.lit(1.0) / (F.col("nt") - F.col("n"))
+        )
+    )
+    z = seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("rate"),
+        zval.alias("zval"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.abs(F.col("zval")).desc(), "segment")
+    r = z.withColumn("zrank", F.row_number().over(w).cast("long"))
+    crit = F.col("zrank").cast("int")
+    crit_expr = None
+    for i, c in enumerate(_BH_CRIT):
+        cond = crit == (i + 1)
+        crit_expr = (
+            F.when(cond, F.lit(c))
+            if crit_expr is None
+            else crit_expr.when(cond, F.lit(c))
+        )
+    q = r.filter(F.abs(F.col("zval")) >= crit_expr).agg(
+        F.coalesce(F.max("zrank"), F.lit(0)).cast("long").alias("maxq")
+    )
+    return r.crossJoin(F.broadcast(q)).select(
+        "segment",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_purchases"),
+        "rate",
+        F.col("zval").alias("z_score"),
+        "zrank",
+        crit_expr.alias("z_crit"),
+        (F.col("zrank") <= F.col("maxq")).alias("reject"),
+    )

@@ -5126,3 +5126,160 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("removal_effect") / F.col("s"))
         .alias("attribution_share"),
     )
+
+
+_CCF_MAX_LAG = 7
+
+
+@query(
+    "ccf_leadlag_click_purchase",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+ks AS (SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS k),
+pairs AS (
+    SELECT ks.k, a.d AS d, CAST(a.x AS DOUBLE) AS x, CAST(b.y AS DOUBLE) AS y
+    FROM daily a
+    CROSS JOIN ks
+    JOIN daily b ON b.d = a.d + CAST(ks.k AS INTEGER)
+),
+l AS (
+    SELECT k, list_sort(list(struct_pack(d := d, x := x, y := y))) AS a
+    FROM pairs GROUP BY k
+),
+m AS (
+    SELECT k, CAST(len(a) AS DOUBLE) AS n,
+           {_fold_sql('e.x')} AS sx,
+           {_fold_sql('e.y')} AS sy,
+           {_fold_sql('e.x * e.y')} AS sxy,
+           {_fold_sql('e.x * e.x')} AS sxx,
+           {_fold_sql('e.y * e.y')} AS syy
+    FROM l
+)
+SELECT CAST(k AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       {_pearson_from_sums_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS ccf
+FROM m
+""",
+)
+def ccf_leadlag_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily click and purchase
+    counts at lags −7..+7 — the lead/lag detector (a peak at positive
+    lag k means clicks lead purchases by k days, the input to
+    marketing-mix timing models; the two-series generalization of
+    `acf_panel_daily_revenue`). Counts are exact BIGINTs, pair
+    generation is the explode+equi-join device over the calendar grain
+    (date + integer-lag equi-key), and per-lag Pearson moments fold
+    over the date-sorted pair list. 100 TB shape: one fact shuffle for
+    the daily rollup; everything after runs on ≤ days·15 rows."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    ks = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = daily.select("d", F.col("x").cast("double").alias("x"))
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("y").cast("double").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("d2") == F.date_add(F.col("d"), F.col("k")))
+        .select("k", "d", "x", "y")
+    )
+    arr = pairs.groupBy("k").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("x"), F.col("y")))
+        ).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, e: acc + term(e)
+        )
+
+    m = arr.select(
+        "k",
+        F.size("a").cast("double").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+    )
+    return m.select(
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        _pearson_from_sums(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("ccf"),
+    )
+
+
+@query(
+    "new_vs_returning_daily_revenue",
+    oracle=f"""
+WITH first_order AS (
+    SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(o.o_orderdate AS DATE) AS d,
+       CAST(COUNT(*) FILTER (CAST(o.o_orderdate AS DATE) = f.first_d)
+            AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (CAST(o.o_orderdate AS DATE) <> f.first_d)
+            AS BIGINT) AS n_returning,
+       {money_sum_sql('CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_d '
+                      'THEN o.o_totalprice ELSE 0 END')} AS new_revenue,
+       {money_sum_sql('CASE WHEN CAST(o.o_orderdate AS DATE) <> f.first_d '
+                      'THEN o.o_totalprice ELSE 0 END')} AS returning_revenue
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY 1
+""",
+)
+def new_vs_returning_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-vs-returning decomposition of daily revenue — the growth
+    accounting view every revenue dashboard leads with: an order is
+    "new" when placed on its customer's first-ever order date,
+    "returning" otherwise. One aggregate to per-customer first dates,
+    one same-keyed join back (first_order is customer-grain — at 100 TB
+    this is a co-partitioned shuffle join on o_custkey, or a broadcast
+    when the customer dimension fits), one calendar-grain aggregate.
+    Counts are BIGINT; the split revenues are exact decimal sums with
+    one double conversion each."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    d = F.col("o_orderdate").cast("date")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(d).alias("first_d")
+    )
+    is_new = d == F.col("first_d")
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(d.alias("d"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(is_new, 0).otherwise(1))
+            .cast("long")
+            .alias("n_returning"),
+            money_sum(
+                F.when(is_new, F.col("o_totalprice")).otherwise(F.lit(0))
+            ).alias("new_revenue"),
+            money_sum(
+                F.when(is_new, F.lit(0)).otherwise(F.col("o_totalprice"))
+            ).alias("returning_revenue"),
+        )
+    )

@@ -120,6 +120,9 @@ _BNLJ_OK = {
     "markov_removal_attribution",  # 4-row variant cross + 1-row base/total
     "ann_pq_adc_topk",  # 1-row query distance-table broadcast
     "mmr_diversified_topk",  # 20-row checkpointed candidate pool crosses
+    "ccf_leadlag_click_purchase",  # 15-row literal lag-set cross
+    "share_within_region_nation",  # 1-row world-total cross
+    "bh_fdr_segment_purchase_rate",  # 1-row pooled-total + 1-row maxq cross
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

@@ -250,3 +250,149 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = g if out is None else out.unionAll(g)
     return out
+
+
+@query(
+    "order_total_reconciliation_audit",
+    oracle="""
+WITH line AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+                    * (10000 + CAST(round(l_tax * 10000, 0) AS BIGINT)))
+                AS BIGINT) AS recomputed_u
+    FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+    SELECT o.o_orderstatus,
+           abs(line.recomputed_u
+               - CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                 * 100000000) AS adiff_u
+    FROM orders o JOIN line ON o.o_orderkey = line.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (adiff_u > 50000000) AS BIGINT) AS n_mismatched,
+       CAST(MAX(adiff_u) AS DOUBLE) / 10000000000 AS max_abs_diff_dollars
+FROM j GROUP BY o_orderstatus
+""",
+)
+def order_total_reconciliation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's
+    total from its lines (Σ extendedprice·(1−discount)·(1+tax) — the
+    TPC-H pricing identity) and audit the divergence from the stored
+    o_totalprice per status — the ledger-vs-detail tie-out every
+    finance pipeline runs nightly. EXACT integer device: prices go to
+    BIGINT cents and rates to basis points via round() (ties-away in
+    both engines), so each line's value is an exact integer in 1e-10
+    dollar units, per-order sums are exact BIGINTs (≈7e15 max, well
+    under 2^63), and the mismatch verdict |recomputed − stored| >
+    half a cent is a pure integer comparison; the only float is the
+    published max divergence. 100 TB shape: one lineitem aggregate
+    keyed on the order key, one same-keyed join to orders (both sides
+    co-partition on o_orderkey — bucket layouts make it shuffle-free),
+    one status rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (10000 - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+            * (10000 + F.round(F.col("l_tax") * 10000, 0).cast("long"))
+        )
+        .cast("long")
+        .alias("recomputed_u")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(
+        line, orders["o_orderkey"] == line["l_orderkey"]
+    ).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("recomputed_u")
+            - F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            * F.lit(100000000).cast("long")
+        ).alias("adiff_u"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("adiff_u") > 50000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        (F.max("adiff_u").cast("double") / F.lit(10000000000.0)).alias(
+            "max_abs_diff_dollars"
+        ),
+    )
+
+
+# Pinned FD-discovery candidates over orders: determinant -> dependent.
+_G3_CANDIDATES = (
+    ("custkey->priority", "o_custkey", "o_orderpriority"),
+    ("custkey->status", "o_custkey", "o_orderstatus"),
+    ("priority->status", "o_orderpriority", "o_orderstatus"),
+    ("orderdate->priority", "o_orderdate", "o_orderpriority"),
+)
+
+
+def _g3_oracle() -> str:
+    parts = []
+    for name, lhs, rhs in _G3_CANDIDATES:
+        parts.append(f"""
+SELECT '{name}' AS fd,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(mx) AS BIGINT) AS n_keep,
+       CAST(SUM(c) - SUM(mx) AS BIGINT) AS n_remove,
+       CAST(SUM(c) - SUM(mx) AS DOUBLE) / SUM(c) AS g3_error,
+       SUM(c) = SUM(mx) AS holds_exactly
+FROM (
+    SELECT {lhs},
+           CAST(SUM(cnt) AS BIGINT) AS c,
+           CAST(MAX(cnt) AS BIGINT) AS mx
+    FROM (SELECT {lhs}, {rhs}, COUNT(*) AS cnt
+          FROM orders GROUP BY {lhs}, {rhs})
+    GROUP BY {lhs}
+)""")
+    return " UNION ALL ".join(parts)
+
+
+@query("fd_g3_discovery_orders", oracle=_g3_oracle())
+def fd_g3_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD discovery with the g3 repair metric (Kivinen &
+    Mannila 1995; the measure TANE/Pyro-style profilers rank candidate
+    dependencies by): for each pinned candidate X -> Y, g3 = the
+    minimum fraction of rows to DELETE for the FD to hold exactly —
+    n_rows − Σ_X max_Y count, all exact BIGINT counting with one final
+    division. Complements `fd_violation_audit` (which counts violating
+    groups) with the repair-cost view profilers actually rank by.
+    100 TB shape: per candidate one (X, Y) hash aggregate then an
+    X-keyed max — both map-side combinable; candidates are independent
+    branches unioned at the result grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for name, lhs, rhs in _G3_CANDIDATES:
+        per_pair = orders.groupBy(lhs, rhs).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        per_lhs = per_pair.groupBy(lhs).agg(
+            F.sum("cnt").cast("long").alias("c"),
+            F.max("cnt").cast("long").alias("mx"),
+        )
+        g = per_lhs.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum("mx").cast("long").alias("n_keep"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_rows",
+            "n_keep",
+            (F.col("n_rows") - F.col("n_keep")).cast("long").alias(
+                "n_remove"
+            ),
+            (
+                (F.col("n_rows") - F.col("n_keep")).cast("double")
+                / F.col("n_rows")
+            ).alias("g3_error"),
+            (F.col("n_rows") == F.col("n_keep")).alias("holds_exactly"),
+        )
+        out = g if out is None else out.unionAll(g)
+    return out

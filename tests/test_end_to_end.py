@@ -121,7 +121,7 @@ def test_cli_list_run_explain(spark, capsys):
     rows, explain prints a physical plan; unknown names exit 2."""
     from stadvdb_olap_spark.__main__ import main
 
-    assert main(["list", "markov"]) == 0
+    assert main(["list", "markov_event"]) == 0
     out = capsys.readouterr().out
     assert "markov_event_transitions" in out and "1 queries" in out
 

@@ -457,3 +457,64 @@ def test_twap_bounded_by_group_extremes(spark):
         # weighted mean of in-group observations (last one excluded as
         # weightless) stays within the group's value envelope
         assert r.vmin - 1e-9 <= r.twap <= r.vmax + 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[1],
+    ),
+    width=st.integers(min_value=1, max_value=16),
+    n=st.integers(min_value=2, max_value=7),
+)
+def test_offset_rank_equals_window_for_any_bucket_width(
+    spark, vals, width, n
+):
+    """For ANY data (ties in the value column, any monotone bucket
+    width, any ntile n) the bucketed two-phase offset rank and ntile
+    equal the textbook unpartitioned-window definitions exactly —
+    the bucket choice affects only the plan, never the answer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.rank import (
+        global_ntile,
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(vals, "v bigint, id bigint")
+    bucket = F.expr(f"v DIV {width}")
+    got_r = {
+        (r["id"], r["gr"])
+        for r in global_row_number(
+            df, ["v", "id"], bucket=bucket, out="gr"
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want_r = {
+        (r["id"], r["gr"])
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("gr")
+        ).collect()
+    }
+    assert got_r == want_r
+    got_n = {
+        (r["id"], r["b"])
+        for r in global_ntile(
+            df, ["v", "id"], n, bucket=bucket, out="b"
+        ).collect()
+    }
+    want_n = {
+        (r["id"], r["b"])
+        for r in df.select(
+            "id", F.ntile(n).over(w).cast("long").alias("b")
+        ).collect()
+    }
+    assert got_n == want_n

@@ -5283,3 +5283,453 @@ def new_vs_returning_daily_revenue(
             ).alias("returning_revenue"),
         )
     )
+
+
+@query(
+    "ks_test_value_click_purchase",
+    oracle="""
+WITH sub AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+pv AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM sub GROUP BY value
+),
+cum AS (
+    SELECT value,
+           CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+    FROM pv
+),
+n AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pv
+),
+d AS (
+    SELECT CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+    FROM cum CROSS JOIN n
+)
+SELECT n1, n2, d_num,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d_stat,
+       CAST('1.358' AS DOUBLE)
+           * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))
+           AS d_crit_05,
+       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+           > CAST('1.358' AS DOUBLE)
+             * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))
+           AS reject_05
+FROM d CROSS JOIN n
+""",
+)
+def ks_test_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test comparing the `value`
+    distributions of click vs purchase events — the distribution-shape
+    companion to the location-only Mann-Whitney U: D = max |ECDF₁ −
+    ECDF₂|, with the 5% decision at c(α)·sqrt((n1+n2)/(n1·n2)),
+    c(0.05)=1.358 (Smirnov's asymptotic table, pinned literal). EXACT
+    device: the ECDF gap maximand is kept as the INTEGER |F1·n2 −
+    F2·n1| (max over integers needs no float care at all), so D spends
+    one division and the critical value one sqrt — deterministic both
+    engines. Plan: the fact rows hash-aggregate to the distinct-value
+    grain first (the mann_whitney device), the two cumulative sums run
+    on that post-aggregation relation, and the max folds to one row.
+    100 TB: value-grain cumsum — band per hash-bucket of values past
+    ~1e8 distincts (documented mann_whitney convention)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "value"
+    )
+    pv = sub.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select(
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.sum("c2").over(w).cast("long").alias("f2"),
+    )
+    n = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    n1d = F.col("n1").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n1d * F.col("n2"))
+    d_crit = F.lit(1.358) * F.sqrt(
+        (n1d + F.col("n2")) / (n1d * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        "d_num",
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit_05"),
+        (d_stat > d_crit).alias("reject_05"),
+    )
+
+
+# contingency pair for the rank-correlation family: "do larger line
+# quantities carry larger discounts?" — both variables have a small
+# bounded domain (50 quantities x 11 discount steps), so every rank
+# statistic reduces to exact integer arithmetic on the contingency table.
+def _qd_contingency_sql() -> str:
+    return """
+cont AS MATERIALIZED (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+qm AS MATERIALIZED (
+    SELECT q, CAST(SUM(c) AS BIGINT) AS cq,
+           CAST(COALESCE(SUM(SUM(c)) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS fq
+    FROM cont GROUP BY q
+),
+dm AS MATERIALIZED (
+    SELECT d, CAST(SUM(c) AS BIGINT) AS cd,
+           CAST(COALESCE(SUM(SUM(c)) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS fd
+    FROM cont GROUP BY d
+),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cont)
+"""
+
+
+@query(
+    "spearman_quantity_discount",
+    oracle=f"""
+WITH {_qd_contingency_sql()},
+s AS (
+    SELECT cont.c,
+           2 * qm.fq + qm.cq + 1 - (nn.n + 1) AS sx,
+           2 * dm.fd + dm.cd + 1 - (nn.n + 1) AS sy
+    FROM cont JOIN qm USING (q) JOIN dm USING (d) CROSS JOIN nn
+),
+m AS (
+    SELECT CAST(SUM(c * sx * sy) AS BIGINT) AS sxy,
+           CAST(SUM(c * sx * sx) AS BIGINT) AS sxx,
+           CAST(SUM(c * sy * sy) AS BIGINT) AS syy
+    FROM s
+)
+SELECT (SELECT n FROM nn) AS n_rows, sxy, sxx, syy,
+       CAST(sxy AS DOUBLE)
+           / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+           AS spearman_rho
+FROM m
+""",
+)
+def spearman_quantity_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between line quantity and discount —
+    the monotone-association screen that ignores both variables' skew.
+    EXACT device: with doubled average ranks R=2r̄ (integer, the
+    mann_whitney tie device) CENTERED by (n+1), the rank means are
+    exactly zero, so ρ = ΣSxSy / (√ΣSx²·√ΣSy²) needs NO n·Σ products —
+    every moment is an exact BIGINT accumulated over the CONTINGENCY
+    grain (50 quantities × 11 discount steps: Σc·Sx·Sy, c from the one
+    fact aggregate), and the publish step is two correctly-rounded
+    sqrts and one division. 100 TB shape: one (q,d) hash aggregate
+    over the fact; everything after runs on ≤550 contingency cells and
+    two ≤50-row marginals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cont = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    qm = (
+        cont.groupBy("q")
+        .agg(F.sum("c").cast("long").alias("cq"))
+        .select(
+            "q",
+            "cq",
+            F.coalesce(F.sum("cq").over(wq), F.lit(0))
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    dm = (
+        cont.groupBy("d")
+        .agg(F.sum("c").cast("long").alias("cd"))
+        .select(
+            "d",
+            "cd",
+            F.coalesce(F.sum("cd").over(wd), F.lit(0))
+            .cast("long")
+            .alias("fd"),
+        )
+    )
+    nn = cont.agg(F.sum("c").cast("long").alias("n"))
+    s = (
+        cont.join(F.broadcast(qm), "q")
+        .join(F.broadcast(dm), "d")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "c",
+            (
+                2 * F.col("fq") + F.col("cq") + 1 - (F.col("n") + 1)
+            ).alias("sx"),
+            (
+                2 * F.col("fd") + F.col("cd") + 1 - (F.col("n") + 1)
+            ).alias("sy"),
+        )
+    )
+    m = s.agg(
+        F.sum(F.col("c") * F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("c") * F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("c") * F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("syy"),
+    )
+    return m.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_rows"),
+        "sxy",
+        "sxx",
+        "syy",
+        (
+            F.col("sxy").cast("double")
+            / (
+                F.sqrt(F.col("sxx").cast("double"))
+                * F.sqrt(F.col("syy").cast("double"))
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "kendall_tau_quantity_discount",
+    oracle=f"""
+WITH {_qd_contingency_sql()},
+pairs AS (
+    SELECT CAST(SUM(CASE WHEN (b.q > a.q AND b.d > a.d)
+                           OR (b.q < a.q AND b.d < a.d)
+                         THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc2,
+           CAST(SUM(CASE WHEN (b.q > a.q AND b.d < a.d)
+                           OR (b.q < a.q AND b.d > a.d)
+                         THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc2
+    FROM cont a JOIN cont b ON a.q <> b.q OR a.d <> b.d
+),
+ties AS (
+    SELECT CAST(SUM(cq * (cq - 1)) AS BIGINT) AS tq2 FROM qm
+),
+tiesd AS (
+    SELECT CAST(SUM(cd * (cd - 1)) AS BIGINT) AS td2 FROM dm
+)
+SELECT (SELECT n FROM nn) AS n_rows,
+       CAST(conc2 // 2 AS BIGINT) AS concordant,
+       CAST(disc2 // 2 AS BIGINT) AS discordant,
+       CAST(conc2 - disc2 AS DOUBLE)
+           / (sqrt(CAST((SELECT n * (n - 1) FROM nn) - tq2 AS DOUBLE))
+              * sqrt(CAST((SELECT n * (n - 1) FROM nn) - td2 AS DOUBLE)))
+           AS tau_b
+FROM pairs CROSS JOIN ties CROSS JOIN tiesd
+""",
+)
+def kendall_tau_quantity_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall τ-b rank correlation between line quantity and discount —
+    the concordant/discordant-pair view of the same monotone
+    association as `spearman_quantity_discount` (τ is more robust to a
+    few wild rows, and its pair counts are directly interpretable).
+    EXACT device: over the bounded contingency grain (≤550 cells),
+    DOUBLED pair counts accumulate as Σ a.c·b.c over ordered cell pairs
+    — exact BIGINTs (≤n², ~3.6e11 at sf0.1) halved by integer DIV; the
+    tie corrections Σt(t−1) come from the marginals; and the
+    denominator multiplies two CORRECTLY-ROUNDED sqrts instead of
+    forming (n(n−1)−tq)(n(n−1)−td), whose product would overflow
+    BIGINT at fact scale. 100 TB: one (q,d) fact aggregate, then a
+    550×550 bounded cell self-join — never a row-pair join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cont = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cont.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = cont.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("qa") != F.col("qb")) | (F.col("da") != F.col("db")),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        (F.col("qb") > F.col("qa"))
+                        & (F.col("db") > F.col("da"))
+                    )
+                    | (
+                        (F.col("qb") < F.col("qa"))
+                        & (F.col("db") < F.col("da"))
+                    ),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conc2"),
+            F.sum(
+                F.when(
+                    (
+                        (F.col("qb") > F.col("qa"))
+                        & (F.col("db") < F.col("da"))
+                    )
+                    | (
+                        (F.col("qb") < F.col("qa"))
+                        & (F.col("db") > F.col("da"))
+                    ),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("disc2"),
+        )
+    )
+    qm = cont.groupBy("q").agg(F.sum("c").cast("long").alias("cq"))
+    dm = cont.groupBy("d").agg(F.sum("c").cast("long").alias("cd"))
+    tq = qm.agg(
+        F.sum(F.col("cq") * (F.col("cq") - 1)).cast("long").alias("tq2")
+    )
+    td = dm.agg(
+        F.sum(F.col("cd") * (F.col("cd") - 1)).cast("long").alias("td2")
+    )
+    nn = cont.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.expr("conc2 DIV 2").cast("long").alias("concordant"),
+            F.expr("disc2 DIV 2").cast("long").alias("discordant"),
+            (
+                (F.col("conc2") - F.col("disc2")).cast("double")
+                / (
+                    F.sqrt(
+                        (F.col("n") * (F.col("n") - 1) - F.col("tq2"))
+                        .cast("double")
+                    )
+                    * F.sqrt(
+                        (F.col("n") * (F.col("n") - 1) - F.col("td2"))
+                        .cast("double")
+                    )
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+_WILSON_Z = 1.959963984540054  # Phi^-1(0.975), Python-precomputed
+
+
+@query(
+    "wilson_ci_purchase_rate_segments",
+    oracle=f"""
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (e.event_type = 'purchase') AS BIGINT) AS k
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+)
+SELECT segment, n, k,
+       CAST(k AS DOUBLE) / n AS rate,
+       ((CAST(k AS DOUBLE) / n
+         + CAST('{_WILSON_Z!r}' AS DOUBLE) * CAST('{_WILSON_Z!r}' AS DOUBLE)
+           / (2 * CAST(n AS DOUBLE)))
+        - (CAST('{_WILSON_Z!r}' AS DOUBLE)
+           * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                  / CAST(n AS DOUBLE)
+                  + CAST('{_WILSON_Z!r}' AS DOUBLE)
+                    * CAST('{_WILSON_Z!r}' AS DOUBLE)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+       / (1 + CAST('{_WILSON_Z!r}' AS DOUBLE) * CAST('{_WILSON_Z!r}' AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS wilson_lo,
+       ((CAST(k AS DOUBLE) / n
+         + CAST('{_WILSON_Z!r}' AS DOUBLE) * CAST('{_WILSON_Z!r}' AS DOUBLE)
+           / (2 * CAST(n AS DOUBLE)))
+        + (CAST('{_WILSON_Z!r}' AS DOUBLE)
+           * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                  / CAST(n AS DOUBLE)
+                  + CAST('{_WILSON_Z!r}' AS DOUBLE)
+                    * CAST('{_WILSON_Z!r}' AS DOUBLE)
+                    / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+       / (1 + CAST('{_WILSON_Z!r}' AS DOUBLE) * CAST('{_WILSON_Z!r}' AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS wilson_hi
+FROM seg
+""",
+)
+def wilson_ci_purchase_rate_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilson score 95% confidence interval for each segment's purchase
+    rate — the binomial interval dashboards should use instead of the
+    Wald ±z√(p(1−p)/n) (Wilson never leaves [0,1] and behaves at small
+    k; Brown, Cai & DasGupta 2001's recommendation). z=Φ⁻¹(0.975) is a
+    Python-precomputed literal; every other term is a fixed chain of
+    correctly-rounded IEEE ops on exact-integer counts, written in the
+    IDENTICAL association on both engines, so the bounds hash-match.
+    100 TB: one fact join+aggregate to |segments| rows; the interval
+    math is a row-local projection."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    z = F.lit(_WILSON_Z)
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    center = p + z * z / (2 * nd)
+    halfw = z * F.sqrt(
+        p * (1 - p) / nd + z * z / (4 * nd * nd)
+    )
+    denom = 1 + z * z / nd
+    return seg.select(
+        "segment",
+        "n",
+        "k",
+        p.alias("rate"),
+        ((center - halfw) / denom).alias("wilson_lo"),
+        ((center + halfw) / denom).alias("wilson_hi"),
+    )

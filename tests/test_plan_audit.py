@@ -123,6 +123,9 @@ _BNLJ_OK = {
     "ccf_leadlag_click_purchase",  # 15-row literal lag-set cross
     "share_within_region_nation",  # 1-row world-total cross
     "bh_fdr_segment_purchase_rate",  # 1-row pooled-total + 1-row maxq cross
+    "ks_test_value_click_purchase",  # 1-row n1/n2 scalar crosses
+    "spearman_quantity_discount",  # bounded marginal/total broadcasts
+    "kendall_tau_quantity_discount",  # 550-cell bounded contingency self-join
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

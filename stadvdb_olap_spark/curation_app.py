@@ -4,7 +4,8 @@ counterpart of :mod:`stadvdb_olap_spark.app`'s dim→fact DAG (SURVEY.md
 
 Stages, each consuming the previous stage's survivors:
 
-1. **screen** — Gopher rule-stack + published-weight logit classifier
+1. **screen** — pinned-blocklist safety screen + Gopher rule-stack +
+   published-weight logit classifier
    (both must pass): the cheap scan-bound filters run FIRST so every
    later stage touches fewer bytes.
 2. **scrub** — PII redaction over the surviving text (narrow regexp
@@ -49,6 +50,12 @@ def _screened(docs: DataFrame, sf_dir: str) -> DataFrame:
 
     _ensure_loaded()
     spark = docs.sparkSession
+    # cheapest verdict first: the pinned-blocklist safety screen is a
+    # pure within-row projection (no joins), so it prunes rows before
+    # the rule-stack / logit joins touch them
+    block = REGISTRY["blocklist_screen_docs"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("__block_keep")
+    )
     rules = REGISTRY["gopher_rules_filter_docs"].fn(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("__rules_keep")
     )
@@ -56,10 +63,15 @@ def _screened(docs: DataFrame, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("__logit_keep")
     )
     return (
-        docs.join(rules, "doc_id")
+        docs.join(block, "doc_id")
+        .join(rules, "doc_id")
         .join(logit, "doc_id")
-        .filter(F.col("__rules_keep") & F.col("__logit_keep"))
-        .drop("__rules_keep", "__logit_keep")
+        .filter(
+            F.col("__block_keep")
+            & F.col("__rules_keep")
+            & F.col("__logit_keep")
+        )
+        .drop("__block_keep", "__rules_keep", "__logit_keep")
     )
 
 

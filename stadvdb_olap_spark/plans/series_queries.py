@@ -5733,3 +5733,388 @@ def wilson_ci_purchase_rate_segments(
         ((center - halfw) / denom).alias("wilson_lo"),
         ((center + halfw) / denom).alias("wilson_hi"),
     )
+
+
+_JK_B = 16  # delete-a-group buckets
+
+
+@query(
+    "jackknife_ratio_se_revenue_per_order",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(strpos('0123456789abcdef',
+                substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) AS bk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt
+        FROM b),
+loo AS (
+    SELECT bk,
+           CAST(tot.st - b.s AS DOUBLE) / (tot.nt - b.n) AS theta_i
+    FROM b CROSS JOIN tot
+),
+l AS (
+    SELECT list_sort(list(struct_pack(bk := bk, t := theta_i))) AS a
+    FROM loo
+),
+m AS (
+    SELECT CAST(len(a) AS DOUBLE) AS bb,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a, e -> e.t)), (p, q) -> p + q) AS sum_t
+    FROM l
+),
+mm AS (SELECT bb, sum_t / bb AS tbar FROM m),
+v AS (
+    SELECT mm.bb, mm.tbar,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l.a, e -> (e.t - mm.tbar) * (e.t - mm.tbar))),
+               (p, q) -> p + q) AS ss
+    FROM l CROSS JOIN mm
+)
+SELECT CAST(tot.st AS DOUBLE) / tot.nt AS revenue_per_order,
+       CAST(v.bb AS BIGINT) AS n_buckets,
+       sqrt(((v.bb - 1) / v.bb) * v.ss) AS jackknife_se
+FROM v CROSS JOIN tot
+""",
+)
+def jackknife_ratio_se_revenue_per_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-a-group jackknife standard error for a RATIO metric
+    (revenue per order) — the uncertainty workhorse for big-data ratio
+    metrics, where the bootstrap is too expensive and the delta method
+    too fragile: customers hash into 16 deterministic groups, the
+    metric recomputes leaving each group out (pure arithmetic on the
+    16-row totals — no data re-pass), and SE = sqrt((B−1)/B·Σ(θᵢ−θ̄)²).
+    Determinism: bucket = first md5 hex digit of the customer key
+    (content-addressed, the sampling-family convention), group sums are
+    exact BIGINT cents, each θᵢ is one division, and the two variance
+    folds run over the BUCKET-SORTED 16-row list (identical fold order
+    both engines). Grouping by customer (not row) respects the
+    clustering unit, so the SE is valid under within-customer
+    correlation. 100 TB shape: ONE map-side-combinable 16-group
+    aggregate over the fact; everything else is 16-row arithmetic."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    bk = (
+        F.expr(
+            "conv(substring(md5(CAST(CAST(o_custkey AS STRING) AS BINARY)),"
+            " 1, 1), 16, 10)"
+        )
+        .cast("long")
+        .alias("bk")
+    )
+    b = orders.groupBy(bk).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = b.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n"))
+        ).alias("theta_i"),
+    )
+    arr = loo.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bk"), F.col("theta_i").alias("t")))
+        ).alias("a")
+    )
+    m = arr.select(
+        "a",
+        F.size("a").cast("double").alias("bb"),
+        F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, e: acc + e["t"]
+        ).alias("sum_t"),
+    ).select("a", "bb", (F.col("sum_t") / F.col("bb")).alias("tbar"))
+    v = m.select(
+        "bb",
+        "tbar",
+        F.aggregate(
+            F.col("a"),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e["t"] - F.col("tbar")) * (e["t"] - F.col("tbar")),
+        ).alias("ss"),
+    )
+    return v.crossJoin(F.broadcast(tot)).select(
+        (F.col("st").cast("double") / F.col("nt")).alias(
+            "revenue_per_order"
+        ),
+        F.col("bb").cast("long").alias("n_buckets"),
+        F.sqrt(((F.col("bb") - 1) / F.col("bb")) * F.col("ss")).alias(
+            "jackknife_se"
+        ),
+    )
+
+
+_FB_H = 28  # holdout horizon (days)
+
+
+def _fb_fold_sql(term: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(a, e -> {term})), (p, q) -> p + q)"
+    )
+
+
+@query(
+    "forecast_baselines_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS c
+    FROM orders GROUP BY 1
+),
+mx AS (SELECT MAX(d) AS maxd FROM daily),
+train AS MATERIALIZED (
+    SELECT d, c FROM daily CROSS JOIN mx WHERE d <= maxd - {_FB_H}
+),
+test AS MATERIALIZED (
+    SELECT d, c FROM daily CROSS JOIN mx WHERE d > maxd - {_FB_H}
+),
+tstat AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           MAX(d) AS last_d, MIN(d) AS first_d,
+           CAST(SUM(c) AS BIGINT) AS sum_c
+    FROM train
+),
+yl AS (SELECT c AS y_last FROM train CROSS JOIN tstat WHERE d = last_d),
+yf AS (SELECT c AS y_first FROM train CROSS JOIN tstat WHERE d = first_d),
+wd_last AS (
+    SELECT wd, c AS y_wd
+    FROM (
+        SELECT CAST(date_diff('day', DATE '1990-01-01', d) AS BIGINT) % 7
+                   AS wd,
+               c,
+               row_number() OVER (
+                   PARTITION BY CAST(date_diff('day', DATE '1990-01-01', d)
+                                     AS BIGINT) % 7
+                   ORDER BY d DESC) AS rn
+        FROM train
+    ) WHERE rn = 1
+),
+mase_den AS (
+    SELECT CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS sad,
+           CAST(COUNT(*) AS BIGINT) AS np
+    FROM train a JOIN train b ON b.d = a.d - 7
+),
+fc AS (
+    SELECT t.d, t.c,
+           yl.y_last AS f_naive,
+           w.y_wd AS f_snaive,
+           CAST(yl.y_last AS DOUBLE)
+             + CAST(date_diff('day', ts.last_d, t.d) AS DOUBLE)
+               * (CAST(yl.y_last AS DOUBLE) - yf.y_first)
+               / (CAST(ts.n_train AS DOUBLE) - 1) AS f_drift,
+           CAST(ts.sum_c AS DOUBLE) / ts.n_train AS f_mean
+    FROM test t
+    CROSS JOIN yl CROSS JOIN yf CROSS JOIN tstat ts
+    JOIN wd_last w
+      ON w.wd = CAST(date_diff('day', DATE '1990-01-01', t.d) AS BIGINT) % 7
+),
+l AS (
+    SELECT list_sort(list(struct_pack(
+               d := d, c := c, fn := f_naive, fs := f_snaive,
+               fd := f_drift, fm := f_mean))) AS a,
+           CAST(COUNT(*) AS BIGINT) AS nh
+    FROM fc
+),
+m AS (
+    SELECT nh,
+           {_fb_fold_sql('abs(CAST(e.c AS DOUBLE) - e.fn)')} AS mae_n,
+           {_fb_fold_sql('abs(CAST(e.c AS DOUBLE) - e.fs)')} AS mae_s,
+           {_fb_fold_sql('abs(CAST(e.c AS DOUBLE) - e.fd)')} AS mae_d,
+           {_fb_fold_sql('abs(CAST(e.c AS DOUBLE) - e.fm)')} AS mae_m,
+           {_fb_fold_sql('2 * abs(CAST(e.c AS DOUBLE) - e.fn)'
+                         ' / (CAST(e.c AS DOUBLE) + e.fn)')} AS sm_n,
+           {_fb_fold_sql('2 * abs(CAST(e.c AS DOUBLE) - e.fs)'
+                         ' / (CAST(e.c AS DOUBLE) + e.fs)')} AS sm_s,
+           {_fb_fold_sql('2 * abs(CAST(e.c AS DOUBLE) - e.fd)'
+                         ' / (CAST(e.c AS DOUBLE) + e.fd)')} AS sm_d,
+           {_fb_fold_sql('2 * abs(CAST(e.c AS DOUBLE) - e.fm)'
+                         ' / (CAST(e.c AS DOUBLE) + e.fm)')} AS sm_m
+    FROM l
+),
+den AS (SELECT CAST(sad AS DOUBLE) / np AS d1 FROM mase_den)
+SELECT 'naive' AS method, mae_n / nh / 100 AS mae_dollars,
+       sm_n / nh AS smape, (mae_n / nh) / d1 AS mase
+FROM m CROSS JOIN den
+UNION ALL
+SELECT 'seasonal_naive', mae_s / nh / 100, sm_s / nh, (mae_s / nh) / d1
+FROM m CROSS JOIN den
+UNION ALL
+SELECT 'drift', mae_d / nh / 100, sm_d / nh, (mae_d / nh) / d1
+FROM m CROSS JOIN den
+UNION ALL
+SELECT 'mean', mae_m / nh / 100, sm_m / nh, (mae_m / nh) / d1
+FROM m CROSS JOIN den
+""",
+)
+def forecast_baselines_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-baseline evaluation panel: the four classical baselines
+    every forecasting study must beat (naive last-value, seasonal-naive
+    by weekday, drift, train mean) scored on a 28-day holdout with MAE,
+    SMAPE and MASE — the benchmark harness that turns the repo's
+    forecasting family (Holt, Holt-Winters, Croston) into comparable
+    numbers. Determinism: daily revenue stays in BIGINT cents; naive/
+    seasonal-naive forecasts are integers by construction, drift/mean
+    spend one fixed-order float chain each; every per-day error folds
+    over the DATE-SORTED 28-element holdout list; the MASE scale is the
+    exact-integer train seasonal-difference MAE. 100 TB shape: one fact
+    shuffle to the calendar grain; split, lookups, and scoring all run
+    on resolution-bounded relations (the forecasting-family
+    convention)."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    mx = daily.agg(F.max("d").alias("maxd"))
+    with_mx = daily.crossJoin(F.broadcast(mx))
+    train = with_mx.filter(
+        F.col("d") <= F.date_sub(F.col("maxd"), _FB_H)
+    ).select("d", "c")
+    test = with_mx.filter(
+        F.col("d") > F.date_sub(F.col("maxd"), _FB_H)
+    ).select("d", "c")
+    tstat = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.max("d").alias("last_d"),
+        F.min("d").alias("first_d"),
+        F.sum("c").cast("long").alias("sum_c"),
+    )
+    yl = (
+        train.crossJoin(F.broadcast(tstat))
+        .filter(F.col("d") == F.col("last_d"))
+        .select(F.col("c").alias("y_last"))
+    )
+    yf = (
+        train.crossJoin(F.broadcast(tstat))
+        .filter(F.col("d") == F.col("first_d"))
+        .select(F.col("c").alias("y_first"))
+    )
+    wd = (
+        F.datediff(F.col("d"), F.lit("1990-01-01").cast("date")).cast(
+            "long"
+        )
+        % 7
+    )
+    ww = Window.partitionBy(wd).orderBy(F.col("d").desc())
+    wd_last = (
+        train.select(
+            wd.alias("wd"), "c", F.row_number().over(ww).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("wd", F.col("c").alias("y_wd"))
+    )
+    ta = train.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    tb = train.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    mase_den = (
+        ta.join(tb, F.col("db") == F.date_sub(F.col("da"), 7))
+        .agg(
+            F.sum(F.abs(F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("sad"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        )
+    )
+    fc = (
+        test.crossJoin(F.broadcast(yl))
+        .crossJoin(F.broadcast(yf))
+        .crossJoin(F.broadcast(tstat))
+        .join(
+            F.broadcast(wd_last),
+            wd_last["wd"]
+            == F.datediff(
+                F.col("d"), F.lit("1990-01-01").cast("date")
+            ).cast("long")
+            % 7,
+        )
+        .select(
+            "d",
+            "c",
+            F.col("y_last").alias("fn"),
+            F.col("y_wd").alias("fs"),
+            (
+                F.col("y_last").cast("double")
+                + F.datediff(F.col("d"), F.col("last_d")).cast("double")
+                * (
+                    F.col("y_last").cast("double")
+                    - F.col("y_first")
+                )
+                / (F.col("n_train").cast("double") - 1)
+            ).alias("fd"),
+            (F.col("sum_c").cast("double") / F.col("n_train")).alias(
+                "fm"
+            ),
+        )
+    )
+    arr = fc.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("d", "c", "fn", "fs", "fd", "fm")
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, e: acc + term(e)
+        )
+
+    cd = lambda e: e["c"].cast("double")  # noqa: E731
+    m = arr.select(
+        "nh",
+        fold(lambda e: F.abs(cd(e) - e["fn"])).alias("mae_n"),
+        fold(lambda e: F.abs(cd(e) - e["fs"])).alias("mae_s"),
+        fold(lambda e: F.abs(cd(e) - e["fd"])).alias("mae_d"),
+        fold(lambda e: F.abs(cd(e) - e["fm"])).alias("mae_m"),
+        fold(
+            lambda e: 2 * F.abs(cd(e) - e["fn"]) / (cd(e) + e["fn"])
+        ).alias("sm_n"),
+        fold(
+            lambda e: 2 * F.abs(cd(e) - e["fs"]) / (cd(e) + e["fs"])
+        ).alias("sm_s"),
+        fold(
+            lambda e: 2 * F.abs(cd(e) - e["fd"]) / (cd(e) + e["fd"])
+        ).alias("sm_d"),
+        fold(
+            lambda e: 2 * F.abs(cd(e) - e["fm"]) / (cd(e) + e["fm"])
+        ).alias("sm_m"),
+    )
+    den = mase_den.select(
+        (F.col("sad").cast("double") / F.col("np")).alias("d1")
+    )
+    base = m.crossJoin(F.broadcast(den))
+    out = None
+    for name, mae, sm in (
+        ("naive", "mae_n", "sm_n"),
+        ("seasonal_naive", "mae_s", "sm_s"),
+        ("drift", "mae_d", "sm_d"),
+        ("mean", "mae_m", "sm_m"),
+    ):
+        row = base.select(
+            F.lit(name).alias("method"),
+            (F.col(mae) / F.col("nh") / 100).alias("mae_dollars"),
+            (F.col(sm) / F.col("nh")).alias("smape"),
+            ((F.col(mae) / F.col("nh")) / F.col("d1")).alias("mase"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -126,6 +126,8 @@ _BNLJ_OK = {
     "ks_test_value_click_purchase",  # 1-row n1/n2 scalar crosses
     "spearman_quantity_discount",  # bounded marginal/total broadcasts
     "kendall_tau_quantity_discount",  # 550-cell bounded contingency self-join
+    "jackknife_ratio_se_revenue_per_order",  # 16-row bucket/total crosses
+    "forecast_baselines_daily_revenue",  # 1-row train stats / y_last crosses
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

@@ -139,6 +139,18 @@ SHOWCASE = [
      "chained Arrow-batched mapInPandas nodes over a narrow projection — "
      "ZERO shuffle bytes end-to-end (measured at sf0.1); the media path "
      "scales embarrassingly with input splits"),
+    ("systematic_sample_orders",
+     "the bucketed two-phase offset rank (operators/rank.py): the data "
+     "moves through ONE hash exchange on the value-derived daily bucket "
+     "into a PARTITIONED window (per-bucket parallel sorts); the only "
+     "SinglePartition exchange feeds the |buckets|-row cumulative-offset "
+     "window ABOVE a HashAggregate; offsets broadcast back — no "
+     "fact-grain single-partition stage anywhere (plan-audit rule 4)"),
+    ("markov_removal_attribution",
+     "the entire 12-step chain solve is a WITHIN-ROW nested fold over "
+     "the dense per-variant matrix: after the sessionization window and "
+     "one transition-count aggregate, the plan is joins/aggregates over "
+     "bounded relations only — no per-iteration exchanges at all"),
 ]
 
 

@@ -6118,3 +6118,165 @@ def forecast_baselines_daily_revenue(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "cochran_armitage_trend_balance_bands",
+    oracle="""
+WITH bands AS (
+    SELECT CAST(LEAST(GREATEST(FLOOR(c.c_acctbal / 2500), -1), 4) AS BIGINT)
+               AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (e.event_type = 'purchase') AS BIGINT) AS k
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt,
+           CAST(SUM(band * n) AS BIGINT) AS swn,
+           CAST(SUM(band * band * n) AS BIGINT) AS swwn,
+           CAST(SUM(band * k) AS BIGINT) AS swk
+    FROM bands
+)
+SELECT nt AS n_events, kt AS n_purchases,
+       CAST(nt * swk - kt * swn AS BIGINT) AS num_scaled,
+       (CAST(nt AS DOUBLE) * swk - CAST(kt AS DOUBLE) * swn)
+       / (CAST(nt AS DOUBLE)
+          * sqrt((CAST(kt AS DOUBLE) / nt) * (1 - CAST(kt AS DOUBLE) / nt)
+                 * (CAST(swwn AS DOUBLE)
+                    - CAST(swn AS DOUBLE) * swn / nt)))
+           AS z_trend
+FROM tot
+""",
+)
+def cochran_armitage_trend_balance_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage test for trend (Cochran 1954, Armitage 1955):
+    does purchase propensity rise MONOTONICALLY across ordered
+    account-balance bands — the ordered-categories test a flat chi²
+    wastes power on. Integer band scores (floor(balance/2500), clamped)
+    make every moment an exact BIGINT (Σwn, Σw²n, Σwk and the scaled
+    numerator n·Σwk − k·Σwn are published as exact integers); the z
+    statistic spends a fixed chain of correctly-rounded ops in
+    identical association on both engines. 100 TB shape: one fact
+    join+aggregate to ≤6 band rows, then 1-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    bands = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("c_acctbal") / 2500), F.lit(-1)
+                ),
+                F.lit(4),
+            )
+            .cast("long")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    tot = bands.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("k").cast("long").alias("kt"),
+        F.sum(F.col("band") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("band") * F.col("band") * F.col("n"))
+        .cast("long")
+        .alias("swwn"),
+        F.sum(F.col("band") * F.col("k")).cast("long").alias("swk"),
+    )
+    ntd = F.col("nt").cast("double")
+    ktd = F.col("kt").cast("double")
+    pbar = ktd / F.col("nt")
+    return tot.select(
+        F.col("nt").alias("n_events"),
+        F.col("kt").alias("n_purchases"),
+        (F.col("nt") * F.col("swk") - F.col("kt") * F.col("swn"))
+        .cast("long")
+        .alias("num_scaled"),
+        (
+            (ntd * F.col("swk") - ktd * F.col("swn"))
+            / (
+                ntd
+                * F.sqrt(
+                    pbar
+                    * (1 - pbar)
+                    * (
+                        F.col("swwn").cast("double")
+                        - F.col("swn").cast("double")
+                        * F.col("swn")
+                        / F.col("nt")
+                    )
+                )
+            )
+        ).alias("z_trend"),
+    )
+
+
+@query(
+    "chapman_estimate_users",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM a JOIN b ON a.user_id = b.user_id),
+cnts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2,
+           (SELECT m FROM m) AS m,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_users
+)
+SELECT n1 AS n_click_users, n2 AS n_view_users, m AS n_overlap,
+       true_users,
+       CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1
+           AS chapman_estimate,
+       (CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1) / true_users
+           AS estimate_ratio
+FROM cnts
+""",
+)
+def chapman_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman 1951's
+    bias-corrected Lincoln-Petersen): treat click users and view users
+    as two "capture occasions" and estimate the TOTAL user population
+    from their overlap — N̂ = (n1+1)(n2+1)/(m+1) − 1. The
+    mark-recapture trick data engineers reach for when the full
+    distinct count is too expensive but two indexed subsets overlap
+    (log dedup, coverage estimation); here the exact distinct count is
+    published alongside, so the row quantifies the estimator's bias on
+    this data. All counts are exact BIGINTs (two distinct-aggregates +
+    one semi-join-sized intersection); the estimate is one multiply +
+    division. 100 TB: three hash distinct-aggregates on user_id — the
+    overlap join co-partitions on the same key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    m = a.join(b, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    n1 = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    tu = ev.agg(F.countDistinct("user_id").cast("long").alias("true_users"))
+    est = (
+        (F.col("n1") + 1) * (F.col("n2") + 1)
+    ).cast("double") / (F.col("m") + 1) - 1
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            F.col("n1").alias("n_click_users"),
+            F.col("n2").alias("n_view_users"),
+            F.col("m").alias("n_overlap"),
+            "true_users",
+            est.alias("chapman_estimate"),
+            (est / F.col("true_users")).alias("estimate_ratio"),
+        )
+    )

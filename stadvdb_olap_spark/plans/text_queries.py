@@ -1294,3 +1294,67 @@ def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _COLLOC_TOPK)
     )
+
+
+@query(
+    "chao1_vocab_estimate_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT unnest({T.tokens_sql('text')}) AS w FROM documents
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+fof AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+           CAST(COUNT(*) FILTER (f = 1) AS BIGINT) AS f1,
+           CAST(COUNT(*) FILTER (f = 2) AS BIGINT) AS f2,
+           CAST(SUM(f) AS BIGINT) AS n_tokens
+    FROM freq
+)
+SELECT s_obs, f1, f2, n_tokens,
+       CAST(s_obs AS DOUBLE)
+         + CAST(f1 AS DOUBLE) * f1 / (2 * (CAST(f2 AS DOUBLE) + 1))
+           AS chao1_estimate,
+       (CAST(s_obs AS DOUBLE)
+         + CAST(f1 AS DOUBLE) * f1 / (2 * (CAST(f2 AS DOUBLE) + 1)))
+         / s_obs - 1 AS unseen_frac
+FROM fof
+""",
+)
+def chao1_vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate (Chao 1984, the bias-corrected
+    form S + F1²/(2(F2+1))): how many word types the corpus has NOT yet
+    shown, from the singleton/doubleton counts alone — the coverage
+    planner's answer to "how much new vocabulary will the next crawl
+    add", and the species-richness lens on tokenizer/vocab sizing. The
+    frequency-of-frequencies profile is two exact hash aggregates
+    (token counts, then counts-of-counts reduced to one row); the
+    estimator spends two divisions on exact-integer operands. 100 TB
+    shape: one vocabulary-keyed aggregate (map-side combinable), then a
+    1-row reduce — the same plan as any word count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    fof = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("f").cast("long").alias("n_tokens"),
+    )
+    chao1 = F.col("s_obs").cast("double") + F.col("f1").cast(
+        "double"
+    ) * F.col("f1") / (2 * (F.col("f2").cast("double") + 1))
+    return fof.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        chao1.alias("chao1_estimate"),
+        (chao1 / F.col("s_obs") - 1).alias("unseen_frac"),
+    )

@@ -128,6 +128,7 @@ _BNLJ_OK = {
     "kendall_tau_quantity_discount",  # 550-cell bounded contingency self-join
     "jackknife_ratio_se_revenue_per_order",  # 16-row bucket/total crosses
     "forecast_baselines_daily_revenue",  # 1-row train stats / y_last crosses
+    "chapman_estimate_users",  # four 1-row count aggregates crossed
     "embedding_centroid_drift_labels",  # |labels|x|labels| centroid pair cross (10 rows)
     "decayed_trending_event_types",  # 1-row max-date broadcast
     "cramers_v_priority_status",  # 1-row chi2/dims scalar broadcasts

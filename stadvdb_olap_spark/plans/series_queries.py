@@ -6280,3 +6280,172 @@ def chapman_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est / F.col("true_users")).alias("estimate_ratio"),
         )
     )
+
+
+_ROLS_W = 28  # trailing window (days)
+
+
+@query(
+    "rolling_ols_slope_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS t,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS y
+    FROM orders GROUP BY 1, 2
+),
+win AS (
+    SELECT d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(t) OVER w AS BIGINT) AS st,
+           CAST(SUM(y) OVER w AS BIGINT) AS sy,
+           CAST(SUM(t * y) OVER w AS BIGINT) AS sty,
+           CAST(SUM(t * t) OVER w AS BIGINT) AS stt
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN {_ROLS_W - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT d,
+       n AS n_days,
+       CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+       CAST(n * stt - st * st AS BIGINT) AS slope_den,
+       (CAST(n * sty - st * sy AS BIGINT)
+        / CAST(n * stt - st * st AS DOUBLE)) / 100 AS slope_dollars_per_day
+FROM win WHERE n = {_ROLS_W}
+""",
+)
+def rolling_ols_slope_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 28-day OLS trend slope of daily revenue — the windowed
+    least-squares momentum signal (the parametric sibling of the
+    windowed Theil-Sen median slope). EXACT device: with t = integer
+    day index and y = BIGINT cents, every rolling moment (Σt, Σy, Σty,
+    Σt², n) is an order-insensitive INTEGER frame sum, and the slope's
+    numerator n·Σty − Σt·Σy and denominator n·Σt² − (Σt)² are published
+    as exact BIGINTs (≈2e15 peak — far under 2^63); the only float op
+    is the final division. Full windows only. 100 TB shape: one fact
+    shuffle to the calendar grain, then a resolution-bounded sliding
+    window (the documented calendar-grain single-partition window);
+    per-series variants add the key to partitionBy."""
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-( _ROLS_W - 1), 0)
+    win = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("t").over(w).cast("long").alias("st"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).over(w).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("long").alias("stt"),
+    ).filter(F.col("n") == _ROLS_W)
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "long"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "long"
+    )
+    return win.select(
+        "d",
+        F.col("n").alias("n_days"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        ((num / den.cast("double")) / 100).alias(
+            "slope_dollars_per_day"
+        ),
+    )
+
+
+_LATE_BUCKETS = (0, 60, 300, 1800, 7200)  # seconds
+
+
+@query(
+    "watermark_lateness_audit_events",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_type, user_id, event_id, ts,
+           MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+    FROM events
+),
+lat AS (
+    SELECT event_type,
+           CASE WHEN seen IS NULL OR ts >= seen THEN 0
+                ELSE CAST(date_diff('second', ts, seen) AS BIGINT)
+           END AS late_s
+    FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (late_s > 0) AS BIGINT) AS n_out_of_order,
+       CAST(COUNT(*) FILTER (late_s > {_LATE_BUCKETS[1]}) AS BIGINT)
+           AS n_late_1m,
+       CAST(COUNT(*) FILTER (late_s > {_LATE_BUCKETS[2]}) AS BIGINT)
+           AS n_late_5m,
+       CAST(COUNT(*) FILTER (late_s > {_LATE_BUCKETS[3]}) AS BIGINT)
+           AS n_late_30m,
+       CAST(COUNT(*) FILTER (late_s > {_LATE_BUCKETS[4]}) AS BIGINT)
+           AS n_late_2h,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM lat GROUP BY event_type
+""",
+)
+def watermark_lateness_audit_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-sizing audit: how out-of-order does each event type
+    arrive? Treating event_id as arrival order within a user, an
+    event's lateness is how far its event time lags the running
+    event-time high-water mark — exactly the quantity a Structured
+    Streaming `withWatermark` bound must cover (events later than the
+    watermark are dropped from stateful aggregations). The survival
+    counts at 1m/5m/30m/2h bounds read directly as the fraction each
+    candidate watermark would drop. All integer seconds and BIGINT
+    counts — hash-exact. 100 TB shape: one user-keyed window (the
+    sessionization exchange) and one per-type aggregate; this audit is
+    the empirical input the streaming twins' watermark settings cite."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("seen"),
+    )
+    late = F.when(
+        F.col("seen").isNull() | (F.col("ts") >= F.col("seen")), 0
+    ).otherwise(
+        (F.unix_timestamp("seen") - F.unix_timestamp("ts")).cast("long")
+    )
+    lat = arr.select("event_type", late.alias("late_s"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_order"),
+    ]
+    for b, name in zip(
+        _LATE_BUCKETS[1:], ("n_late_1m", "n_late_5m", "n_late_30m", "n_late_2h")
+    ):
+        aggs.append(
+            F.sum(F.when(F.col("late_s") > b, 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+    aggs.append(F.max("late_s").cast("long").alias("max_late_s"))
+    return lat.groupBy("event_type").agg(*aggs)

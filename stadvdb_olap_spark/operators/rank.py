@@ -54,25 +54,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_row_number(
-    df: DataFrame,
-    order_keys: list[str],
-    bucket: Column,
-    out: str = "gr",
-) -> DataFrame:
-    """All columns of ``df`` plus BIGINT ``out`` = the 1-based global
-    ``row_number`` under ``ORDER BY order_keys`` — one hash shuffle of
-    the data plus a broadcast of per-bucket cumulative offsets, never
-    an ``Exchange SinglePartition`` at data grain.
+def _checked_bucket(bucket: Column) -> Column:
+    # A NULL bucket would silently corrupt EVERY rank, not just the null
+    # rows: NULL sorts first in the offsets cumsum (shifting every other
+    # bucket's offset) while the null rows themselves vanish at the inner
+    # equi-join. Fail loudly at evaluation time instead — the check rides
+    # the bucket expression itself, so column pruning can't elide it.
+    return F.coalesce(
+        bucket,
+        F.raise_error(
+            F.lit("global_row_number: bucket expression evaluated to NULL")
+        ),
+    )
 
-    ``bucket`` must be a deterministic, monotone non-decreasing
-    function of the leading order key(s): rows in a smaller bucket must
-    never sort after rows in a larger one. Monotonicity is the caller's
-    contract (a floor-division or date-truncation of the leading key
-    satisfies it by construction).
-    """
-    b = df.withColumn("__bkt", bucket)
-    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+
+def _bucket_counts(b: DataFrame) -> DataFrame:
+    return b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+
+
+def _rank_with_offsets(
+    b: DataFrame, counts: DataFrame, order_keys: list[str], out: str
+) -> DataFrame:
     off_w = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -93,6 +95,28 @@ def global_row_number(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_keys: list[str],
+    bucket: Column,
+    out: str = "gr",
+) -> DataFrame:
+    """All columns of ``df`` plus BIGINT ``out`` = the 1-based global
+    ``row_number`` under ``ORDER BY order_keys`` — one hash shuffle of
+    the data plus a broadcast of per-bucket cumulative offsets, never
+    an ``Exchange SinglePartition`` at data grain.
+
+    ``bucket`` must be a deterministic, monotone non-decreasing
+    function of the leading order key(s): rows in a smaller bucket must
+    never sort after rows in a larger one. Monotonicity is the caller's
+    contract (a floor-division or date-truncation of the leading key
+    satisfies it by construction). A NULL bucket raises at runtime
+    rather than silently shifting every offset.
+    """
+    b = df.withColumn("__bkt", _checked_bucket(bucket))
+    return _rank_with_offsets(b, _bucket_counts(b), order_keys, out)
+
+
 def global_ntile(
     df: DataFrame,
     order_keys: list[str],
@@ -106,21 +130,35 @@ def global_ntile(
     buckets hold ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — the
     standard-SQL definition both Spark and DuckDB implement). Pure
     BIGINT arithmetic on the global rank; same plan shape as
-    :func:`global_row_number` plus one broadcast 1-row count.
+    :func:`global_row_number` — the total N is summed from the same
+    per-bucket counts relation the offsets use (one ReusedExchange,
+    never a second pass over the ranked data's full lineage).
     """
-    ranked = global_row_number(df, order_keys, bucket, out="__gr")
-    return ntile_from_global_rank(ranked, "__gr", n, out=out).drop("__gr")
+    b = df.withColumn("__bkt", _checked_bucket(bucket))
+    counts = _bucket_counts(b)
+    ranked = _rank_with_offsets(b, counts, order_keys, "__gr")
+    total = counts.agg(F.sum("__cnt").cast("long").alias("__n"))
+    return ntile_from_global_rank(
+        ranked, "__gr", n, out=out, total=total
+    ).drop("__gr")
 
 
 def ntile_from_global_rank(
-    df: DataFrame, rank_col: str, n: int, out: str = "bucket"
+    df: DataFrame,
+    rank_col: str,
+    n: int,
+    out: str = "bucket",
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """BIGINT ``out`` = the ntile(n) bucket of an ALREADY-COMPUTED
     1-based dense global rank column (e.g. a :func:`global_row_number`
     output) — one broadcast row count plus closed-form integer
     arithmetic, no second rank pass. ``rank_col`` must hold exactly
-    1..N once each."""
-    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    1..N once each. Pass ``total`` (a 1-row DataFrame with BIGINT
+    ``__n`` = N) when N is already known from a cheaper relation;
+    otherwise it is counted from ``df``."""
+    if total is None:
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     # Pure BIGINT: the first (N % n) buckets hold (N DIV n)+1 rows, the
     # rest (N DIV n). CASE short-circuits, so the ELSE's DIV never sees
     # a zero divisor (N < n puts every rank in the WHEN branch).

@@ -53,89 +53,85 @@ def query(
     return deco
 
 
-# ROUND-7 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. Rounds 1-6 signed
-# 258 queries (latest-fail 0). This front = the 14 remaining never-windowed
-# oracle-backed queries (the late-round-6 additions: 5 multimodal
-# rows-only→oracle conversions, windowed Theil-Sen/Mann-Kendall,
-# collocation lift, centroid drift, stratified ATE, position attribution,
-# arc elasticity, FD audit, quantile normalize) followed by 36 staleness
-# re-certifications: signed queries oldest-green-row-first (the r1/r2-signed
-# ETL/dedup/text rows, now 5-6 rounds of refactors old). Produced verbatim
-# by `python tools/next_window.py`, which appends the staleness fill after
-# the never-windowed set. After this round every oracle-backed query has a
-# driver-signed row and no signed row is older than round 3.
+# ROUND-8 WINDOW (query-level rotation): the external driver hash-certifies
+# the FIRST 50 exported queries each round, cumulatively. Rounds 1-7 signed
+# 272 of 306 oracle-backed queries (latest-fail 0). This front = the 34
+# never-windowed round-7 additions (all judge-verified MATCH at sf0.01 in
+# the r7 verdict, risk set also at sf0.1) followed by 16 staleness
+# re-certifications (the r2-signed TPC-H family and ETL rows, now 6 rounds
+# of refactors old). Produced verbatim by `python tools/next_window.py`,
+# which appends the staleness fill after the never-windowed set. After
+# this round the cumulative ledger covers all 306 oracle-backed queries.
 #
-# ROUND-8 ROTATION: run `python tools/next_window.py` — it diffs the
+# ROUND-9 ROTATION: run `python tools/next_window.py` — it diffs the
 # catalog against every CORRECTNESS_r*.json (counting only
 # rows+schema+hash-green rows as signed) and prints the next front list;
 # replace this tuple with it.
-ROUND7_FRONT: tuple[str, ...] = (
-    # 14 never-windowed (late-round-6 additions; judge-verified MATCH in the
-    # r6 verdict at sf0.01, risk set at sf0.1)
-    "fd_violation_audit",
-    "quantile_normalize_order_totals",
-    "multimodal_frame_sample",
-    "theil_sen_windowed_trend_daily_revenue",
-    "collocation_lift_bigrams",
-    "embedding_centroid_drift_labels",
-    "multimodal_ppm_real_decode",
-    "mann_kendall_windowed_trend_daily_revenue",
-    "multimodal_y4m_frame_sample",
-    "stratified_ate_priority_value",
-    "multimodal_wav_real_decode",
-    "position_attribution_channels",
-    "multimodal_ppm_resize_fingerprint",
-    "arc_price_elasticity_brand_yearly",
-    "range_join_price_bands",  # re-cert (signed r1)
-    "recode_segments_via_join",  # re-cert (signed r1)
-    "rollup_revenue_region_nation",  # re-cert (signed r1)
-    "running_total_per_customer",  # re-cert (signed r1)
-    "scd2_customer_priority",  # re-cert (signed r1)
-    "semi_join_active_customers",  # re-cert (signed r1)
-    "set_ops_customer_status",  # re-cert (signed r1)
-    "skew_twophase_agg_events",  # re-cert (signed r1)
-    "sql_surface_revenue_by_region",  # re-cert (signed r1)
-    "stats_quantity_price",  # re-cert (signed r1)
-    "top3_parts_per_brand",  # re-cert (signed r1)
-    "train_val_test_split_docs",  # re-cert (signed r1)
-    "unpivot_part_measures",  # re-cert (signed r1)
-    "window_rank_showcase",  # re-cert (signed r1)
-    "word_frequencies",  # re-cert (signed r1)
-    "zscore_quantity_per_flag",  # re-cert (signed r1)
-    "bm25_topk_docs",  # re-cert (signed r2)
-    "chunk_documents_sliding",  # re-cert (signed r2)
-    "clean_customer_strings",  # re-cert (signed r2)
-    "coerce_numeric_events",  # re-cert (signed r2)
-    "curate_corpus_docs",  # re-cert (signed r2)
-    "dedup_clusters_canonical",  # re-cert (signed r2)
-    "dedup_exact_docs",  # re-cert (signed r2)
-    "dedup_first_order_per_customer",  # re-cert (signed r2)
-    "dedup_jaccard_verified",  # re-cert (signed r2)
-    "dedup_minhash_pairs",  # re-cert (signed r2)
-    "dim_customer",  # re-cert (signed r2)
-    "dim_date",  # re-cert (signed r2)
-    "dim_location",  # re-cert (signed r2)
-    "dim_part",  # re-cert (signed r2)
-    "distinct_order_dates",  # re-cert (signed r2)
-    "fact_star",  # re-cert (signed r2)
-    "flagship_fact_build",  # re-cert (signed r2)
-    "fuzzy_part_name_pairs",  # re-cert (signed r2)
-    "jdbc_merge_roundtrip_orders",  # re-cert (signed r2)
-    "merge_upsert_orders",  # re-cert (signed r2)
+ROUND8_FRONT: tuple[str, ...] = (
+    # 34 never-windowed round-7 additions
+    "share_within_region_nation",
+    "padding_waste_audit_docs",
+    "order_total_reconciliation_audit",
+    "mahalanobis_outliers_lineitem",
+    "hits_copurchase_2iter",
+    "multimodal_resize",
+    "l_diversity_audit_customers",
+    "systematic_sample_orders",
+    "incremental_agg_maintenance_orders",
+    "acf_panel_daily_revenue",
+    "sketch_ams_f2_lineitem",
+    "chao1_vocab_estimate_docs",
+    "ann_pq_adc_topk",
+    "curriculum_phases_docs",
+    "fd_g3_discovery_orders",
+    "bh_fdr_segment_purchase_rate",
+    "reservoir_k_per_priority_orders",
+    "ewma_control_chart_daily_revenue",
+    "mmr_diversified_topk",
+    "sentence_boilerplate_docs",
+    "markov_removal_attribution",
+    "blocklist_screen_docs",
+    "ccf_leadlag_click_purchase",
+    "new_vs_returning_daily_revenue",
+    "ks_test_value_click_purchase",
+    "spearman_quantity_discount",
+    "kendall_tau_quantity_discount",
+    "wilson_ci_purchase_rate_segments",
+    "jackknife_ratio_se_revenue_per_order",
+    "forecast_baselines_daily_revenue",
+    "cochran_armitage_trend_balance_bands",
+    "chapman_estimate_users",
+    "rolling_ols_slope_daily_revenue",
+    "watermark_lateness_audit_events",
+    "merge_upsert_orders_evolving",  # re-cert (signed r2)
+    "minhash_signatures_docs",  # re-cert (signed r2)
+    "parse_dates_mixed",  # re-cert (signed r2)
+    "q10_returned_revenue",  # re-cert (signed r2)
+    "q11_important_parts",  # re-cert (signed r2)
+    "q12_late_lines_by_class",  # re-cert (signed r2)
+    "q14_promo_revenue",  # re-cert (signed r2)
+    "q15_top_supplier",  # re-cert (signed r2)
+    "q16_supplier_part_variety",  # re-cert (signed r2)
+    "q17_small_qty_avg_yearly",  # re-cert (signed r2)
+    "q18_large_volume_customers",  # re-cert (signed r2)
+    "q19_disjunctive_brackets",  # re-cert (signed r2)
+    "q20_excess_quantity_suppliers",  # re-cert (signed r2)
+    "q21_last_shipper_wait",  # re-cert (signed r2)
+    "q22_dormant_customers",  # re-cert (signed r2)
+    "q2_min_cost_supplier",  # re-cert (signed r2)
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND7_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND8_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
     # 50-query certification window — fail loudly instead (real raises,
     # not asserts: the guard must survive python -O).
-    missing = set(ROUND7_FRONT) - set(REGISTRY)
+    missing = set(ROUND8_FRONT) - set(REGISTRY)
     if missing:
         raise ValueError(f"front names not in registry: {sorted(missing)}")
-    bad = [n for n in ROUND7_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    bad = [n for n in ROUND8_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
     if bad:
         raise ValueError(
             f"front names must be oracle-backed and non-deferred: {bad}"
@@ -169,7 +165,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # Window positions are decided by the ROUND7_FRONT tuple above, not
+    # Window positions are decided by the ROUND8_FRONT tuple above, not
     # by this import order (front names sort first; everything else
     # keeps registration order behind them, deferred rows-only last).
     # Import order only breaks ties among non-front queries, so the

@@ -1117,9 +1117,10 @@ SELECT doc_id,
        CAST(len(list_distinct(list_filter(toks,
             x -> list_contains({list(_BLOCKLIST)!r}, x)))) AS BIGINT)
            AS n_distinct_terms,
-       CAST(len(list_filter(toks,
-            x -> list_contains({list(_BLOCKLIST)!r}, x))) AS DOUBLE)
-           / len(toks) AS hit_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks,
+                 x -> list_contains({list(_BLOCKLIST)!r}, x))) AS DOUBLE)
+                 / len(toks) END AS hit_ratio,
        len(list_filter(toks,
             x -> list_contains({list(_BLOCKLIST)!r}, x))) = 0 AS keep
 FROM t
@@ -1147,8 +1148,12 @@ def blocklist_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(blocked)).cast("long").alias(
             "n_distinct_terms"
         ),
-        (
+        # Zero-token guard: Spark's Divide is null-on-zero but DuckDB's
+        # IEEE float divide yields NaN/inf — pin both sides to 0.0.
+        F.when(F.size(tokens("text")) == 0, F.lit(0.0))
+        .otherwise(
             F.size(blocked).cast("double") / F.size(tokens("text"))
-        ).alias("hit_ratio"),
+        )
+        .alias("hit_ratio"),
         (F.size(blocked) == 0).alias("keep"),
     )

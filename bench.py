@@ -61,13 +61,14 @@ def main() -> None:
     # state wall), but robust to transient host noise (GC pause, another
     # tenant's burst) that would otherwise make round-over-round diffs
     # meaningless on a shared box.
+    runs = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
@@ -83,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

@@ -774,6 +774,45 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "session_stats_30m",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain aggregates in the EXACT output schema of the custom
+    stateful streaming sessionizer (streaming/stateful.py SESSION_SCHEMA:
+    session_end = last event ts, not ts+gap) — the driver-certified
+    surface for that operator's semantics. The body is the shared batch
+    twin ``streaming.stateful.session_stats``; the stream-vs-batch
+    agreement test pins that every session the stream closes is a row of
+    this relation. Gap boundaries compare at microsecond precision, same
+    as events_sessionize_30m."""
+    from stadvdb_olap_spark.streaming.stateful import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "share_within_region_nation",
     oracle="""
 WITH rev AS (

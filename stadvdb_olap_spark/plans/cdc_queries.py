@@ -87,6 +87,117 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_replay_orders",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 = 0
+),
+feed AS (
+    -- seq 1: update every base key divisible by 3
+    SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus,
+           o_totalprice + 50.0 AS o_totalprice, 1 AS seq, 'U' AS op
+    FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+    UNION ALL
+    -- seq 1: insert brand-new keys (not in base)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1, 'I'
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    -- seq 2: delete keys divisible by 6 (update-then-delete chains)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    -- seq 2: second update of freshly inserted keys (insert-then-update)
+    SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           o_totalprice + 7.0 AS o_totalprice, 2, 'U'
+    FROM orders WHERE o_orderkey % 8 = 1
+    UNION ALL
+    -- seq 3: re-insert a subset of the deleted keys at half price
+    -- (delete-then-reinsert must SURVIVE)
+    SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus,
+           o_totalprice * 0.5 AS o_totalprice, 3, 'I'
+    FROM orders WHERE o_orderkey % 12 = 0
+    UNION ALL
+    -- seq 1: delete of keys that never existed (no-op against base)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1, 'D'
+    FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 6 <> 0
+),
+latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM feed
+    ) WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM latest WHERE op <> 'D'
+""",
+)
+def cdc_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step CDC LOG REPLAY (the verdict-requested hardening of
+    cdc_apply_orders): a three-sequence change history with full key
+    lifecycles — update-then-delete, insert-then-update,
+    delete-then-REINSERT (must survive), and deletes of keys that never
+    existed (must no-op) — compacted and applied in ONE set-based pass
+    by operators/merge.py:apply_cdc. The oracle replays the identical
+    log with a row_number()-DESC latest-state window. Plan shape is
+    identical at any scale: one window shuffle of the feed on the key,
+    one anti-join, one union — replaying a day of WAL against a 100 TB
+    table costs the feed, not the table."""
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    key = F.col("o_orderkey")
+    base = orders.filter(key % 4 == 0)
+
+    upd1 = (
+        orders.filter((key % 4 == 0) & (key % 3 == 0))
+        .withColumn("o_orderstatus", F.lit("U2"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    ins1 = (
+        orders.filter(key % 4 == 1)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("I"))
+    )
+    del2 = (
+        orders.filter(key % 6 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    upd2 = (
+        orders.filter(key % 8 == 1)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    reins3 = (
+        orders.filter(key % 12 == 0)
+        .withColumn("o_orderstatus", F.lit("Z"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+        .withColumn("seq", F.lit(3))
+        .withColumn("op", F.lit("I"))
+    )
+    del_ghost = (
+        orders.filter((key % 4 == 2) & (key % 6 != 0))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("D"))
+    )
+    feed = (
+        upd1.unionByName(ins1)
+        .unionByName(del2)
+        .unionByName(upd2)
+        .unionByName(reins3)
+        .unionByName(del_ghost)
+    )
+    return apply_cdc(base, feed, keys=["o_orderkey"])
+
+
+@query(
     "incremental_agg_state_orders",
     oracle="""
 WITH st AS (

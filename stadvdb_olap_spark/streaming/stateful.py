@@ -108,6 +108,39 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_stats(events: DataFrame) -> DataFrame:
+    """BATCH twin of :func:`sessionize_stream` — same output grain and
+    schema (``SESSION_SCHEMA``: user_id, session_start, session_end,
+    n_events; session_end = LAST EVENT ts, not ts+gap), computed with
+    the certified lag/cumsum gap device instead of per-key state. A
+    session the stream has closed is exactly a row of this relation —
+    the agreement test in tests/test_streaming.py pins that, and the
+    catalog query ``session_stats_30m`` certifies this body against a
+    DuckDB oracle, making it the driver-signed surface for the stateful
+    sessionizer's semantics. One shuffle on user_id at any scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > _GAP_MS * 1000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.select("user_id", "ts")
+        .withColumn("__sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .drop("__sid")
+    )
+
+
 TOTALS_SCHEMA = "user_id long, n_events long, last_event timestamp"
 
 

@@ -130,6 +130,70 @@ def test_stateful_sessionize_batch_shape(spark, tmp_path):
     assert (1, 2) in got
 
 
+def test_stateful_sessionize_agrees_with_batch_twin(spark, tmp_path):
+    """Every session the stateful stream CLOSES must be a row of the
+    batch twin (streaming.stateful.session_stats — the body behind the
+    certified session_stats_30m catalog query): same user, same start,
+    same end, same event count. Whole-second timestamps so the stream's
+    ms state and the twin's µs gap device can't disagree on truncation."""
+    import pandas as pd
+
+    from stadvdb_olap_spark.streaming.stateful import (
+        session_stats,
+        sessionize_stream,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 1, 2, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    # user 1: session A (3 events), gap, session B (2 events)
+                    "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                    "2024-01-01 00:20:05", "2024-01-01 02:00:00",
+                    "2024-01-01 02:29:59",
+                    # user 2: session (2 events), gap, open tail
+                    "2024-01-01 05:00:00", "2024-01-01 05:30:00",
+                    "2024-01-01 08:00:00",
+                    # user 3: one open session, never closed
+                    "2024-01-01 09:00:00",
+                ]
+            ),
+        }
+    )
+    src_dir = str(tmp_path / "agree_src")
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        src_dir
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("agree_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "agree_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM agree_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats(spark.read.parquet(src_dir)).collect()
+    }
+    # Closed sessions: user 1's first (a later session follows in-batch),
+    # user 2's first. Open tails aren't emitted without a timeout firing.
+    assert closed, "stream closed no sessions — fixture gap logic broken"
+    assert closed <= batch
+    assert (1, pd.Timestamp("2024-01-01 00:00:00"),
+            pd.Timestamp("2024-01-01 00:20:05"), 3) in {
+        (u, pd.Timestamp(s), pd.Timestamp(e), n) for u, s, e, n in closed
+    }
+
+
 def test_transform_with_state_plan_builds(spark, tmp_path):
     """The typed-state operator's plan must construct against a streaming
     source regardless of the runtime gate below (schema + grouping wiring)."""

@@ -22,6 +22,34 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Value-preserving widening ladder (Delta/Iceberg type-widening
+# semantics): a drifted source column may only move a shared column UP
+# this ladder, never sideways or down — int->long, float->double,
+# int/long->double, date->timestamp. Anything else is real schema
+# breakage and must fail loudly, not coerce silently.
+_WIDEN_LADDERS: tuple[tuple[type, ...], ...] = (
+    (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DoubleType),
+    (T.FloatType, T.DoubleType),
+    (T.DateType, T.TimestampType),
+)
+
+
+def _widened_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """The narrowest type both ``a`` and ``b`` widen to, or raise."""
+    if a == b:
+        return a
+    for ladder in _WIDEN_LADDERS:
+        try:
+            ia, ib = ladder.index(type(a)), ladder.index(type(b))
+        except ValueError:
+            continue
+        return ladder[max(ia, ib)]()
+    raise ValueError(
+        f"incompatible schema drift: {a.simpleString()} vs "
+        f"{b.simpleString()} has no value-preserving widening"
+    )
 
 
 def merge_scd1(
@@ -45,6 +73,13 @@ def merge_scd1(
     rows read NULL for the new columns, and re-merging the same source is
     still idempotent because the second round's "new" columns already
     exist on the evolved target.
+
+    TYPE drift on a shared update column is handled the same two ways:
+    with ``schema_evolution`` the output column takes the widened type
+    (value-preserving ladder only — int→long, float→double, int→double,
+    date→timestamp; see ``_widened_type``) and both sides are cast
+    explicitly; without it, drift raises immediately instead of letting
+    implicit when/otherwise coercion pick a type silently.
     """
     keys = list(keys)
     attrs = [c for c in target.columns if c not in keys]
@@ -68,14 +103,25 @@ def merge_scd1(
     out_cols = []
     for k in keys:
         out_cols.append(F.coalesce(target[k], src[f"__src_{k}"]).alias(k))
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    src_types = {f.name: f.dataType for f in source.schema.fields}
     for c in attrs:
         if c in update_cols:
             # Last-write-wins: if the source row exists (matched on key),
             # its value replaces the target's — including explicit NULLs.
             matched = src["__src_present__"].isNotNull()
-            out_cols.append(
-                F.when(matched, src[f"__src_{c}"]).otherwise(target[c]).alias(c)
-            )
+            t_col, s_col = target[c], src[f"__src_{c}"]
+            if tgt_types[c] != src_types[c]:
+                if not schema_evolution:
+                    raise ValueError(
+                        f"type drift on {c!r}: target "
+                        f"{tgt_types[c].simpleString()} vs source "
+                        f"{src_types[c].simpleString()} — pass "
+                        "schema_evolution=True to widen, or align upstream"
+                    )
+                widened = _widened_type(tgt_types[c], src_types[c])
+                t_col, s_col = t_col.cast(widened), s_col.cast(widened)
+            out_cols.append(F.when(matched, s_col).otherwise(t_col).alias(c))
         else:
             out_cols.append(target[c].alias(c))
     for c in new_cols:

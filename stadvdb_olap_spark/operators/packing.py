@@ -35,6 +35,7 @@ def pack_sequences(
     weight_col: str,
     budget: int,
     n_buckets: int = 64,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign every item a (bucket, bin_id) such that each bin's total
     ``weight_col`` is ≤ ``budget``. Items heavier than ``budget`` get a
@@ -42,13 +43,25 @@ def pack_sequences(
 
     Output: ``id_cols`` + weight + ``bucket`` + ``bin_id`` (bin ids are
     dense per bucket; (bucket, bin_id) is the global bin key).
+
+    ``bucket_col`` names an existing column to use as the deterministic
+    bucket instead of the built-in crc32 assignment — callers that need
+    a cross-engine-replayable bucket (the certified pack query uses the
+    salted-md5 device) pass their own.
     """
-    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in id_cols])
-    df = items.select(
-        *id_cols,
-        F.col(weight_col).cast("long").alias("__w"),
-        F.pmod(F.crc32(key.cast("binary")), F.lit(n_buckets)).alias("bucket"),
-    )
+    if bucket_col is not None:
+        df = items.select(
+            *id_cols,
+            F.col(weight_col).cast("long").alias("__w"),
+            F.col(bucket_col).cast("long").alias("bucket"),
+        )
+    else:
+        key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in id_cols])
+        df = items.select(
+            *id_cols,
+            F.col(weight_col).cast("long").alias("__w"),
+            F.pmod(F.crc32(key.cast("binary")), F.lit(n_buckets)).alias("bucket"),
+        )
 
     out_schema = StructType(
         [df.schema[c] for c in df.columns] + [StructField("bin_id", LongType())]

@@ -594,6 +594,59 @@ def merge_upsert_orders_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_upsert_orders_widening",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+           CAST(o_totalprice AS REAL) AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+), s AS (
+    SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+           'W' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                 ELSE CAST(t.o_custkey AS BIGINT) END AS BIGINT)
+           AS o_custkey,
+       CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                 ELSE CAST(t.o_totalprice AS DOUBLE) END AS DOUBLE)
+           AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def merge_upsert_orders_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 uplift — SCD1 merge under TYPE drift: the incoming feed's
+    shared columns arrive WIDER than the target's (o_custkey INT→BIGINT,
+    o_totalprice FLOAT→DOUBLE — the classic upstream-promoted-a-column
+    incident). ``merge_scd1(schema_evolution=True)`` widens the output
+    along the value-preserving ladder and casts BOTH sides explicitly;
+    the oracle replays the same full-outer merge with the same casts
+    (DuckDB REAL→DOUBLE is the identical IEEE promotion). Same one
+    full-outer key shuffle as the base merge — widening is a projection
+    change, not a plan change. Without schema_evolution the same drift
+    raises (pinned by unit test) instead of silently coercing."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("W").alias("o_orderstatus"),
+    )
+    return merge_scd1(
+        target, source, keys=["o_orderkey"], schema_evolution=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Live JDBC round trip (S1/S2/S3/S4/S6 against a real database)
 # ---------------------------------------------------------------------------

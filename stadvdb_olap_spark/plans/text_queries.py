@@ -625,18 +625,104 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_chunks_512", defer=True)
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 64
+
+
+def _pack_chunks_sql() -> str:
+    """DuckDB replay of bucketed first-fit-decreasing packing.
+
+    The per-bucket FFD fold is sequential by nature, so the oracle
+    replays it with a RECURSIVE CTE whose working set advances every
+    bucket by one item per iteration, carrying each bucket's open-bin
+    remaining capacities as a BIGINT list: first-fit = the first index
+    whose remaining capacity holds the item (list_position over a
+    c >= w transform; DuckDB returns 0, not NULL, for no-fit), place =
+    slice-splice the list, else open a new bin. Items/chunks are
+    MATERIALIZED (a plain CTE would re-evaluate per iteration)."""
+    b, nb = _PACK_BUDGET, _PACK_BUCKETS
+    return f"""
+WITH RECURSIVE
+chunks AS MATERIALIZED (
+  SELECT doc_id, s AS chunk_idx,
+         LEAST(CAST({_CHUNK_SIZE} AS BIGINT),
+               len(toks) - s * {_CHUNK_STRIDE}) AS w,
+         CAST(CAST('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)
+                   || '#' || CAST(s AS VARCHAR)), 1, 4) AS UBIGINT)
+              % {nb} AS BIGINT) AS bucket
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents) t,
+       unnest(generate_series(
+         0, CAST(ceil(len(toks) / {_CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(s)
+),
+items AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+             ORDER BY w DESC, doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+ffd AS (
+  SELECT bucket, 0 AS rn, CAST([] AS BIGINT[]) AS caps,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS chunk_idx,
+         CAST(NULL AS BIGINT) AS w, CAST(NULL AS BIGINT) AS bin_id
+  FROM (SELECT DISTINCT bucket FROM items)
+  UNION ALL
+  SELECT i.bucket, i.rn,
+         CASE WHEN i.w < {b} AND fit.idx > 0
+              THEN s.caps[1:fit.idx-1] || [s.caps[fit.idx] - i.w]
+                   || s.caps[fit.idx+1:len(s.caps)]
+              ELSE s.caps || [greatest({b} - i.w, CAST(0 AS BIGINT))]
+         END AS caps,
+         i.doc_id, i.chunk_idx, i.w,
+         CASE WHEN i.w < {b} AND fit.idx > 0 THEN CAST(fit.idx - 1 AS BIGINT)
+              ELSE CAST(len(s.caps) AS BIGINT) END AS bin_id
+  FROM ffd s
+  JOIN items i ON i.bucket = s.bucket AND i.rn = s.rn + 1,
+  LATERAL (SELECT CASE WHEN i.w < {b}
+       THEN COALESCE(list_position(list_transform(s.caps, c -> c >= i.w),
+                                   true), 0)
+       ELSE 0 END AS idx) fit
+)
+SELECT doc_id, chunk_idx, w AS chunk_tokens, bucket, bin_id
+FROM ffd WHERE rn >= 1
+"""
+
+
+@query("pack_chunks_512", oracle=_pack_chunks_sql())
 def pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk the corpus, then pack chunks into 512-token training bins
-    (rows-only: first-fit-decreasing is iterative per bucket). Composes
-    the two pretraining layout stages end-to-end; bin invariants (budget
-    respected, total weight conserved, determinism) are pinned by unit
-    tests."""
+    with bucketed first-fit-decreasing (operators/packing.py) — the two
+    pretraining layout stages end-to-end. Oracle-backed since round 8:
+    the bucket assignment uses the cross-engine salted-md5 device and
+    the DuckDB oracle REPLAYS the per-bucket FFD fold with a recursive
+    CTE over the same (w DESC, doc_id, chunk_idx) order (device notes on
+    ``_pack_chunks_sql``) — every (bucket, bin_id) placement is
+    hash-certified, upgrading the former rows-only invariants check.
+    100 TB shape unchanged: narrow chunking, one hash shuffle to 64-way
+    buckets, Arrow-batched sequential pack per bucket (bucket count
+    scales with data; each bucket is one task)."""
     from stadvdb_olap_spark.operators.packing import pack_sequences
 
     chunks = chunk_documents_sliding(spark, sf_dir)
+    h = F.md5(
+        F.concat(
+            F.lit("pack:"),
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("chunk_idx").cast("string"),
+        )
+    )
+    bucketed = chunks.withColumn(
+        "bucket",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+         % _PACK_BUCKETS).cast("long"),
+    )
     return pack_sequences(
-        chunks, ["doc_id", "chunk_idx"], "chunk_tokens", budget=512
+        bucketed,
+        ["doc_id", "chunk_idx"],
+        "chunk_tokens",
+        budget=_PACK_BUDGET,
+        bucket_col="bucket",
     )
 
 

@@ -1001,6 +1001,40 @@ def test_merge_scd1_schema_evolution(spark):
     assert legacy.columns == ["k", "name"]
 
 
+def test_merge_scd1_type_widening(spark):
+    """TYPE drift on a shared column: schema_evolution widens along the
+    value-preserving ladder (int->long, float->double); without the flag
+    drift raises; incompatible drift (string vs int) always raises."""
+    import pytest
+
+    from stadvdb_olap_spark.operators.merge import merge_scd1
+
+    target = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, qty int, price float"
+    )
+    source = spark.createDataFrame(
+        [(2, 200, 2.75), (3, 300, 3.5)], "k long, qty long, price double"
+    )
+    out = merge_scd1(target, source, ["k"], schema_evolution=True)
+    types = dict(out.dtypes)
+    assert types["qty"] == "bigint" and types["price"] == "double"
+    got = {r["k"]: (r["qty"], r["price"]) for r in out.collect()}
+    assert got == {1: (10, 1.5), 2: (200, 2.75), 3: (300, 3.5)}
+
+    # idempotent on the evolved target (types now match the source)
+    again = merge_scd1(out, source, ["k"], schema_evolution=True)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+    with pytest.raises(ValueError, match="type drift"):
+        merge_scd1(target, source, ["k"])
+
+    bad = spark.createDataFrame([(2, "x")], "k long, qty string")
+    with pytest.raises(ValueError, match="no value-preserving widening"):
+        merge_scd1(target, bad, ["k"], schema_evolution=True)
+
+
 def test_upsert_parquet_schema_evolution_roundtrip(spark, tmp_path):
     """On-disk upsert with an evolving source widens the stored schema
     once and stays stable on replay."""

@@ -150,6 +150,15 @@ _SP_WINDOW_OK = {
     "rrf_fusion_topk_docs",
 }
 
+# Rule-2 enforcement (round 8): an _BNLJ_OK entry is no longer taken on
+# comment faith. Every BroadcastNestedLoopJoin BUILD side must either be
+# PROVABLY bounded from plan structure (_bounded_grain: all paths pass
+# an aggregate / bottom out in local relations) or, failing that, is
+# EXECUTED and its row count asserted under this ceiling — so a future
+# entry whose "bounded scalar" is actually fact-grain fails loudly with
+# the measured size instead of shipping a 100 TB cross.
+_BNLJ_BUILD_ROW_CEILING = 20_000
+
 
 def _children(node):
     cs = node.children()
@@ -158,7 +167,10 @@ def _children(node):
         try:  # ReusedExchangeExec: follow the reused subtree
             kids = [node.child()]
         except Exception:
-            pass
+            try:  # QueryStageExec (AQE): descend into the staged plan
+                kids = [node.plan()]
+            except Exception:
+                pass
     return kids
 
 
@@ -205,6 +217,51 @@ def test_plan_has_no_antipatterns(spark, name):
             "a bounded scalar/interval broadcast, allowlist it with a "
             "justification"
         )
+    elif "BroadcastNestedLoopJoin" in body:
+        # Verify the allowlist claim: prove or MEASURE every build side.
+        exec_plan = df._jdf.queryExecution().executedPlan()
+        if exec_plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            exec_plan = exec_plan.initialPlan()
+        unproven = False
+        for node in _walk(exec_plan):
+            if "BroadcastNestedLoopJoin" not in node.getClass().getSimpleName():
+                continue
+            builds = [
+                k for k in _children(node)
+                if "Broadcast" in k.getClass().getSimpleName()
+            ]
+            assert builds, f"{name}: BNLJ with no broadcast child?"
+            unproven = unproven or not all(_bounded_grain(b) for b in builds)
+        if unproven:
+            # Structure alone can't bound the build side (interval dims,
+            # blocked self-joins, checkpointed candidate pools). Run the
+            # query and read each BNLJ-feeding BroadcastExchange's actual
+            # numOutputRows metric — a measured bound, not comment faith.
+            df.write.format("noop").mode("overwrite").save()
+            final = df._jdf.queryExecution().executedPlan()
+            if final.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                final = final.executedPlan()
+            for node in _walk(final):
+                if "BroadcastNestedLoopJoin" not in node.getClass().getSimpleName():
+                    continue
+                for b in _children(node):
+                    if "Broadcast" not in b.getClass().getSimpleName():
+                        continue
+                    if _bounded_grain(b):
+                        continue
+                    exchanges = [
+                        x for x in _walk(b)
+                        if x.getClass().getSimpleName() == "BroadcastExchangeExec"
+                    ]
+                    for x in exchanges[:1]:
+                        n_rows = x.metrics().apply("numOutputRows").value()
+                        assert n_rows <= _BNLJ_BUILD_ROW_CEILING, (
+                            f"{name}: BNLJ build side is neither "
+                            f"aggregate/literal-bounded nor small — "
+                            f"measured {n_rows} rows at test SF (ceiling "
+                            f"{_BNLJ_BUILD_ROW_CEILING}). The allowlist "
+                            "comment is wrong; fix the plan."
+                        )
     # UDTFs are a separate lateral surface (BatchEvalPythonUDTF /
     # ArrowEvalPythonUDTF — conf-dependent which); the ban is on
     # row-at-a-time SCALAR Python UDFs only.

@@ -20,11 +20,112 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.operators.merge import apply_cdc
+from stadvdb_olap_spark.operators.merge import apply_cdc, generate_cdc
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.sources.parquet import load_table
 
 _COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# Deterministic snapshot pair for the generate_cdc family: v1 drops 20%
+# of keys; v2 adds them back, restates every key divisible by 7
+# (price+25, status 'R'), and deletes keys divisible by 11.
+def _snapshot_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 5 != 4)
+    )
+
+
+def _snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seven = F.col("o_orderkey") % 7 == 0
+    return orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(seven, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(seven, F.col("o_totalprice") + 25.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+
+_SNAP_SQL = """
+old AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 4
+),
+newt AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'R'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 25.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 11 <> 0
+)
+"""
+
+
+@query(
+    "cdc_feed_orders_restated",
+    oracle=f"""
+WITH {_SNAP_SQL},
+j AS (
+    SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+           o.o_orderstatus AS os, n.o_orderstatus AS ns,
+           o.o_totalprice AS op_, n.o_totalprice AS np_
+    FROM old o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+)
+SELECT COALESCE(kn, ko) AS o_orderkey,
+       CASE WHEN kn IS NOT NULL THEN ns ELSE os END AS o_orderstatus,
+       CASE WHEN kn IS NOT NULL THEN np_ ELSE op_ END AS o_totalprice,
+       CASE WHEN ko IS NULL THEN 'I'
+            WHEN kn IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       CAST(1 AS INTEGER) AS seq
+FROM j
+WHERE ko IS NULL OR kn IS NULL
+   OR os IS DISTINCT FROM ns OR op_ IS DISTINCT FROM np_
+""",
+)
+def cdc_feed_orders_restated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED GENERATION (the inverse of apply_cdc, for upstreams
+    with no log): diff two deterministic snapshots of orders into an
+    applyable I/U/D feed — inserts for re-added keys, updates for the
+    restated keys, deletes for the retired keys, NOTHING for unchanged
+    rows (the property that makes downstream replay cost |changes|).
+    One full-outer key shuffle (operators/merge.py:generate_cdc); the
+    oracle recomputes the same null-safe diff."""
+    return generate_cdc(
+        _snapshot_v1(spark, sf_dir),
+        _snapshot_v2(spark, sf_dir),
+        keys=["o_orderkey"],
+    )
+
+
+@query(
+    "cdc_generate_apply_roundtrip_orders",
+    oracle=f"""
+WITH {_SNAP_SQL}
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM newt
+""",
+)
+def cdc_generate_apply_roundtrip_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC INVERSE IDENTITY, certified end-to-end:
+    ``apply_cdc(v1, generate_cdc(v1, v2)) == v2``. The Spark side runs
+    BOTH operators (snapshot diff → feed → set-based replay); the oracle
+    is simply v2's definition — a hash match proves the generate/apply
+    pair is lossless in both directions (no phantom change, no missed
+    change, no double-apply) on real data. This identity is what lets a
+    pipeline switch between log-shipping and snapshot-diff ingestion
+    without reconciliation drift."""
+    v1 = _snapshot_v1(spark, sf_dir)
+    feed = generate_cdc(v1, _snapshot_v2(spark, sf_dir), keys=["o_orderkey"])
+    return apply_cdc(v1, feed, keys=["o_orderkey"])
 
 
 @query(

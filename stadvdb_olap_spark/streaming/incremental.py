@@ -86,6 +86,59 @@ def incremental_upsert_stream(
     return writer.start()
 
 
+def cdc_apply_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a table from a STREAMING change feed: every micro-batch
+    is compacted and applied set-based by ``operators.merge.apply_cdc``
+    (insert/update/delete channels), then committed atomically — the
+    log-shipping uplift of :func:`incremental_upsert_stream`.
+
+    Ordering contract: the stream's batch boundaries must respect the
+    feed's sequence order per key (true for any real log — Kafka
+    offsets, binlog positions, file arrival order of log segments), i.e.
+    a key's later change never lands in an EARLIER micro-batch. Within a
+    batch any order is fine (apply_cdc compacts by ``seq_col``). Under
+    that contract the maintained state converges to the one-shot batch
+    ``apply_cdc`` of the whole feed — asserted exactly by the
+    stream-vs-batch agreement test for any files-per-trigger split.
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        from stadvdb_olap_spark.operators.merge import apply_cdc
+
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+        else:
+            target = batch.drop(seq_col, op_col).limit(0)
+        merged = apply_cdc(
+            target, batch, keys=keys, seq_col=seq_col, op_col=op_col
+        )
+        _atomic_overwrite(merged.localCheckpoint(), target_path)
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_agg_stream(
     spark: SparkSession,
     source_dir: str,

@@ -1001,6 +1001,39 @@ def test_merge_scd1_schema_evolution(spark):
     assert legacy.columns == ["k", "name"]
 
 
+def test_generate_cdc_roundtrip_and_null_safety(spark):
+    """generate_cdc emits exactly the I/U/D delta (null-safe attribute
+    compare: NULL->value and value->NULL are updates, NULL->NULL is
+    unchanged) and apply_cdc(old, generate_cdc(old, new)) == new."""
+    from stadvdb_olap_spark.operators.merge import apply_cdc, generate_cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    feed = generate_cdc(old, new, keys=["k"])
+    ops = {r["k"]: r["op"] for r in feed.collect()}
+    # 1 unchanged (absent), 2 NULL->'B' update, 3 NULL==NULL unchanged,
+    # 4 deleted, 5 inserted
+    assert ops == {2: "U", 4: "D", 5: "I"}
+
+    replayed = apply_cdc(old, feed, keys=["k"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+    # empty diff -> empty feed -> replay is the identity
+    empty = generate_cdc(old, old, keys=["k"])
+    assert empty.count() == 0
+    assert sorted(map(tuple, apply_cdc(old, empty, ["k"]).collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+
 def test_merge_scd1_type_widening(spark):
     """TYPE drift on a shared column: schema_evolution widens along the
     value-preserving ladder (int->long, float->double); without the flag

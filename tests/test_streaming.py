@@ -93,6 +93,61 @@ def test_incremental_upsert_stream_converges_to_batch_state(
     assert got == src
 
 
+def test_cdc_apply_stream_converges_to_batch_apply(spark, tmp_path):
+    """A streamed I/U/D change feed (log segments arriving seq-ordered,
+    one file per trigger) maintained by cdc_apply_stream must land on
+    EXACTLY the state a one-shot batch apply_cdc of the whole feed
+    produces — including delete-then-reinsert lifecycles."""
+    import time
+
+    from stadvdb_olap_spark.operators.merge import apply_cdc
+    from stadvdb_olap_spark.streaming.incremental import cdc_apply_stream
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    target = str(tmp_path / "cdc_target")
+    v1.write.parquet(target)
+
+    feed_schema = "k long, s string, v double, seq int, op string"
+    steps = [
+        # seq 1: update 2, delete 3, insert 5
+        [(2, "B", 2.5, 1, "U"), (3, "c", 3.0, 1, "D"), (5, "e", 5.0, 1, "I")],
+        # seq 2: delete 5 (inserted last step), update 1
+        [(5, "e", 5.0, 2, "D"), (1, "A", 1.5, 2, "U")],
+        # seq 3: reinsert 3 at a new value, delete 4
+        [(3, "C2", 3.5, 3, "I"), (4, "d", 4.0, 3, "D")],
+    ]
+    src_dir = str(tmp_path / "cdc_feed")
+    for rows in steps:
+        spark.createDataFrame(rows, feed_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    q = cdc_apply_stream(
+        spark,
+        source_dir=src_dir,
+        source_schema=feed_schema,
+        target_path=target,
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    whole_feed = spark.createDataFrame(
+        [r for rows in steps for r in rows], feed_schema
+    )
+    expected = sorted(map(tuple, apply_cdc(v1, whole_feed, ["k"]).collect()))
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == expected
+    # and the lifecycle landed where it should
+    state = {r[0]: (r[1], r[2]) for r in got}
+    assert state == {1: ("A", 1.5), 2: ("B", 2.5), 3: ("C2", 3.5)}
+
+
 def test_stateful_sessionize_batch_shape(spark, tmp_path):
     # applyInPandasWithState requires a streaming source; exercise the
     # plumbing through a rate-limited memory stream of synthetic events.

@@ -56,3 +56,54 @@ def resolve_foreign_key(
     cond = [fact[f] == side[f"__map_{m}"] for f, m in zip(fact_key, map_key)]
     joined = fact.join(side, cond, how)
     return joined.drop(*[f"__map_{m}" for m in map_key], *fact_key)
+
+
+def resolve_late_arriving(
+    fact: DataFrame,
+    key_map_v1: DataFrame,
+    key_map_v2: DataFrame,
+    fact_key: str,
+    map_key: str,
+    surrogate_col: str = "surrogate_key",
+    out_col: str = "surrogate_key",
+    placeholder: str = "__unresolved__",
+) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling — the star-schema op the
+    keep-only-mapped filter (reference fact_ETL.py:67-74) cannot
+    express: facts whose dimension row hasn't landed yet must LOAD NOW
+    with a placeholder surrogate and be REPAIRED when the dimension
+    catches up, never dropped and never blocking the load.
+
+    Pass 1 resolves against the load-time dimension snapshot
+    (``key_map_v1``) with a left join, placeholder for misses. Pass 2
+    re-joins ONLY the placeholder rows against the refreshed snapshot
+    (``key_map_v2``) and unions them back — the repair job touches
+    |late rows|, not |fact|. Output adds BOOLEAN ``was_late`` /
+    ``repaired`` audit flags; rows still unknown after repair keep the
+    placeholder. Both joins broadcast while the key maps are small.
+    """
+
+    def _lookup(df: DataFrame, key_map: DataFrame, out: str) -> DataFrame:
+        side = F.broadcast(
+            key_map.select(
+                F.col(map_key).alias("__mk"),
+                F.col(surrogate_col).alias(out),
+            )
+        )
+        return df.join(side, df[fact_key] == side["__mk"], "left").drop("__mk")
+
+    pass1 = _lookup(fact, key_map_v1, "__sk1")
+    resolved = pass1.filter(F.col("__sk1").isNotNull()).select(
+        *fact.columns,
+        F.col("__sk1").alias(out_col),
+        F.lit(False).alias("was_late"),
+        F.lit(False).alias("repaired"),
+    )
+    late = pass1.filter(F.col("__sk1").isNull()).drop("__sk1")
+    repaired = _lookup(late, key_map_v2, "__sk2").select(
+        *fact.columns,
+        F.coalesce(F.col("__sk2"), F.lit(placeholder)).alias(out_col),
+        F.lit(True).alias("was_late"),
+        F.col("__sk2").isNotNull().alias("repaired"),
+    )
+    return resolved.unionByName(repaired)

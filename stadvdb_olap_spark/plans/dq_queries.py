@@ -396,3 +396,64 @@ def fd_g3_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = g if out is None else out.unionAll(g)
     return out
+
+
+@query(
+    "backfill_ranges_orders",
+    oracle="""
+WITH obs AS (
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    WHERE day(o_orderdate) % 5 <> 0 AND day(o_orderdate) NOT IN (11, 12, 13)
+),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM obs),
+cal AS (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+miss AS (SELECT d FROM cal WHERE d NOT IN (SELECT d FROM obs)),
+isl AS (
+    SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS grp
+    FROM miss
+)
+SELECT min(d) AS range_start, max(d) AS range_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM isl GROUP BY grp
+""",
+)
+def backfill_ranges_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BACKFILL PLANNER: find every missing daily partition in
+    an ingest (here a deterministic outage pattern: days-of-month
+    divisible by 5 plus the 11th-13th never landed) and compact the
+    missing days into contiguous [start, end] ranges — exactly the job
+    spec a backfill scheduler submits. Gaps-and-islands device: calendar
+    from the observed bounds (1-row aggregate -> sequence explode), an
+    anti-join against observed days, then the classic date-minus-
+    row_number island key. All grains after the first distinct are
+    calendar-bounded (~2.2k days at ANY data scale), so the global
+    ordering window is plan-audit rule-4 safe; the only fact-sized work
+    is the initial distinct-days aggregate with map-side partials."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    dom = F.dayofmonth("o_orderdate")
+    obs = (
+        orders.filter((dom % 5 != 0) & (~dom.isin(11, 12, 13)))
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    missing = cal.join(obs, "d", "left_anti")
+    w = Window.orderBy("d")
+    isl = missing.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return isl.groupBy("grp").agg(
+        F.min("d").alias("range_start"),
+        F.max("d").alias("range_end"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).drop("grp")

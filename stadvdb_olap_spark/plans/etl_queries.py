@@ -595,6 +595,52 @@ def merge_upsert_orders_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "late_arriving_dim_repair_orders",
+    oracle=f"""
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 100 = 33 THEN '__unresolved__'
+            ELSE {surrogate_key_sql(['o_custkey'])} END AS customer_sk,
+       o_custkey % 10 = 3 AS was_late,
+       (o_custkey % 10 = 3 AND o_custkey % 100 <> 33) AS repaired
+FROM orders
+""",
+)
+def late_arriving_dim_repair_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LATE-ARRIVING DIMENSION repair on the star schema: orders load
+    against a dimension snapshot missing 10% of customers (placeholder
+    surrogate, fact NEVER dropped or delayed), then the repair pass
+    re-resolves ONLY the placeholder rows against the refreshed
+    dimension — which itself still lacks 1% (keys ≡ 33 mod 100, a
+    subset of the late set), so the output exercises resolved, repaired
+    AND still-unknown states. Spark runs the real two-pass operator
+    (operators/fact.py:resolve_late_arriving — two broadcast lookups,
+    repair touches |late| not |fact|); the oracle is the closed form of
+    the same deterministic snapshots with the shared md5 surrogate
+    device. At 100 TB the repair job reads the placeholder partition
+    slice, not the fact table."""
+    from stadvdb_olap_spark.operators.fact import resolve_late_arriving
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    key_map = customer.select(
+        F.col("c_custkey"),
+        surrogate_key(["c_custkey"], method="md5").alias("surrogate_key"),
+    )
+    v1 = key_map.filter(F.col("c_custkey") % 10 != 3)
+    v2 = key_map.filter(F.col("c_custkey") % 100 != 33)
+    out = resolve_late_arriving(
+        orders, v1, v2,
+        fact_key="o_custkey", map_key="c_custkey",
+        out_col="customer_sk",
+    )
+    return out.select("o_orderkey", "customer_sk", "was_late", "repaired")
+
+
+@query(
     "merge_upsert_orders_widening",
     oracle="""
 WITH t AS (

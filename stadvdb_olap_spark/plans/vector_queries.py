@@ -842,6 +842,79 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= _PQ_K)
 
 
+@query(
+    "ann_pq_recall_audit",
+    oracle=f"""
+WITH pq AS MATERIALIZED (
+    SELECT neighbor_id FROM ({_pq_oracle()})
+),
+ex AS MATERIALIZED (
+    SELECT neighbor_id FROM (
+        SELECT e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv')}, e.vec_id
+               ) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding AS qv FROM embeddings
+                    WHERE vec_id = {_PQ_QUERY}) q
+        WHERE e.vec_id <> {_PQ_QUERY}
+    ) WHERE rn <= {_PQ_K}
+)
+SELECT CAST({_PQ_QUERY} AS BIGINT) AS query_id,
+       CAST({_PQ_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM pq JOIN ex USING (neighbor_id))
+            AS BIGINT) AS n_overlap,
+       CAST((SELECT COUNT(*) FROM pq JOIN ex USING (neighbor_id))
+            AS DOUBLE) / {_PQ_K} AS recall
+""",
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZATION QUALITY as a certified number: recall@{k} of the
+    PQ-ADC approximate ranking against the exact squared-L2 ranking for
+    the pinned query — the metric that decides whether 2-byte codes are
+    good enough or the index needs more centroids/subspaces. Both
+    rankings replay in the oracle (the ADC chain and the IEEE
+    left-fold exact distance), so the measured recall itself is
+    hash-certified, not just eyeballed from a probe tool. (The pinned
+    demo codebooks measure ~0.05 — exactly the answer the audit exists
+    to give: 8x4 unfitted centroids are NOT enough, fit real k-means
+    codebooks offline. Contrast the LSH tiers' probe-measured 0.39-0.91.)
+    Shape: the exact side is one scan + per-query top-k (same as
+    ann_cosine_topk); the PQ side reads codes only; the overlap is a
+    join of two k-row relations."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from stadvdb_olap_spark.functions.vectors import l2_sq
+
+    q = emb.filter(F.col("vec_id") == _PQ_QUERY).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != _PQ_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.lit(_PQ_QUERY).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq("embedding", "qv").alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact_topk = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_K)
+        .select("neighbor_id")
+    )
+    pq_topk = ann_pq_adc_topk(spark, sf_dir).select("neighbor_id")
+    overlap = pq_topk.join(exact_topk, "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(_PQ_QUERY).cast("long").alias("query_id"),
+        F.lit(_PQ_K).cast("long").alias("k"),
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / _PQ_K).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Maximal Marginal Relevance (MMR) diversified retrieval
 # ---------------------------------------------------------------------------

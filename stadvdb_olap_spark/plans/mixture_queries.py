@@ -450,3 +450,92 @@ def rendezvous_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rendezvous_shard("doc_id", _HRW_SHARDS).alias("shard")
     )
+
+
+@query(
+    "contamination_score_docs",
+    oracle=f"""
+WITH sp AS (SELECT doc_id, text, {_SPLIT_SQL} AS split FROM documents),
+hosh AS MATERIALIZED (
+    SELECT DISTINCT unnest({word_shingles_sql('text', _SHINGLE_N)}) AS sh
+    FROM sp WHERE split <> 'train'
+),
+trsh AS (
+    SELECT doc_id,
+           unnest(list_distinct({word_shingles_sql('text', _SHINGLE_N)})) AS sh
+    FROM sp WHERE split = 'train'
+),
+scored AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM trsh t LEFT JOIN hosh h USING (sh)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_contaminated,
+       CASE WHEN n_shingles = 0 THEN 0.0
+            ELSE CAST(n_contaminated AS DOUBLE) / n_shingles END
+           AS contamination_frac
+FROM scored
+""",
+)
+def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED eval contamination (the thresholdable uplift over
+    decontaminate_train_docs' drop-on-any-hit): per training document,
+    the fraction of its distinct word 5-grams that also occur in the
+    held-out split — 0.0 is clean, a full benchmark copy scores 1.0,
+    and a pipeline can now set a tolerance (e.g. drop > 0.05) instead
+    of losing every doc that shares one idiom with one eval question.
+    Same join shape as the binary pass: distinct held-out shingles
+    (small, broadcast) left-joined to per-doc distinct train shingles,
+    one per-doc aggregate. The shingle unit, split assignment and
+    tokenizer are the certified devices shared with the binary query."""
+    from stadvdb_olap_spark.functions.text import word_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    with_split = docs.withColumn(
+        "split",
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise(
+            "test"
+        ),
+    )
+    heldout_sh = (
+        with_split.filter(F.col("split") != "train")
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles("text", _SHINGLE_N))
+            ).alias("sh")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_sh = with_split.filter(F.col("split") == "train").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", _SHINGLE_N))).alias(
+            "sh"
+        ),
+    )
+    scored = (
+        train_sh.join(F.broadcast(heldout_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.when(F.col("n_shingles") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        )
+        .alias("contamination_frac"),
+    )

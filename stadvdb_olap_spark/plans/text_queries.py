@@ -379,6 +379,93 @@ def dedup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_survivor_longest_docs",
+    oracle=f"""
+WITH RECURSIVE
+sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),
+cands AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+),
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+),
+verified AS MATERIALIZED (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN sets_ sa ON sa.doc_id = id_a
+    JOIN sets_ sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_JACCARD_T}
+),
+edges AS MATERIALIZED (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+),
+clusters AS (
+    SELECT id AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY id
+),
+scored AS (
+    SELECT c.doc_id, c.canonical_id,
+           CAST(len({T.tokens_sql('d.text')}) AS BIGINT) AS n_tokens
+    FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, canonical_id, n_tokens,
+       doc_id = first_value(doc_id) OVER (
+           PARTITION BY canonical_id
+           ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS is_survivor
+FROM scored
+""",
+)
+def dedup_survivor_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup survivorship: within every verified near-dup
+    cluster, keep the LONGEST member (token count from the certified
+    tokenizer; doc-id tiebreak) instead of the arbitrary min-id — the
+    policy real corpus pipelines want, since near-dup clusters usually
+    pair a full document with its truncated/boilerplate-stripped copies.
+    Composes the certified LSH→verify→connected-components clustering
+    with one per-cluster window (partitioned by cluster id — bounded
+    grain, one shuffle). Emits every clustered doc with its cluster,
+    length and the keep decision, so downstream filters are one
+    ``WHERE is_survivor`` away."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    clusters = TD.dedup_clusters(
+        docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
+    )
+    scored = clusters.join(
+        docs.select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("canonical_id")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        "doc_id",
+        "canonical_id",
+        "n_tokens",
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_survivor"),
+    )
+
+
 def _curate_sql() -> str:
     # SQL twin of operators/pipeline.py:curate_corpus with its defaults as
     # called below (min_tokens=5, max_stopword_ratio=0.9, stopwords

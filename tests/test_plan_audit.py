@@ -139,6 +139,7 @@ _BNLJ_OK = {
     "textrank_keywords_docs",  # 1-row node-count broadcast per iter
     "triangle_stats_parts",  # 1-row wedge-count broadcast
     "lpa_modularity_parts",  # 1-row edge-count broadcast
+    "ann_pq_recall_audit",  # 1-row pinned query vector cross (measured)
 }
 
 

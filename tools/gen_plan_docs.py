@@ -151,6 +151,28 @@ SHOWCASE = [
      "the dense per-variant matrix: after the sessionization window and "
      "one transition-count aggregate, the plan is joins/aggregates over "
      "bounded relations only — no per-iteration exchanges at all"),
+    ("cdc_generate_apply_roundtrip_orders",
+     "the generate->apply inverse identity in one plan: the snapshot "
+     "diff is ONE full-outer sort-merge join on the key, the feed "
+     "compaction a same-keyed window, the replay one anti-join + union "
+     "— three key-partitioned exchanges total, nothing at driver, and "
+     "the feed the downstream replays is |changes|-sized"),
+    ("late_arriving_dim_repair_orders",
+     "both the load-time resolve and the repair pass are "
+     "BroadcastHashJoins against the dimension key map; the repair "
+     "branch filters to the placeholder slice BEFORE its join, so the "
+     "second pass touches |late rows|, never the fact table"),
+    ("backfill_ranges_orders",
+     "the only fact-sized work is the distinct-days aggregate with "
+     "map-side partials; the calendar explodes from a 1-row bounds "
+     "aggregate, and the islands window runs over the calendar-bounded "
+     "missing-days relation (plan-audit rule 4: bounded grain above "
+     "every unpartitioned window)"),
+    ("dedup_survivor_longest_docs",
+     "the survivorship policy adds exactly one partitioned window "
+     "(cluster id) and one token-count join on top of the certified "
+     "banded-LSH clustering — no new fact-grain exchange, and the "
+     "cluster relation it ranks is |clustered docs|, not |corpus|"),
 ]
 
 

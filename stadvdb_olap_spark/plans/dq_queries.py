@@ -457,3 +457,76 @@ def backfill_ranges_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("range_end"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     ).drop("grp")
+
+
+_COMPACT_ROW_BYTES = 120  # modeled avg row width (bytes)
+_COMPACT_TARGET = 4000  # target compacted file size (bytes, fixture scale)
+
+
+@query(
+    "compaction_plan_orders",
+    oracle=f"""
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+           CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS est_bytes
+    FROM orders GROUP BY 1, 2
+),
+grouped AS (
+    SELECT mon, d, est_bytes,
+           CAST((SUM(est_bytes) OVER (PARTITION BY mon ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - est_bytes) // {_COMPACT_TARGET} AS BIGINT) AS group_id
+    FROM files
+)
+SELECT mon, group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+       MIN(d) AS first_date, MAX(d) AS last_date
+FROM grouped GROUP BY mon, group_id
+""",
+)
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLANNER (the lakehouse OPTIMIZE job spec):
+    model each ingest day as one small file (row count x a modeled row
+    width), then bin ADJACENT files within a month partition into
+    merge groups near the target size via the cumsum-DIV device —
+    group = (running bytes before me) DIV target, the standard
+    scalable approximation of the greedy adjacent fold (no recursion,
+    no sequential stage; compare pack_chunks_512, where exact FFD is
+    worth a sequential per-bucket pass because bins must never
+    overflow — compaction targets are soft). Shape: one
+    calendar-bounded aggregate, one month-partitioned window, one
+    group aggregate; nothing at fact grain after the first count."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        )
+        .agg(
+            (F.count(F.lit(1)) * _COMPACT_ROW_BYTES)
+            .cast("long")
+            .alias("est_bytes")
+        )
+    )
+    w = (
+        Window.partitionBy("mon")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = files.withColumn(
+        "group_id",
+        (
+            (F.sum("est_bytes").over(w) - F.col("est_bytes"))
+            / _COMPACT_TARGET
+        ).cast("long"),
+    )
+    return grouped.groupBy("mon", "group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.min("d").alias("first_date"),
+        F.max("d").alias("last_date"),
+    )

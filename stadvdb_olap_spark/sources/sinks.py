@@ -168,6 +168,15 @@ def upsert_parquet_partitioned(
     )
     # The filter lands on partition columns only -> pruned at file listing.
     target = spark.read.parquet(path).where(pred)
+    # Partition values round-trip through DIRECTORY NAMES, so the reader
+    # re-infers their type (a string '2024-01-02' comes back DATE). That
+    # isn't real schema drift — align the partition columns back to the
+    # delta's types so merge_scd1's drift guard only fires on genuine
+    # attribute drift.
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    for c in partition_by:
+        if target.schema[c].dataType != src_types[c]:
+            target = target.withColumn(c, F.col(c).cast(src_types[c]))
     merged = merge_scd1(
         target, src, keys=keys, schema_evolution=schema_evolution
     ).localCheckpoint()  # materialize BEFORE replacing the files it read

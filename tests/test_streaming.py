@@ -93,6 +93,69 @@ def test_incremental_upsert_stream_converges_to_batch_state(
     assert got == src
 
 
+def test_builtin_session_window_stream_flushes_to_batch(spark, tmp_path):
+    """Append-mode streaming session_window must emit EXACTLY the
+    certified batch sessions once the watermark passes them. A
+    far-future sentinel event advances the global watermark so every
+    real session closes under one availableNow run; the sentinel user's
+    own (still-open) session must NOT emit."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.streaming.windowed import session_window_aggregate
+
+    _ensure_loaded()
+    ev = load_table(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "sess_src")
+    ev.write.parquet(src_dir)
+    # Two sentinel files, written LAST in separate micro-batches: the
+    # watermark a batch uses comes from the PREVIOUS batch's max event
+    # time, so sentinel #1 raises it and the batch carrying sentinel #2
+    # flushes every real session.
+    import time
+
+    for uid, ts in ((-1, "2030-01-01 00:00:00"), (-2, "2030-01-02 00:00:00")):
+        ev.sparkSession.createDataFrame([(uid,)], "user_id long").select(
+            "user_id", F.to_timestamp(F.lit(ts)).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "ts")
+    )
+    q = (
+        session_window_aggregate(stream)
+        .writeStream.format("memory")
+        .queryName("builtin_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM builtin_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in REGISTRY["events_session_window_builtin"].fn(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == batch
+    # sentinel #2's session is still open (nothing advanced the
+    # watermark past it) and must not have emitted; sentinel #1's
+    # legitimately closed once #2 raised the watermark.
+    assert not [
+        r for r in spark.sql("SELECT * FROM builtin_sessions").collect()
+        if r["user_id"] == -2
+    ]
+
+
 def test_cdc_apply_stream_converges_to_batch_apply(spark, tmp_path):
     """A streamed I/U/D change feed (log segments arriving seq-ordered,
     one file per trigger) maintained by cdc_apply_stream must land on

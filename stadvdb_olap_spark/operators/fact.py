@@ -84,7 +84,10 @@ def resolve_late_arriving(
     """
 
     def _lookup(df: DataFrame, key_map: DataFrame, out: str) -> DataFrame:
-        side = F.broadcast(
+        # Size-gated like resolve_foreign_key: broadcast while the key map
+        # fits under autoBroadcastJoinThreshold, shuffle-join above it —
+        # a 100M-row dimension must never be force-broadcast.
+        side = broadcast_if_small(
             key_map.select(
                 F.col(map_key).alias("__mk"),
                 F.col(surrogate_col).alias(out),

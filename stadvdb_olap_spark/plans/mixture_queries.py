@@ -519,8 +519,10 @@ def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sh"
         ),
     )
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
     scored = (
-        train_sh.join(F.broadcast(heldout_sh), "sh", "left")
+        train_sh.join(broadcast_if_small(heldout_sh), "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),

@@ -530,3 +530,83 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("first_date"),
         F.max("d").alias("last_date"),
     )
+
+
+def _orphan_rel_sql(name: str, child: str, ck: str, parent_sql: str) -> str:
+    return f"""
+SELECT '{name}' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN {ck} NOT IN ({parent_sql}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       CAST(SUM(CASE WHEN {ck} NOT IN ({parent_sql}) THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS orphan_frac
+FROM {child}
+"""
+
+
+@query(
+    "orphan_fk_audit_star",
+    oracle=" UNION ALL ".join(
+        [
+            _orphan_rel_sql(
+                "lineitem->orders", "lineitem", "l_orderkey",
+                "SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0",
+            ),
+            _orphan_rel_sql(
+                "orders->customer", "orders", "o_custkey",
+                "SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 3",
+            ),
+            _orphan_rel_sql(
+                "lineitem->part", "lineitem", "l_partkey",
+                "SELECT p_partkey FROM part WHERE p_partkey % 5 <> 2",
+            ),
+        ]
+    ),
+)
+def orphan_fk_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA ORPHAN AUDIT: per FK relationship, how many fact rows
+    point at a dimension row that hasn't landed — the report that decides
+    between blocking a load, placeholder-resolving
+    (operators/fact.py:resolve_late_arriving) and backfilling. Parents
+    are deterministically THINNED (simulated partial dimension loads) so
+    the audit exercises real non-zero orphan rates rather than a
+    trivially-clean fixture. Shape per relationship: one broadcast-gated
+    anti-probe folded into a conditional aggregate — each relationship is
+    one pass over its child table with map-side partials, unioned into a
+    |relationships|-row report."""
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey", 7, 0),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey", 10, 3),
+        ("lineitem->part", "lineitem", "l_partkey",
+         "part", "p_partkey", 5, 2),
+    ]
+    out = None
+    for name, child_t, ck, parent_t, pk, mod, drop in rels:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(ck).alias("__k")
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .filter(F.col(pk) % mod != drop)
+            .select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        probed = child.join(broadcast_if_small(parent), "__k", "left")
+        rel = probed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("relationship"),
+            "n_child",
+            "n_orphans",
+            (F.col("n_orphans").cast("double") / F.col("n_child")).alias(
+                "orphan_frac"
+            ),
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out

@@ -518,3 +518,47 @@ def test_offset_rank_equals_window_for_any_bucket_width(
         ).collect()
     }
     assert got_n == want_n
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old=st.dictionaries(
+        st.integers(0, 6),
+        st.tuples(st.one_of(st.none(), st.text("xy", max_size=2)),
+                  st.one_of(st.none(), st.integers(0, 9))),
+        max_size=7,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 6),
+        st.tuples(st.one_of(st.none(), st.text("xy", max_size=2)),
+                  st.one_of(st.none(), st.integers(0, 9))),
+        max_size=7,
+    ),
+)
+def test_generate_apply_cdc_roundtrip_property(spark, old, new):
+    """For ANY pair of keyed snapshots — overlapping, disjoint, empty,
+    with NULL attributes — apply_cdc(old, generate_cdc(old, new)) == new
+    as a multiset, and the feed contains no row for unchanged keys."""
+    from stadvdb_olap_spark.operators.merge import apply_cdc, generate_cdc
+
+    schema = "k long, s string, v long"
+    odf = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in old.items()], schema
+    )
+    ndf = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in new.items()], schema
+    )
+    feed = generate_cdc(odf, ndf, keys=["k"])
+    rows = feed.collect()
+    unchanged = {
+        k for k in set(old) & set(new) if old[k] == new[k]
+    }
+    assert not [r for r in rows if r["k"] in unchanged]
+    replayed = apply_cdc(odf, feed, keys=["k"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        (k, s, v) for k, (s, v) in new.items()
+    )

@@ -142,12 +142,24 @@ def bpe_encode(
     broadcast-sized plain Python list riding the mapInPandas closure —
     never a join."""
 
+    import re
+
+    # EXACTLY the certified tokenizer's split class (Java/RE2 ASCII \s:
+    # space, tab, LF, VT, FF, CR) — Python str.split() additionally
+    # breaks on Unicode whitespace (U+00A0 etc.), which would silently
+    # diverge from the cross-engine `tokens()`/`tokens_sql` device the
+    # replay oracle certifies against. NULL text encodes as empty.
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
     def encode_batch(pdfs):
         for pdf in pdfs:
             out = []
             for t in pdf[text_col]:
                 toks: list[str] = []
-                for w in str(t).lower().split():
+                text = "" if t is None else str(t)
+                for w in ws.split(text.strip().lower()):
+                    if not w:
+                        continue
                     syms = list(w) + [END]
                     for a, b in merges:
                         syms = _merge_symbols(syms, a, b)

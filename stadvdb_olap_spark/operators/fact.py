@@ -66,7 +66,7 @@ def resolve_late_arriving(
     map_key: str,
     surrogate_col: str = "surrogate_key",
     out_col: str = "surrogate_key",
-    placeholder: str = "__unresolved__",
+    placeholder: str | int | float = "__unresolved__",
 ) -> DataFrame:
     """LATE-ARRIVING DIMENSION handling — the star-schema op the
     keep-only-mapped filter (reference fact_ETL.py:67-74) cannot
@@ -81,7 +81,21 @@ def resolve_late_arriving(
     |late rows|, not |fact|. Output adds BOOLEAN ``was_late`` /
     ``repaired`` audit flags; rows still unknown after repair keep the
     placeholder. Both joins broadcast while the key maps are small.
+
+    ``placeholder`` must match the surrogate key's type: the string
+    default fits the md5 string keys; with ``xxhash64`` LONG surrogates
+    pass a numeric sentinel (e.g. ``-1``) — a mismatch raises up front
+    instead of failing inside the coalesce/union.
     """
+    from pyspark.sql import types as T
+
+    sk_type = key_map_v2.schema[surrogate_col].dataType
+    if isinstance(placeholder, str) and not isinstance(sk_type, T.StringType):
+        raise ValueError(
+            f"placeholder {placeholder!r} is a string but the surrogate "
+            f"key is {sk_type.simpleString()} — pass a sentinel of the "
+            "key's type (e.g. -1 for xxhash64 LONG keys)"
+        )
 
     def _lookup(df: DataFrame, key_map: DataFrame, out: str) -> DataFrame:
         # Size-gated like resolve_foreign_key: broadcast while the key map

@@ -27,10 +27,14 @@ from pyspark.sql import types as T
 # Value-preserving widening ladder (Delta/Iceberg type-widening
 # semantics): a drifted source column may only move a shared column UP
 # this ladder, never sideways or down — int->long, float->double,
-# int/long->double, date->timestamp. Anything else is real schema
-# breakage and must fail loudly, not coerce silently.
+# byte/short/int->double (every int32 is exact in a double),
+# date->timestamp. LONG->double is deliberately EXCLUDED: doubles hold
+# only 53 mantissa bits, so |v| > 2^53 would corrupt silently — exactly
+# the class of drift that must fail loudly. Anything not listed is real
+# schema breakage and raises.
 _WIDEN_LADDERS: tuple[tuple[type, ...], ...] = (
-    (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DoubleType),
+    (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    (T.ByteType, T.ShortType, T.IntegerType, T.DoubleType),
     (T.FloatType, T.DoubleType),
     (T.DateType, T.TimestampType),
 )
@@ -91,6 +95,19 @@ def merge_scd1(
         if schema_evolution
         else []
     )
+
+    # KEY drift never widens — a coerced join key changes match
+    # semantics ('007' vs 7), so it fails loudly in both modes.
+    tgt_key_types = {f.name: f.dataType for f in target.schema.fields}
+    src_key_types = {f.name: f.dataType for f in source.schema.fields}
+    for k in keys:
+        if tgt_key_types[k] != src_key_types[k]:
+            raise ValueError(
+                f"type drift on KEY {k!r}: target "
+                f"{tgt_key_types[k].simpleString()} vs source "
+                f"{src_key_types[k].simpleString()} — align key types "
+                "upstream; keys are never widened"
+            )
 
     src = source.select(
         *[F.col(k).alias(f"__src_{k}") for k in keys],

@@ -53,6 +53,22 @@ def salted_md5(key: Column | str, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
 
 
+def split_column(id_col: Column | str = "doc_id") -> Column:
+    """The CERTIFIED train/val/test split device — one definition so the
+    four call sites (split query, curation pipeline, decontamination,
+    contamination scoring) can never desynchronize from each other or
+    from their oracles' `_SPLIT_SQL` twin: first md5 hex byte of the id,
+    '< cc' ≈ 80% train, '< e6' ≈ 10% val, rest test. Content-free and
+    engine-free: stable across runs, partitionings, and data growth."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.substring(F.md5(c.cast("string").cast("binary")), 1, 2)
+    return (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     heldout: DataFrame,

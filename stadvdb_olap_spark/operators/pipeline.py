@@ -70,13 +70,11 @@ def curate_corpus(
     losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
     survivors = gated.join(losers, id_col, "left_anti")
 
-    bucket = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2)
+    from stadvdb_olap_spark.operators.mixture import split_column
+
     return survivors.select(
         id_col,
         text_col,
         "lang_pred",
-        F.when(bucket < "cc", "train")
-        .when(bucket < "e6", "val")
-        .otherwise("test")
-        .alias("split"),
+        split_column(id_col).alias("split"),
     )

@@ -441,15 +441,10 @@ def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash: the split of a document depends only on its id, so it is stable
     across runs, engines, partitionings, and data growth — the property
     random sampling lacks. Pure narrow map; no shuffle at any scale."""
+    from stadvdb_olap_spark.operators.mixture import split_column
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
-    return docs.select(
-        "doc_id",
-        F.when(bucket < "cc", "train")
-        .when(bucket < "e6", "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return docs.select("doc_id", split_column("doc_id").alias("split"))
 
 
 # ---------------------------------------------------------------------------

@@ -501,9 +501,11 @@ def _bpe_replay_sql() -> str:
     no learned merge's LEFT side can contain it (within a word the
     sentinel-bearing symbol is always last, so it never pairs on the
     left)."""
+    # coalesce(text, ''): a NULL document encodes to the empty token
+    # string on both engines (the Python encoder maps None -> "").
     expr = """array_to_string(
   list_transform(
-    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+    list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
                 w -> w <> ''),
     w -> array_to_string(list_transform(string_split(w, ''),
                          c -> chr(31)||c||chr(31)), ' ')

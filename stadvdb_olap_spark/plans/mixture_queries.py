@@ -61,11 +61,7 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small, broadcast); work scales with actual collisions, never
     |train| x |heldout|."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
-    with_split = docs.withColumn(
-        "split",
-        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"),
-    )
+    with_split = docs.withColumn("split", MX.split_column("doc_id"))
     train = with_split.filter(F.col("split") == "train")
     heldout = with_split.filter(F.col("split") != "train")
     return MX.decontaminate(train, heldout, "doc_id", "text", _SHINGLE_N).select(
@@ -494,15 +490,7 @@ def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import word_shingles
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bucket = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
-    )
-    with_split = docs.withColumn(
-        "split",
-        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise(
-            "test"
-        ),
-    )
+    with_split = docs.withColumn("split", MX.split_column("doc_id"))
     heldout_sh = (
         with_split.filter(F.col("split") != "train")
         .select(

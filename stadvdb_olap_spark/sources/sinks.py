@@ -156,23 +156,40 @@ def upsert_parquet_partitioned(
 
     from pyspark.sql import functions as F
 
-    pred = reduce(
+    # Partition values round-trip through DIRECTORY NAMES, so by default
+    # the reader re-infers their type — LOSSILY for string values that
+    # look numeric ('01' -> 1). Read them as raw strings (inference off,
+    # scoped — partition discovery happens at DataFrame definition) and
+    # cast ONCE to the delta's declared types, so merge_scd1's drift
+    # guard only fires on genuine attribute drift and no value is
+    # laundered through an inferred intermediate.
+    infer_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_conf, "true")
+    spark.conf.set(infer_conf, "false")
+    try:
+        target = spark.read.parquet(path)
+    finally:
+        spark.conf.set(infer_conf, prev)
+    # Prune on the RAW string partition values (exactly how the writer
+    # rendered them into directory names) so the filter stays directly on
+    # the partition columns and file-listing pruning fires; THEN cast to
+    # the delta's declared types.
+    pred_raw = reduce(
         lambda a, b: a | b,
         (
             reduce(
                 lambda a, b: a & b,
-                (F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_by),
+                (
+                    F.col(c).isNull()
+                    if row[c] is None
+                    else F.col(c).eqNullSafe(F.lit(str(row[c])))
+                    for c in partition_by
+                ),
             )
             for row in touched
         ),
     )
-    # The filter lands on partition columns only -> pruned at file listing.
-    target = spark.read.parquet(path).where(pred)
-    # Partition values round-trip through DIRECTORY NAMES, so the reader
-    # re-infers their type (a string '2024-01-02' comes back DATE). That
-    # isn't real schema drift — align the partition columns back to the
-    # delta's types so merge_scd1's drift guard only fires on genuine
-    # attribute drift.
+    target = target.where(pred_raw)
     src_types = {f.name: f.dataType for f in src.schema.fields}
     for c in partition_by:
         if target.schema[c].dataType != src_types[c]:

@@ -1067,6 +1067,18 @@ def test_merge_scd1_type_widening(spark):
     with pytest.raises(ValueError, match="no value-preserving widening"):
         merge_scd1(target, bad, ["k"], schema_evolution=True)
 
+    # long -> double is NOT value-preserving (53 mantissa bits) and must
+    # raise rather than silently round |v| > 2^53.
+    tgt_long = spark.createDataFrame([(1, 2**53 + 1)], "k long, v long")
+    src_dbl = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with pytest.raises(ValueError, match="no value-preserving widening"):
+        merge_scd1(tgt_long, src_dbl, ["k"], schema_evolution=True)
+
+    # KEY drift never widens, in either mode.
+    src_strkey = spark.createDataFrame([("2", 5, 2.0)], "k string, qty int, price float")
+    with pytest.raises(ValueError, match="type drift on KEY"):
+        merge_scd1(target, src_strkey, ["k"], schema_evolution=True)
+
 
 def test_upsert_parquet_schema_evolution_roundtrip(spark, tmp_path):
     """On-disk upsert with an evolving source widens the stored schema

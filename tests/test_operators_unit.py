@@ -1677,3 +1677,58 @@ def test_bpe_pinned_encode_matches_greedy_reference(spark):
             f"SELECT {_bpe_symcount_sql('?')}", [tok]
         ).fetchone()[0]
         assert got == greedy_symbols(tok), f"token {tok!r}"
+
+
+def test_split_column_deterministic_and_total(spark):
+    """The extracted split device: every id gets exactly one split,
+    assignment is a pure function of the id (stable across calls and
+    partitionings), and the three buckets are all populated at corpus
+    size with roughly the 80/10/10 design weights."""
+    from stadvdb_olap_spark.operators.mixture import split_column
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in ids.select(
+        "doc_id", split_column("doc_id").alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in ids.repartition(7).select(
+        "doc_id", split_column("doc_id").alias("s")).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert 0.05 < c["val"] / 2000 < 0.15
+    assert 0.05 < c["test"] / 2000 < 0.15
+
+
+def test_widened_type_lattice():
+    """_widened_type: symmetric, idempotent, and exactly the documented
+    value-preserving pairs — nothing else resolves."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from stadvdb_olap_spark.operators.merge import _widened_type
+
+    ok = [
+        (T.IntegerType(), T.LongType(), T.LongType()),
+        (T.ByteType(), T.ShortType(), T.ShortType()),
+        (T.FloatType(), T.DoubleType(), T.DoubleType()),
+        (T.IntegerType(), T.DoubleType(), T.DoubleType()),
+        (T.DateType(), T.TimestampType(), T.TimestampType()),
+        (T.StringType(), T.StringType(), T.StringType()),
+    ]
+    for a, b, want in ok:
+        assert _widened_type(a, b) == want
+        assert _widened_type(b, a) == want
+    bad = [
+        (T.LongType(), T.DoubleType()),   # > 2^53 not exact
+        (T.LongType(), T.FloatType()),
+        (T.StringType(), T.LongType()),
+        (T.TimestampType(), T.StringType()),
+        (T.BooleanType(), T.IntegerType()),
+    ]
+    for a, b in bad:
+        with pytest.raises(ValueError):
+            _widened_type(a, b)
+        with pytest.raises(ValueError):
+            _widened_type(b, a)

@@ -13,7 +13,7 @@ import pytest
 
 from stadvdb_olap_spark.plans.catalog import (
     REGISTRY,
-    ROUND8_FRONT,
+    ROUND9_FRONT,
     all_oracles,
     all_queries,
 )
@@ -24,7 +24,7 @@ def test_window_front_is_first_50_oracle_backed():
     exactly the rotation front, every one oracle-backed, with deferred
     rows-only queries exporting last."""
     names = list(all_queries())
-    assert names[:50] == list(ROUND8_FRONT)
+    assert names[:50] == list(ROUND9_FRONT)
     oracles = all_oracles()
     assert all(n in oracles for n in names[:50])
     deferred = [n for n in names if REGISTRY[n].defer]

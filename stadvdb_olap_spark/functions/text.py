@@ -13,7 +13,14 @@ from pyspark.sql import functions as F
 
 # Whitespace tokenization — the fixtures' documents are space-separated
 # lowercase word soup; a BPE-ish regex tokenizer is provided separately.
-_WS = r"\s+"
+#
+# The split class is EXPLICIT ASCII whitespace rather than `\s`: Java
+# regex `\s` includes vertical tab (\x0b) while DuckDB's RE2 `\s`
+# excludes it, so a bare `\s+` silently tokenizes differently across the
+# two engines on \x0b-bearing text. Writing the class out pins both
+# sides to the identical set (space, tab, LF, VT, FF, CR).
+_WS = r"[ \t\n\x0b\f\r]+"
+_WS_SQL = r"[ \t\n\x0b\f\r]+"  # RE2 understands the same escapes
 
 
 def _c(col: Column | str) -> Column:
@@ -39,7 +46,7 @@ def tokens(col: Column | str) -> Column:
 
 
 def tokens_sql(expr: str) -> str:
-    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return f"regexp_split_to_array(trim(lower({expr})), '{_WS_SQL}')"
 
 
 def token_count(col: Column | str) -> Column:
@@ -56,13 +63,18 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     separately (a cheap proxy for BPE token counts used to budget LLM
     training data)."""
     c = _c(col)
-    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    # explicit whitespace in the negated class too (Java \s vs RE2 \s
+    # differ on \x0b — see the _WS note above)
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]"), 0
+    )
     return F.size(pieces).cast("long")
 
 
 def bpe_ish_token_count_sql(expr: str) -> str:
     return (
-        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+        f"CAST(len(regexp_extract_all({expr}, "
+        f"'[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT)"
     )
 
 

@@ -144,11 +144,15 @@ def bpe_encode(
 
     import re
 
-    # EXACTLY the certified tokenizer's split class (Java/RE2 ASCII \s:
-    # space, tab, LF, VT, FF, CR) — Python str.split() additionally
-    # breaks on Unicode whitespace (U+00A0 etc.), which would silently
-    # diverge from the cross-engine `tokens()`/`tokens_sql` device the
-    # replay oracle certifies against. NULL text encodes as empty.
+    # EXACTLY the certified tokenizer's split class (explicit ASCII
+    # whitespace: space, tab, LF, VT, FF, CR — the same explicit class
+    # `tokens()`/`tokens_sql` use, immune to the Java-\s-vs-RE2-\s \x0b
+    # gap). Python str.split()/str.strip() additionally break on Unicode
+    # whitespace (U+00A0, U+2028, \x1c-\x1f), which would silently
+    # diverge from the cross-engine device the replay oracle certifies
+    # against — so NO .strip(): edge whitespace only yields empty split
+    # pieces, which the `if not w` filter already drops. NULL text
+    # encodes as empty.
     ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
 
     def encode_batch(pdfs):
@@ -157,7 +161,7 @@ def bpe_encode(
             for t in pdf[text_col]:
                 toks: list[str] = []
                 text = "" if t is None else str(t)
-                for w in ws.split(text.strip().lower()):
+                for w in ws.split(text.lower()):
                     if not w:
                         continue
                     syms = list(w) + [END]

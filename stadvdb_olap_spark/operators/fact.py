@@ -89,12 +89,19 @@ def resolve_late_arriving(
     """
     from pyspark.sql import types as T
 
+    # Bidirectional type guard: a string placeholder on a numeric key
+    # AND a numeric placeholder on a string key both raise up front —
+    # otherwise coalesce silently coerces the sentinel (e.g. -1 -> '-1'
+    # on a STRING surrogate) and downstream consumers filter on the
+    # wrong sentinel value.
     sk_type = key_map_v2.schema[surrogate_col].dataType
-    if isinstance(placeholder, str) and not isinstance(sk_type, T.StringType):
+    sk_is_string = isinstance(sk_type, T.StringType)
+    if isinstance(placeholder, str) != sk_is_string:
         raise ValueError(
-            f"placeholder {placeholder!r} is a string but the surrogate "
-            f"key is {sk_type.simpleString()} — pass a sentinel of the "
-            "key's type (e.g. -1 for xxhash64 LONG keys)"
+            f"placeholder {placeholder!r} ({type(placeholder).__name__}) "
+            f"does not match the surrogate key type "
+            f"{sk_type.simpleString()} — pass a sentinel of the key's "
+            "type (e.g. -1 for xxhash64 LONG keys, a string for md5 keys)"
         )
 
     def _lookup(df: DataFrame, key_map: DataFrame, out: str) -> DataFrame:

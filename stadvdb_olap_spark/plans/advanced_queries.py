@@ -767,7 +767,7 @@ FROM (SELECT unnest({{tokens}}) AS word FROM documents)
 GROUP BY word
 ORDER BY n DESC, word
 LIMIT 100
-""".replace("{tokens}", "regexp_split_to_array(trim(lower(text)), '\\s+')"),
+""".replace("{tokens}", "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"),
 )
 def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word frequencies (top 100): explode the token arrays and

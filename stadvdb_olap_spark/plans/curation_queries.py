@@ -505,7 +505,8 @@ def _bpe_replay_sql() -> str:
     # string on both engines (the Python encoder maps None -> "").
     expr = """array_to_string(
   list_transform(
-    list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+    list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                      '[ \\t\\n\\x0b\\f\\r]+'),
                 w -> w <> ''),
     w -> array_to_string(list_transform(string_split(w, ''),
                          c -> chr(31)||c||chr(31)), ' ')

@@ -266,7 +266,7 @@ def _textrank_oracle(n_iters: int) -> str:
     chain, last = _pagerank_chain_sql(n_iters)
     return f"""
 WITH t AS MATERIALIZED (
-    SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    SELECT regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
     FROM documents
 ),
 bg AS MATERIALIZED (

@@ -100,7 +100,7 @@ def mixture_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
     SELECT doc_id, source,
-           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
                AS n_tokens,
            {_md5_salted_sql('budget:')} AS h
     FROM documents
@@ -168,7 +168,7 @@ _CTX_LEN = 512
     oracle=f"""
 WITH t AS (
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
                AS n_tokens,
            {_md5_salted_sql('pack:')} AS h
     FROM documents
@@ -232,7 +232,7 @@ s AS (
 )
 SELECT shard,
        COUNT(*) AS n_docs,
-       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')))
             AS BIGINT) AS n_tokens,
        CAST(CAST(COALESCE(SUM(CAST(CAST('0x' ||
                 substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12)

@@ -195,7 +195,7 @@ def variant_props_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH counted AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+         CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n
   FROM documents
 )
 , expanded AS (
@@ -401,7 +401,7 @@ def minhash_wide_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH postings AS (
     SELECT t.term, d.doc_id
     FROM documents d,
-         unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(term)
+         unnest(regexp_split_to_array(trim(lower(d.text)), '[ \\t\\n\\x0b\\f\\r]+')) AS t(term)
     GROUP BY t.term, d.doc_id
 )
 SELECT term,
@@ -453,7 +453,7 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
     SELECT d.doc_id, t.term
     FROM documents d,
-         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+'))) AS t(term)
+         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '[ \\t\\n\\x0b\\f\\r]+'))) AS t(term)
 ),
 vocab AS (SELECT term FROM toks GROUP BY term HAVING COUNT(*) >= 25),
 vt AS (SELECT doc_id, term FROM toks WHERE term IN (SELECT term FROM vocab))
@@ -501,7 +501,7 @@ def term_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
     SELECT d.doc_id, t.term
     FROM documents d,
-         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+'))) AS t(term)
+         unnest(list_distinct(regexp_split_to_array(trim(lower(d.text)), '[ \\t\\n\\x0b\\f\\r]+'))) AS t(term)
 ),
 n_total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
 df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM toks GROUP BY term),
@@ -578,7 +578,7 @@ def term_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH postings AS (
     SELECT t.term, d.doc_id
     FROM documents d,
-         unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS t(term)
+         unnest(regexp_split_to_array(trim(lower(d.text)), '[ \\t\\n\\x0b\\f\\r]+')) AS t(term)
     GROUP BY t.term, d.doc_id
 )
 SELECT term,

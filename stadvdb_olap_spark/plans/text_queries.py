@@ -238,7 +238,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact_docs",
     oracle="""
-SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))
+SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'), ' '))
            AS content_hash,
        min(doc_id) AS canonical_id,
        count(*)    AS group_size
@@ -556,7 +556,7 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS term_count
@@ -661,7 +661,7 @@ _CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -738,7 +738,7 @@ chunks AS MATERIALIZED (
                    || '#' || CAST(s AS VARCHAR)), 1, 4) AS UBIGINT)
               % {nb} AS BIGINT) AS bucket
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
         FROM documents) t,
        unnest(generate_series(
          0, CAST(ceil(len(toks) / {_CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(s)

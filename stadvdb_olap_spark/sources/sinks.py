@@ -170,11 +170,21 @@ def upsert_parquet_partitioned(
         target = spark.read.parquet(path)
     finally:
         spark.conf.set(infer_conf, prev)
-    # Prune on the RAW string partition values (exactly how the writer
-    # rendered them into directory names) so the filter stays directly on
-    # the partition columns and file-listing pruning fires; THEN cast to
-    # the delta's declared types.
-    pred_raw = reduce(
+    # Cast the raw string partition columns to the DELTA's declared types
+    # FIRST, then prune with typed literals (`F.lit(row[c])` untouched).
+    # Comparing raw dir strings against Python `str(row[c])` is wrong for
+    # boolean (str(True)='True' vs dir 'true'), double (str(1e-07)=
+    # '1e-07' vs dir '1.0E-7') and some timestamp renderings — a
+    # mismatch makes the predicate select ZERO target rows and the
+    # dynamic overwrite then replaces that partition with delta-only
+    # rows (silent loss). A deterministic predicate over (cast of)
+    # partition columns is still a partition filter, so file-listing
+    # pruning fires exactly as before.
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    for c in partition_by:
+        if target.schema[c].dataType != src_types[c]:
+            target = target.withColumn(c, F.col(c).cast(src_types[c]))
+    pred = reduce(
         lambda a, b: a | b,
         (
             reduce(
@@ -182,18 +192,14 @@ def upsert_parquet_partitioned(
                 (
                     F.col(c).isNull()
                     if row[c] is None
-                    else F.col(c).eqNullSafe(F.lit(str(row[c])))
+                    else F.col(c).eqNullSafe(F.lit(row[c]))
                     for c in partition_by
                 ),
             )
             for row in touched
         ),
     )
-    target = target.where(pred_raw)
-    src_types = {f.name: f.dataType for f in src.schema.fields}
-    for c in partition_by:
-        if target.schema[c].dataType != src_types[c]:
-            target = target.withColumn(c, F.col(c).cast(src_types[c]))
+    target = target.where(pred)
     merged = merge_scd1(
         target, src, keys=keys, schema_evolution=schema_evolution
     ).localCheckpoint()  # materialize BEFORE replacing the files it read

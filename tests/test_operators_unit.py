@@ -1732,3 +1732,34 @@ def test_widened_type_lattice():
             _widened_type(a, b)
         with pytest.raises(ValueError):
             _widened_type(b, a)
+
+
+def test_resolve_late_arriving_placeholder_guard_bidirectional(spark):
+    """Both mismatch directions raise up front: string placeholder on a
+    LONG surrogate AND numeric placeholder on a STRING surrogate (the
+    latter used to slip through and coalesce coerced -1 -> '-1')."""
+    import pytest
+
+    from stadvdb_olap_spark.operators.fact import resolve_late_arriving
+
+    fact = spark.createDataFrame([(1, "k1")], ["id", "nk"])
+    long_map = spark.createDataFrame([("k1", 10)], ["nk", "surrogate_key"])
+    str_map = spark.createDataFrame([("k1", "s10")], ["nk", "surrogate_key"])
+
+    with pytest.raises(ValueError, match="does not match"):
+        resolve_late_arriving(
+            fact, long_map, long_map, "nk", "nk", placeholder="__unresolved__"
+        )
+    with pytest.raises(ValueError, match="does not match"):
+        resolve_late_arriving(
+            fact, str_map, str_map, "nk", "nk", placeholder=-1
+        )
+    # matched types still work in both worlds
+    out_long = resolve_late_arriving(
+        fact, long_map, long_map, "nk", "nk", placeholder=-1
+    )
+    assert out_long.count() == 1
+    out_str = resolve_late_arriving(
+        fact, str_map, str_map, "nk", "nk", placeholder="__unresolved__"
+    )
+    assert out_str.count() == 1

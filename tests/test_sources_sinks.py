@@ -632,6 +632,42 @@ def test_upsert_parquet_partitioned_prunes_untouched(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_parquet_partitioned_nonstring_partition_values(spark, tmp_path):
+    """Regression: boolean/double partition values render differently in
+    Python (`str(True)`='True', `str(1e-07)`='1e-07') vs Spark partition
+    directories ('true', '1.0E-7'). The prune predicate must compare
+    TYPED values, or it matches zero target rows and the dynamic
+    overwrite silently drops the partition's pre-existing rows."""
+    from stadvdb_olap_spark.sources.sinks import upsert_parquet_partitioned
+
+    # boolean partition column
+    path = str(tmp_path / "tbl_bool")
+    base = spark.createDataFrame(
+        [(1, True, 10.0), (2, True, 20.0), (3, False, 30.0)],
+        ["id", "flag", "x"],
+    )
+    upsert_parquet_partitioned(spark, base, path, keys=["id"], partition_by=["flag"])
+    delta = spark.createDataFrame([(2, True, 21.0)], ["id", "flag", "x"])
+    upsert_parquet_partitioned(spark, delta, path, keys=["id"], partition_by=["flag"])
+    # NB partition inference never infers BOOLEAN — read-back dir values
+    # stay the strings 'true'/'false'; the loss bug is what we assert on.
+    got = {(r["id"], r["flag"], r["x"]) for r in spark.read.parquet(path).collect()}
+    # id=1 must SURVIVE the merge of the flag=true partition
+    assert got == {(1, "true", 10.0), (2, "true", 21.0), (3, "false", 30.0)}
+
+    # double partition column with scientific-notation rendering
+    path2 = str(tmp_path / "tbl_double")
+    base2 = spark.createDataFrame(
+        [(1, 1e-07, "a"), (2, 1e-07, "b"), (3, 0.5, "c")],
+        ["id", "rate", "s"],
+    )
+    upsert_parquet_partitioned(spark, base2, path2, keys=["id"], partition_by=["rate"])
+    delta2 = spark.createDataFrame([(2, 1e-07, "B")], ["id", "rate", "s"])
+    upsert_parquet_partitioned(spark, delta2, path2, keys=["id"], partition_by=["rate"])
+    got2 = {(r["id"], r["rate"], r["s"]) for r in spark.read.parquet(path2).collect()}
+    assert got2 == {(1, 1e-07, "a"), (2, 1e-07, "B"), (3, 0.5, "c")}
+
+
 def test_upsert_parquet_partitioned_bounds_and_validation(spark, tmp_path):
     import pytest as _pytest
 

@@ -76,6 +76,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Load-calibration constant: a fixed CPU-bound probe (1e8-row range
+    # sum, zero I/O, zero shuffle) timed min-of-2 alongside the headline
+    # runs. Its cost is invariant to the repo's code, so a reader can
+    # normalize driver-load inflation across rounds: if calibration_s is
+    # 1.4x its historical band, per-query upticks of the same magnitude
+    # are host noise, not regressions (SCALING.md watch-table note).
+    cal_best = None
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        cal = time.time() - t0
+        cal_best = cal if cal_best is None else min(cal_best, cal)
+
     print(
         json.dumps(
             {
@@ -85,6 +101,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
+                "calibration_s": round(cal_best, 3),
             }
         )
     )

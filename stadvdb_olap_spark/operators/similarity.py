@@ -742,3 +742,122 @@ def semdedup_fixed(
         .select("__id", "__v", F.col("__cid").alias("cluster"))
     )
     return _mark_semantic_dups(assigned, id_col, threshold, cluster_type="long")
+
+
+def _assign_min_l2(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared euclidean distance (the
+    k-means metric; ties to the smallest centroid id). Returns
+    ``(__id, __v, cluster)``. Centroid set is broadcast (bounded by
+    construction); the argmin is a per-row windowed rank over the
+    broadcast cross — narrow, no data-sided shuffle."""
+    cents = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv0")
+    )
+    w = Window.partitionBy("__id").orderBy("__d", "__cid")
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", l2_sq("__v", "__cv0"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", F.col("__cid").alias("cluster"))
+    )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """ONE exact Lloyd (k-means) iteration from a pinned centroid set —
+    the closed-form assignment+update step that makes the iterative
+    trainer's core hash-certifiable (the fitted multi-iteration path,
+    :func:`ivf_topk`/:func:`semdedup`, stays engine-side by nature).
+
+    Assignment: argmin squared-L2 (ties to the smallest centroid id).
+    Update: each new centroid coordinate is the member mean computed as
+    a SORTED left-fold sum divided once (compat device #4, the
+    ``embedding_centroid_drift_labels`` canon) — identical addition
+    order in both engines, so the update replays bit-for-bit in a SQL
+    oracle. Empty cells keep their OLD centroid (n_members = 0), so the
+    step is total and deterministic for ANY pinned init.
+
+    Returns ``(cid, cv array<double>, n_members)``.
+
+    100 TB shape: the certified sorted-fold is the canon device — a
+    production multi-iteration fit would use the plain map-side-
+    combinable per-dimension ``F.sum`` (means don't need bit-exactness
+    across engines); assignment is a narrow broadcast pass either way,
+    and the update aggregate shuffles (cell, dim) keyed rows, never
+    whole vectors."""
+    assigned = _assign_min_l2(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
+    dims = assigned.select(
+        F.col("cluster"),
+        F.posexplode(
+            F.transform("__v", lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    per_dim = dims.groupBy("cluster", "dim").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list("val")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    updated = per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("__cv1"),
+        F.max("n").alias("n_members"),
+    )
+    # total step: centroids whose cell went empty carry forward unchanged
+    base = centroids.select(
+        F.col(centroid_id).alias("cid"),
+        F.transform(F.col(centroid_vec), lambda x: x.cast("double")).alias("__cv0"),
+    )
+    return (
+        base.join(updated, base["cid"] == updated["cluster"], "left")
+        .select(
+            "cid",
+            F.coalesce("__cv1", "__cv0").alias(centroid_vec),
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+        )
+    )
+
+
+def semdedup_refined(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup whose clusters come from ONE certified Lloyd iteration
+    off a pinned init (:func:`kmeans_lloyd_step`): refine the centroids,
+    re-assign by min squared-L2 against the refined set, then run the
+    standard within-cluster lower-id drop pass. The whole pipeline —
+    update step included — replays exactly in SQL, unlike the fitted
+    :func:`semdedup` (engine-side k-means). Same output shape:
+    ``(id, cluster BIGINT, keep BOOLEAN)``."""
+    c1 = kmeans_lloyd_step(
+        df, init_centroids, id_col, vec_col, centroid_id, centroid_vec
+    ).select(F.col("cid"), F.col(centroid_vec))
+    assigned = _assign_min_l2(df, c1, id_col, vec_col, "cid", centroid_vec)
+    return _mark_semantic_dups(assigned, id_col, threshold, cluster_type="long")

@@ -3,9 +3,11 @@
 Exact brute-force top-k, blocked near-dup pairs, the (deterministically
 seeded) LSH/IVF-fixed/binary-quant variants, and the exact-fold
 Arrow/pandas batch tiers are all oracle-checked — every certified plan
-reproduces the pinned IEEE summation order on both engines. Only the
-k-means-fitted paths (ivf_topk, semdedup) remain rows-only (iterative
-fit, no SQL twin).
+reproduces the pinned IEEE summation order on both engines. The catalog's
+IVF and SemDeDup entries certify the k-means TRAINING STEP too (one
+Lloyd iteration off a pinned init, sorted-fold means); only the
+multi-iteration fitted trainers (ivf_topk, semdedup operators) stay
+engine-side, covered by recall/property tests.
 """
 
 from __future__ import annotations
@@ -233,17 +235,39 @@ def ann_topk_arrow_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(queries, emb, k=_K, exact_fold=True)
 
 
-@query("ann_ivf_topk", defer=True)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k (rows-only: k-means cells are
-    approximate by construction). Candidates are probed only in the
-    n_probe nearest cells — the inverted-file scale path; a unit test
-    bounds recall against the exact brute force."""
-    from stadvdb_olap_spark.operators.similarity import ivf_topk
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(queries, emb, k=_K, n_centroids=16, n_probe=4)
+# Shared Lloyd-step oracle prefix: pinned init (vec_id < n_cents) ->
+# argmin-L2 assignment -> sorted-fold per-dimension member means -> the
+# refined centroid CTE `c (cid, cv)` that _argnear_sql / the semdedup
+# assignment consume. The sorted fold is compat device #4 (the
+# embedding_centroid_drift_labels canon): identical addition order on
+# both engines, so the k-means UPDATE step itself is hash-exact.
+def _lloyd_step_sql(n_cents: int) -> str:
+    return f"""
+c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       WHERE vec_id < {n_cents}),
+a1 AS (
+    SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'c0.cv')}, c0.cid) AS rn
+        FROM embeddings e CROSS JOIN c0
+    ) WHERE rn = 1
+),
+dimvals AS (
+    SELECT cell, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+    FROM a1, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+upd AS (
+    SELECT cell, dim,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), list_sort(list(val))),
+             (a, x) -> a + x
+           ) / COUNT(*) AS c
+    FROM dimvals GROUP BY cell, dim
+),
+c AS MATERIALIZED (
+    SELECT cell AS cid, list(c ORDER BY dim) AS cv FROM upd GROUP BY cell
+)"""
 
 
 @query(
@@ -380,20 +404,9 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_quant_topk(queries, emb, k=_K, prefilter=_BQ_PREFILTER)
 
 
-@query("semdedup_embeddings", oracle=None, defer=True)
-def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
-    clusters bound the pair search, then within each cluster every row
-    whose cosine to a lower-id row reaches the threshold is dropped —
-    the embedding-space dedup tier above exact/MinHash (wording-level)
-    dedup. Rows-only by design (k-means has no SQL twin); the kept-set
-    independence + dropped-row witness + determinism invariants are
-    pinned by test_semdedup_kept_set_is_independent, and the keep policy
-    itself is deterministic (lower-id witness, seeded sampled fit)."""
-    from stadvdb_olap_spark.operators.similarity import semdedup
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return semdedup(emb, n_clusters=8, threshold=0.8)
+# (semdedup_embeddings / ann_ivf_topk are defined BELOW their pinned-
+# centroid constants — both were converted from rows-only to
+# oracle-backed in round 9 via the 1-Lloyd-iteration device.)
 
 
 _IVF_C = 8  # pinned centroid set: the embeddings with vec_id < 8
@@ -437,7 +450,8 @@ WHERE rn <= {_K}
 )
 def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-{k} over a PINNED centroid set — the hash-certifiable
-    face of ``ann_ivf_topk`` (whose k-means fit keeps it rows-only), by
+    face of IVF search over frozen centroids (``ann_ivf_topk`` now also
+    certifies the Lloyd update step that produces them), by
     the same publish-the-learned-component device as
     ``semdedup_fixed_centroids``: candidates assign to their nearest
     centroid, queries probe their {p} nearest cells, exact cosine ranks
@@ -501,6 +515,99 @@ def semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semdedup_fixed(emb, cents, threshold=_SEM_T)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {_lloyd_step_sql(_IVF_C)},
+ca AS ({_argnear_sql(1)}),
+qp AS ({_argnear_sql(_IVF_PROBE, f"WHERE e.vec_id < {_N_QUERIES}")}),
+pairs AS (
+    SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+           {cosine_sql('qp.embedding', 'ca.embedding')} AS cosine
+    FROM qp JOIN ca USING (cell)
+    WHERE qp.vec_id <> ca.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= {_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-{k} whose centroids come from ONE certified Lloyd
+    iteration off the pinned init (vec_id < {C}): assignment (argmin
+    squared-L2, ties to smallest cid) + sorted-fold member-mean update
+    (``operators/similarity.py:kmeans_lloyd_step``) + probe + exact
+    cosine ranking all replay bit-for-bit in the oracle — certifying
+    the k-means TRAINING STEP itself, not just search over frozen
+    centroids (that's ``ann_ivf_fixed_topk``). The multi-iteration
+    fitted trainer (``ivf_topk``, pyspark.ml KMeans) stays engine-side
+    by nature; its recall is bounded by unit test against brute force.
+    100 TB shape: init/refined centroids broadcast, assignment is a
+    narrow per-row pass, the update shuffles (cell, dim) scalar rows —
+    never whole vectors — and the search joins probes to candidates ON
+    THE CELL ID, scanning ~n_probe/|cells| of the corpus."""
+    from stadvdb_olap_spark.operators.similarity import (
+        ivf_fixed_topk,
+        kmeans_lloyd_step,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents0 = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cents1 = kmeans_lloyd_step(emb, cents0).select("cid", "cv")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_fixed_topk(queries, emb, cents1, k=_K, n_probe=_IVF_PROBE)
+
+
+@query(
+    "semdedup_embeddings",
+    oracle=f"""
+WITH {_lloyd_step_sql(_SEM_C)},
+assigned AS MATERIALIZED (
+    SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEM_T}
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+""",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023) with
+    clusters from ONE certified Lloyd iteration off the pinned init
+    (vec_id < {C}): refine centroids (sorted-fold means —
+    ``kmeans_lloyd_step``), re-assign by min squared-L2, then the
+    standard within-cluster lower-id drop pass at cosine >= {T}. The
+    whole pipeline INCLUDING the k-means update step hash-replays in
+    SQL; ``semdedup_fixed_centroids`` certifies search-over-frozen-
+    centroids, this adds the training step. The fitted multi-iteration
+    variant (``semdedup``, engine-side) keeps its kept-set-independence
+    property tests. 100 TB shape: centroids broadcast, the pair search
+    self-joins ON THE CLUSTER ID (quadratic only within a cluster —
+    scale n_clusters with the corpus, the knob the paper uses)."""
+    from stadvdb_olap_spark.operators.similarity import semdedup_refined
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents0 = emb.filter(F.col("vec_id") < _SEM_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semdedup_refined(emb, cents0, threshold=_SEM_T)
 
 
 # Pinned PCA projection basis — fitted OFFLINE on the sf0.001 embedding

@@ -77,3 +77,64 @@ def test_sim_canon_reproduces_driver_hazards():
     _, n1 = ds.canon_frame(pd.DataFrame({"a": [None]}, dtype="object"))
     _, n2 = ds.canon_frame(pd.DataFrame({"a": [float("nan")]}))
     assert n1 == n2
+
+
+def test_staleness_rotation_is_canonical():
+    """Staleness guard: the front's re-certification slots must go to
+    exactly the OLDEST-signed queries (next_window.py's canonical
+    order), and nothing signed may drift >= 8 rounds stale outside the
+    front. A hard small bound is impossible — 50 slots per round can't
+    re-sign a 300+ query catalog faster than ~7 rounds — but the
+    rotation CAN always pick the oldest first, and this pins that, so
+    signature debt (56 queries were 5-6 rounds stale by round 8) can
+    never re-accumulate past one full rotation cycle silently."""
+    import glob
+    import json
+    import re
+
+    rounds_seen = sorted(
+        int(re.search(r"r(\d+)", p).group(1))
+        for p in glob.glob("CORRECTNESS_r*.json")
+    )
+    assert rounds_seen, "no CORRECTNESS artifacts found"
+    current = rounds_seen[-1] + 1  # the round now being built
+
+    last_signed: dict[str, int] = {}
+    for rnd in rounds_seen:
+        for name, row in json.load(open(f"CORRECTNESS_r{rnd:02d}.json")).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_signed[name] = rnd
+
+    eligible = {
+        n: r
+        for n, r in last_signed.items()
+        if n in REGISTRY
+        and REGISTRY[n].oracle is not None
+        and not REGISTRY[n].defer
+    }
+
+    # hard backstop: one full rotation cycle is the worst allowed drift
+    over_backstop = sorted(
+        n
+        for n, r in eligible.items()
+        if current - r >= 8 and n not in ROUND9_FRONT
+    )
+    assert not over_backstop, (
+        f"{len(over_backstop)} signed queries are >=8 rounds stale and "
+        f"outside the front: {over_backstop[:10]}"
+    )
+
+    # canonical rotation: the re-cert slots (front names already signed)
+    # must be the first-K of the (signed round, name) staleness ordering
+    recert_in_front = [n for n in ROUND9_FRONT if n in eligible]
+    canonical = [n for _, n in sorted((r, n) for n, r in eligible.items())]
+    expect = canonical[: len(recert_in_front)]
+    assert sorted(recert_in_front) == sorted(expect), (
+        "front re-cert slots are not the oldest-signed queries — "
+        f"regenerate with tools/next_window.py; got {sorted(recert_in_front)[:6]}..., "
+        f"expected {sorted(expect)[:6]}..."
+    )

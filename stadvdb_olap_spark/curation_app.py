@@ -12,11 +12,16 @@ Stages, each consuming the previous stage's survivors:
    projection).
 3. **dedup_exact** — one hash-aggregate on the token-set fingerprint;
    the smallest doc_id of each duplicate group survives.
-4. **dedup_near** — MinHash/LSH candidates, exact-Jaccard verified;
-   the higher id of every verified pair drops (band-keyed shuffle only,
+4. **dedup_near** — MinHash/LSH candidates, exact-Jaccard verified,
+   connected-component clusters; QUALITY-AWARE survivorship keeps the
+   LONGEST member of each cluster (the shared, hash-certified
+   ``text_dedup.survivor_longest`` policy — band-keyed shuffle only,
    never all-pairs).
-5. **decontaminate** — n-gram overlap against the held-out split
-   (broadcast held-out shingles).
+5. **decontaminate** — GRADED n-gram contamination scoring against the
+   certified train/val/test hash split (the shared
+   ``mixture.contamination_scores`` device); docs stay unless their
+   held-out shingle overlap exceeds a tolerance, instead of dropping
+   on any single shared idiom.
 6. **layout** — salted-hash training shards + concat-and-chunk packing
    offsets (one shard exchange).
 7. **manifest** — per-shard doc/token counts and an order-independent
@@ -43,35 +48,29 @@ log = logging.getLogger("stadvdb_olap_spark.curation_app")
 _CTX_LEN = 512
 _N_SHARDS = 8
 _NEAR_T = 0.5
+#: graded decontamination tolerance: drop only when more than 5% of a
+#: doc's distinct 5-grams appear in the held-out split (the binary
+#: any-hit policy lost every doc sharing one idiom with one eval item)
+_CONTAM_TOL = 0.05
 
 
 def _screened(docs: DataFrame, sf_dir: str) -> DataFrame:
-    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    # All three screens are row-local COLUMN expressions from the shared
+    # functions/screens.py (the same expressions the hash-certified
+    # standalone queries publish), so the whole stage fuses into ONE
+    # narrow filter over one documents scan — no joins, no re-scans,
+    # whole-stage codegen end to end. Conjunction order is cheapest
+    # first (blocklist short-circuits before the rule-stack folds and
+    # the logit features evaluate).
+    from stadvdb_olap_spark.functions.screens import (
+        blocklist_keep,
+        gopher_keep,
+        quality_logit_keep,
+    )
 
-    _ensure_loaded()
-    spark = docs.sparkSession
-    # cheapest verdict first: the pinned-blocklist safety screen is a
-    # pure within-row projection (no joins), so it prunes rows before
-    # the rule-stack / logit joins touch them
-    block = REGISTRY["blocklist_screen_docs"].fn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("__block_keep")
-    )
-    rules = REGISTRY["gopher_rules_filter_docs"].fn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("__rules_keep")
-    )
-    logit = REGISTRY["quality_logit_filter_docs"].fn(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("__logit_keep")
-    )
-    return (
-        docs.join(block, "doc_id")
-        .join(rules, "doc_id")
-        .join(logit, "doc_id")
-        .filter(
-            F.col("__block_keep")
-            & F.col("__rules_keep")
-            & F.col("__logit_keep")
-        )
-        .drop("__block_keep", "__rules_keep", "__logit_keep")
+    del sf_dir  # screens need no second table — kept for signature parity
+    return docs.filter(
+        blocklist_keep("text") & gopher_keep("text") & quality_logit_keep("text")
     )
 
 
@@ -130,12 +129,12 @@ def _run_stages(spark, stage, docs: DataFrame, sf_dir: str) -> None:
     from stadvdb_olap_spark.functions.pii import scrub_pii
     from stadvdb_olap_spark.functions.text import fingerprint, token_count
     from stadvdb_olap_spark.operators.mixture import (
-        decontaminate,
-        salted_md5,
+        contamination_scores,
+        split_column,
         training_shards,
     )
     from stadvdb_olap_spark.operators.packing import concat_pack
-    from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
+    from stadvdb_olap_spark.operators.text_dedup import survivor_longest
 
     screened = stage("screen", _screened(docs, sf_dir))
 
@@ -152,19 +151,26 @@ def _run_stages(spark, stage, docs: DataFrame, sf_dir: str) -> None:
         fp.join(keep_ids, ["__fp", "doc_id"]).drop("__fp"),
     )
 
-    # near dedup: higher id of every verified near-dup pair drops
-    pairs = jaccard_verified_pairs(exact, "doc_id", "text", _NEAR_T)
-    drop = pairs.select(
-        F.greatest("id_a", "id_b").alias("doc_id")
-    ).distinct()
+    # near dedup: quality-aware survivorship — the LONGEST member of each
+    # verified near-dup cluster survives (the certified
+    # dedup_survivor_longest_docs policy, shared code path), not the
+    # arbitrary lowest id: clusters usually pair a full document with
+    # its truncated/boilerplate-stripped copies.
+    surv = survivor_longest(exact, "doc_id", "text", _NEAR_T)
+    drop = surv.filter(~F.col("is_survivor")).select("doc_id")
     near = stage("dedup_near", exact.join(drop, "doc_id", "left_anti"))
 
-    # decontaminate against the held-out (val/test) hash-split slice
-    heldout = docs.filter(
-        F.substring(salted_md5("doc_id", "split:"), 1, 1) >= "e"
+    # decontaminate: GRADED scoring (the certified contamination_score_docs
+    # device, shared code path) against the certified train/val/test hash
+    # split — keep docs at or under the tolerance instead of dropping on
+    # any single shared n-gram.
+    heldout = docs.filter(split_column("doc_id") != "train")
+    scores = contamination_scores(near, heldout, "doc_id", "text").filter(
+        F.col("contamination_frac") <= _CONTAM_TOL
     )
     clean = stage(
-        "decontaminate", decontaminate(near, heldout, "doc_id", "text")
+        "decontaminate",
+        near.join(scores.select("doc_id"), "doc_id", "left_semi"),
     )
 
     # layout: shards + concat-pack offsets in one frame. BOTH layout

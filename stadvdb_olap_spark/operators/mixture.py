@@ -196,3 +196,61 @@ def rendezvous_shard(
             for s in range(n_shards)
         ]
     ).getField("s")
+
+
+def contamination_scores(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """GRADED eval-contamination scores — the thresholdable uplift over
+    :func:`decontaminate`'s drop-on-any-hit: per training document, the
+    fraction of its distinct word ``shingle_n``-grams that also occur
+    anywhere in the held-out corpus. ONE definition shared by the
+    certified catalog query (``contamination_score_docs``) and the
+    curation pipeline's decontaminate stage, so the app-embedded scores
+    can never drift from the hash-certified ones. Returns
+    ``(id, n_shingles, n_contaminated, contamination_frac)``.
+
+    Scale shape: the held-out side reduces to DISTINCT shingles (a
+    benchmark suite — small) and goes through the size-gated
+    ``broadcast_if_small``; the train side explodes to per-doc distinct
+    shingles and the join keys on the shingle, so work tracks actual
+    collisions, never the cross product."""
+    h_sh = (
+        heldout.select(
+            F.explode(
+                F.array_distinct(word_shingles(text_col, shingle_n))
+            ).alias("sh")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    t_sh = train.select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
+            "sh"
+        ),
+    )
+    scored = (
+        t_sh.join(broadcast_if_small(h_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        F.when(F.col("n_shingles") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        )
+        .alias("contamination_frac"),
+    )

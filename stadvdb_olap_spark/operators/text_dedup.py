@@ -330,38 +330,49 @@ def connected_components(
     scale they co-partition), and rounds needed = graph diameter, which for
     near-dup clusters is tiny (docs similar to a common doc are similar to
     each other). ``localCheckpoint`` cuts lineage per round so plans don't
-    grow exponentially. Raises if ``max_iter`` rounds don't converge rather
-    than returning a partial labeling.
+    grow exponentially; the convergence check rides the SAME checkpoint
+    job as an observed metric (old/neighbor label rows are source-tagged
+    and the per-node struct-min says which side won), so a round costs
+    ONE job, not a checkpoint + a separate count. Raises if ``max_iter``
+    rounds don't converge rather than returning a partial labeling.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).localCheckpoint()
     nodes = sym.select(F.col("a").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    # no checkpoint on the seed labels: round 1's checkpoint materializes
+    # this short lineage anyway
+    labels = nodes.select("id", F.col("id").alias("comp"))
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .select(F.col("a").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
+        # Tag sources and take the per-node struct-min: ties go to the
+        # old row (tag 0), so tag 1 winning == a STRICTLY smaller
+        # neighbor label arrived == this node changed this round.
+        tagged = labels.select("id", "comp", F.lit(0).alias("t")).unionByName(
+            neighbor_min.select("id", "comp", F.lit(1).alias("t"))
+        )
+        obs = Observation(f"cc_changed_{rnd}")
         new_labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            tagged.groupBy("id")
+            .agg(F.min(F.struct("comp", "t")).alias("m"))
+            .select(
+                "id",
+                F.col("m.comp").alias("comp"),
+                (F.col("m.t") == 1).cast("long").alias("__chg"),
+            )
+            .observe(obs, F.sum("__chg").alias("changed"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("__chg")
+        if int(obs.get["changed"] or 0) == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -442,3 +453,48 @@ def dedup_clusters(
     )
     comps = connected_components(pairs.select("id_a", "id_b"))
     return comps.select(F.col("id").alias(id_col), F.col("comp").alias("canonical_id"))
+
+
+def survivor_longest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Quality-aware near-dup survivorship: cluster via
+    :func:`dedup_clusters`, then keep the LONGEST member of each cluster
+    (token count from the certified tokenizer, doc-id tiebreak) instead
+    of the arbitrary min-id. ONE definition shared by the certified
+    catalog query (``dedup_survivor_longest_docs``) and the curation
+    pipeline's near-dedup stage, so the app-embedded policy can never
+    drift from the hash-certified one. Returns every CLUSTERED doc as
+    ``(id, canonical_id, n_tokens, is_survivor)``; unclustered docs are
+    absent (they all survive). One per-cluster window — bounded grain,
+    one shuffle beyond the clustering itself."""
+    from pyspark.sql import Window
+
+    from stadvdb_olap_spark.functions.text import tokens
+
+    clusters = dedup_clusters(
+        df, id_col, text_col, threshold, num_hashes, band_size, shingle_n
+    )
+    scored = clusters.join(
+        df.select(
+            id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        ),
+        id_col,
+    )
+    w = (
+        Window.partitionBy("canonical_id")
+        .orderBy(F.col("n_tokens").desc(), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        id_col,
+        "canonical_id",
+        "n_tokens",
+        (F.col(id_col) == F.first(id_col).over(w)).alias("is_survivor"),
+    )

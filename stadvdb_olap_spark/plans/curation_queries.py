@@ -1169,11 +1169,10 @@ def sentence_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pinned content blocklist — the multi-term screen a safety filter runs
-# (terms chosen to hit the synthetic fixture's vocabulary).
-_BLOCKLIST = (
-    "error", "null", "undefined", "lorem", "spam",
-    "xxx", "casino", "deprecated",
+# Pinned content blocklist (shared definition: functions/screens.py —
+# the curation pipeline's fused screen filter uses the same expressions).
+from stadvdb_olap_spark.functions.screens import (  # noqa: E402  # isort: skip
+    BLOCKLIST as _BLOCKLIST,
 )
 
 
@@ -1211,10 +1210,10 @@ def blocklist_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100k-term production blocklist would swap the literal array for a
     broadcast hash join against exploded tokens — same semantics, same
     per-row verdict."""
+    from stadvdb_olap_spark.functions.screens import blocklist_hits
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    blocked = F.filter(
-        tokens("text"), lambda t: t.isin(*_BLOCKLIST)
-    )
+    blocked = blocklist_hits("text")
     return docs.select(
         "doc_id",
         F.size(blocked).cast("long").alias("n_hits"),

@@ -486,46 +486,16 @@ def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same join shape as the binary pass: distinct held-out shingles
     (small, broadcast) left-joined to per-doc distinct train shingles,
     one per-doc aggregate. The shingle unit, split assignment and
-    tokenizer are the certified devices shared with the binary query."""
-    from stadvdb_olap_spark.functions.text import word_shingles
-
+    tokenizer are the certified devices shared with the binary query.
+    The body is the SHARED ``mixture.contamination_scores`` — the same
+    definition the curation pipeline's decontaminate stage runs, so the
+    app-embedded scores can never drift from this certified one."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     with_split = docs.withColumn("split", MX.split_column("doc_id"))
-    heldout_sh = (
-        with_split.filter(F.col("split") != "train")
-        .select(
-            F.explode(
-                F.array_distinct(word_shingles("text", _SHINGLE_N))
-            ).alias("sh")
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    train_sh = with_split.filter(F.col("split") == "train").select(
+    return MX.contamination_scores(
+        with_split.filter(F.col("split") == "train"),
+        with_split.filter(F.col("split") != "train"),
         "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", _SHINGLE_N))).alias(
-            "sh"
-        ),
-    )
-    from stadvdb_olap_spark.operators.joins import broadcast_if_small
-
-    scored = (
-        train_sh.join(broadcast_if_small(heldout_sh), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_contaminated"),
-        )
-    )
-    return scored.select(
-        "doc_id",
-        "n_shingles",
-        "n_contaminated",
-        F.when(F.col("n_shingles") == 0, F.lit(0.0))
-        .otherwise(
-            F.col("n_contaminated").cast("double") / F.col("n_shingles")
-        )
-        .alias("contamination_frac"),
+        "text",
+        _SHINGLE_N,
     )

@@ -251,7 +251,9 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where the signal exists here (token-count bounds, mean-word-length band,
 # stopword evidence, repetition caps).
 
-_GOPHER_STOPWORDS = ("the", "a")  # fixture-vocabulary subset of Gopher's list
+from stadvdb_olap_spark.functions.screens import (  # noqa: E402  # isort: skip
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+)
 
 
 @query(
@@ -311,53 +313,22 @@ def gopher_rules_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quality_logit_filter_docs``. All features are row-local (the
     repetition signals use the sorted-array-run device, never
     explode+regroup), so the whole stack is one narrow scan-bound
-    projection at any corpus size."""
-    docs = _docs(spark, sf_dir)
-    t = tokens("text")
-    sh = word_shingles("text", 2)
-    n = F.size(t)
-    run = F.aggregate(
-        F.array_sort(t),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
+    projection at any corpus size. Features, thresholds and the keep
+    verdict are the SHARED ``functions/screens.py`` expressions — the
+    same ones the curation pipeline's fused screen filter evaluates, so
+    the app policy can never drift from this certified one."""
+    from stadvdb_olap_spark.functions.screens import (
+        gopher_features,
+        gopher_rules,
     )
-    sw = F.array([F.lit(s) for s in _GOPHER_STOPWORDS])
+
+    docs = _docs(spark, sf_dir)
+    f = gopher_features("text")
     feats = docs.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        (
-            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-            .cast("double")
-            / n
-        ).alias("mean_word_len"),
-        F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-        .cast("long")
-        .alias("n_stop"),
-        (F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n).alias(
-            "dup_word_frac"
-        ),
-        (run.cast("double") / n).alias("top_word_frac"),
-        (
-            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
-        ).alias("dup_bigram_frac"),
+        *[c.alias(name) for name, c in f.items()],
     )
-    rules = {
-        "ok_len": F.col("n_tokens").between(50, 100000),
-        "ok_word_len": F.col("mean_word_len").between(3.0, 10.0),
-        "ok_stopwords": F.col("n_stop") >= 2,
-        "ok_dup_words": F.col("dup_word_frac") <= 0.80,
-        "ok_top_word": F.col("top_word_frac") <= 0.20,
-        "ok_dup_bigrams": F.col("dup_bigram_frac") <= 0.40,
-    }
+    rules = gopher_rules({name: F.col(name) for name in f})
     n_failed = None
     keep = None
     for c in rules.values():

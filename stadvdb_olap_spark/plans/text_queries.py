@@ -131,14 +131,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # logit IS thresholding the probability). Literals enter both engines as
 # decimal strings; every feature is an already-certified IEEE double
 # (text_quality_scores), and the fold order is pinned left-to-right.
-_QW = {
-    "bias": -2.5,
-    "stopword_ratio": 9.0,
-    "mean_word_len": 0.35,
-    "punct_ratio": -6.0,
-    "len_capped": 0.004,  # per token, capped at 500
-}
-_Q_KEEP = 0.0  # keep iff logit >= this (p >= 0.5 under the sigmoid)
+from stadvdb_olap_spark.functions.screens import (  # noqa: E402  # isort: skip
+    QUALITY_KEEP_LOGIT as _Q_KEEP,
+    QUALITY_WEIGHTS as _QW,
+)
 
 
 @query(
@@ -179,18 +175,16 @@ def quality_logit_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole scorer replays exactly in SQL. One narrow projection,
     no shuffle; at 100 TB this is scan-bound and fuses into the same
     stage as any other per-document screen."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    stats = T.quality_stats("text", STOPWORDS)
-    len_capped = F.least(stats["n_tokens"], F.lit(500)).cast("double")
-    logit = (
-        F.lit(_QW["bias"])
-        + F.lit(_QW["stopword_ratio"]) * stats["stopword_ratio"]
-        + F.lit(_QW["mean_word_len"]) * stats["mean_word_len"]
-        + F.lit(_QW["punct_ratio"]) * stats["punct_ratio"]
-        + F.lit(_QW["len_capped"]) * len_capped
+    from stadvdb_olap_spark.functions.screens import (
+        quality_logit,
+        quality_logit_keep,
     )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", logit.alias("logit"), (logit >= F.lit(_Q_KEEP)).alias("keep")
+        "doc_id",
+        quality_logit("text").alias("logit"),
+        quality_logit_keep("text").alias("keep"),
     )
 
 
@@ -438,31 +432,13 @@ def dedup_survivor_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one per-cluster window (partitioned by cluster id — bounded
     grain, one shuffle). Emits every clustered doc with its cluster,
     length and the keep decision, so downstream filters are one
-    ``WHERE is_survivor`` away."""
-    from pyspark.sql import Window
-
-    from stadvdb_olap_spark.functions.text import tokens
-
+    ``WHERE is_survivor`` away. The body is the SHARED
+    ``text_dedup.survivor_longest`` — the same definition the curation
+    pipeline's near-dedup stage runs, so the app policy can never drift
+    from this certified one."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    clusters = TD.dedup_clusters(
+    return TD.survivor_longest(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
-    )
-    scored = clusters.join(
-        docs.select(
-            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
-        ),
-        "doc_id",
-    )
-    w = (
-        Window.partitionBy("canonical_id")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return scored.select(
-        "doc_id",
-        "canonical_id",
-        "n_tokens",
-        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_survivor"),
     )
 
 

@@ -189,3 +189,39 @@ def test_run_curation_pipeline_invariants(spark, tmp_path):
     m1 = {tuple(x) for x in manifest.collect()}
     m2 = {tuple(x) for x in spark.read.parquet(out2 + "/manifest").collect()}
     assert m1 == m2
+
+
+def test_curation_app_policies_match_certified_queries(spark):
+    """The app-embedded near-dedup survivorship and graded
+    decontamination run the SAME shared operators the hash-certified
+    standalone queries run (text_dedup.survivor_longest /
+    mixture.contamination_scores). This pins the query bodies to those
+    shared code paths: if either query is ever rewritten away from the
+    operator, the bit-for-bit agreement here breaks."""
+    from stadvdb_olap_spark.operators.mixture import (
+        contamination_scores,
+        split_column,
+    )
+    from stadvdb_olap_spark.operators.text_dedup import survivor_longest
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    q_surv = REGISTRY["dedup_survivor_longest_docs"].fn(spark, sf)
+    d_surv = survivor_longest(docs, "doc_id", "text", 0.2, 16, 2, 3)
+    assert sorted(map(tuple, q_surv.collect())) == sorted(
+        map(tuple, d_surv.collect())
+    )
+
+    q_cont = REGISTRY["contamination_score_docs"].fn(spark, sf)
+    with_split = docs.withColumn("split", split_column("doc_id"))
+    d_cont = contamination_scores(
+        with_split.filter(F.col("split") == "train"),
+        with_split.filter(F.col("split") != "train"),
+    )
+    assert sorted(map(tuple, q_cont.collect())) == sorted(
+        map(tuple, d_cont.collect())
+    )

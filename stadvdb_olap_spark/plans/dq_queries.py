@@ -459,8 +459,10 @@ def backfill_ranges_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("grp")
 
 
-_COMPACT_ROW_BYTES = 120  # modeled avg row width (bytes)
-_COMPACT_TARGET = 4000  # target compacted file size (bytes, fixture scale)
+from stadvdb_olap_spark.operators.maintenance import (  # noqa: E402  # isort: skip
+    COMPACT_ROW_BYTES as _COMPACT_ROW_BYTES,
+    COMPACT_TARGET as _COMPACT_TARGET,
+)
 
 
 @query(
@@ -497,38 +499,19 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth a sequential per-bucket pass because bins must never
     overflow — compaction targets are soft). Shape: one
     calendar-bounded aggregate, one month-partitioned window, one
-    group aggregate; nothing at fact grain after the first count."""
-    from pyspark.sql import Window
+    group aggregate; nothing at fact grain after the first count.
+    Body is the SHARED ``operators/maintenance.py`` pair — the same
+    fold the streaming incremental planner derives its plan from, so
+    batch and stream can never diverge (agreement-tested)."""
+    from stadvdb_olap_spark.operators.maintenance import (
+        compaction_groups,
+        day_file_stats,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    files = (
-        orders.groupBy(
-            F.to_date("o_orderdate").alias("d"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
-        )
-        .agg(
-            (F.count(F.lit(1)) * _COMPACT_ROW_BYTES)
-            .cast("long")
-            .alias("est_bytes")
-        )
-    )
-    w = (
-        Window.partitionBy("mon")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    grouped = files.withColumn(
-        "group_id",
-        (
-            (F.sum("est_bytes").over(w) - F.col("est_bytes"))
-            / _COMPACT_TARGET
-        ).cast("long"),
-    )
-    return grouped.groupBy("mon", "group_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_files"),
-        F.sum("est_bytes").cast("long").alias("total_bytes"),
-        F.min("d").alias("first_date"),
-        F.max("d").alias("last_date"),
+    return compaction_groups(
+        day_file_stats(orders, "o_orderdate", _COMPACT_ROW_BYTES),
+        _COMPACT_TARGET,
     )
 
 
@@ -610,3 +593,74 @@ def orphan_fk_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rel if out is None else out.unionByName(rel)
     return out
+
+
+@query(
+    "orphan_fk_repair_roundtrip_orders",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(CASE WHEN o_custkey % 10 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans_before,
+       CAST(SUM(CASE WHEN o_custkey % 10 = 3 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS orphan_frac_before,
+       CAST(SUM(CASE WHEN o_custkey % 10 = 3 AND o_custkey % 100 <> 33
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+       CAST(SUM(CASE WHEN o_custkey % 100 = 33 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans_after,
+       CAST(SUM(CASE WHEN o_custkey % 100 = 33 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS orphan_frac_after
+FROM orders
+""",
+)
+def orphan_fk_repair_roundtrip_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FULL DQ LOOP a warehouse operator actually runs:
+    audit (``orphan_fk_audit_star`` detects orders pointing at missing
+    customers) → repair (``operators/fact.py:resolve_late_arriving``
+    placeholder-resolves at load, then re-resolves only the placeholder
+    slice against the refreshed dimension) → RE-AUDIT (count what's
+    still orphaned). One row: orphan count/rate before, rows repaired,
+    orphan count/rate after. The load-time snapshot misses 10% of
+    customers; the refreshed one still misses 1% (keys ≡ 33 mod 100),
+    so 'after' shows the honest residual, and the companion unit test
+    asserts the rate is EXACTLY ZERO for every key whose dimension row
+    arrived. Spark runs the real two-pass operator and aggregates ITS
+    outputs (was_late / repaired / placeholder sentinel — never the
+    closed form); the oracle is the closed form of the same
+    deterministic snapshots. 100 TB shape: two broadcast-gated lookups
+    + one conditional-aggregate pass, repair touching |late| not
+    |fact|."""
+    from stadvdb_olap_spark.functions.keys import surrogate_key
+    from stadvdb_olap_spark.operators.fact import resolve_late_arriving
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    key_map = customer.select(
+        F.col("c_custkey"),
+        surrogate_key(["c_custkey"], method="md5").alias("surrogate_key"),
+    )
+    v1 = key_map.filter(F.col("c_custkey") % 10 != 3)
+    v2 = key_map.filter(F.col("c_custkey") % 100 != 33)
+    out = resolve_late_arriving(
+        orders, v1, v2,
+        fact_key="o_custkey", map_key="c_custkey",
+        out_col="customer_sk",
+    )
+    unresolved = (F.col("customer_sk") == "__unresolved__").cast("long")
+    late = F.col("was_late").cast("long")
+    rep = F.col("repaired").cast("long")
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum(late).cast("long").alias("n_orphans_before"),
+        (F.sum(late).cast("double") / F.count(F.lit(1))).alias(
+            "orphan_frac_before"
+        ),
+        F.sum(rep).cast("long").alias("n_repaired"),
+        F.sum(unresolved).cast("long").alias("n_orphans_after"),
+        (F.sum(unresolved).cast("double") / F.count(F.lit(1))).alias(
+            "orphan_frac_after"
+        ),
+    )

@@ -200,3 +200,79 @@ def read_aggregate(spark: SparkSession, target_path: str, sum_alias: str = "sum_
         F.round(F.col("__sum"), 2).cast("double").alias(sum_alias),
         F.col("__n").alias("n_rows"),
     )
+
+
+def compaction_plan_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    state_path: str,
+    checkpoint_dir: str,
+    date_col: str = "o_orderdate",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally-maintained SMALL-FILE COMPACTION PLANNER: each
+    micro-batch folds its per-day row counts into the stored file-stats
+    state (``(d, mon, n_rows)`` — a commutative monoid, so the state is
+    EXACTLY the batch aggregate of all data regardless of batch
+    splits), and the compaction plan is derived from that state on read
+    via the SAME ``operators/maintenance.py:compaction_groups`` fold
+    the batch catalog query uses. State size is |ingest days|, never
+    |rows|; the planner never rescans history. Read the current plan
+    with :func:`read_compaction_plan`."""
+    from pyspark.sql import functions as F
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = batch.groupBy(
+            F.to_date(date_col).alias("d"),
+            F.date_trunc("month", date_col).cast("date").alias("mon"),
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        if os.path.exists(state_path):
+            current = spark.read.parquet(state_path)
+            merged = (
+                current.unionByName(partial)
+                .groupBy("d", "mon")
+                .agg(F.sum("n_rows").alias("n_rows"))
+            )
+        else:
+            merged = partial
+        _atomic_overwrite(merged.localCheckpoint(), state_path)
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_compaction_plan(
+    spark: SparkSession,
+    state_path: str,
+    row_bytes: int | None = None,
+    target: int | None = None,
+) -> DataFrame:
+    """Derive the compaction plan from the maintained day-stats state —
+    the identical ``compaction_groups`` fold the batch planner runs, so
+    stream-maintained and one-shot batch plans agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.maintenance import (
+        COMPACT_ROW_BYTES,
+        COMPACT_TARGET,
+        compaction_groups,
+    )
+
+    row_bytes = COMPACT_ROW_BYTES if row_bytes is None else row_bytes
+    target = COMPACT_TARGET if target is None else target
+    files = spark.read.parquet(state_path).select(
+        "d", "mon", (F.col("n_rows") * row_bytes).cast("long").alias("est_bytes")
+    )
+    return compaction_groups(files, target)

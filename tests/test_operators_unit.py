@@ -1763,3 +1763,49 @@ def test_resolve_late_arriving_placeholder_guard_bidirectional(spark):
         fact, str_map, str_map, "nk", "nk", placeholder="__unresolved__"
     )
     assert out_str.count() == 1
+
+
+def test_orphan_repair_roundtrip_zero_residual_for_arrived_keys(spark):
+    """The DQ-loop guarantee behind orphan_fk_repair_roundtrip_orders:
+    after the repair pass, the orphan rate is EXACTLY ZERO for every
+    fact key whose dimension row arrived in the refreshed snapshot —
+    placeholders only ever remain for keys still absent from v2."""
+    from stadvdb_olap_spark.functions.keys import surrogate_key
+    from stadvdb_olap_spark.operators.fact import resolve_late_arriving
+    from stadvdb_olap_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    key_map = load_table(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        surrogate_key(["c_custkey"], method="md5").alias("surrogate_key"),
+    )
+    v1 = key_map.filter(F.col("c_custkey") % 10 != 3)
+    v2 = key_map.filter(F.col("c_custkey") % 100 != 33)
+    out = resolve_late_arriving(
+        orders, v1, v2, fact_key="o_custkey", map_key="c_custkey",
+        out_col="customer_sk",
+    ).persist()
+    try:
+        arrived_late = out.filter(
+            F.col("was_late") & (F.col("o_custkey") % 100 != 33)
+        )
+        assert arrived_late.count() > 0  # the scenario actually fires
+        assert (
+            arrived_late.filter(
+                (~F.col("repaired"))
+                | (F.col("customer_sk") == "__unresolved__")
+            ).count()
+            == 0
+        )
+        still_missing = out.filter(F.col("o_custkey") % 100 == 33)
+        assert still_missing.count() > 0
+        assert (
+            still_missing.filter(
+                F.col("repaired")
+                | (F.col("customer_sk") != "__unresolved__")
+            ).count()
+            == 0
+        )
+    finally:
+        out.unpersist()

@@ -991,3 +991,55 @@ def test_decayed_counts_stream_agrees_bitexactly_with_batch(
         for r in decayed_trending_event_types(spark, SF_DIR).collect()
     }
     assert live == batch  # exact float equality, not approx
+
+
+def test_compaction_plan_stream_equals_batch_planner(spark, tmp_path):
+    """Stream-maintained compaction planning == the one-shot batch
+    catalog query: fold orders into the per-day file-stats state across
+    micro-batches (3 file splits, maxFilesPerTrigger=1), derive the
+    plan from the state, and compare bit-for-bit with
+    compaction_plan_orders — same shared compaction_groups fold, same
+    constants."""
+    from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
+    from stadvdb_olap_spark.streaming.incremental import (
+        compaction_plan_stream,
+        read_compaction_plan,
+    )
+
+    _ensure_loaded()
+    orders = load_table(spark, SF_DIR, "orders")
+    src = str(tmp_path / "orders_src")
+    os.makedirs(src)
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"slice{i}"))
+    j = 0
+    for i in range(3):
+        for root, _, files in os.walk(str(tmp_path / f"slice{i}")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(root, f),
+                        os.path.join(src, f"part{j}.parquet"),
+                    )
+                    j += 1
+    assert j == 3
+
+    schema = spark.read.parquet(str(tmp_path / "slice0")).schema
+    state = str(tmp_path / "day_stats")
+    q = compaction_plan_stream(
+        spark,
+        src,
+        schema,
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_compaction_plan(spark, state).collect()))
+    want = sorted(
+        map(tuple, REGISTRY["compaction_plan_orders"].fn(spark, SF_DIR).collect())
+    )
+    assert got == want

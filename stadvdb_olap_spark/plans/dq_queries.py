@@ -664,3 +664,81 @@ def orphan_fk_repair_roundtrip_orders(
             "orphan_frac_after"
         ),
     )
+
+
+@query(
+    "snapshot_retention_gfs_orders",
+    oracle="""
+WITH snaps AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+anchor AS (SELECT MAX(d) AS a FROM snaps),
+marked AS (
+    SELECT d, a,
+           CAST(date_trunc('week', d) AS DATE) AS wk,
+           CAST(date_trunc('month', d) AS DATE) AS mon
+    FROM snaps CROSS JOIN anchor
+),
+kept AS (
+    SELECT d, a,
+           d >= a - 6 AS keep_daily,
+           (d >= a - 27 AND d = MAX(d) OVER (PARTITION BY wk))
+               AS keep_weekly,
+           d = MAX(d) OVER (PARTITION BY mon) AS keep_monthly
+    FROM marked
+)
+SELECT d AS snapshot_date,
+       CASE WHEN keep_daily THEN 'daily'
+            WHEN keep_weekly THEN 'weekly'
+            WHEN keep_monthly THEN 'monthly'
+            ELSE 'expire' END AS tier,
+       (keep_daily OR keep_weekly OR keep_monthly) AS keep
+FROM kept
+""",
+)
+def snapshot_retention_gfs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-EXPIRATION PLANNER with grandfather-father-son rotation
+    (the Delta/Iceberg `expireSnapshots` retention policy every
+    lakehouse runs): model one table snapshot per ingest day, keep the
+    last 7 days at DAILY grain, the last-of-week for 4 weeks at WEEKLY
+    grain, the last-of-month forever at MONTHLY grain — everything else
+    expires. Pure calendar logic relative to the newest snapshot
+    (data-derived as-of, so the plan is scale- and time-independent):
+    two bounded-grain windows over |snapshot days| rows, one 1-row
+    broadcast cross for the as-of — nothing at fact grain after the
+    distinct-dates pass. Companion of `compaction_plan_orders` (what to
+    rewrite) and `sources/versioned.py` (which versions to drop)."""
+    from pyspark.sql import Window
+
+    snaps = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    asof = snaps.agg(F.max("d").alias("a"))
+    marked = snaps.crossJoin(F.broadcast(asof)).select(
+        "d",
+        "a",
+        F.date_trunc("week", "d").cast("date").alias("wk"),
+        F.date_trunc("month", "d").cast("date").alias("mon"),
+    )
+    w_wk = Window.partitionBy("wk")
+    w_mon = Window.partitionBy("mon")
+    kept = marked.select(
+        "d",
+        (F.col("d") >= F.date_sub("a", 6)).alias("keep_daily"),
+        (
+            (F.col("d") >= F.date_sub("a", 27))
+            & (F.col("d") == F.max("d").over(w_wk))
+        ).alias("keep_weekly"),
+        (F.col("d") == F.max("d").over(w_mon)).alias("keep_monthly"),
+    )
+    return kept.select(
+        F.col("d").alias("snapshot_date"),
+        F.when(F.col("keep_daily"), "daily")
+        .when(F.col("keep_weekly"), "weekly")
+        .when(F.col("keep_monthly"), "monthly")
+        .otherwise("expire")
+        .alias("tier"),
+        (
+            F.col("keep_daily") | F.col("keep_weekly") | F.col("keep_monthly")
+        ).alias("keep"),
+    )

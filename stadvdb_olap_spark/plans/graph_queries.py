@@ -794,3 +794,100 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a").cast("double") / F.col("m")).alias("score_norm"),
     )
     return hubs.unionAll(auths)
+
+
+@query(
+    "triangle_census_copurchase_parts",
+    oracle="""
+WITH pp AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_partkey % 10 = 0 AND b.l_partkey % 10 = 0
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pp e1
+    JOIN pp e2 ON e2.pa = e1.pb
+    JOIN pp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS node FROM pp UNION ALL SELECT pb AS node FROM pp
+    ) GROUP BY node
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pp) AS n_edges,
+       agg.n_nodes, agg.max_degree, agg.n_wedges, tri.n_triangles,
+       CASE WHEN agg.n_wedges = 0 THEN 0.0
+            ELSE 3.0 * tri.n_triangles / agg.n_wedges END
+           AS global_clustering
+FROM agg CROSS JOIN tri
+""",
+)
+def triangle_census_copurchase_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIANGLE CENSUS + global clustering coefficient over the
+    part-copurchase projection (parts co-ordered in the same order;
+    thinned to every-10th part so the projection's density stays
+    scale-proportional, the orphan-audit thinning precedent). Edges are
+    oriented low-id -> high-id, so each triangle is counted EXACTLY
+    once by the two-join closure (e1: a<b, e2: b<c, e3: a<c) — the
+    standard distributed node-iterator formulation, all-integer and
+    hash-exact; wedges = sum over nodes of deg-choose-2 (BIGINT DIV),
+    and 3*triangles/wedges is the one final float. 100 TB shape: the
+    pair-generation shuffle keys on the order id (within-order
+    quadratic only — basket sizes are bounded), the closure joins key
+    on vertex ids, and the production refinement (orient edges
+    low-DEGREE -> high-degree, splitting high-degree hubs) composes
+    without changing semantics."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).filter(F.col("pk") % 10 == 0)
+    a = li.select("ok", F.col("pk").alias("pa"))
+    b = li.select("ok", F.col("pk").alias("pb"))
+    pp = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    e1 = pp.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = pp.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = pp.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pp.select(F.col("pa").alias("node"))
+        .unionAll(pp.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    edges = pp.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        F.broadcast(edges)
+        .crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges", "n_nodes", "max_degree", "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            )
+            .alias("global_clustering"),
+        )
+    )

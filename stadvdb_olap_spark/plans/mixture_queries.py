@@ -499,3 +499,73 @@ def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         _SHINGLE_N,
     )
+
+
+# DSIR-style hashed-n-gram importance weights (Xie et al. 2023, public
+# recipe): target/raw log-probability ratios per hash bucket, fitted
+# OFFLINE and pinned as literals (the published-weights device). The
+# certified surface is the scoring + selection pass — exactly how
+# production runs it (fit rarely, score every document).
+_DSIR_BUCKETS = 16
+_DSIR_W = (
+    0.2231, -0.1054, 0.0953, -0.3567, 0.1823, 0.0488, -0.2231, 0.3365,
+    -0.0513, 0.1398, -0.1625, 0.0198, 0.2624, -0.0943, 0.1133, -0.2877,
+)
+_DSIR_TAU = 0.0  # keep iff the summed log ratio favors the target
+
+
+@query(
+    "dsir_importance_weights_docs",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, {word_shingles_sql('text', 2)} AS s FROM documents
+)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_shingles,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(s, x ->
+                   (CAST({list(_DSIR_W)!r} AS DOUBLE[]))[
+                       strpos('0123456789abcdef', substring(md5(x), 1, 1))])),
+           (a, b) -> a + b) AS dsir_logweight,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(s, x ->
+                   (CAST({list(_DSIR_W)!r} AS DOUBLE[]))[
+                       strpos('0123456789abcdef', substring(md5(x), 1, 1))])),
+           (a, b) -> a + b) >= {_DSIR_TAU!r} AS selected
+FROM sh
+""",
+)
+def dsir_importance_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (hashed n-gram importance resampling,
+    the public Xie et al. 2023 recipe): each word bigram hashes to one
+    of {b} buckets (first md5 nibble) carrying a PINNED
+    target-vs-raw log-probability-ratio weight; the document's
+    importance log-weight is the sum over its shingles, and selection
+    keeps documents whose weight favors the target distribution. The
+    fold runs in ARRAY ORDER on both engines (same addition sequence —
+    hash-exact without sorting), the bucket weights are literals in
+    both plans, and md5 is byte-identical. 100 TB shape: one narrow
+    per-row pass (shingle → nibble → literal-array lookup → fold), no
+    shuffle, no join — the cheapest possible 'which 20% of the crawl
+    looks like Wikipedia' screen."""
+    from stadvdb_olap_spark.functions.text import word_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w_arr = F.array(*[F.lit(w) for w in _DSIR_W])
+    sh = word_shingles("text", 2)
+    score = F.aggregate(
+        sh,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.element_at(
+            w_arr, (F.conv(F.substring(F.md5(x), 1, 1), 16, 10).cast("int") + 1)
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        score.alias("dsir_logweight"),
+        (score >= F.lit(_DSIR_TAU)).alias("selected"),
+    )

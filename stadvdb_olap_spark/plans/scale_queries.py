@@ -1261,3 +1261,109 @@ def incremental_agg_maintenance_orders(
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "ivm_agg_deletes_orders",
+    oracle="""
+WITH base AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+    FROM orders WHERE o_orderkey % 5 <> 4 GROUP BY 1
+),
+ins AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+    FROM orders WHERE o_orderkey % 5 = 4 GROUP BY 1
+),
+del AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 4 GROUP BY 1
+),
+maintained AS (
+    SELECT b.o_orderpriority,
+           b.n + COALESCE(i.n, 0) - COALESCE(d.n, 0) AS n_orders,
+           b.s + COALESCE(i.s, CAST(0 AS DECIMAL(18,6)))
+               - COALESCE(d.s, CAST(0 AS DECIMAL(18,6))) AS s
+    FROM base b
+    LEFT JOIN ins i USING (o_orderpriority)
+    LEFT JOIN del d USING (o_orderpriority)
+),
+recomputed AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 4)
+    GROUP BY 1
+)
+SELECT m.o_orderpriority,
+       CAST(m.n_orders AS BIGINT) AS n_orders,
+       CAST(ROUND(m.s, 2) AS DOUBLE) AS revenue,
+       (m.n_orders = r.n AND m.s = r.s) AS consistent
+FROM maintained m JOIN recomputed r USING (o_orderpriority)
+""",
+)
+def ivm_agg_deletes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under INSERTS AND DELETES (bag
+    semantics — the case `incremental_agg_maintenance_orders` doesn't
+    cover): the stored (priority) rollup folds in an insert batch and
+    SUBTRACTS a delete batch as signed multiplicities — counts and
+    exact decimal sums form a group (invertible monoid), so deletion is
+    algebraic, never a rescan. The published `consistent` flag compares
+    the maintained state against the from-scratch recompute IN DECIMAL
+    (exact on both engines; the double conversion happens once, for the
+    published revenue) — the query certifies its own correctness
+    invariant. 100 TB shape: each delta aggregates only its batch;
+    the merge joins |groups|-sized relations (broadcastable); a
+    support-reaching-zero group would leave with n_orders = 0 rather
+    than lingering (delete-aware IVM semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec).alias("s"),
+        )
+
+    k = F.col("o_orderkey")
+    base = partial(orders.filter(k % 5 != 4))
+    ins = partial(orders.filter(k % 5 == 4)).select(
+        "o_orderpriority", F.col("n").alias("n_i"), F.col("s").alias("s_i")
+    )
+    dele = partial(orders.filter((k % 7 == 0) & (k % 5 != 4))).select(
+        "o_orderpriority", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    maintained = (
+        base.join(ins, "o_orderpriority", "left")
+        .join(dele, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            (
+                F.col("n") + F.coalesce("n_i", F.lit(0)) - F.coalesce("n_d", F.lit(0))
+            ).cast("long").alias("n_orders"),
+            (
+                F.col("s") + F.coalesce(F.col("s_i"), zero)
+                - F.coalesce(F.col("s_d"), zero)
+            ).alias("s_m"),
+        )
+    )
+    recomputed = partial(
+        orders.filter(~((k % 7 == 0) & (k % 5 != 4)))
+    ).select(
+        "o_orderpriority", F.col("n").alias("n_r"), F.col("s").alias("s_r")
+    )
+    return maintained.join(recomputed, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("s_m"), 2).cast("double").alias("revenue"),
+        (
+            (F.col("n_orders") == F.col("n_r")) & (F.col("s_m") == F.col("s_r"))
+        ).alias("consistent"),
+    )

@@ -140,6 +140,11 @@ _BNLJ_OK = {
     "triangle_stats_parts",  # 1-row wedge-count broadcast
     "lpa_modularity_parts",  # 1-row edge-count broadcast
     "ann_pq_recall_audit",  # 1-row pinned query vector cross (measured)
+    "ann_ivf_topk",  # aggregate-bounded Lloyd-refined centroid broadcast (8 rows)
+    "semdedup_embeddings",  # same refined-centroid broadcast
+    "ann_matryoshka_prefix_topk",  # broadcast query side (max_queries-bounded, measured)
+    "snapshot_retention_gfs_orders",  # 1-row as-of max-date broadcast
+    "triangle_census_copurchase_parts",  # three 1-row count aggregates crossed
 }
 
 

@@ -1148,3 +1148,70 @@ def interval_overlap_sessions_bursts(
             - F.greatest(F.col("a_start"), F.col("b_start"))
         ).alias("overlap_us"),
     )
+
+
+_DEBOUNCE_US = 7_200_000_000  # 2 h refractory window (notification-throttle grain; the fixture's per-user event rate is ~1/39min, so this suppresses ~17% — a 5 s window would never fire)
+
+
+@query(
+    "debounce_events_per_user",
+    oracle=f"""
+WITH t AS (
+    SELECT user_id, list_sort(list(epoch_us(ts))) AS us
+    FROM events GROUP BY user_id
+),
+folded AS (
+    SELECT user_id, len(us) AS n_events,
+           list_reduce(
+               list_prepend([CAST(-1000000000000000000 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                            list_transform(us, x -> [x])),
+               (acc, e) -> CASE WHEN e[1] - acc[1] >= {_DEBOUNCE_US}
+                                THEN [e[1], acc[2] + 1]
+                                ELSE [acc[1], acc[2]] END
+           ) AS st
+    FROM t
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(st[2] AS BIGINT) AS n_kept,
+       CAST(st[2] AS DOUBLE) / n_events AS kept_frac
+FROM folded
+""",
+)
+def debounce_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE DEBOUNCE (refractory-window event suppression): per user,
+    keep an event only if >= 2 h have passed since the last KEPT event
+    — the dedupe behind double-click/retry storms. Unlike the common
+    lag()-based approximation (which compares to the previous RAW
+    event and over-drops bursts longer than the window), the kept set
+    depends on itself, so this is a genuine sequential recurrence —
+    expressed as a per-user sorted-array FOLD over exact integer
+    microsecond timestamps (state = [last_kept_us, n_kept]); both
+    engines fold the identical order, so it is hash-exact. The batch
+    twin of the stateful streaming sessionizer's arbitrary-state shape
+    (applyInPandasWithState) — with per-user event counts bounded, the
+    fold is a row-local array op after ONE user-keyed exchange; an
+    unbounded-history user would stream through the stateful variant
+    instead."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    us_arr = F.sort_array(F.collect_list(F.unix_micros("ts")))
+    t = ev.groupBy("user_id").agg(us_arr.alias("us"))
+    init = F.struct(
+        F.lit(-1_000_000_000_000_000_000).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("kept"),
+    )
+    st = F.aggregate(
+        F.col("us"),
+        init,
+        lambda acc, x: F.when(
+            x - acc["last"] >= F.lit(_DEBOUNCE_US),
+            F.struct(x.alias("last"), (acc["kept"] + 1).alias("kept")),
+        ).otherwise(acc),
+    )
+    return t.select(
+        "user_id",
+        F.size("us").cast("long").alias("n_events"),
+        st["kept"].alias("n_kept"),
+        (st["kept"].cast("double") / F.size("us")).alias("kept_frac"),
+    )

@@ -1367,3 +1367,184 @@ def ivm_agg_deletes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_orders") == F.col("n_r")) & (F.col("s_m") == F.col("s_r"))
         ).alias("consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-partition Bloom-filter data skipping
+# ---------------------------------------------------------------------------
+# 252-bit blooms as four 63-bit BIGINT words (bit 63 never set, so every
+# word stays non-negative on both engines); two salted-md5 hash
+# functions per key; one bloom per ingest DAY (the file-ish grain —
+# production sizes m by per-file ndv, the docstring covers the knob).
+_BF_WORDS = 4
+_BF_WBITS = 63
+_BF_M = _BF_WORDS * _BF_WBITS  # 252
+_BF_SALTS = ("bf1:", "bf2:")
+_BF_PROBE_MOD = 97  # probe key set: custkeys ≡ 0 (mod 97)
+
+
+def _bf_bit_sql(salt: str, key: str) -> str:
+    h = f"md5('{salt}' || CAST({key} AS VARCHAR))"
+    return (
+        f"(((strpos('0123456789abcdef', {h}[1:1]) - 1) * 16"
+        f" + strpos('0123456789abcdef', {h}[2:2]) - 1) % {_BF_M})"
+    )
+
+
+def _bf_bit_spark(salt: str, key: str) -> str:
+    return (
+        f"(conv(substring(md5(concat('{salt}', CAST({key} AS STRING))),"
+        f" 1, 2), 16, 10) % {_BF_M})"
+    )
+
+
+def _bf_word_term(b: str, j: int, sql: bool) -> str:
+    shift = (
+        f"(CAST(1 AS BIGINT) << (({b}) % {_BF_WBITS}))"
+        if sql
+        else f"shiftleft(CAST(1 AS BIGINT), CAST(({b}) % {_BF_WBITS} AS INT))"
+    )
+    div = "//" if sql else "DIV"
+    return (
+        f"(CASE WHEN ({b}) {div} {_BF_WBITS} = {j} "
+        f"THEN {shift} ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _bf_masks_sql() -> str:
+    cols = []
+    for j in range(_BF_WORDS):
+        terms = " | ".join(
+            _bf_word_term(_bf_bit_sql(s, "k"), j, sql=True) for s in _BF_SALTS
+        )
+        cols.append(f"bit_or({terms}) AS w{j}")
+    return ",\n           ".join(cols)
+
+
+def _bf_hit_sql(b: str) -> str:
+    word = (
+        f"(CASE ({b}) // {_BF_WBITS} WHEN 0 THEN w0 WHEN 1 THEN w1 "
+        f"WHEN 2 THEN w2 ELSE w3 END)"
+    )
+    return f"((({word}) >> (({b}) % {_BF_WBITS})) & 1) = 1"
+
+
+@query(
+    "bloom_skip_audit_orders",
+    oracle=f"""
+WITH members AS (
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS k
+    FROM orders
+),
+blooms AS (
+    SELECT d,
+           {_bf_masks_sql()}
+    FROM members GROUP BY d
+),
+probes AS (
+    SELECT c_custkey AS k FROM customer WHERE c_custkey % {_BF_PROBE_MOD} = 0
+),
+tested AS (
+    SELECT b.d, p.k,
+           ({_bf_hit_sql(_bf_bit_sql('bf1:', 'p.k'))})
+           AND ({_bf_hit_sql(_bf_bit_sql('bf2:', 'p.k'))}) AS bloom_hit,
+           m.k IS NOT NULL AS present
+    FROM blooms b
+    CROSS JOIN probes p
+    LEFT JOIN members m ON m.d = b.d AND m.k = p.k
+)
+SELECT CAST(date_trunc('month', d) AS DATE) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT present THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT bloom_hit THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS skip_frac,
+       CASE WHEN COUNT(*) = SUM(CASE WHEN present THEN 1 ELSE 0 END)
+            THEN 0.0
+            ELSE CAST(SUM(CASE WHEN bloom_hit AND NOT present
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(CASE WHEN present THEN 1 ELSE 0 END))
+       END AS fp_rate
+FROM tested GROUP BY 1
+""",
+)
+def bloom_skip_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DATA-SKIPPING AUDIT (the per-file bloom index
+    Delta/Iceberg/Parquet ship for point-lookup pruning, built from
+    scratch with deterministic hashes): one 252-bit bloom per ingest
+    DAY — four 63-bit BIGINT words folded with bit_or (a commutative
+    monoid: map-side combinable, mergeable across files) over each
+    member custkey's two salted-md5 bit positions. A fixed probe-key
+    set then measures what the engine would actually get, rolled up
+    monthly: hit/skip decisions, measured false-positive rate among
+    absent keys, and the skip fraction. NO false negatives is
+    guaranteed by construction (every present key's bits are set); the
+    published fp numbers quantify m=252, k=2 at the partition's actual
+    cardinality — the sizing knob a real deployment turns (production
+    sizes m per file by ndv; a saturated bloom shows up here as
+    fp_rate -> 1, which the month-grain first draft of this query
+    demonstrated). 100 TB shape: the mask build is one |members|-pass
+    aggregate down to |days| x 4 longs; probing is |days| x |probe
+    keys| — both bounded, never fact-grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    members = orders.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+    mask_cols = []
+    for j in range(_BF_WORDS):
+        terms = " | ".join(
+            _bf_word_term(_bf_bit_spark(s, "k"), j, sql=False)
+            for s in _BF_SALTS
+        )
+        mask_cols.append(F.bit_or(F.expr(terms)).alias(f"w{j}"))
+    blooms = members.groupBy("d").agg(*mask_cols)
+
+    probes = customer.filter(F.col("c_custkey") % _BF_PROBE_MOD == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def hit(salt: str):
+        b = _bf_bit_spark(salt, "k")
+        word = (
+            f"(CASE ({b}) DIV {_BF_WBITS} WHEN 0 THEN w0 WHEN 1 THEN w1 "
+            f"WHEN 2 THEN w2 ELSE w3 END)"
+        )
+        return F.expr(
+            f"((({word}) >> CAST(({b}) % {_BF_WBITS} AS INT)) & 1) = 1"
+        )
+
+    tested = (
+        blooms.crossJoin(F.broadcast(probes))
+        .join(members.withColumn("present", F.lit(True)), ["d", "k"], "left")
+        .select(
+            "d",
+            (hit(_BF_SALTS[0]) & hit(_BF_SALTS[1])).alias("bloom_hit"),
+            F.coalesce("present", F.lit(False)).alias("present"),
+        )
+    )
+    hits = F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long")
+    pres = F.sum(F.when(F.col("present"), 1).otherwise(0)).cast("long")
+    fp = F.sum(
+        F.when(F.col("bloom_hit") & ~F.col("present"), 1).otherwise(0)
+    ).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return tested.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("mon")
+    ).agg(
+        n.alias("n_probes"),
+        pres.alias("n_present"),
+        hits.alias("n_hits"),
+        fp.alias("n_false_pos"),
+        (
+            F.sum(F.when(~F.col("bloom_hit"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("skip_frac"),
+        F.when(F.count(F.lit(1)) == pres, F.lit(0.0))
+        .otherwise(fp.cast("double") / (n - pres))
+        .alias("fp_rate"),
+    )

@@ -145,6 +145,7 @@ _BNLJ_OK = {
     "ann_matryoshka_prefix_topk",  # broadcast query side (max_queries-bounded, measured)
     "snapshot_retention_gfs_orders",  # 1-row as-of max-date broadcast
     "triangle_census_copurchase_parts",  # three 1-row count aggregates crossed
+    "bloom_skip_audit_orders",  # filter-bounded probe-key broadcast (measured)
 }
 
 

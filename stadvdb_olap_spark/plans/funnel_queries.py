@@ -468,3 +468,107 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+@query(
+    "funnel_reentry_conversions_users",
+    oracle="""
+WITH e AS (
+    SELECT user_id,
+           list_sort(list(epoch_us(ts) * 4 +
+               CASE event_type WHEN 'view' THEN 1
+                               WHEN 'click' THEN 2 ELSE 3 END)) AS evs
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+),
+folded AS (
+    SELECT user_id, len(evs) AS n_events,
+           list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                            list_transform(evs, x -> [x])),
+               (acc, e) -> CASE
+                   WHEN e[1] % 4 = 1 AND acc[1] = 0 THEN [CAST(1 AS BIGINT), acc[2]]
+                   WHEN e[1] % 4 = 2 AND acc[1] = 1 THEN [CAST(2 AS BIGINT), acc[2]]
+                   WHEN e[1] % 4 = 3 AND acc[1] = 2 THEN [CAST(0 AS BIGINT), acc[2] + 1]
+                   ELSE [acc[1], acc[2]] END
+           ) AS st
+    FROM e
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_funnel_events,
+       CAST(st[2] AS BIGINT) AS n_conversions,
+       CAST(st[1] AS BIGINT) AS end_stage
+FROM folded
+""",
+)
+def funnel_reentry_conversions_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RE-ENTRY FUNNEL (sequential multi-conversion counting): a strict
+    view→click→purchase state machine per user that RESETS after each
+    completed conversion, so one user converts many times — the journey
+    semantics `funnel_view_click_purchase`'s first-touch cumulative
+    windows cannot express (the kept state depends on itself, like
+    `debounce_events_per_user`). Events encode as one BIGINT
+    (microseconds x 4 + stage code — the type code doubles as the
+    deterministic same-timestamp tiebreak on both engines) and a
+    per-user sorted-array fold runs the machine with state
+    [stage, n_conversions]. The oracle rebuilds the accumulator list on
+    every step (DuckDB 1.0.0 vectorized list_reduce mis-folds on
+    accumulator pass-through — see debounce_events_per_user). 100 TB
+    shape: one user-keyed exchange, then a row-local array fold;
+    unbounded-history users stream through applyInPandasWithState
+    instead."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    enc = F.unix_micros("ts") * 4 + code
+    t = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(enc)).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("stage"),
+        F.lit(0).cast("long").alias("conv"),
+    )
+
+    def step(acc, e):
+        typ = e % 4
+        return (
+            F.when(
+                (typ == 1) & (acc["stage"] == 0),
+                F.struct(
+                    F.lit(1).cast("long").alias("stage"),
+                    acc["conv"].alias("conv"),
+                ),
+            )
+            .when(
+                (typ == 2) & (acc["stage"] == 1),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage"),
+                    acc["conv"].alias("conv"),
+                ),
+            )
+            .when(
+                (typ == 3) & (acc["stage"] == 2),
+                F.struct(
+                    F.lit(0).cast("long").alias("stage"),
+                    (acc["conv"] + 1).alias("conv"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    st = F.aggregate(F.col("evs"), init, step)
+    return t.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_funnel_events"),
+        st["conv"].alias("n_conversions"),
+        st["stage"].alias("end_stage"),
+    )

@@ -6449,3 +6449,64 @@ def watermark_lateness_audit_events(
         )
     aggs.append(F.max("late_s").cast("long").alias("max_late_s"))
     return lat.groupBy("event_type").agg(*aggs)
+
+
+@query(
+    "rolling_7d_distinct_users_daily",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+contrib AS (
+    SELECT du.d + CAST(off AS INTEGER) AS rd, du.user_id
+    FROM du, unnest(generate_series(0, 6)) AS g(off)
+),
+win AS (
+    SELECT c.rd, c.user_id FROM contrib c JOIN days ON days.d = c.rd
+)
+SELECT rd AS d,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d,
+       (SELECT CAST(COUNT(DISTINCT u2.user_id) AS BIGINT)
+        FROM du u2 WHERE u2.d = win.rd) AS n_users_1d
+FROM win GROUP BY rd
+""",
+)
+def rolling_7d_distinct_users_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING 7-DAY DISTINCT USERS per day (the WAU-by-day metric):
+    distinct counts do NOT decompose over sliding windows (yesterday's
+    WAU can't be updated incrementally — a user may appear on several
+    days), so the exact computation is the range join 'day d counts
+    users active in [d-6, d]'. Expressed with the
+    range-join-to-equi-join device: each (day, user) activity row
+    EXPLODES to the 7 report days it contributes to, then one hash
+    aggregate per report day counts distinct — no BNLJ range join, no
+    per-day rescan; work = |active-day pairs| x 7. Daily distinct rides
+    along for the WAU/DAU stickiness ratio downstream. 100 TB shape:
+    the explode multiplies the (already day-deduplicated) activity
+    relation by the window length only, and both the semi-join and the
+    final aggregate key on the report day."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("off")).alias("rd"), "user_id")
+    win = contrib.join(
+        days.select(F.col("d").alias("rd")), "rd", "left_semi"
+    )
+    daily = du.groupBy(F.col("d").alias("rd")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_1d")
+    )
+    return (
+        win.groupBy("rd")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+        .join(daily, "rd")
+        .select(F.col("rd").alias("d"), "n_users_7d", "n_users_1d")
+    )

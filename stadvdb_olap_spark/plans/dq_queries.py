@@ -742,3 +742,90 @@ def snapshot_retention_gfs_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("keep_daily") | F.col("keep_weekly") | F.col("keep_monthly")
         ).alias("keep"),
     )
+
+
+_ERASE_MOD = 131  # deletion-request key set: custkeys ≡ 0 (mod 131)
+
+
+@query(
+    "gdpr_erasure_blast_radius_star",
+    oracle=f"""
+WITH req AS (SELECT c_custkey AS k FROM customer
+             WHERE c_custkey % {_ERASE_MOD} = 0),
+aff_orders AS (
+    SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM req)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM req) AS BIGINT) AS n_affected,
+       CAST((SELECT COUNT(*) FROM req) AS DOUBLE)
+           / (SELECT COUNT(*) FROM customer) AS affected_frac
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_orders) AS DOUBLE)
+           / (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+            AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+            AS DOUBLE) / (SELECT COUNT(*) FROM lineitem)
+""",
+)
+def gdpr_erasure_blast_radius_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT-TO-ERASURE BLAST-RADIUS AUDIT: given a deletion-request key
+    set, the rows a cascading erasure must touch in every table of the
+    star (customer -> their orders -> those orders' lineitems) — the
+    impact report a privacy team signs off BEFORE running the delete,
+    and the denominator for verifying the delete afterwards (re-run:
+    every n_affected must read 0). Completes the privacy-ops family
+    (k_anonymity / l_diversity audit risk; this audits erasure reach).
+    Shape: the request set and affected-order keys are broadcast-gated
+    semi-join probes; each table contributes one conditional-aggregate
+    pass — no fact-sided shuffle, no row materialization (counts
+    only, like dq_checks_orders)."""
+    req = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _ERASE_MOD == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    aff_orders = orders.join(
+        broadcast_if_small(req), orders.o_custkey == req.k, "left_semi"
+    ).select("o_orderkey")
+
+    def audit(name: str, table: DataFrame, affected: DataFrame) -> DataFrame:
+        tot = table.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        aff = affected.agg(F.count(F.lit(1)).cast("long").alias("n_affected"))
+        return (
+            F.broadcast(tot)
+            .crossJoin(F.broadcast(aff))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_affected",
+                (
+                    F.col("n_affected").cast("double") / F.col("n_rows")
+                ).alias("affected_frac"),
+            )
+        )
+
+    aff_li = lineitem.join(
+        broadcast_if_small(aff_orders),
+        lineitem.l_orderkey == aff_orders.o_orderkey,
+        "left_semi",
+    )
+    return (
+        audit("customer", customer, req)
+        .unionByName(audit("orders", orders, aff_orders))
+        .unionByName(audit("lineitem", lineitem, aff_li))
+    )

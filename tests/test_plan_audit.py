@@ -146,6 +146,7 @@ _BNLJ_OK = {
     "snapshot_retention_gfs_orders",  # 1-row as-of max-date broadcast
     "triangle_census_copurchase_parts",  # three 1-row count aggregates crossed
     "bloom_skip_audit_orders",  # filter-bounded probe-key broadcast (measured)
+    "gdpr_erasure_blast_radius_star",  # paired 1-row count aggregates crossed
 }
 
 

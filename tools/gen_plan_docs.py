@@ -173,6 +173,23 @@ SHOWCASE = [
      "(cluster id) and one token-count join on top of the certified "
      "banded-LSH clustering — no new fact-grain exchange, and the "
      "cluster relation it ranks is |clustered docs|, not |corpus|"),
+    ("ann_ivf_topk",
+     "the certified Lloyd step: refined centroids come from a (cell, "
+     "dim)-keyed aggregate over posexploded scalars (never whole "
+     "vectors), broadcast back for assignment and probing; the search "
+     "joins probes to candidates ON THE CELL ID, so the exact-cosine "
+     "stage scans ~n_probe/|cells| of the corpus"),
+    ("bloom_skip_audit_orders",
+     "the mask build is one hash aggregate folding bit_or over 4 "
+     "BIGINT words per ingest day — map-side combinable, |days| "
+     "output rows; the probe stage is a broadcast cross of the "
+     "bounded probe-key set against the |days|-row bloom relation "
+     "plus one membership left-join, never fact-grain"),
+    ("rolling_7d_distinct_users_daily",
+     "the range-join-to-equi-join device: the day-deduplicated "
+     "activity relation explodes x7 to the report days it feeds, "
+     "then everything keys on the report day (semi-join + distinct "
+     "aggregate) — no BNLJ range join, no per-day rescan"),
 ]
 
 

@@ -1809,3 +1809,32 @@ def test_orphan_repair_roundtrip_zero_residual_for_arrived_keys(spark):
         )
     finally:
         out.unpersist()
+
+
+def test_kmeans_lloyd_step_properties(spark):
+    """One Lloyd iteration: (a) every input vector is counted in exactly
+    one cell (n_members sums to N), (b) an empty cell carries its OLD
+    centroid forward with n_members=0 (total step), (c) a singleton
+    cell's refined centroid equals its lone member exactly."""
+    from stadvdb_olap_spark.operators.similarity import kmeans_lloyd_step
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [100.0, 100.0])],
+        "cid long, cv array<double>",
+    )
+    out = {r["cid"]: r for r in kmeans_lloyd_step(df, cents).collect()}
+    assert sum(r["n_members"] for r in out.values()) == len(rows)
+    # cell 2 is empty: old centroid carried forward
+    assert out[2]["n_members"] == 0 and out[2]["cv"] == [100.0, 100.0]
+    # cell 1 is a singleton: refined centroid == its member
+    assert out[1]["n_members"] == 1 and out[1]["cv"] == [10.0, 10.0]
+    # cell 0 mean of three members, exact dyadic-free check via sum/3
+    got = out[0]["cv"]
+    assert got[0] == (0.0 + 0.9 + 1.0) / 3 and got[1] == (0.0 + 0.0 + 0.1) / 3

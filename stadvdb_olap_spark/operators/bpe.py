@@ -131,6 +131,71 @@ def bpe_train(
     )
 
 
+def pair_frontier_after(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top: int = 10,
+) -> DataFrame:
+    """The BPE TRAINING STEP as a closed-form aggregate: pair counts of
+    the corpus vocabulary AFTER applying ``merges`` in order, ranked
+    exactly as ``bpe_train``'s argmax (count desc, then lexicographic
+    pair). Row 1 IS the next merge the trainer would learn; the top-k
+    rows are the candidate frontier.
+
+    Same device as the DuckDB replay oracle (``_bpe_replay_sql`` in
+    plans/curation_queries.py): each symbol rides CHR(31)-wrapped in a
+    space-joined state string, so one merge is EXACTLY one left-to-right
+    non-overlapping literal ``replace`` — the same scan semantics as
+    ``_merge_symbols``, and expressible identically in Spark and SQL.
+    This is what lets the iterative trainer's per-round step be
+    hash-certified cross-engine (the k-means Lloyd-step treatment).
+
+    100 TB shape: ONE fact-sized shuffle (the word-count pass — Heaps'
+    law bounds the vocabulary), then narrow per-word expression work,
+    one vocabulary-sized pair aggregate, and a TakeOrdered(top)."""
+    us = "\x1f"
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    state = F.concat(
+        F.regexp_replace("word", "(.)", f"{us}$1{us} "),
+        F.lit(f"{us}{END}{us}"),
+    )
+    for a, b in merges:
+        state = F.replace(
+            state,
+            F.lit(f"{us}{a}{us} {us}{b}{us}"),
+            F.lit(f"{us}{a + b}{us}"),
+        )
+    syms = words.select("n", F.split(state, " ").alias("arr"))
+    idx = F.sequence(F.lit(0), F.size("arr") - 2)
+    pairs = syms.where(F.size("arr") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.col("arr")[i].alias("a"),
+                    F.col("arr")[i + 1].alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.btrim(F.col("p.a"), F.lit(us)).alias("left_sym"),
+            F.btrim(F.col("p.b"), F.lit(us)).alias("right_sym"),
+        )
+        .agg(F.sum("n").cast("long").alias("pair_cnt"))
+        .orderBy(F.col("pair_cnt").desc(), "left_sym", "right_sym")
+        .limit(top)
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

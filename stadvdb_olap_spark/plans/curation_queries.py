@@ -555,6 +555,64 @@ def bpe_encode_replay_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEP_K = 8  # pinned tokenizer prefix applied before the certified step
+
+
+def _merge_step_oracle() -> str:
+    """DuckDB twin of ``operators/bpe.py:pair_frontier_after`` with the
+    first ``_STEP_K`` pinned merges: rebuild each distinct word's
+    CHR(31)-wrapped symbol state, apply the merges as literal replaces
+    (identical scan semantics — see ``_bpe_replay_sql``), unnest
+    adjacent pairs weighted by word count, rank (count desc, pair)."""
+    expr = (
+        "array_to_string(list_transform(string_split(word, ''), "
+        "c -> chr(31)||c||chr(31)), ' ') || ' ' || chr(31)||'</w>'||chr(31)"
+    )
+    for a, b in _PINNED_MERGES[:_STEP_K]:
+        expr = (
+            f"replace({expr}, chr(31)||'{a}'||chr(31)||' '"
+            f"||chr(31)||'{b}'||chr(31), chr(31)||'{a + b}'||chr(31))"
+        )
+    return f"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(list_filter({tokens_sql('text')}, x -> x <> '')) AS t(w)
+  GROUP BY w
+),
+syms AS (
+  SELECT n, string_split({expr}, ' ') AS arr FROM words
+),
+pairs AS (
+  SELECT trim(arr[i], chr(31)) AS left_sym,
+         trim(arr[i + 1], chr(31)) AS right_sym, n
+  FROM syms, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+)
+SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_cnt
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_cnt DESC, left_sym, right_sym
+LIMIT 10
+"""
+
+
+@query("bpe_merge_step_docs", oracle=_merge_step_oracle())
+def bpe_merge_step_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING STEP, hash-certified (the Lloyd-step treatment
+    applied to tokenizer training): pair-count frontier of the corpus
+    vocabulary after the first 8 pinned merges (``_STEP_K``), ranked exactly
+    as ``bpe_train``'s argmax — row 1 IS the merge the trainer learns
+    next. With ``bpe_encode_replay_docs`` certifying deployed encoding,
+    every component of the BPE loop now has a hash check; only the
+    bounded per-rank iteration ORDER remains engine-side
+    (``bpe_merges_docs``, equality-tested against a pure-Python
+    reference). 100 TB shape: one fact-sized word-count shuffle, then
+    vocabulary-sized work (Heaps' law) and a TakeOrdered(10)."""
+    from stadvdb_olap_spark.operators.bpe import pair_frontier_after
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pair_frontier_after(docs, list(_PINNED_MERGES[:_STEP_K]), top=10)
+
+
 # (bpe_encode_docs — the former rows-only train-then-encode end-to-end
 # query — was retired in round 8: its two halves are now each certified
 # harder elsewhere. Training: bpe_merges_docs (rows-only by necessity,

@@ -270,6 +270,33 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == want and len(got) > 5
 
 
+def test_bpe_pair_frontier_predicts_next_merge(spark):
+    """The certified training STEP equals the iterative trainer: after
+    applying the first K learned merges, pair_frontier_after's top row
+    is exactly the merge bpe_train learns at rank K (argmax + tiebreak
+    included), and its count matches — for every prefix K."""
+    from stadvdb_olap_spark.operators.bpe import bpe_train, pair_frontier_after
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cats eat the fish"),
+            (3, "low lower lowest low low"),
+            (4, "newer newest new new new"),
+        ],
+        ["doc_id", "text"],
+    )
+    learned = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(spark, docs, 6).orderBy("rank").collect()
+    ]
+    assert len(learned) == 6
+    for k in (0, 2, 5):
+        prefix = [(a, b) for a, b, _ in learned[:k]]
+        top = pair_frontier_after(docs, prefix, top=1).collect()[0]
+        assert (top["left_sym"], top["right_sym"], top["pair_cnt"]) == learned[k]
+
+
 def test_bpe_encode_roundtrip(spark):
     """Encoding with the learned merges reproduces each word's final
     symbol sequence; concatenating tokens restores the text."""

@@ -690,3 +690,147 @@ def resize_media(
             )
 
     return df.select(id_col, content_col).mapInPandas(_resize_batch, out_schema)
+
+
+def ahash_bands(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint over the REAL
+    P6 decode path, published as four 16-bit integer bands.
+
+    The classic aHash recipe (resample to 8x8, grayscale, threshold each
+    pixel against the frame mean) made exact: nearest-neighbor index
+    mapping ``(i * src) // 8`` (the same mapping ``resize_media`` uses),
+    integer luma ``1063r + 3576g + 361b`` (the exact-rational Rec.709
+    weights ``_image_stats`` publishes), and the threshold as the
+    ALL-INTEGER strict comparison ``64 * l_p > sum(l)`` — no division,
+    no float, so any engine that can sum integers reproduces every bit.
+
+    The 64-bit hash ships as four 16-bit bands b0..b3 (row-major pixel
+    order, MSB-first within a band) rather than one BIGINT: bands are
+    exactly what near-dup blocking joins on (LSH banding — two images
+    within Hamming distance d share at least one band when d < 4), and
+    16-bit values stay comfortably inside every engine's integer
+    semantics. Hamming distance between two hashes is
+    ``sum_k bit_count(xor(a_k, b_k))``.
+
+    100 TB shape: one Arrow-batched mapInPandas pass, zero shuffle;
+    malformed payloads surface in ``decode_error`` instead of failing
+    the stage (quarantine-filter pattern)."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("b0", LongType()),
+            StructField("b1", LongType()),
+            StructField("b2", LongType()),
+            StructField("b3", LongType()),
+            StructField("decode_error", StringType()),
+        ]
+    )
+
+    def _ahash_batch(pdfs: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        weights = np.int64(1) << np.arange(15, -1, -1, dtype=np.int64)
+        for pdf in pdfs:
+            bands_out: list[list[int | None]] = [[], [], [], []]
+            errs: list[str | None] = []
+            for b in pdf[content_col]:
+                try:
+                    img = decode_ppm(bytes(b))
+                except ValueError as e:
+                    for k in range(4):
+                        bands_out[k].append(None)
+                    errs.append(str(e))
+                    continue
+                h, w, _ = img.shape
+                ys = (np.arange(8) * h // 8).astype(int)
+                xs = (np.arange(8) * w // 8).astype(int)
+                small = img[ys][:, xs].astype(np.int64)
+                lum = (
+                    1063 * small[:, :, 0]
+                    + 3576 * small[:, :, 1]
+                    + 361 * small[:, :, 2]
+                ).reshape(-1)
+                total = int(lum.sum())  # <= 64 * 255 * 5000: int64-safe
+                bits = (64 * lum > total).astype(np.int64)
+                for k in range(4):
+                    bands_out[k].append(
+                        int((bits[16 * k : 16 * k + 16] * weights).sum())
+                    )
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "b0": pd.array(bands_out[0], dtype="Int64"),
+                    "b1": pd.array(bands_out[1], dtype="Int64"),
+                    "b2": pd.array(bands_out[2], dtype="Int64"),
+                    "b3": pd.array(bands_out[3], dtype="Int64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), content_col
+    ).mapInPandas(_ahash_batch, out_schema)
+
+
+def near_dup_pairs_ahash(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs via banded aHash blocking: candidates
+    are id pairs sharing at least one exact 16-bit band (an equi-join on
+    the band value — the MinHash-LSH shape applied to perceptual
+    hashes), verified by exact Hamming distance over the four bands.
+    All-pairs comparison never happens: the shuffle key is (band index,
+    band value), and only colliding buckets reach the verify stage. Two
+    hashes within Hamming distance <= 3 ALWAYS share a band (pigeonhole
+    over 4 bands); beyond that recall follows the standard banding
+    trade-off, exactly like ``lsh_candidate_pairs``.
+
+    Input: the ``ahash_bands`` schema (doc_id, b0..b3); decode failures
+    (null bands) are excluded. Output: (id_a, id_b, hamming), id_a <
+    id_b, hamming <= max_hamming."""
+    clean = hashes.where(F.col("b0").isNotNull())
+    bands = clean.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                for k in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.k", "band.v")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            on=[
+                F.col("x.k") == F.col("y.k"),
+                F.col("x.v") == F.col("y.v"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = clean.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = clean.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{k} ^ b{k}")) for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -464,3 +464,107 @@ def multimodal_ppm_resize_fingerprint(
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("fp"),
     )
+
+
+# Image near-dup fixture: each doc renders TWO 8x8 PPMs — the original
+# (image_id = 2*doc_id) and a copy with body byte 0 bumped by +1 mod 256
+# (image_id = 2*doc_id + 1), a one-channel one-pixel perturbation that a
+# perceptual hash should (mostly) see through. Pixel p channel c of the
+# ORIGINAL is text byte (3p + c) mod len — the same rendering the PPM
+# decode oracle replays.
+_AHASH_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+px AS MATERIALIZED (
+  SELECT doc_id * 2 + v AS image_id, p,
+         1063 * (CASE WHEN v = 1 AND p = 0
+                 THEN (ascii(substr(text, 1, 1)) + 1) % 256
+                 ELSE ascii(substr(text, ((3 * p) % length(text)) + 1, 1))
+                 END)
+         + 3576 * ascii(substr(text, ((3 * p + 1) % length(text)) + 1, 1))
+         + 361 * ascii(substr(text, ((3 * p + 2) % length(text)) + 1, 1))
+           AS l
+  FROM docs, unnest([0, 1]) AS vv(v), unnest(generate_series(0, 63)) AS u(p)
+),
+tot AS (SELECT image_id, SUM(l) AS t FROM px GROUP BY image_id),
+bands AS MATERIALIZED (
+  SELECT px.image_id, p // 16 AS k,
+         CAST(SUM(CASE WHEN 64 * l > t THEN 1 ELSE 0 END
+                  << (15 - (p % 16))) AS BIGINT) AS v
+  FROM px JOIN tot ON px.image_id = tot.image_id
+  GROUP BY px.image_id, p // 16
+),
+hashes AS (
+  SELECT image_id,
+         MAX(CASE WHEN k = 0 THEN v END) AS b0,
+         MAX(CASE WHEN k = 1 THEN v END) AS b1,
+         MAX(CASE WHEN k = 2 THEN v END) AS b2,
+         MAX(CASE WHEN k = 3 THEN v END) AS b3
+  FROM bands GROUP BY image_id
+),
+cand AS (
+  SELECT DISTINCT x.image_id AS id_a, y.image_id AS id_b
+  FROM bands x
+  JOIN bands y ON x.k = y.k AND x.v = y.v AND x.image_id < y.image_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+           AS BIGINT) AS hamming
+  FROM cand
+  JOIN hashes ha ON cand.id_a = ha.image_id
+  JOIN hashes hb ON cand.id_b = hb.image_id
+)
+WHERE hamming <= 6
+"""
+
+
+def _text_to_ppm_pair_batch(pdfs):
+    """Render each doc into the original + perturbed 8x8 PPM pair (see
+    _AHASH_ORACLE notes); ids are 2*doc_id and 2*doc_id + 1."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        ids: list[int] = []
+        payloads: list[bytes] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            b = t.encode("utf-8") or b"\x00"
+            body = (b * (192 // len(b) + 1))[:192]
+            ids.append(2 * int(d))
+            payloads.append(b"P6\n8 8\n255\n" + body)
+            ids.append(2 * int(d) + 1)
+            payloads.append(
+                b"P6\n8 8\n255\n" + bytes([(body[0] + 1) % 256]) + body[1:]
+            )
+        yield pd.DataFrame({"doc_id": ids, "content": payloads})
+
+
+@query("image_near_dup_ahash", oracle=_AHASH_ORACLE)
+def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUPLICATE detection: average-hash perceptual
+    fingerprints over the real P6 decode path, banded LSH blocking, and
+    exact Hamming verification — MinHash-LSH dedup applied to the image
+    modality. The corpus is each doc's rendered PPM plus a one-pixel
+    perturbed copy; the perturbed twin survives the hash (few flipped
+    bits) while unrelated images only pair when a 16-bit band truly
+    collides. Everything is integer-exact (see ``ahash_bands``), so the
+    oracle re-derives every band, candidate, and Hamming distance from
+    the fixture bytes. 100 TB shape: one Arrow-batched hashing pass
+    (zero shuffle), then the shuffle key is (band index, band value) —
+    all-pairs comparison never happens; the verify join touches only
+    colliding buckets, exactly like the text LSH path."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        ahash_bands,
+        near_dup_pairs_ahash,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    media = docs.mapInPandas(_text_to_ppm_pair_batch, _MEDIA_GEN_SCHEMA)
+    hashes = ahash_bands(media, "content", "doc_id")
+    return near_dup_pairs_ahash(hashes, max_hamming=6)

@@ -1838,3 +1838,71 @@ def test_kmeans_lloyd_step_properties(spark):
     # cell 0 mean of three members, exact dyadic-free check via sum/3
     got = out[0]["cv"]
     assert got[0] == (0.0 + 0.9 + 1.0) / 3 and got[1] == (0.0 + 0.0 + 0.1) / 3
+
+
+def test_ahash_bands_exact_and_resample(spark):
+    """aHash bits are the strict 64*l > sum(l) threshold in row-major
+    MSB-first band order, and non-8x8 sources go through the same
+    nearest-neighbor index map as resize_media."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        ahash_bands,
+        encode_ppm,
+    )
+
+    # top half black, bottom half white -> bits rows 0-3 zero, 4-7 one
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[4:] = 255
+    # 16x16 upscale of the same image must hash identically (NN resample)
+    big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    # all-constant image: no pixel is strictly above the mean -> all zero
+    flat = np.full((8, 8, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(img))),
+            (2, bytearray(encode_ppm(big))),
+            (3, bytearray(encode_ppm(flat))),
+            (4, bytearray(b"nonsense")),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in ahash_bands(df).collect()}
+    assert (rows[1]["b0"], rows[1]["b1"], rows[1]["b2"], rows[1]["b3"]) == (
+        0, 0, 65535, 65535,
+    )
+    assert [rows[2][f"b{k}"] for k in range(4)] == [0, 0, 65535, 65535]
+    assert [rows[3][f"b{k}"] for k in range(4)] == [0, 0, 0, 0]
+    assert rows[4]["b0"] is None and "ppm" in rows[4]["decode_error"]
+
+
+def test_near_dup_pairs_ahash_blocking(spark):
+    """A one-pixel perturbation pairs with its original at small
+    Hamming distance; an inverted image shares NO band with the
+    original (banding blocks it before any distance math)."""
+    import numpy as np
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        ahash_bands,
+        encode_ppm,
+        near_dup_pairs_ahash,
+    )
+
+    rng_img = np.zeros((8, 8, 3), dtype=np.uint8)
+    rng_img[4:] = 255
+    near = rng_img.copy()
+    near[0, 0, 0] = 3  # tiny bump, stays below the mean -> bit unchanged
+    inverted = (255 - rng_img).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (10, bytearray(encode_ppm(rng_img))),
+            (11, bytearray(encode_ppm(near))),
+            (12, bytearray(encode_ppm(inverted))),
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_pairs_ahash(ahash_bands(df), max_hamming=6).collect()
+    }
+    assert pairs == {(10, 11): 0}

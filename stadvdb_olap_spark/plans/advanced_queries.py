@@ -1215,3 +1215,58 @@ def debounce_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["kept"].alias("n_kept"),
         (st["kept"].cast("double") / F.size("us")).alias("kept_frac"),
     )
+
+
+_GEO_R = 64  # radius in grid units; cell size = radius (3x3 coverage)
+
+
+@query(
+    "spatial_radius_join_customers",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST((strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[1:1]) - 1) * 256
+            + (strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[2:2]) - 1) * 16
+            + (strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[3:3]) - 1)
+           AS BIGINT) AS x,
+         CAST((strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[4:4]) - 1) * 256
+            + (strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[5:5]) - 1) * 16
+            + (strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[6:6]) - 1)
+           AS BIGINT) AS y
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist_sq
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_GEO_R * _GEO_R}
+""",
+)
+def spatial_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS SELF-JOIN (2D range join): every customer pair
+    within Euclidean distance 64 (``_GEO_R``) of each other, coordinates
+    content-addressed from the customer key (first six md5 hex digits
+    -> a 4096x4096 integer grid — TPC-H carries no geometry, so the
+    fixture is synthesized the same way the split/sample devices do).
+    The engine path is ``operators/spatial.py:grid_radius_join``:
+    r-sized grid cells, ONE hash shuffle on the cell id with a 9x
+    explode of the probe side only, exact BIGINT squared-distance
+    verify — all-pairs comparison never happens. The oracle is the
+    NAIVE theta self-join, so the grid plan's zero-lost-pair claim is
+    externally certified, exactly like ``interval_overlap_join``'s
+    oracle. Subset via a deterministic key predicate (c_custkey % 5 =
+    0) that scales WITH the fixture instead of capping it."""
+    from stadvdb_olap_spark.operators.spatial import grid_radius_join
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("long").alias("x"),
+        F.conv(F.substring(h, 4, 3), 16, 10).cast("long").alias("y"),
+    )
+    return grid_radius_join(pts, _GEO_R)

@@ -1906,3 +1906,34 @@ def test_near_dup_pairs_ahash_blocking(spark):
         for r in near_dup_pairs_ahash(ahash_bands(df), max_hamming=6).collect()
     }
     assert pairs == {(10, 11): 0}
+
+
+def test_grid_radius_join_equals_bruteforce(spark):
+    """grid_radius_join == the naive all-pairs filter on a deterministic
+    point cloud spanning negative coordinates (floor-division cells) and
+    a dense hot cell (many points at near-identical positions)."""
+    import hashlib
+
+    from stadvdb_olap_spark.operators.spatial import grid_radius_join
+
+    pts = []
+    for i in range(120):
+        h = hashlib.md5(f"pt:{i}".encode()).hexdigest()
+        # spread over [-200, 312): crosses cell boundaries and zero
+        pts.append((i, int(h[:3], 16) % 512 - 200, int(h[3:6], 16) % 512 - 200))
+    # hot cell: 15 points jammed within a few units of (-7, -7)
+    for i in range(120, 135):
+        pts.append((i, -7 + (i % 4), -7 - (i % 3)))
+    r = 40
+    want = {
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for (a, xa, ya) in pts
+        for (b, xb, yb) in pts
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    }
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in grid_radius_join(df, r).collect()
+    }
+    assert got == want and len(want) > 120

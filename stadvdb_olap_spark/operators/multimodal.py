@@ -834,3 +834,96 @@ def near_dup_pairs_ahash(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_energy_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    frame_len: int = 16,
+    n_bits: int = 24,
+) -> DataFrame:
+    """Audio near-dup fingerprint: sign-of-delta over frame energies
+    (the Shazam/chromaprint shape reduced to its integer-exact core).
+
+    16-bit PCM samples decode via stdlib ``wave``; frame f's energy is
+    the INTEGER sum of absolute sample values over ``frame_len``
+    samples; bit f is the strict comparison ``e_{f+1} > e_f``. Energy
+    deltas survive small amplitude perturbations while distinguishing
+    unrelated audio — and being all-integer, every bit is reproducible
+    by any engine that can sum and compare (no RMS sqrt, no float).
+
+    The first ``n_bits`` bits publish as four equal bands b0..b3
+    (MSB-first within a band), the ``ahash_bands`` contract — so
+    ``near_dup_pairs_ahash`` provides banded blocking + Hamming verify
+    for audio unchanged. Clips with fewer than ``n_bits + 1`` full
+    frames quarantine via ``decode_error`` (too short to fingerprint).
+
+    100 TB shape: one Arrow-batched mapInPandas pass, zero shuffle."""
+    if n_bits % 4:
+        raise ValueError(f"n_bits must split into 4 bands, got {n_bits}")
+    bits_per_band = n_bits // 4
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("b0", LongType()),
+            StructField("b1", LongType()),
+            StructField("b2", LongType()),
+            StructField("b3", LongType()),
+            StructField("decode_error", StringType()),
+        ]
+    )
+
+    def _fp_batch(pdfs: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        weights = np.int64(1) << np.arange(
+            bits_per_band - 1, -1, -1, dtype=np.int64
+        )
+        for pdf in pdfs:
+            bands_out: list[list[int | None]] = [[], [], [], []]
+            errs: list[str | None] = []
+            for payload in pdf[content_col]:
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        if wf.getsampwidth() != 2:
+                            raise ValueError("wav: only 16-bit PCM supported")
+                        raw = wf.readframes(wf.getnframes())
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    n_frames = x.size // frame_len
+                    if n_frames < n_bits + 1:
+                        raise ValueError(
+                            f"wav: need {n_bits + 1} frames, got {n_frames}"
+                        )
+                    e = (
+                        np.abs(x[: n_frames * frame_len])
+                        .reshape(n_frames, frame_len)
+                        .sum(axis=1)
+                    )
+                    bits = (e[1 : n_bits + 1] > e[:n_bits]).astype(np.int64)
+                    for k in range(4):
+                        seg = bits[k * bits_per_band : (k + 1) * bits_per_band]
+                        bands_out[k].append(int((seg * weights).sum()))
+                    errs.append(None)
+                except (ValueError, EOFError, wave.Error) as exc:
+                    for k in range(4):
+                        bands_out[k].append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "b0": pd.array(bands_out[0], dtype="Int64"),
+                    "b1": pd.array(bands_out[1], dtype="Int64"),
+                    "b2": pd.array(bands_out[2], dtype="Int64"),
+                    "b3": pd.array(bands_out[3], dtype="Int64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), content_col
+    ).mapInPandas(_fp_batch, out_schema)

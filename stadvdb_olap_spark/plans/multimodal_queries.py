@@ -568,3 +568,122 @@ def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_text_to_ppm_pair_batch, _MEDIA_GEN_SCHEMA)
     hashes = ahash_bands(media, "content", "doc_id")
     return near_dup_pairs_ahash(hashes, max_hamming=6)
+
+
+# Audio near-dup fixture: each doc renders TWO 400-sample 16-bit PCM
+# WAVs — sample j is (text byte (j mod len) - 128) * 256, and the
+# perturbed twin (clip_id = 2*doc_id + 1) bumps body byte 0 by +1 mod
+# 256 — a one-sample amplitude nudge the energy-delta fingerprint
+# should (mostly) see through.
+_AUDIO_FP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+en AS MATERIALIZED (
+  SELECT doc_id * 2 + v AS clip_id, j // 16 AS f,
+         SUM(abs(CASE WHEN v = 1 AND j = 0
+                 THEN (ascii(substr(text, 1, 1)) + 1) % 256 - 128
+                 ELSE ascii(substr(text, (j % length(text)) + 1, 1)) - 128
+                 END) * 256) AS e
+  FROM docs, unnest([0, 1]) AS vv(v), unnest(generate_series(0, 399)) AS u(j)
+  GROUP BY doc_id * 2 + v, j // 16
+),
+bits AS (
+  SELECT a.clip_id, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON b.clip_id = a.clip_id AND b.f = a.f + 1
+  WHERE a.f < 24
+),
+bands AS MATERIALIZED (
+  SELECT clip_id, i // 6 AS k,
+         CAST(SUM(bit << (5 - (i % 6))) AS BIGINT) AS v
+  FROM bits GROUP BY clip_id, i // 6
+),
+hashes AS (
+  SELECT clip_id,
+         MAX(CASE WHEN k = 0 THEN v END) AS b0,
+         MAX(CASE WHEN k = 1 THEN v END) AS b1,
+         MAX(CASE WHEN k = 2 THEN v END) AS b2,
+         MAX(CASE WHEN k = 3 THEN v END) AS b3
+  FROM bands GROUP BY clip_id
+),
+cand AS (
+  SELECT DISTINCT x.clip_id AS id_a, y.clip_id AS id_b
+  FROM bands x
+  JOIN bands y ON x.k = y.k AND x.v = y.v AND x.clip_id < y.clip_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+           AS BIGINT) AS hamming
+  FROM cand
+  JOIN hashes ha ON cand.id_a = ha.clip_id
+  JOIN hashes hb ON cand.id_b = hb.clip_id
+)
+WHERE hamming <= 4
+"""
+
+
+def _text_to_wav_pair_batch(pdfs):
+    """Render each doc into the original + perturbed fixed-length WAV
+    pair (see _AUDIO_FP_ORACLE notes); ids are 2*doc_id and 2*doc_id+1."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    for pdf in pdfs:
+        ids: list[int] = []
+        payloads: list[bytes] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            b = t.encode("utf-8") or b"\x00"
+            body = (b * (400 // len(b) + 1))[:400]
+            for v in (0, 1):
+                body_v = (
+                    bytes([(body[0] + 1) % 256]) + body[1:] if v else body
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(
+                        b"".join(
+                            struct.pack("<h", (x - 128) * 256) for x in body_v
+                        )
+                    )
+                ids.append(2 * int(d) + v)
+                payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": ids, "content": payloads})
+
+
+@query("audio_near_dup_fingerprint", oracle=_AUDIO_FP_ORACLE)
+def audio_near_dup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO NEAR-DUPLICATE detection: sign-of-delta frame-energy
+    fingerprints over the real stdlib-wave decode path (the
+    Shazam/chromaprint shape with its integer-exact core — see
+    ``audio_energy_fingerprint``), then the SAME banded blocking +
+    Hamming verify stage the image aHash path uses
+    (``near_dup_pairs_ahash`` — the band contract is shared across
+    modalities on purpose). The corpus is each doc's rendered 400-sample
+    PCM clip plus a one-sample perturbed twin. Every frame energy, bit,
+    band, candidate, and distance is re-derived by the DuckDB oracle
+    from the fixture bytes. With text (MinHash/SimHash), images
+    (aHash), and audio (energy deltas) certified, near-dup detection
+    covers all three modalities end-to-end. 100 TB shape: one
+    Arrow-batched fingerprint pass, then a (band index, band value)
+    shuffle — never all-pairs."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        near_dup_pairs_ahash,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    media = docs.mapInPandas(_text_to_wav_pair_batch, _MEDIA_GEN_SCHEMA)
+    fps = audio_energy_fingerprint(media, "content", "doc_id")
+    return near_dup_pairs_ahash(fps, max_hamming=4)

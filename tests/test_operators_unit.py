@@ -1937,3 +1937,52 @@ def test_grid_radius_join_equals_bruteforce(spark):
         for row in grid_radius_join(df, r).collect()
     }
     assert got == want and len(want) > 120
+
+
+def test_audio_energy_fingerprint_bits_and_pairing(spark):
+    """Fingerprint bits are the strict frame-energy delta signs; a
+    one-sample amplitude nudge pairs with its original while an
+    energy-reversed clip shares no band; too-short clips quarantine."""
+    import io
+    import struct
+    import wave
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        near_dup_pairs_ahash,
+    )
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return bytearray(buf.getvalue())
+
+    # strictly rising frame energy: every delta bit = 1 -> bands all 63
+    rising = [((f * 16 + j) // 16 + 1) * 50 for f in range(25) for j in range(16)]
+    near = list(rising)
+    near[0] += 7  # frame 0 energy nudged up, still < frame 1 -> bits keep
+    falling = list(reversed(rising))  # every delta bit = 0 -> bands all 0
+    df = spark.createDataFrame(
+        [
+            (1, wav(rising)),
+            (2, wav(near)),
+            (3, wav(falling)),
+            (4, wav([100] * 64)),  # 4 frames < 25 -> quarantine
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_energy_fingerprint(df).collect()}
+    assert [rows[1][f"b{k}"] for k in range(4)] == [63, 63, 63, 63]
+    assert [rows[3][f"b{k}"] for k in range(4)] == [0, 0, 0, 0]
+    assert rows[4]["b0"] is None and "25 frames" in rows[4]["decode_error"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_pairs_ahash(
+            audio_energy_fingerprint(df), max_hamming=4
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0}

@@ -632,3 +632,118 @@ def sketch_ams_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("rel_error"),
     )
+
+
+_KMV_K = 32
+_KMV_DOMAIN = 1 << 48  # hash domain: first 12 md5 hex digits
+_KMV_BUCKET_SHIFT = 36  # coarse bucket = hv >> 36 (4096 buckets)
+
+
+def _hex12_sql(h: str) -> str:
+    """48-bit integer from the first 12 hex digits of ``h`` (DuckDB)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    ) + ")"
+
+
+def bottomk_hashes(
+    df: DataFrame, group_col: str, hash_col: str, k: int
+) -> DataFrame:
+    """The k smallest hash values per group — the KMV (k-minimum-values)
+    sketch state, computed with the two-phase shape that survives
+    100 TB groups: phase 1 ranks within (group, value-derived coarse
+    bucket) partitions — high cardinality, fully parallel, each keeps
+    at most k survivors — and phase 2 ranks only the bounded survivor
+    set (<= 4096k rows per group). A single window partitioned by the
+    group key alone would funnel each group through one task; the
+    bucket split is the same device as ``operators/rank.py``.
+
+    KMV is MERGEABLE: bottomk(A ∪ B) == bottomk(bottomk(A) ∪
+    bottomk(B)) — min-wise state, the property test pins it — so
+    per-partition / per-day sketch states union and re-rank at k-sized
+    cost, never re-scanning inputs."""
+    from pyspark.sql.window import Window
+
+    bucket = (F.col(hash_col) / F.lit(1 << _KMV_BUCKET_SHIFT)).cast("long")
+    w1 = Window.partitionBy(group_col, "kmv_bucket").orderBy(hash_col)
+    w2 = Window.partitionBy(group_col).orderBy(hash_col)
+    return (
+        df.withColumn("kmv_bucket", bucket)
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "kmv_bucket")
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )
+
+
+@query(
+    "kmv_bottomk_ndv_orders",
+    oracle=f"""
+WITH d AS (
+    SELECT DISTINCT o_orderpriority AS priority, o_custkey FROM orders
+),
+h AS (
+    SELECT priority,
+           {_hex12_sql("md5(CAST(o_custkey AS VARCHAR))")} AS hv
+    FROM d
+),
+ranked AS (
+    SELECT priority, hv,
+           row_number() OVER (PARTITION BY priority ORDER BY hv) AS rn,
+           COUNT(*) OVER (PARTITION BY priority) AS ndv
+    FROM h
+)
+SELECT priority,
+       CAST(hv AS BIGINT) AS kth_hash,
+       CAST({(_KMV_K - 1) * (1 << 48)} AS DOUBLE) / hv AS est_ndv,
+       CAST(ndv AS BIGINT) AS exact_ndv
+FROM ranked WHERE rn = {_KMV_K}
+""",
+)
+def kmv_bottomk_ndv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, REPLAYABLE
+    bit-for-bit: per order priority, the 32 smallest 48-bit md5 hashes
+    of the customer key are the sketch state; the estimator is the
+    classic (k-1) / R_k with R_k the kth value normalized to (0,1) —
+    published as one exact division of exact integer operands, next to
+    the exact NDV ground truth in the same row (the
+    estimate-beside-exact convention of the AMS/Chapman/Chao1 family).
+    Unlike the built-in HLL binary, every byte of KMV state is an
+    engine-agnostic integer: the oracle re-derives the exact kth hash.
+    Scale shape: one distinct aggregate, then the two-phase bucketed
+    bottom-k (``bottomk_hashes``) — no single-task group funnels. KMV
+    state is mergeable min-wise (property-tested), so per-shard
+    sketches union at k-sized cost."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    h = d.select(
+        "priority",
+        F.conv(F.substring(F.md5(F.col("ck").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    ndv = h.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_ndv")
+    )
+    kth = (
+        bottomk_hashes(h, "priority", "hv", _KMV_K)
+        .where(F.col("rn") == _KMV_K)
+        .select("priority", F.col("hv").alias("kth_hash"))
+    )
+    return kth.join(F.broadcast(ndv), "priority").select(
+        "priority",
+        "kth_hash",
+        (
+            F.lit(float((_KMV_K - 1) * (1 << 48))) / F.col("kth_hash")
+        ).alias("est_ndv"),
+        "exact_ndv",
+    )

@@ -439,3 +439,48 @@ def test_pca_projection_basis_is_orthonormal_and_centered(spark):
     m1 = sum(r.pc1 for r in rows) / len(rows)
     m2 = sum(r.pc2 for r in rows) / len(rows)
     assert abs(m1) < 1e-9 and abs(m2) < 1e-9
+
+
+def test_kmv_bottomk_is_mergeable(spark):
+    """KMV min-wise mergeability: the bottom-k of a union equals the
+    bottom-k of the UNION OF PER-SHARD BOTTOM-K STATES — so per-shard
+    sketches merge at k-sized cost. Also: fewer than k values means the
+    kth row simply doesn't exist (no padding row to mis-estimate on)."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.plans.sketch_queries import bottomk_hashes
+
+    import hashlib
+
+    def hv(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:12], 16)
+
+    rows_a = [("g", hv(f"a{i}")) for i in range(200)]
+    rows_b = [("g", hv(f"b{i}")) for i in range(300)] + [
+        ("tiny", hv(i)) for i in range(7)
+    ]
+    k = 32
+    a = spark.createDataFrame(rows_a, "priority string, hv long")
+    b = spark.createDataFrame(rows_b, "priority string, hv long")
+    whole = bottomk_hashes(a.union(b), "priority", "hv", k)
+    merged = bottomk_hashes(
+        bottomk_hashes(a, "priority", "hv", k)
+        .drop("rn")
+        .union(bottomk_hashes(b, "priority", "hv", k).drop("rn")),
+        "priority",
+        "hv",
+        k,
+    )
+    got_whole = sorted(
+        (r["priority"], r["hv"], r["rn"]) for r in whole.collect()
+    )
+    got_merged = sorted(
+        (r["priority"], r["hv"], r["rn"]) for r in merged.collect()
+    )
+    assert got_whole == got_merged
+    # exact bottom-k vs a python reference
+    want_g = sorted(h for p, h in rows_a + rows_b if p == "g")[:k]
+    assert [h for p, h, _ in got_whole if p == "g"] == want_g
+    # the 7-value group yields 7 rows, ranks 1..7 — never a kth row
+    tiny = [(h, rn) for p, h, rn in got_whole if p == "tiny"]
+    assert len(tiny) == 7 and [rn for _, rn in tiny] == list(range(1, 8))

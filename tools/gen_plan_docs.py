@@ -190,6 +190,23 @@ SHOWCASE = [
      "activity relation explodes x7 to the report days it feeds, "
      "then everything keys on the report day (semi-join + distinct "
      "aggregate) — no BNLJ range join, no per-day rescan"),
+    ("spatial_radius_join_customers",
+     "the 2D range join is an EQUI-join on r-sized grid-cell ids with "
+     "a 9x Generate of the probe side only (never "
+     "BroadcastNestedLoop/Cartesian); the exact squared-distance "
+     "verify runs on cell collisions only — the interval-overlap "
+     "device lifted to two dimensions"),
+    ("image_near_dup_ahash",
+     "one Arrow-batched mapInPandas computes every perceptual hash "
+     "(zero shuffle), then the only wide operation is the exchange on "
+     "(band index, band value) — the LSH banding shape applied to the "
+     "image modality; Hamming verify touches colliding buckets only"),
+    ("kmv_bottomk_ndv_orders",
+     "the bottom-k sketch ranks inside (group, hash-bucket) partitions "
+     "first — parallel, each keeping <= k survivors — so the final "
+     "per-group rank sees a bounded relation; no group ever funnels "
+     "through one task (the rank.py two-phase device), and the NDV "
+     "ground-truth join rides a broadcast"),
 ]
 
 

@@ -194,3 +194,35 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
                  "old_nullable": o.nullable, "new_nullable": n.nullable}
             )
     return report
+
+
+def range_fingerprints(
+    df: DataFrame, key_col: str, width: int
+) -> DataFrame:
+    """Merkle-style range summary: one row per ``key DIV width`` bucket
+    with (n_rows, lo_key, hi_key, checksum) — ``table_fingerprint``'s
+    commutative 48-bit row-hash sum, subdivided so two 100 TB copies
+    compare by shipping |buckets| rows and a mismatch LOCALIZES to a
+    key range instead of condemning the whole table. The anti-entropy
+    shape (Merkle trees in Dynamo/Cassandra repair) flattened to one
+    level: at a billion keys per bucket-width of 4096 that is ~250k
+    summary rows — still driver-trivial — and a second pass over only
+    the mismatching ranges finds the rows (``table_diff``).
+
+    Same publication rule as ``table_fingerprint``: the checksum is the
+    exact decimal digit STRING. One map-side-combinable aggregate; the
+    exchange carries |buckets| rows."""
+    cells = [_canon_cell(f) for f in df.schema.fields]
+    row_hash = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *cells)), 1, 12), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    return df.groupBy(
+        F.expr(f"{key_col} DIV {width}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(key_col).cast("long").alias("lo_key"),
+        F.max(key_col).cast("long").alias("hi_key"),
+        F.sum(row_hash).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

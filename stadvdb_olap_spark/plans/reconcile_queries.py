@@ -165,3 +165,111 @@ def table_diff_orders_restated(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
         compare_cols=_DIFF_COMPARE,
     ).withColumn("changed_cols", F.array_join("changed_cols", ","))
+
+
+_SYNC_WIDTH = 4096
+_SYNC_COLS = _FP_TABLES["orders"]  # projection under comparison
+_SYNC_LOST = 997  # replica lost rows: o_orderkey % 997 == 0
+_SYNC_CORRUPT = 1013  # replica bit-rot: o_custkey+1 where key % 1013 == 0
+
+
+def _sync_hash_sql() -> str:
+    from stadvdb_olap_spark.operators.reconcile import canon_cell_sql
+
+    cells = ", ".join(canon_cell_sql(n, t) for n, t in _SYNC_COLS)
+    return (
+        "CAST(CAST('0x' || substr(md5(concat_ws('|', "
+        + cells
+        + ")), 1, 12) AS BIGINT) AS DECIMAL(38,0))"
+    )
+
+
+@query(
+    "range_sync_plan_orders",
+    oracle=f"""
+WITH proj AS (
+  SELECT {', '.join(n for n, _ in _SYNC_COLS)} FROM orders
+),
+src AS (
+  SELECT o_orderkey // {_SYNC_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+         CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+         CAST(SUM({_sync_hash_sql()}) AS DECIMAL(38,0)) AS chk
+  FROM proj GROUP BY 1
+),
+replica AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_SYNC_CORRUPT} = 0
+              THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         {', '.join(n for n, _ in _SYNC_COLS if n not in ('o_orderkey', 'o_custkey'))}
+  FROM proj WHERE o_orderkey % {_SYNC_LOST} <> 0
+),
+dst AS (
+  SELECT o_orderkey // {_SYNC_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_sync_hash_sql()}) AS DECIMAL(38,0)) AS chk
+  FROM replica GROUP BY 1
+)
+SELECT COALESCE(s.bucket, d.bucket) AS bucket,
+       s.lo AS lo_key, s.hi AS hi_key,
+       COALESCE(s.n, 0) AS n_rows_src,
+       COALESCE(d.n, 0) AS n_rows_dst,
+       CAST(COALESCE(s.chk, 0) AS VARCHAR) AS checksum_src,
+       CAST(COALESCE(d.chk, 0) AS VARCHAR) AS checksum_dst
+FROM src s FULL OUTER JOIN dst d ON s.bucket = d.bucket
+WHERE COALESCE(s.n, 0) <> COALESCE(d.n, 0)
+   OR CAST(COALESCE(s.chk, 0) AS VARCHAR)
+        <> CAST(COALESCE(d.chk, 0) AS VARCHAR)
+""",
+)
+def range_sync_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-ENTROPY RANGE SYNC PLANNER (the Merkle-repair shape of
+    Dynamo/Cassandra, one level deep): fingerprint a table and its
+    replica per 4096-key range (``range_fingerprints`` — the certified
+    canonical-row 48-bit checksum, subdivided), compare ONLY the
+    |buckets|-sized summaries, and emit exactly the ranges that need
+    repair. The replica is the source with deterministic damage
+    injected in-query — rows lost (key % 997 == 0) and bit-rot
+    (o_custkey bumped where key % 1013 == 0) — so both engines agree on
+    the ground truth and the oracle certifies every surviving range
+    row: count mismatches catch the losses, checksum-only mismatches
+    catch the silent corruption. 100 TB shape: two map-side-combinable
+    aggregates whose exchanges carry |buckets| rows, one |buckets|-row
+    full-outer join; row-level work happens only in a later
+    ``table_diff`` pass over the emitted ranges."""
+    from stadvdb_olap_spark.operators.reconcile import range_fingerprints
+
+    proj = load_table(spark, sf_dir, "orders").select(
+        *[n for n, _ in _SYNC_COLS]
+    )
+    replica = proj.where(
+        F.col("o_orderkey") % _SYNC_LOST != 0
+    ).withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % _SYNC_CORRUPT == 0,
+            F.col("o_custkey") + 1,
+        ).otherwise(F.col("o_custkey")),
+    ).select(*[n for n, _ in _SYNC_COLS])
+    src = range_fingerprints(proj, "o_orderkey", _SYNC_WIDTH)
+    dst = range_fingerprints(replica, "o_orderkey", _SYNC_WIDTH).drop(
+        "lo_key", "hi_key"
+    )
+    j = (
+        src.alias("s")
+        .join(dst.alias("d"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.col("s.lo_key").alias("lo_key"),
+            F.col("s.hi_key").alias("hi_key"),
+            F.coalesce(F.col("s.n_rows"), F.lit(0)).alias("n_rows_src"),
+            F.coalesce(F.col("d.n_rows"), F.lit(0)).alias("n_rows_dst"),
+            F.coalesce(F.col("s.checksum"), F.lit("0")).alias("checksum_src"),
+            F.coalesce(F.col("d.checksum"), F.lit("0")).alias("checksum_dst"),
+        )
+    )
+    return j.where(
+        (F.col("n_rows_src") != F.col("n_rows_dst"))
+        | (F.col("checksum_src") != F.col("checksum_dst"))
+    )

@@ -1986,3 +1986,30 @@ def test_audio_energy_fingerprint_bits_and_pairing(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_range_fingerprints_localize_damage(spark):
+    """Equal copies produce identical range summaries regardless of
+    partitioning; corrupting ONE row flips exactly that key's bucket
+    checksum (and nothing else); dropping a row flips only that
+    bucket's count."""
+    from stadvdb_olap_spark.operators.reconcile import range_fingerprints
+
+    rows = [(i, f"v{i}") for i in range(1, 501)]
+    a = spark.createDataFrame(rows, "k long, v string").repartition(13)
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string")
+    fp = lambda df: {
+        r["bucket"]: (r["n_rows"], r["lo_key"], r["hi_key"], r["checksum"])
+        for r in range_fingerprints(df, "k", 100).collect()
+    }
+    assert fp(a) == fp(b) and len(fp(a)) == 6  # buckets 0..5
+    corrupted = spark.createDataFrame(
+        [(k, "XX" if k == 250 else v) for k, v in rows], "k long, v string"
+    )
+    diff = {bk for bk in fp(a) if fp(a)[bk] != fp(corrupted)[bk]}
+    assert diff == {2}  # 250 DIV 100
+    dropped = spark.createDataFrame(
+        [(k, v) for k, v in rows if k != 499], "k long, v string"
+    )
+    fa, fd = fp(a), fp(dropped)
+    assert {bk for bk in fa if fa[bk][0] != fd[bk][0]} == {4}

@@ -927,3 +927,63 @@ def audio_energy_fingerprint(
     return df.select(
         F.col(id_col).alias("doc_id"), content_col
     ).mapInPandas(_fp_batch, out_schema)
+
+
+def _bands_long(hashes: DataFrame, id_alias: str) -> DataFrame:
+    """(id, k, v) long form of the 4-band fingerprint contract."""
+    return (
+        hashes.where(F.col("b0").isNotNull())
+        .select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                    for k in range(4)
+                ])
+            ).alias("band"),
+        )
+        .select(id_alias, "band.k", "band.v")
+    )
+
+
+def near_dup_matches_ahash(
+    delta: DataFrame, corpus: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Delta-vs-corpus fingerprint matches: (delta_id, corpus_id,
+    hamming) for every incoming fingerprint within ``max_hamming`` of a
+    standing-corpus fingerprint, both in the ``ahash_bands`` 4-band
+    contract (so it serves image aHash and audio energy fingerprints
+    alike). The incremental twin of ``near_dup_pairs_ahash``, shaped
+    like ``incremental_lsh_matches``: the (small) delta band table is a
+    size-gated broadcast probe against the corpus bands — the corpus is
+    probed in place, never reshuffled, so per-ingest cost tracks the
+    batch size plus band collisions."""
+    from stadvdb_olap_spark.operators.joins import broadcast_if_small
+
+    dbands = _bands_long(delta, "delta_id")
+    cbands = _bands_long(corpus, "corpus_id")
+    cand = (
+        cbands.join(
+            broadcast_if_small(dbands),
+            on=["k", "v"],
+        )
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    d = delta.where(F.col("b0").isNotNull()).select(
+        F.col("doc_id").alias("delta_id"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    c = corpus.where(F.col("b0").isNotNull()).select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"b{k}").alias(f"b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{k} ^ b{k}")) for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(d, "delta_id")
+        .join(c, "corpus_id")
+        .select("delta_id", "corpus_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -106,3 +106,50 @@ def enrich_stream(
         return events.join(broadcast_if_small(dim), on=on, how="left")
     cond = events[stream_key] == dim[dim_key]
     return events.join(broadcast_if_small(dim), cond, "left")
+
+
+def media_dedup_stream(
+    media_stream: DataFrame,
+    corpus_hashes: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    available_now: bool = True,
+):
+    """Continuous-ingestion IMAGE near-dup: every micro-batch of binary
+    media fingerprints on the executors (``ahash_bands`` — Arrow-batched,
+    zero shuffle) and band-matches against the STANDING corpus
+    fingerprint table via ``near_dup_matches_ahash`` (delta bands
+    broadcast, corpus probed in place). Matches append per micro-batch
+    to ``out_path`` under ``batch_id=N`` overwrite directories — the
+    same idempotent-replay sink discipline as ``corpus_dedup_stream``,
+    so a crash-replay rewrites rather than duplicates.
+
+    The corpus side holds FINGERPRINTS (4 ints per image), not
+    payloads: at 100 TB of media the standing state is ~32 bytes/item —
+    the whole point of hashing before the match. The same wrapper
+    serves audio (``audio_energy_fingerprint`` shares the band
+    contract) by swapping the fingerprint step."""
+    from stadvdb_olap_spark.operators.multimodal import (
+        ahash_bands,
+        near_dup_matches_ahash,
+    )
+
+    def match_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = ahash_bands(batch, content_col, id_col)
+        (
+            near_dup_matches_ahash(delta, corpus_hashes, max_hamming)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    writer = (
+        media_stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1043,3 +1043,68 @@ def test_compaction_plan_stream_equals_batch_planner(spark, tmp_path):
         map(tuple, REGISTRY["compaction_plan_orders"].fn(spark, SF_DIR).collect())
     )
     assert got == want
+
+
+def test_media_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming image near-dup must converge to the batch
+    delta-vs-corpus matches regardless of micro-batch splits (per-image
+    matches are independent, so the union over batches is the
+    whole-delta result). Corpus state is fingerprints only."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        ahash_bands,
+        near_dup_matches_ahash,
+    )
+    from stadvdb_olap_spark.plans.multimodal_queries import (
+        _text_to_ppm_pair_batch,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.dedup import media_dedup_stream
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    media = docs.mapInPandas(
+        _text_to_ppm_pair_batch, "doc_id long, content binary"
+    )
+    # originals form the standing corpus; perturbed twins arrive as the
+    # stream — every twin should match its original at small Hamming
+    corpus = media.where(F.col("doc_id") % 2 == 0)
+    delta = media.where(F.col("doc_id") % 2 == 1)
+    corpus_hashes = ahash_bands(corpus)
+
+    src = str(tmp_path / "incoming")
+    delta.where(F.col("doc_id") % 4 == 1).write.parquet(src)
+    delta.where(F.col("doc_id") % 4 == 3).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "matches")
+    stream = (
+        spark.readStream.schema("doc_id long, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = media_dedup_stream(
+        stream, corpus_hashes, out, str(tmp_path / "ckpt"), max_hamming=6
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["delta_id"], r["corpus_id"], r["hamming"])
+        for r in spark.read.parquet(out)
+        .select("delta_id", "corpus_id", "hamming")
+        .collect()
+    }
+    want = {
+        (r["delta_id"], r["corpus_id"], r["hamming"])
+        for r in near_dup_matches_ahash(
+            ahash_bands(delta), corpus_hashes, max_hamming=6
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # the perturbed twin of every corpus image is in the delta: its
+    # match (2d+1 -> 2d) must be present whenever a band survived
+    twins = {(a, b) for a, b, _ in got if a == b + 1}
+    assert len(twins) >= len(got) // 2

@@ -294,3 +294,41 @@ def compaction_groups(files: DataFrame, target: int = COMPACT_TARGET) -> DataFra
         F.min("d").alias("first_date"),
         F.max("d").alias("last_date"),
     )
+
+
+def hilbert_key_pinned(
+    x: Column, y: Column, order_bits: int = 4
+) -> Column:
+    """Hilbert-curve index of a 2D bucket pair — the locality-better
+    alternative to the Morton interleave (``zorder_key_pinned``) for
+    layout clustering: the Hilbert curve never takes the long diagonal
+    jumps Morton takes at quadrant seams, so per-file min/max zones are
+    tighter boxes and box predicates skip more files (the audit
+    ``hilbert_vs_zorder_prune_orders`` quantifies it; lakehouse
+    clustering services made the same move for the same reason).
+
+    The classic xy2d walk (quadrant accumulate + rotate/reflect),
+    UNROLLED over the ``order_bits`` levels into pure integer/CASE
+    column expressions — whole-stage codegen'd, no UDF, and mechanically
+    replayable in SQL (the oracle generates the same unrolled steps).
+    The quadrant term ``(3*rx) XOR ry`` is lowered to the arithmetic
+    identity ``3*rx + ry - 2*rx*ry`` so no engine needs a bitwise XOR.
+    Inputs must already be bucket ids in ``[0, 2^order_bits)``; the
+    validity of the unrolled walk (bijective, unit-step adjacent — the
+    Hilbert property) is pinned by ``test_hilbert_key_is_a_hilbert_curve``."""
+    n = 1 << order_bits
+    d = F.lit(0).cast("long")
+    cx, cy = x.cast("long"), y.cast("long")
+    s = n // 2
+    while s > 0:
+        rx = F.floor(cx / s) % 2
+        ry = F.floor(cy / s) % 2
+        d = d + F.lit(s * s) * (3 * rx + ry - 2 * rx * ry)
+        # rotate: when ry==0 → (reflect about n-1 when rx==1, then swap)
+        refl_x = F.when(rx == 1, F.lit(n - 1) - cx).otherwise(cx)
+        refl_y = F.when(rx == 1, F.lit(n - 1) - cy).otherwise(cy)
+        nx = F.when(ry == 0, refl_y).otherwise(cx)
+        ny = F.when(ry == 0, refl_x).otherwise(cy)
+        cx, cy = nx, ny
+        s //= 2
+    return d

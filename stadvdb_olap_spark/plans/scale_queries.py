@@ -1548,3 +1548,197 @@ def bloom_skip_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fp.cast("double") / (n - pres))
         .alias("fp_rate"),
     )
+
+
+_HVZ_FILE_ROWS = 256
+_HVZ_GRID_BITS = 4  # 16x16 bucket grid
+_HVZ_BOX = (5, 9, 6, 10)  # pinned box predicate: bx in [5,9], by in [6,10]
+
+
+def _hvz_oracle() -> str:
+    """DuckDB twin of hilbert_vs_zorder_prune_orders: the Hilbert walk
+    unrolled into sequential CTE steps (identical formulas to
+    ``maintenance.hilbert_key_pinned``), the Morton interleave as plain
+    div/mod bit math, one row_number per layout, then the zone/skip
+    aggregate."""
+    n = 1 << _HVZ_GRID_BITS
+    steps, prev, i, s = [], "h0", 0, n // 2
+    while s > 0:
+        steps.append(f"""h{i + 1} AS (
+  SELECT o_orderkey, bx, by,
+         d{i} + {s * s} * (3 * rx + ry - 2 * rx * ry) AS d{i + 1},
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - y{i} ELSE y{i} END)
+              ELSE x{i} END AS x{i + 1},
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - x{i} ELSE x{i} END)
+              ELSE y{i} END AS y{i + 1}
+  FROM (SELECT *, (x{i} // {s}) % 2 AS rx, (y{i} // {s}) % 2 AS ry FROM {prev})
+)""")
+        prev = f"h{i + 1}"
+        i += 1
+        s //= 2
+    morton = " + ".join(
+        f"((bx // {2 ** j}) % 2) * {2 ** (2 * j)}"
+        f" + ((by // {2 ** j}) % 2) * {2 ** (2 * j + 1)}"
+        for j in range(_HVZ_GRID_BITS)
+    )
+    bxlo, bxhi, bylo, byhi = _HVZ_BOX
+    skip = (
+        f"xhi < {bxlo} OR xlo > {bxhi} OR yhi < {bylo} OR ylo > {byhi}"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+         MIN(CAST(o_orderdate AS DATE)) AS dlo,
+         MAX(CAST(o_orderdate AS DATE)) AS dhi
+  FROM orders
+),
+h0 AS (
+  SELECT o_orderkey,
+         CAST((o_custkey - clo) * {n} // (chi - clo + 1) AS BIGINT) AS bx,
+         CAST((CAST(o_orderdate AS DATE) - dlo) * {n}
+              // (dhi - dlo + 1) AS BIGINT) AS by,
+         0 AS d0,
+         CAST((o_custkey - clo) * {n} // (chi - clo + 1) AS BIGINT) AS x0,
+         CAST((CAST(o_orderdate AS DATE) - dlo) * {n}
+              // (dhi - dlo + 1) AS BIGINT) AS y0
+  FROM orders, bounds
+),
+{','.join(steps)},
+lay AS (
+  SELECT 'hilbert' AS layout, CAST(d{i} AS BIGINT) AS cv, o_orderkey, bx, by
+  FROM h{i}
+  UNION ALL
+  SELECT 'morton', CAST({morton} AS BIGINT), o_orderkey, bx, by FROM h0
+  UNION ALL
+  SELECT 'linear_cust', bx, o_orderkey, bx, by FROM h0
+),
+filed AS (
+  SELECT layout, bx, by,
+         (row_number() OVER (PARTITION BY layout ORDER BY cv, o_orderkey)
+           - 1) // {_HVZ_FILE_ROWS} AS file_id
+  FROM lay
+),
+zones AS (
+  SELECT layout, file_id,
+         MIN(bx) AS xlo, MAX(bx) AS xhi, MIN(by) AS ylo, MAX(by) AS yhi,
+         COUNT(*) AS n_rows
+  FROM filed GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN {skip} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_skipped,
+       CAST(SUM(CASE WHEN {skip} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS skip_frac,
+       CAST(SUM(CASE WHEN {skip} THEN 0 ELSE n_rows END) AS BIGINT)
+         AS rows_read
+FROM zones GROUP BY layout
+"""
+
+
+@query("hilbert_vs_zorder_prune_orders", oracle=_hvz_oracle())
+def hilbert_vs_zorder_prune_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HILBERT vs MORTON vs LINEAR clustering, judged by what actually
+    matters at 100 TB — how many simulated files a 2D box predicate
+    (customer band x date window) can SKIP on min/max zones. Rows are
+    laid on each curve (``maintenance.hilbert_key_pinned`` — the
+    unrolled xy2d walk, validated bijective and unit-step adjacent —
+    vs the Morton interleave vs 1D customer order), chunked into
+    256-row files by the deterministic bucketed global rank
+    (operators/rank.py — never an unpartitioned window), zones are
+    per-file min/max of both bucket axes. Hilbert's no-diagonal-jumps
+    property shows up as tighter zones and a higher skip fraction than
+    Morton; both 2D curves dominate the 1D layout, which can only
+    prune one axis — the quantified case for curve-clustered layout
+    maintenance (companion to ``zonemap_prune_layouts_orders`` and
+    ``zorder_key_orders``). Equi-width bucket ids derive from a 1-row
+    bounds broadcast, all integer arithmetic; the oracle replays the
+    identical unrolled walk in SQL."""
+    from stadvdb_olap_spark.operators.maintenance import (
+        _interleave_bits,
+        hilbert_key_pinned,
+    )
+    from stadvdb_olap_spark.operators.rank import global_row_number
+
+    n = 1 << _HVZ_GRID_BITS
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("clo"),
+        F.max("o_custkey").alias("chi"),
+        F.min(F.col("o_orderdate").cast("date")).alias("dlo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dhi"),
+    )
+    b = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.expr(
+            f"CAST((o_custkey - clo) * {n} DIV (chi - clo + 1) AS BIGINT)"
+        ).alias("bx"),
+        F.expr(
+            f"CAST(datediff(CAST(o_orderdate AS DATE), dlo) * {n}"
+            " DIV (datediff(dhi, dlo) + 1) AS BIGINT)"
+        ).alias("by"),
+    )
+
+    def layout_zones(cv, name: str) -> DataFrame:
+        lay = b.select(
+            "o_orderkey", "bx", "by", cv.cast("long").alias("cv")
+        )
+        ranked = global_row_number(
+            lay, ["cv", "o_orderkey"], bucket=F.col("cv"), out="gr"
+        )
+        return (
+            ranked.select(
+                "bx",
+                "by",
+                F.expr(
+                    f"CAST((gr - 1) DIV {_HVZ_FILE_ROWS} AS BIGINT)"
+                ).alias("file_id"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("bx").alias("xlo"),
+                F.max("bx").alias("xhi"),
+                F.min("by").alias("ylo"),
+                F.max("by").alias("yhi"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .select(F.lit(name).alias("layout"), "*")
+        )
+
+    zones = (
+        layout_zones(
+            hilbert_key_pinned(F.col("bx"), F.col("by"), _HVZ_GRID_BITS),
+            "hilbert",
+        )
+        .unionAll(
+            layout_zones(
+                _interleave_bits(
+                    [F.col("bx"), F.col("by")], _HVZ_GRID_BITS
+                ),
+                "morton",
+            )
+        )
+        .unionAll(layout_zones(F.col("bx"), "linear_cust"))
+    )
+    bxlo, bxhi, bylo, byhi = _HVZ_BOX
+    skip = (
+        (F.col("xhi") < bxlo)
+        | (F.col("xlo") > bxhi)
+        | (F.col("yhi") < bylo)
+        | (F.col("ylo") > byhi)
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(skip, 1).otherwise(0)).cast("long").alias(
+            "n_files_skipped"
+        ),
+        (
+            F.sum(F.when(skip, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("skip_frac"),
+        F.sum(F.when(skip, 0).otherwise(F.col("n_rows")))
+        .cast("long")
+        .alias("rows_read"),
+    )

@@ -2013,3 +2013,42 @@ def test_range_fingerprints_localize_damage(spark):
     )
     fa, fd = fp(a), fp(dropped)
     assert {bk for bk in fa if fa[bk][0] != fd[bk][0]} == {4}
+
+
+def test_hilbert_key_is_a_hilbert_curve(spark):
+    """The unrolled hilbert_key_pinned walk really is a Hilbert curve:
+    bijective onto 0..255 over the 16x16 grid, consecutive indices are
+    unit-step adjacent (the locality property Morton lacks), and every
+    value matches the classic xy2d reference."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.maintenance import hilbert_key_pinned
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_key_pinned(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(16, x, y) for x, y in cells}
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(256))
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )

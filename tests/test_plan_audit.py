@@ -147,6 +147,7 @@ _BNLJ_OK = {
     "triangle_census_copurchase_parts",  # three 1-row count aggregates crossed
     "bloom_skip_audit_orders",  # filter-bounded probe-key broadcast (measured)
     "gdpr_erasure_blast_radius_star",  # paired 1-row count aggregates crossed
+    "hilbert_vs_zorder_prune_orders",  # 1-row grid-bounds broadcast cross
 }
 
 

@@ -116,3 +116,87 @@ def scd2_history(
         F.row_number().over(w2).alias("version"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+def scd2_validity_audit(
+    hist: DataFrame,
+    keys: Iterable[str],
+) -> DataFrame:
+    """Validity-interval audit over an SCD2 history — the DQ checks a
+    warehouse runs on its versioned dimensions before trusting
+    point-in-time joins:
+
+    - ``overlap``: a version's ``effective_to`` is AFTER the next
+      version's ``effective_from`` (two versions claim the same
+      instant; a PIT join would double-match),
+    - ``gap``: ``effective_to`` is BEFORE the next ``effective_from``
+      (instants with no effective version; a PIT join silently drops),
+    - ``bad_current_count``: a key whose ``is_current`` row count is
+      not exactly 1,
+    - ``version_holes``: version numbers not dense 1..n.
+
+    Output: one row per rule with the violating-key and violation
+    counts. A history built by :func:`scd2_history` passes all four by
+    construction (tested); the audit exists for histories that arrived
+    from OUTSIDE — restored backups, vendor feeds, hand-patched
+    tables. One shuffle on the keys (window + aggregate share it)."""
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy("version")
+    flagged = hist.select(
+        *keys,
+        "version",
+        "effective_to",
+        "is_current",
+        F.lead("effective_from").over(w).alias("__nxt_from"),
+    )
+    per_key = flagged.groupBy(*keys).agg(
+        F.sum(
+            F.when(
+                F.col("__nxt_from").isNotNull()
+                & (F.col("effective_to") > F.col("__nxt_from")),
+                1,
+            ).otherwise(0)
+        ).alias("n_overlap"),
+        F.sum(
+            F.when(
+                F.col("__nxt_from").isNotNull()
+                & (F.col("effective_to") < F.col("__nxt_from")),
+                1,
+            ).otherwise(0)
+        ).alias("n_gap"),
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("version").alias("v_min"),
+        F.max("version").alias("v_max"),
+    )
+    summary = per_key.agg(
+        F.sum("n_overlap").cast("long").alias("overlap_v"),
+        F.sum((F.col("n_overlap") > 0).cast("long"))
+        .cast("long")
+        .alias("overlap_k"),
+        F.sum("n_gap").cast("long").alias("gap_v"),
+        F.sum((F.col("n_gap") > 0).cast("long")).cast("long").alias("gap_k"),
+        F.sum((F.col("n_current") != 1).cast("long"))
+        .cast("long")
+        .alias("cur_k"),
+        F.sum(
+            (
+                (F.col("v_min") != 1)
+                | (F.col("v_max") != F.col("n_rows"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("holes_k"),
+    )
+    return summary.select(
+        F.expr(
+            "stack(4,"
+            " 'overlap', overlap_k, overlap_v,"
+            " 'gap', gap_k, gap_v,"
+            " 'bad_current_count', cur_k, cur_k,"
+            " 'version_holes', holes_k, holes_k)"
+            " AS (rule, n_violating_keys, n_violations)"
+        )
+    )

@@ -829,3 +829,122 @@ def gdpr_erasure_blast_radius_star(
         .unionByName(audit("orders", orders, aff_orders))
         .unionByName(audit("lineitem", lineitem, aff_li))
     )
+
+
+_SCD2_DROP = 97  # damage: drop rows where (cust_id + version) % 97 == 0
+_SCD2_BUMP = 89  # damage: effective_to + 3 days where % 89 == 0
+
+
+@query(
+    "scd2_validity_audit_customers",
+    oracle=f"""
+WITH ordered AS (
+    SELECT o_custkey AS cust_id, o_orderpriority AS priority,
+           o_orderdate AS eff_ts, o_orderkey,
+           row_number() OVER w AS rn,
+           lag(o_orderpriority) OVER w AS prev_p
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), points AS (
+    SELECT * FROM ordered WHERE rn = 1 OR priority IS DISTINCT FROM prev_p
+), hist AS (
+    SELECT cust_id,
+           CAST(eff_ts AS DATE) AS effective_from,
+           CAST(lead(eff_ts) OVER w2 AS DATE) AS effective_to,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           (lead(eff_ts) OVER w2 IS NULL) AS is_current
+    FROM points
+    WINDOW w2 AS (PARTITION BY cust_id ORDER BY eff_ts, o_orderkey)
+), damaged AS (
+    SELECT cust_id, effective_from,
+           CASE WHEN effective_to IS NOT NULL
+                     AND (cust_id + version) % {_SCD2_BUMP} = 0
+                THEN effective_to + 3 ELSE effective_to END AS effective_to,
+           version, is_current
+    FROM hist WHERE (cust_id + version) % {_SCD2_DROP} <> 0
+), flagged AS (
+    SELECT *,
+           lead(effective_from)
+             OVER (PARTITION BY cust_id ORDER BY version) AS nxt_from
+    FROM damaged
+), per_key AS (
+    SELECT cust_id,
+           SUM(CASE WHEN nxt_from IS NOT NULL AND effective_to > nxt_from
+                    THEN 1 ELSE 0 END) AS n_overlap,
+           SUM(CASE WHEN nxt_from IS NOT NULL AND effective_to < nxt_from
+                    THEN 1 ELSE 0 END) AS n_gap,
+           SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current,
+           COUNT(*) AS n_rows,
+           MIN(version) AS v_min, MAX(version) AS v_max
+    FROM flagged GROUP BY cust_id
+), s AS (
+    SELECT CAST(SUM(n_overlap) AS BIGINT) AS overlap_v,
+           CAST(SUM(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS overlap_k,
+           CAST(SUM(n_gap) AS BIGINT) AS gap_v,
+           CAST(SUM(CASE WHEN n_gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS gap_k,
+           CAST(SUM(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cur_k,
+           CAST(SUM(CASE WHEN v_min <> 1 OR v_max <> n_rows
+                    THEN 1 ELSE 0 END) AS BIGINT) AS holes_k
+    FROM per_key
+)
+SELECT 'overlap' AS rule, overlap_k AS n_violating_keys,
+       overlap_v AS n_violations FROM s
+UNION ALL SELECT 'gap', gap_k, gap_v FROM s
+UNION ALL SELECT 'bad_current_count', cur_k, cur_k FROM s
+UNION ALL SELECT 'version_holes', holes_k, holes_k FROM s
+""",
+)
+def scd2_validity_audit_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 VALIDITY-INTERVAL AUDIT (``dimension.scd2_validity_audit``)
+    exercised against a deterministically DAMAGED history, so every
+    rule demonstrably fires and both engines agree on the ground truth
+    (the range-sync damage-injection convention): the certified
+    customer-priority SCD2 history loses rows where
+    (key + version) % 97 == 0 — version holes, gaps, and keys with no
+    current row — and has effective_to bumped +3 days where % 89 == 0 —
+    overlapping validity. The four audited invariants (no overlap, no
+    gap, exactly one current, dense versions) are exactly what a
+    point-in-time join (`pit_join_events_priority`) assumes; a clean
+    ``scd2_history`` output passes all four by construction (unit
+    test). One key-partitioned shuffle shared by the history build,
+    the damage projection, and the audit window/aggregate."""
+    from stadvdb_olap_spark.operators.dimension import (
+        scd2_history,
+        scd2_validity_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        orders,
+        keys=["cust_id"],
+        attrs=["priority"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    ).select(
+        "cust_id",
+        F.to_date("effective_from").alias("effective_from"),
+        F.to_date("effective_to").alias("effective_to"),
+        "version",
+        "is_current",
+    )
+    damaged = hist.where(
+        (F.col("cust_id") + F.col("version")) % _SCD2_DROP != 0
+    ).withColumn(
+        "effective_to",
+        F.when(
+            F.col("effective_to").isNotNull()
+            & ((F.col("cust_id") + F.col("version")) % _SCD2_BUMP == 0),
+            F.date_add("effective_to", 3),
+        ).otherwise(F.col("effective_to")),
+    )
+    return scd2_validity_audit(damaged, ["cust_id"])

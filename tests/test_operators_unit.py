@@ -2052,3 +2052,70 @@ def test_hilbert_key_is_a_hilbert_curve(spark):
         abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
         for d in range(255)
     )
+
+
+def test_scd2_validity_audit_rules(spark):
+    """A clean scd2_history passes all four validity rules; each damage
+    type fires exactly its own rule."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.dimension import (
+        scd2_history,
+        scd2_validity_audit,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, "A", dt.datetime(2024, 1, 1), 1),
+            (1, "B", dt.datetime(2024, 2, 1), 2),
+            (1, "C", dt.datetime(2024, 3, 1), 3),
+            (2, "A", dt.datetime(2024, 1, 5), 4),
+            (2, "B", dt.datetime(2024, 1, 9), 5),
+        ],
+        "k long, attr string, ts timestamp, seq long",
+    )
+    hist = scd2_history(
+        changes, keys=["k"], attrs=["attr"], ts_col="ts", tiebreak=["seq"]
+    ).select(
+        "k",
+        F.to_date("effective_from").alias("effective_from"),
+        F.to_date("effective_to").alias("effective_to"),
+        "version",
+        "is_current",
+    )
+    clean = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+             for r in scd2_validity_audit(hist, ["k"]).collect()}
+    assert clean == {
+        "overlap": (0, 0), "gap": (0, 0),
+        "bad_current_count": (0, 0), "version_holes": (0, 0),
+    }
+
+    # drop key 1's middle version: gap + version hole, current intact
+    holey = hist.where(~((F.col("k") == 1) & (F.col("version") == 2)))
+    got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+           for r in scd2_validity_audit(holey, ["k"]).collect()}
+    assert got["gap"] == (1, 1) and got["version_holes"] == (1, 1)
+    assert got["overlap"] == (0, 0) and got["bad_current_count"] == (0, 0)
+
+    # bump key 2 v1's effective_to: overlap only
+    bumped = hist.withColumn(
+        "effective_to",
+        F.when(
+            (F.col("k") == 2) & (F.col("version") == 1),
+            F.date_add("effective_to", 2),
+        ).otherwise(F.col("effective_to")),
+    )
+    got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+           for r in scd2_validity_audit(bumped, ["k"]).collect()}
+    assert got["overlap"] == (1, 1) and got["gap"] == (0, 0)
+
+    # drop key 1's current row: bad_current_count fires; versions stay
+    # dense (1..2), so the hole rule correctly does NOT — a truncated
+    # tail is a currency defect, not a numbering defect
+    nocur = hist.where(~((F.col("k") == 1) & F.col("is_current")))
+    got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+           for r in scd2_validity_audit(nocur, ["k"]).collect()}
+    assert got["bad_current_count"] == (1, 1)
+    assert got["version_holes"] == (0, 0)

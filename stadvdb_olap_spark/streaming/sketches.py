@@ -244,3 +244,53 @@ def read_decayed_scores(
             lambda acc, x: acc + x,
         ).alias("decayed_score"),
     )
+
+
+def kmv_bottomk_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    target_path: str,
+    group_col: str,
+    hash_col: str,
+    k: int,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain per-group KMV (bottom-k hash) sketch states over a file
+    stream: each micro-batch reduces to at most k rows per group (its
+    own bottom-k) written under a batch_id partition — replay-safe like
+    the HLL/count-min streams. KMV is min-wise mergeable
+    (``test_kmv_bottomk_is_mergeable``), so re-ranking the UNION of
+    per-batch states (``read_kmv_state``) is EXACTLY the batch sketch
+    over the same files — integer state, no estimate band, the
+    bit-replayable alternative to the HLL stream."""
+    from stadvdb_olap_spark.plans.sketch_queries import bottomk_hashes
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        state = bottomk_hashes(batch, group_col, hash_col, k).drop("rn")
+        _atomic_append(state, target_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_state(
+    spark: SparkSession,
+    target_path: str,
+    group_col: str,
+    hash_col: str,
+    k: int,
+) -> DataFrame:
+    """Current per-group KMV state: re-rank the union of per-batch
+    bottom-k states — k-sized merge cost, never a rescan of inputs."""
+    from stadvdb_olap_spark.plans.sketch_queries import bottomk_hashes
+
+    return bottomk_hashes(
+        spark.read.parquet(target_path), group_col, hash_col, k
+    )

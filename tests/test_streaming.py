@@ -1108,3 +1108,45 @@ def test_media_dedup_stream_matches_batch(spark, tmp_path):
     # match (2d+1 -> 2d) must be present whenever a band survived
     twins = {(a, b) for a, b, _ in got if a == b + 1}
     assert len(twins) >= len(got) // 2
+
+
+def test_kmv_stream_state_equals_batch_sketch(spark, tmp_path):
+    """The streamed KMV state (union of per-micro-batch bottom-k,
+    re-ranked) must equal the batch sketch over the same files EXACTLY
+    — min-wise mergeability makes the streaming maintenance lossless,
+    unlike estimate-banded sketches."""
+    import hashlib
+
+    from stadvdb_olap_spark.plans.sketch_queries import bottomk_hashes
+    from stadvdb_olap_spark.streaming.sketches import (
+        kmv_bottomk_stream,
+        read_kmv_state,
+    )
+
+    def hv(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:12], 16)
+
+    rows = [("g1" if i % 3 else "g2", hv(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, hv long")
+    src = str(tmp_path / "incoming")
+    df.where("hv % 2 = 0").write.parquet(src)
+    df.where("hv % 2 = 1").write.mode("append").parquet(src)
+
+    out = str(tmp_path / "state")
+    q = kmv_bottomk_stream(
+        spark, src, "grp string, hv long", out, "grp", "hv", 32,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+
+    got = sorted(
+        (r["grp"], r["hv"], r["rn"])
+        for r in read_kmv_state(spark, out, "grp", "hv", 32).collect()
+    )
+    want = sorted(
+        (r["grp"], r["hv"], r["rn"])
+        for r in bottomk_hashes(
+            spark.read.parquet(src), "grp", "hv", 32
+        ).collect()
+    )
+    assert got == want and len(want) == 64

@@ -207,6 +207,21 @@ SHOWCASE = [
      "per-group rank sees a bounded relation; no group ever funnels "
      "through one task (the rank.py two-phase device), and the NDV "
      "ground-truth join rides a broadcast"),
+    ("range_sync_plan_orders",
+     "both copies reduce through map-side-combinable hash aggregates "
+     "to |buckets|-row summaries (4.9 KB of shuffle at sf0.1, "
+     "measured), and the full-outer compare joins ONLY summaries — "
+     "the two-table diff never moves row data"),
+    ("bpe_merge_step_docs",
+     "one fact-sized word-count exchange, then the 8-merge replace "
+     "chain and the pair explode run as narrow projections over the "
+     "vocabulary; the frontier is a vocab-sized hash aggregate "
+     "finished by TakeOrderedAndProject(10) — no global sort"),
+    ("scd2_validity_audit_customers",
+     "the history build, the damage projection, and the audit "
+     "window+aggregate all share ONE exchange on the dimension key "
+     "(the window partitioning is reused); the final 4-rule stack is "
+     "a 1-row projection"),
 ]
 
 

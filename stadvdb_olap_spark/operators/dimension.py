@@ -133,7 +133,9 @@ def scd2_validity_audit(
       (instants with no effective version; a PIT join silently drops),
     - ``bad_current_count``: a key whose ``is_current`` row count is
       not exactly 1,
-    - ``version_holes``: version numbers not dense 1..n.
+    - ``version_holes``: version numbers not dense 1..n (a duplicated
+      version compensating for a missing one still fires — the rule
+      checks min, max, AND distinctness against the row count).
 
     Output: one row per rule with the violating-key and violation
     counts. A history built by :func:`scd2_history` passes all four by
@@ -143,7 +145,9 @@ def scd2_validity_audit(
     from pyspark.sql.window import Window
 
     keys = list(keys)
-    w = Window.partitionBy(*keys).orderBy("version")
+    # effective_from tiebreak keeps lead() deterministic even on a
+    # malformed history carrying duplicate version numbers
+    w = Window.partitionBy(*keys).orderBy("version", "effective_from")
     flagged = hist.select(
         *keys,
         "version",
@@ -170,25 +174,26 @@ def scd2_validity_audit(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("version").alias("v_min"),
         F.max("version").alias("v_max"),
+        F.countDistinct("version").alias("v_distinct"),
     )
+    # coalesce: an EMPTY history is vacuously valid — it must report
+    # four zero rows, not four NULL rows a `== 0` gate can't pass
+    z = lambda c: F.coalesce(c.cast("long"), F.lit(0)).cast("long")  # noqa: E731
     summary = per_key.agg(
-        F.sum("n_overlap").cast("long").alias("overlap_v"),
-        F.sum((F.col("n_overlap") > 0).cast("long"))
-        .cast("long")
-        .alias("overlap_k"),
-        F.sum("n_gap").cast("long").alias("gap_v"),
-        F.sum((F.col("n_gap") > 0).cast("long")).cast("long").alias("gap_k"),
-        F.sum((F.col("n_current") != 1).cast("long"))
-        .cast("long")
-        .alias("cur_k"),
-        F.sum(
-            (
-                (F.col("v_min") != 1)
-                | (F.col("v_max") != F.col("n_rows"))
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("holes_k"),
+        z(F.sum("n_overlap")).alias("overlap_v"),
+        z(F.sum((F.col("n_overlap") > 0).cast("long"))).alias("overlap_k"),
+        z(F.sum("n_gap")).alias("gap_v"),
+        z(F.sum((F.col("n_gap") > 0).cast("long"))).alias("gap_k"),
+        z(F.sum((F.col("n_current") != 1).cast("long"))).alias("cur_k"),
+        z(
+            F.sum(
+                (
+                    (F.col("v_min") != 1)
+                    | (F.col("v_max") != F.col("n_rows"))
+                    | (F.col("v_distinct") != F.col("n_rows"))
+                ).cast("long")
+            )
+        ).alias("holes_k"),
     )
     return summary.select(
         F.expr(

@@ -316,6 +316,19 @@ def hilbert_key_pinned(
     Inputs must already be bucket ids in ``[0, 2^order_bits)``; the
     validity of the unrolled walk (bijective, unit-step adjacent — the
     Hilbert property) is pinned by ``test_hilbert_key_is_a_hilbert_curve``."""
+    if order_bits > 8:
+        # Each unrolled level re-substitutes the running (x, y)
+        # expressions into every branch (~5x tree growth per level);
+        # past 8 levels the expression tree stalls Catalyst/codegen at
+        # plan time. A finer grid needs the walk materialized as
+        # per-level intermediate COLUMNS (one withColumn per step, the
+        # shape the SQL oracle's sequential CTEs use) — fail loudly
+        # rather than hang the planner.
+        raise ValueError(
+            f"order_bits={order_bits} would unroll a ~5^{order_bits}-node"
+            " column expression; materialize per-level columns instead"
+            " (<= 8 supported as a pure expression)"
+        )
     n = 1 << order_bits
     d = F.lit(0).cast("long")
     cx, cy = x.cast("long"), y.cast("long")

@@ -764,7 +764,8 @@ def ahash_bands(
                 errs.append(None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    # the driving select aliases id_col to doc_id below
+                    "doc_id": pdf["doc_id"],
                     "b0": pd.array(bands_out[0], dtype="Int64"),
                     "b1": pd.array(bands_out[1], dtype="Int64"),
                     "b2": pd.array(bands_out[2], dtype="Int64"),
@@ -793,15 +794,7 @@ def near_dup_pairs_ahash(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     (null bands) are excluded. Output: (id_a, id_b, hamming), id_a <
     id_b, hamming <= max_hamming."""
     clean = hashes.where(F.col("b0").isNotNull())
-    bands = clean.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
-                for k in range(4)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.k", "band.v")
+    bands = _bands_long(hashes, "doc_id")
     cand = (
         bands.alias("x")
         .join(
@@ -915,7 +908,8 @@ def audio_energy_fingerprint(
                     errs.append(str(exc))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    # the driving select aliases id_col to doc_id below
+                    "doc_id": pdf["doc_id"],
                     "b0": pd.array(bands_out[0], dtype="Int64"),
                     "b1": pd.array(bands_out[1], dtype="Int64"),
                     "b2": pd.array(bands_out[2], dtype="Int64"),

@@ -46,9 +46,17 @@ def grid_radius_join(
     if radius < 1:
         raise ValueError(f"radius must be a positive integer, got {radius}")
 
-    def cell(c: Column) -> Column:
-        # floor-division grid id; F.floor keeps negatives correct
-        return F.floor(c / F.lit(radius)).cast("long")
+    def cell(name: str) -> Column:
+        # exact BIGINT floor division: DIV truncates toward zero, so a
+        # negative remainder shifts down one cell. A double-division
+        # floor would lose ULPs for |coord| > 2^53 and misbucket —
+        # this keeps the integer-exact guarantee over the full BIGINT
+        # domain.
+        return F.expr(
+            f"CAST(({name} DIV {radius})"
+            f" - (CASE WHEN {name} % {radius} < 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        )
 
     base = points.select(
         F.col(id_col).alias("pid"),
@@ -59,8 +67,8 @@ def grid_radius_join(
         F.col("pid").alias("id_b"),
         F.col("px").alias("xb"),
         F.col("py").alias("yb"),
-        cell(F.col("px")).alias("cx"),
-        cell(F.col("py")).alias("cy"),
+        cell("px").alias("cx"),
+        cell("py").alias("cy"),
     )
     probe = (
         base.select(
@@ -73,7 +81,7 @@ def grid_radius_join(
             "id_a",
             "xa",
             "ya",
-            (cell(F.col("xa")) + F.col("dx")).alias("cx"),
+            (cell("xa") + F.col("dx")).alias("cx"),
             F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
         )
         .select(
@@ -81,7 +89,7 @@ def grid_radius_join(
             "xa",
             "ya",
             "cx",
-            (cell(F.col("ya")) + F.col("dy")).alias("cy"),
+            (cell("ya") + F.col("dy")).alias("cy"),
         )
     )
     dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (

@@ -865,7 +865,8 @@ WITH ordered AS (
 ), flagged AS (
     SELECT *,
            lead(effective_from)
-             OVER (PARTITION BY cust_id ORDER BY version) AS nxt_from
+             OVER (PARTITION BY cust_id
+                   ORDER BY version, effective_from) AS nxt_from
     FROM damaged
 ), per_key AS (
     SELECT cust_id,
@@ -875,7 +876,8 @@ WITH ordered AS (
                     THEN 1 ELSE 0 END) AS n_gap,
            SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current,
            COUNT(*) AS n_rows,
-           MIN(version) AS v_min, MAX(version) AS v_max
+           MIN(version) AS v_min, MAX(version) AS v_max,
+           COUNT(DISTINCT version) AS v_distinct
     FROM flagged GROUP BY cust_id
 ), s AS (
     SELECT CAST(SUM(n_overlap) AS BIGINT) AS overlap_v,
@@ -887,6 +889,7 @@ WITH ordered AS (
            CAST(SUM(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS cur_k,
            CAST(SUM(CASE WHEN v_min <> 1 OR v_max <> n_rows
+                           OR v_distinct <> n_rows
                     THEN 1 ELSE 0 END) AS BIGINT) AS holes_k
     FROM per_key
 )

@@ -1865,9 +1865,10 @@ def test_ahash_bands_exact_and_resample(spark):
             (3, bytearray(encode_ppm(flat))),
             (4, bytearray(b"nonsense")),
         ],
-        "doc_id long, content binary",
+        "image_id long, content binary",
     )
-    rows = {r["doc_id"]: r for r in ahash_bands(df).collect()}
+    # non-default id_col: the output still publishes as doc_id
+    rows = {r["doc_id"]: r for r in ahash_bands(df, id_col="image_id").collect()}
     assert (rows[1]["b0"], rows[1]["b1"], rows[1]["b2"], rows[1]["b3"]) == (
         0, 0, 65535, 65535,
     )
@@ -2119,3 +2120,23 @@ def test_scd2_validity_audit_rules(spark):
            for r in scd2_validity_audit(nocur, ["k"]).collect()}
     assert got["bad_current_count"] == (1, 1)
     assert got["version_holes"] == (0, 0)
+
+    # duplicate version compensating a hole (1,2,2 instead of 1,2,3):
+    # min/max/count alone would miss it; the distinctness term fires
+    dup = hist.withColumn(
+        "version",
+        F.when((F.col("k") == 1) & (F.col("version") == 3), 2)
+        .otherwise(F.col("version")),
+    )
+    got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+           for r in scd2_validity_audit(dup, ["k"]).collect()}
+    assert got["version_holes"] == (1, 1)
+
+    # empty history is vacuously valid: four ZERO rows, never NULLs
+    empty = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+             for r in scd2_validity_audit(
+                 hist.where(F.lit(False)), ["k"]).collect()}
+    assert empty == {
+        "overlap": (0, 0), "gap": (0, 0),
+        "bad_current_count": (0, 0), "version_holes": (0, 0),
+    }

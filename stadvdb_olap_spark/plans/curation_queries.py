@@ -458,20 +458,92 @@ def intra_doc_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merges_docs", oracle=None, defer=True)
+_BPE_TRAIN_N = 16
+_BPE_TRAIN_MIN_CNT = 2
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_TRAIN_N) -> str:
+    """DuckDB replay of the ENTIRE Sennrich merge loop: the pair-count
+    frontier device (``_merge_step_oracle``) unrolled over every rank,
+    with each stage's merge taken from the PREVIOUS stage's argmax as
+    scalar subqueries — the data-dependent training trajectory itself,
+    not a pinned approximation. Every vocabulary state is MATERIALIZED
+    (each is read by its frontier AND its successor; without it the
+    CTE chain re-evaluates exponentially). The early-stop is the same
+    running conjunction bpe_train implements: rank k publishes only if
+    every rank <= k cleared min_pair_count (pair counts are NOT
+    monotone across merges, so the validity must chain rather than
+    filter)."""
+
+    def pairs(state: str, k: int) -> str:
+        return f"""
+p{k} AS (
+  SELECT trim(arr[i], chr(31)) AS l, trim(arr[i+1], chr(31)) AS r,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, string_split(s, ' ') AS arr FROM {state}),
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+
+    ctes = [
+        f"""
+s0 AS MATERIALIZED (
+  SELECT n, array_to_string(list_transform(string_split(word, ''),
+           c -> chr(31)||c||chr(31)), ' ')
+         || ' ' || chr(31)||'</w>'||chr(31) AS s
+  FROM (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents,
+         unnest(list_filter({tokens_sql('text')}, x -> x <> '')) AS t(w)
+    GROUP BY w
+  )
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(pairs(f"s{k}", k))
+        if k < n_merges - 1:
+            ctes.append(f"""
+s{k + 1} AS MATERIALIZED (
+  SELECT n, replace(s,
+      chr(31)||(SELECT l FROM m{k})||chr(31)||' '
+        ||chr(31)||(SELECT r FROM m{k})||chr(31),
+      chr(31)||(SELECT l FROM m{k})||(SELECT r FROM m{k})||chr(31)) AS s
+  FROM s{k}
+)""")
+    selects = []
+    for k in range(n_merges):
+        valid = " AND ".join(
+            f"(SELECT cnt FROM m{j}) >= {_BPE_TRAIN_MIN_CNT}"
+            for j in range(k + 1)
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS rank, l AS left, r AS right,"
+            f" cnt AS pair_count FROM m{k} WHERE {valid}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_merges_docs", oracle=_bpe_train_oracle())
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer training (Sennrich merge loop) over the
     corpus: one fact-sized word-count pass, then 16 bounded merge
     rounds on the vocabulary-sized symbol table (operators/bpe.py —
-    scale analysis there and in SCALING.md). Rows-only by design: the
-    data-dependent per-round argmax is inherently iterative (no SQL
-    twin); correctness is certified by the pure-Python reference
-    equality property test instead
-    (test_bpe_train_matches_python_reference)."""
+    scale analysis there and in SCALING.md). ORACLE-BACKED since
+    round 9: the merge-step frontier device unrolls over all 16 ranks
+    with each stage's merge flowing from the previous argmax as scalar
+    subqueries (``_bpe_train_oracle``), so DuckDB re-learns the entire
+    data-dependent merge TABLE — ranks, tiebreaks, counts, early-stop
+    — bit-for-bit. With this conversion every query in the catalog is
+    hash-certified; the pure-Python reference equality property test
+    (test_bpe_train_matches_python_reference) stays as the third
+    independent witness."""
     from stadvdb_olap_spark.operators.bpe import bpe_train
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return bpe_train(spark, docs, n_merges=16)
+    return bpe_train(spark, docs, n_merges=_BPE_TRAIN_N)
 
 
 # Merge table learned ONCE offline (operators/bpe.py:bpe_train over the
@@ -601,11 +673,11 @@ def bpe_merge_step_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to tokenizer training): pair-count frontier of the corpus
     vocabulary after the first 8 pinned merges (``_STEP_K``), ranked exactly
     as ``bpe_train``'s argmax — row 1 IS the merge the trainer learns
-    next. With ``bpe_encode_replay_docs`` certifying deployed encoding,
-    every component of the BPE loop now has a hash check; only the
-    bounded per-rank iteration ORDER remains engine-side
-    (``bpe_merges_docs``, equality-tested against a pure-Python
-    reference). 100 TB shape: one fact-sized word-count shuffle, then
+    next. With ``bpe_encode_replay_docs`` certifying deployed encoding
+    and ``bpe_merges_docs`` now hash-certified end-to-end (the unrolled
+    ``_bpe_train_oracle``), every component of the BPE loop has a hash
+    check; this query stays as the cheap single-step probe a tokenizer
+    CI would run per-ingest. 100 TB shape: one fact-sized word-count shuffle, then
     vocabulary-sized work (Heaps' law) and a TakeOrdered(10)."""
     from stadvdb_olap_spark.operators.bpe import pair_frontier_after
 
@@ -615,8 +687,9 @@ def bpe_merge_step_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (bpe_encode_docs — the former rows-only train-then-encode end-to-end
 # query — was retired in round 8: its two halves are now each certified
-# harder elsewhere. Training: bpe_merges_docs (rows-only by necessity,
-# pure-Python reference equality test). Encoding: bpe_encode_replay_docs
+# harder elsewhere. Training: bpe_merges_docs (hash-certified since
+# round 9 via the unrolled trainer replay, plus the pure-Python
+# reference equality test). Encoding: bpe_encode_replay_docs
 # hash-certifies the full token STRING of the real mapInPandas encoder
 # against a DuckDB replay, strictly stronger than the retired query's
 # rows-only check. The end-to-end composition stays covered by
@@ -802,8 +875,8 @@ def domain_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The first 12 merges bpe_train learns on the fixture corpus, published as
-# literals — the tokenizer-file posture: training is offline/iterative
-# (bpe_merges_docs, rows-only), but DEPLOYED encoding always runs against
+# literals — the tokenizer-file posture: training runs offline
+# (bpe_merges_docs), but DEPLOYED encoding always runs against
 # a shipped merge list, and with the list pinned the encoder becomes a
 # deterministic expression both engines replay identically.
 _BPE_MERGES = (
@@ -845,7 +918,7 @@ def bpe_encode_pinned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer fertility with a PUBLISHED merge table: per document,
     the whitespace token count, the post-merge BPE symbol count, and
     symbols-per-token — the metric that prices a corpus in model tokens
-    and compares tokenizers. Training stays iterative/offline
+    and compares tokenizers. Training runs offline
     (bpe_merges_docs); deployed ENCODING runs the shipped merge list as a
     fixed chain of space-delimited merges over the char-split word, a
     pure expression both engines execute identically (the certifiable

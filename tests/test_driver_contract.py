@@ -27,8 +27,11 @@ def test_window_front_is_first_50_oracle_backed():
     assert names[:50] == list(ROUND9_FRONT)
     oracles = all_oracles()
     assert all(n in oracles for n in names[:50])
+    # negative-slice pitfall: names[-0:] is the WHOLE list, so guard
+    # the now-reachable empty case (round 9 converted the last deferred
+    # rows-only query to oracle-backed)
     deferred = [n for n in names if REGISTRY[n].defer]
-    assert names[-len(deferred) :] == deferred
+    assert names[len(names) - len(deferred):] == deferred
 
 
 def _canon():

@@ -128,7 +128,9 @@ def scd2_validity_audit(
 
     - ``overlap``: a version's ``effective_to`` is AFTER the next
       version's ``effective_from`` (two versions claim the same
-      instant; a PIT join would double-match),
+      instant; a PIT join would double-match). A NULL ``effective_to``
+      on a NON-terminal version counts here too — open-ended means
+      +infinity, which overlaps everything after it,
     - ``gap``: ``effective_to`` is BEFORE the next ``effective_from``
       (instants with no effective version; a PIT join silently drops),
     - ``bad_current_count``: a key whose ``is_current`` row count is
@@ -159,7 +161,10 @@ def scd2_validity_audit(
         F.sum(
             F.when(
                 F.col("__nxt_from").isNotNull()
-                & (F.col("effective_to") > F.col("__nxt_from")),
+                & (
+                    F.col("effective_to").isNull()  # open-ended mid-history
+                    | (F.col("effective_to") > F.col("__nxt_from"))
+                ),
                 1,
             ).otherwise(0)
         ).alias("n_overlap"),

@@ -870,7 +870,8 @@ WITH ordered AS (
     FROM damaged
 ), per_key AS (
     SELECT cust_id,
-           SUM(CASE WHEN nxt_from IS NOT NULL AND effective_to > nxt_from
+           SUM(CASE WHEN nxt_from IS NOT NULL
+                     AND (effective_to IS NULL OR effective_to > nxt_from)
                     THEN 1 ELSE 0 END) AS n_overlap,
            SUM(CASE WHEN nxt_from IS NOT NULL AND effective_to < nxt_from
                     THEN 1 ELSE 0 END) AS n_gap,

@@ -2140,3 +2140,25 @@ def test_scd2_validity_audit_rules(spark):
         "overlap": (0, 0), "gap": (0, 0),
         "bad_current_count": (0, 0), "version_holes": (0, 0),
     }
+
+
+def test_scd2_validity_audit_nonterminal_open_end(spark):
+    """A NULL effective_to on a NON-terminal version means 'valid
+    forever' alongside later versions — a PIT join would double-match,
+    so the audit must count it as an overlap even though NULL compares
+    UNKNOWN (the vendor-feed corruption the audit exists to catch)."""
+    import datetime as dt
+
+    from stadvdb_olap_spark.operators.dimension import scd2_validity_audit
+
+    hist = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), None, 1, True),
+            (1, dt.date(2024, 2, 1), dt.date(2024, 3, 1), 2, False),
+        ],
+        "k long, effective_from date, effective_to date,"
+        " version int, is_current boolean",
+    )
+    got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
+           for r in scd2_validity_audit(hist, ["k"]).collect()}
+    assert got["overlap"] == (1, 1)

@@ -254,3 +254,95 @@ def contamination_scores(
         )
         .alias("contamination_frac"),
     )
+
+
+def decontaminate_bloom_gated(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    m_words: int = 256,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter RUNTIME PREFILTER — the
+    scale path for when the held-out shingle set is too big to
+    broadcast: the exact shingle join then shuffles EVERY train shingle,
+    but a (m_words x 64)-bit Bloom mask of the held-out shingles (a few
+    KB, always broadcastable) drops the non-colliding train shingles
+    BEFORE that shuffle. Bloom membership has NO false negatives (the
+    same salted-md5 positions build and probe the mask), so the final
+    EXACT join over surviving shingles returns exactly
+    ``decontaminate``'s answer — certified by using the exact path as
+    the oracle. False positives only cost verify work, never
+    correctness. This is the same runtime-filter discipline Spark's own
+    bloom pruning applies to joins, expressed as catalog-level ops."""
+    bits_total = m_words * 64
+
+    def positions(sh_col):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), sh_col)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % bits_total
+            for i in range(k_hashes)
+        ]
+
+    h_sh = (
+        heldout.select(
+            F.explode(
+                F.array_distinct(word_shingles(text_col, shingle_n))
+            ).alias("__sh")
+        )
+        .select(F.md5(F.col("__sh")).alias("__shh"))
+        .distinct()
+    )
+    bloom = (
+        h_sh.select(
+            F.explode(F.array(*positions(F.col("__shh")))).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS BIGINT)").alias("word_idx"),
+            # SQL shiftleft takes a column bit count (the pyspark
+            # function wrapper would demand a Python int literal)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("__sh"),
+    ).select(id_col, F.md5(F.col("__sh")).alias("__shh"))
+    probes = t_sh.select(
+        id_col,
+        "__shh",
+        F.explode(F.array(*positions(F.col("__shh")))).alias("pos"),
+    ).select(
+        id_col,
+        "__shh",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    # inner join vs the broadcast mask: a missing word means the bit is
+    # unset, the probe row drops, and the all-k condition below fails
+    survivors = (
+        probes.join(F.broadcast(bloom), "word_idx")
+        .where(F.expr("((bits >> bit) & 1) = 1"))
+        .groupBy(id_col, "__shh")
+        .agg(F.count(F.lit(1)).alias("__k_set"))
+        .where(F.col("__k_set") == k_hashes)
+        .select(id_col, "__shh")
+    )
+    contaminated = (
+        survivors.join(broadcast_if_small(h_sh), "__shh")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -569,3 +569,44 @@ def dsir_importance_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("dsir_logweight"),
         (score >= F.lit(_DSIR_TAU)).alias("selected"),
     )
+
+
+@query(
+    "decontaminate_bloom_gated_docs",
+    oracle=f"""
+WITH sp AS (SELECT doc_id, text, source, {_SPLIT_SQL} AS split FROM documents),
+tr AS (SELECT doc_id, text, source FROM sp WHERE split = 'train'),
+hosh AS (
+    SELECT DISTINCT unnest({word_shingles_sql('text', _SHINGLE_N)}) AS sh
+    FROM sp WHERE split <> 'train'
+),
+trsh AS (
+    SELECT doc_id, unnest(list_distinct({word_shingles_sql('text', _SHINGLE_N)})) AS sh
+    FROM tr
+),
+bad AS (SELECT DISTINCT doc_id FROM trsh JOIN hosh USING (sh))
+SELECT doc_id, source FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+)
+def decontaminate_bloom_gated_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval decontamination behind a BLOOM RUNTIME PREFILTER
+    (``mixture.decontaminate_bloom_gated``): a 2 KB bloom mask of the
+    held-out shingles drops non-colliding train shingles BEFORE the
+    exact join — the scale path for a held-out set too big to
+    broadcast, where the exact join would otherwise shuffle every
+    train shingle. THE ORACLE IS THE EXACT PATH (the same SQL as
+    ``decontaminate_train_docs``): hash-equality certifies the bloom's
+    no-false-negative guarantee end-to-end, not just an estimate —
+    false positives only cost verify work on surviving shingles. Same
+    pattern as Spark's own runtime bloom join pruning, expressed at
+    the operator level."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    with_split = docs.withColumn("split", MX.split_column("doc_id"))
+    train = with_split.filter(F.col("split") == "train")
+    heldout = with_split.filter(F.col("split") != "train")
+    return MX.decontaminate_bloom_gated(
+        train, heldout, "doc_id", "text", _SHINGLE_N
+    ).select("doc_id", "source")

@@ -6510,3 +6510,69 @@ def rolling_7d_distinct_users_daily(
         .join(daily, "rd")
         .select(F.col("rd").alias("d"), "n_users_7d", "n_users_1d")
     )
+
+
+@query(
+    "median_ci_order_stats_priority",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS v,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(floor((n - 1.96 * sqrt(n)) / 2)
+                                           AS BIGINT)) THEN v END) AS ci_lo,
+       MAX(CASE WHEN rn = LEAST(n, CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2)
+                                        AS BIGINT)) THEN v END) AS ci_hi
+FROM ranked GROUP BY priority
+""",
+)
+def median_ci_order_stats_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTION-FREE median confidence interval per group: the
+    classic order-statistic CI (binomial ranks, normal approximation —
+    the nonparametric companion to the Wilson interval for
+    proportions): lo/hi are the values at ranks floor((n - z*sqrt(n))/2)
+    and ceil(1 + (n + z*sqrt(n))/2), clamped to [1, n], with the lower
+    median at rank (n+1) DIV 2. No distributional assumption, no
+    bootstrap resampling — one ranked pass. Cross-engine exactness:
+    the published values are RAW order statistics (no arithmetic on
+    them), and the rank formulas spend one correctly rounded sqrt and
+    a few IEEE ops on an exact integer n, written in the identical
+    order in both engines. Scale shape: one per-group ranked window +
+    a conditional aggregate, the ``percentiles_by_priority`` shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("priority").orderBy("v", "o_orderkey")
+    wc = Window.partitionBy("priority")
+    ranked = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("v"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    zsn = F.lit(1.96) * F.sqrt(F.col("n"))
+    lo_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("n") - zsn) / 2).cast("long"),
+    )
+    hi_rank = F.least(
+        F.col("n").cast("long"),
+        F.ceil(1 + (F.col("n") + zsn) / 2).cast("long"),
+    )
+    med_rank = F.expr("(n + 1) DIV 2")
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("v"))).alias("median"),
+        F.max(F.when(F.col("rn") == lo_rank, F.col("v"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("v"))).alias("ci_hi"),
+    )

@@ -117,28 +117,33 @@ def media_dedup_stream(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     available_now: bool = True,
+    fingerprint=None,
 ):
-    """Continuous-ingestion IMAGE near-dup: every micro-batch of binary
-    media fingerprints on the executors (``ahash_bands`` — Arrow-batched,
-    zero shuffle) and band-matches against the STANDING corpus
-    fingerprint table via ``near_dup_matches_ahash`` (delta bands
-    broadcast, corpus probed in place). Matches append per micro-batch
-    to ``out_path`` under ``batch_id=N`` overwrite directories — the
-    same idempotent-replay sink discipline as ``corpus_dedup_stream``,
-    so a crash-replay rewrites rather than duplicates.
+    """Continuous-ingestion MEDIA near-dup: every micro-batch of binary
+    media fingerprints on the executors (``ahash_bands`` by default —
+    Arrow-batched, zero shuffle) and band-matches against the STANDING
+    corpus fingerprint table via ``near_dup_matches_ahash`` (delta
+    bands broadcast, corpus probed in place). Matches append per
+    micro-batch to ``out_path`` under ``batch_id=N`` overwrite
+    directories — the same idempotent-replay sink discipline as
+    ``corpus_dedup_stream``, so a crash-replay rewrites rather than
+    duplicates.
 
-    The corpus side holds FINGERPRINTS (4 ints per image), not
+    The corpus side holds FINGERPRINTS (4 ints per item), not
     payloads: at 100 TB of media the standing state is ~32 bytes/item —
-    the whole point of hashing before the match. The same wrapper
-    serves audio (``audio_energy_fingerprint`` shares the band
-    contract) by swapping the fingerprint step."""
+    the whole point of hashing before the match. ``fingerprint`` swaps
+    the hashing step for other modalities on the same band contract:
+    pass ``audio_energy_fingerprint`` (or a partial of it) for audio —
+    agreement-tested in ``test_audio_dedup_stream_matches_batch``."""
     from stadvdb_olap_spark.operators.multimodal import (
         ahash_bands,
         near_dup_matches_ahash,
     )
 
+    fp = fingerprint if fingerprint is not None else ahash_bands
+
     def match_batch(batch: DataFrame, batch_id: int) -> None:
-        delta = ahash_bands(batch, content_col, id_col)
+        delta = fp(batch, content_col, id_col)
         (
             near_dup_matches_ahash(delta, corpus_hashes, max_hamming)
             .write.mode("overwrite")

@@ -1150,3 +1150,62 @@ def test_kmv_stream_state_equals_batch_sketch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) == 64
+
+
+def test_audio_dedup_stream_matches_batch(spark, tmp_path):
+    """The media dedup stream with the AUDIO fingerprint swapped in
+    (shared band contract) converges to the batch delta-vs-corpus
+    matches — one streaming wrapper serves every fingerprintable
+    modality."""
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        near_dup_matches_ahash,
+    )
+    from stadvdb_olap_spark.plans.multimodal_queries import (
+        _text_to_wav_pair_batch,
+    )
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.dedup import media_dedup_stream
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    media = docs.mapInPandas(
+        _text_to_wav_pair_batch, "doc_id long, content binary"
+    )
+    corpus = media.where(F.col("doc_id") % 2 == 0)
+    delta = media.where(F.col("doc_id") % 2 == 1)
+    corpus_fps = audio_energy_fingerprint(corpus)
+
+    src = str(tmp_path / "incoming")
+    delta.where(F.col("doc_id") % 4 == 1).write.parquet(src)
+    delta.where(F.col("doc_id") % 4 == 3).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "matches")
+    q = media_dedup_stream(
+        spark.readStream.schema("doc_id long, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        corpus_fps,
+        out,
+        str(tmp_path / "ckpt"),
+        max_hamming=4,
+        fingerprint=audio_energy_fingerprint,
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["delta_id"], r["corpus_id"], r["hamming"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["delta_id"], r["corpus_id"], r["hamming"])
+        for r in near_dup_matches_ahash(
+            audio_energy_fingerprint(delta), corpus_fps, max_hamming=4
+        ).collect()
+    }
+    assert got == want and len(want) > 0

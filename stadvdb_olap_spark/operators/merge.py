@@ -40,6 +40,13 @@ _WIDEN_LADDERS: tuple[tuple[type, ...], ...] = (
 )
 
 
+# Cross-family meet: int32-and-below vs float32 share no ladder (each
+# is lossy INTO the other) but both embed exactly in a double — the
+# value-preserving join point. LongType stays excluded (53 mantissa
+# bits).
+_DOUBLE_EXACT = (T.ByteType, T.ShortType, T.IntegerType, T.FloatType)
+
+
 def _widened_type(a: T.DataType, b: T.DataType) -> T.DataType:
     """The narrowest type both ``a`` and ``b`` widen to, or raise."""
     if a == b:
@@ -50,6 +57,8 @@ def _widened_type(a: T.DataType, b: T.DataType) -> T.DataType:
         except ValueError:
             continue
         return ladder[max(ia, ib)]()
+    if isinstance(a, _DOUBLE_EXACT) and isinstance(b, _DOUBLE_EXACT):
+        return T.DoubleType()
     raise ValueError(
         f"incompatible schema drift: {a.simpleString()} vs "
         f"{b.simpleString()} has no value-preserving widening"
@@ -240,6 +249,11 @@ def apply_cdc(
         .drop("__rn")
     )
     upserts = latest.filter(F.col(op_col) != op_delete).select(*target.columns)
-    touched = latest.select(*keys)
-    untouched = target.join(touched, keys, "left_anti")
+    # NULL-SAFE anti-join: generate_cdc matches keys with eqNullSafe, so
+    # apply must too — a name-list anti-join would keep a NULL-keyed
+    # target row alongside its own update (duplicate) and ignore a
+    # NULL-keyed delete, breaking apply(old, generate(old, new)) == new.
+    touched = latest.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+    cond = [target[k].eqNullSafe(touched[f"__t_{k}"]) for k in keys]
+    untouched = target.join(touched, cond, "left_anti")
     return untouched.unionByName(upserts)

@@ -76,18 +76,46 @@ def upsert_parquet(
     Idempotent: re-running with the same source leaves the table unchanged
     — the property the reference buys with ON CONFLICT, here structural.
     With ``schema_evolution`` new source columns widen the stored table
-    (mergeSchema-style); existing rows read NULL for them."""
-    src = dedup_keep_first(source, keys, order_by or keys)
+    (mergeSchema-style); existing rows read NULL for them.
+
+    ``order_by`` is the keep-first tiebreak for duplicate-key source
+    rows; it defaults to the FULL column list so the pick is
+    deterministic (ordering by the keys alone is constant within a key
+    group — an arbitrary, rerun-unstable choice).
+
+    Crash safety of the swap: the merged table is fully written to
+    ``.__new__`` before anything moves; a crash between the two renames
+    leaves ``.__old__`` holding the table, and the recovery pass at the
+    top of the next run restores it (then stale staging dirs are
+    cleared), so no crash point loses data or wedges the next run."""
+    tmp = path + ".__new__"
+    old = path + ".__old__"
+    # recovery from a previous crash mid-swap: if the table vanished
+    # after being renamed aside, put it back before reading anything.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = dedup_keep_first(
+        source,
+        keys,
+        order_by
+        or (keys + [c for c in source.columns if c not in keys]),
+    )
     if os.path.exists(path):
-        target = spark.read.parquet(path)
+        # mergeSchema: after a prior schema_evolution merge only the
+        # rewritten files carry the evolved columns; a single-file
+        # schema inference could drop them (and this merge would then
+        # erase their stored values).
+        target = spark.read.option("mergeSchema", "true").parquet(path)
+        # no checkpoint needed: the write below goes to a staging dir,
+        # so the files this plan reads are untouched until the swap
         merged = merge_scd1(
             target, src, keys=keys, schema_evolution=schema_evolution
-        ).localCheckpoint()
+        )
     else:
         merged = src
-    tmp = path + ".__new__"
     merged.write.mode("overwrite").parquet(tmp)
-    old = path + ".__old__"
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
@@ -134,7 +162,12 @@ def upsert_parquet_partitioned(
     missing = [c for c in partition_by if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks partition columns {missing}")
-    src = dedup_keep_first(source, keys, order_by or keys)
+    src = dedup_keep_first(
+        source,
+        keys,
+        order_by
+        or (keys + [c for c in source.columns if c not in keys]),
+    )
     if not os.path.exists(path):
         write_table(src, path, partition_by=partition_by)
         return
@@ -163,11 +196,19 @@ def upsert_parquet_partitioned(
     # cast ONCE to the delta's declared types, so merge_scd1's drift
     # guard only fires on genuine attribute drift and no value is
     # laundered through an inferred intermediate.
+    # NOTE: Spark runtime conf is session-global — this save/set/restore
+    # window is not isolated from concurrent reads in OTHER threads of
+    # the same session (they'd briefly see string partition columns).
+    # Single-writer-per-session is the operating assumption here.
     infer_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = spark.conf.get(infer_conf, "true")
     spark.conf.set(infer_conf, "false")
     try:
-        target = spark.read.parquet(path)
+        # mergeSchema for the same reason as upsert_parquet: evolved
+        # columns live only in previously rewritten partitions, and a
+        # single-file inference that misses them would erase their
+        # values from every partition this merge rewrites.
+        target = spark.read.option("mergeSchema", "true").parquet(path)
     finally:
         spark.conf.set(infer_conf, prev)
     # Cast the raw string partition columns to the DELTA's declared types
@@ -227,13 +268,24 @@ def upsert_statement(
     update_cols = [c for c in columns if c not in conflict_cols]
     if dialect == "postgresql":
         conflict = ", ".join(conflict_cols)
+        if not update_cols:  # pure-key table: nothing to update
+            return (
+                f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+                f"ON CONFLICT ({conflict}) DO NOTHING"
+            )
         updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
         return (
             f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
             f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
         )
     if dialect == "mysql":
-        updates = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
+        if not update_cols:
+            # MySQL has no DO NOTHING; the standard no-op idiom is a
+            # key self-assignment
+            k = conflict_cols[0]
+            updates = f"{k} = {k}"
+        else:
+            updates = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
         return (
             f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
             f"ON DUPLICATE KEY UPDATE {updates}"
@@ -259,12 +311,21 @@ def merge_statement(
     """
     q = (lambda c: f"{quote}{c}{quote}") if quote else (lambda c: c)
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-    updates = ", ".join(f"{q(c)} = s.{q(c)}" for c in columns if c not in keys)
+    update_cols = [c for c in columns if c not in keys]
     collist = ", ".join(q(c) for c in columns)
     vals = ", ".join(f"s.{q(c)}" for c in columns)
+    # pure-key table: an empty UPDATE SET list is invalid in every MERGE
+    # dialect — a matched key with no non-key attributes needs no action
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"{q(c)} = s.{q(c)}" for c in update_cols)
+        + " "
+        if update_cols
+        else ""
+    )
     return (
         f"MERGE INTO {table} t USING {stage} s ON ({on}) "
-        f"WHEN MATCHED THEN UPDATE SET {updates} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
     )
 
@@ -313,13 +374,24 @@ def write_jdbc_merge(
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the driver-side connection needs the SAME credentials the Spark
+    # JDBC writer got (options user/password/...) — a bare-URL
+    # getConnection fails against any authenticated database
+    props = jvm.java.util.Properties()
+    for k, v in (options or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         st = conn.createStatement()
         try:
             affected = st.executeUpdate(merge_statement(table, stage, df.columns, keys))
-            st.execute(f"DROP TABLE {stage}")
         finally:
+            # drop the stage even when the MERGE throws (don't leak it),
+            # without masking the MERGE's exception if the drop fails too
+            try:
+                st.execute(f"DROP TABLE {stage}")
+            except Exception:  # noqa: BLE001
+                pass
             st.close()
     finally:
         conn.close()
@@ -392,7 +464,13 @@ def overwrite_partitions_dynamic(
     worse, truncating — the whole table the way a static overwrite does.
     The reference's nearest equivalent is its per-batch upsert loop
     (``/root/reference/ETL/fact_ETL.py:131-152``), which rewrites row by
-    row; here the unit of replacement is the partition directory."""
+    row; here the unit of replacement is the partition directory.
+
+    NOTE: partitionOverwriteMode is session-global for the duration of
+    this write — a concurrent static-overwrite writer in another thread
+    of the same session would silently become dynamic. Single-writer-
+    per-session is the operating assumption (same caveat as the
+    partition-inference window in :func:`upsert_parquet_partitioned`)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

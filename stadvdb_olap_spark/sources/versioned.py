@@ -61,10 +61,21 @@ def _load_manifest(table_dir: str) -> dict:
 
 def _commit_manifest(table_dir: str, manifest: dict) -> None:
     # Single-file staged write + os.replace: the atomic commit point.
+    # fsync BEFORE the replace (and the directory after): without it a
+    # power loss can persist the rename ahead of the data blocks and
+    # leave a zero-length manifest — a bricked table, the exact failure
+    # the staged write exists to prevent.
     tmp = _manifest_path(table_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(table_dir))
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def list_versions(table_dir: str) -> list[int]:

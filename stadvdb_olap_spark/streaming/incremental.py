@@ -25,15 +25,28 @@ from stadvdb_olap_spark.operators.dedup import dedup_keep_first
 from stadvdb_olap_spark.operators.merge import merge_scd1
 
 
+def _recover_swap(target_path: str) -> None:
+    """Undo a crash between _atomic_overwrite's two renames: if the
+    table vanished after being renamed aside, restore it; then clear
+    stale staging dirs. MUST run before reading the target — otherwise
+    a post-crash batch sees "no table", merges against nothing, and the
+    swap replaces the recovered state with delta-only rows."""
+    old = target_path + ".__old__"
+    if not os.path.exists(target_path) and os.path.exists(old):
+        os.rename(old, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(target_path + ".__new__", ignore_errors=True)
+
+
 def _atomic_overwrite(df: DataFrame, target_path: str) -> None:
     tmp = target_path + ".__new__"
-    df.write.mode("overwrite").parquet(tmp)
     old = target_path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)  # defensive; _recover_swap ran
+    df.write.mode("overwrite").parquet(tmp)
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def incremental_upsert_stream(
@@ -57,11 +70,14 @@ def incremental_upsert_stream(
       3. merge_scd1 into the current target state
       4. atomic overwrite (the per-batch ``conn.commit()`` analogue)
     """
-    order_by = order_by or keys
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        _recover_swap(target_path)
         df = clean(batch) if clean else batch
-        df = dedup_keep_first(df, keys, order_by)
+        tiebreak = order_by or (
+            keys + [c for c in df.columns if c not in keys]
+        )
+        df = dedup_keep_first(df, keys, tiebreak)
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
             merged = merge_scd1(target, df, keys=keys)
@@ -116,6 +132,7 @@ def cdc_apply_stream(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         from stadvdb_olap_spark.operators.merge import apply_cdc
 
+        _recover_swap(target_path)
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
         else:
@@ -163,6 +180,7 @@ def incremental_agg_stream(
     from pyspark.sql import functions as F
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        _recover_swap(target_path)
         partial = batch.groupBy(*group_cols).agg(
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
             F.count(F.lit(1)).alias("__n"),

@@ -2162,3 +2162,47 @@ def test_scd2_validity_audit_nonterminal_open_end(spark):
     got = {r["rule"]: (r["n_violating_keys"], r["n_violations"])
            for r in scd2_validity_audit(hist, ["k"]).collect()}
     assert got["overlap"] == (1, 1)
+
+
+def test_apply_cdc_null_key_roundtrip(spark):
+    """NULL-keyed rows round-trip through generate->apply: the apply
+    anti-join must match keys null-safely like generate does, or a
+    NULL-keyed update duplicates the row and a NULL-keyed delete is
+    ignored."""
+    from stadvdb_olap_spark.operators.merge import apply_cdc, generate_cdc
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "k1"), (2, "k2")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "y"), (1, "k1")], "k long, v string"  # NULL updated, 2 deleted
+    )
+    feed = generate_cdc(old, new, ["k"])
+    got = sorted(
+        ((r["k"], r["v"]) for r in apply_cdc(old, feed, ["k"]).collect()),
+        key=str,
+    )
+    want = sorted(((r["k"], r["v"]) for r in new.collect()), key=str)
+    assert got == want
+
+
+def test_widened_type_int_float_meet_at_double(spark):
+    """int32-and-below vs float32 share no ladder but both embed exactly
+    in a double — the cross-family meet; long vs float still raises."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from stadvdb_olap_spark.operators.merge import _widened_type, merge_scd1
+
+    assert _widened_type(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    assert _widened_type(T.FloatType(), T.ShortType()) == T.DoubleType()
+    with pytest.raises(ValueError):
+        _widened_type(T.LongType(), T.FloatType())
+
+    tgt = spark.createDataFrame([(1, 7)], "k long, v int")
+    src = spark.createDataFrame(
+        [(2, 1.5)], "k long, v float"
+    )
+    out = merge_scd1(tgt, src, ["k"], schema_evolution=True)
+    assert dict(out.dtypes)["v"] == "double"
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, 7.0), (2, 1.5)}

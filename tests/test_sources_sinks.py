@@ -687,3 +687,89 @@ def test_upsert_parquet_partitioned_bounds_and_validation(spark, tmp_path):
             spark, df, path, keys=["id"], partition_by=["d"],
             max_touched_partitions=1,
         )
+
+
+def test_upsert_parquet_swap_crash_recovery(spark, tmp_path):
+    """Every crash point of the write-new-rename swap is recoverable:
+    (a) crash AFTER the table was renamed aside but BEFORE the new one
+    was published -> next run restores the old table and re-merges;
+    (b) leftover .__old__ / .__new__ staging dirs never wedge a run."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upsert_parquet(spark, base, path, keys=["id"])
+
+    # simulate crash (a): table renamed aside, replacement never landed
+    os.rename(path, path + ".__old__")
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    upsert_parquet(spark, delta, path, keys=["id"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}  # old rows survived
+
+    # simulate crash (b): stale staging dirs from an interrupted run
+    shutil.copytree(path, path + ".__old__")
+    shutil.copytree(path, path + ".__new__")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame([(4, "d")], ["id", "v"]),
+        path,
+        keys=["id"],
+    )
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__new__")
+
+
+def test_upsert_parquet_duplicate_source_default_tiebreak(spark, tmp_path):
+    """With order_by omitted, duplicate-key source rows resolve by the
+    FULL column list — a deterministic pick, stable across reruns (the
+    old keys-only default left the choice to partition order)."""
+    path = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], ["id", "v"]
+    ).repartition(7)
+    upsert_parquet(spark, dup, path, keys=["id"])
+    first = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert first == {(1, "a"), (2, "z")}  # ascending full-row order
+
+
+def test_upsert_parquet_schema_evolution_survives_remerge(spark, tmp_path):
+    """After an evolving merge, a later merge touching the same table
+    must NOT lose the evolved column's stored values (mergeSchema on
+    the target read — single-file inference could miss the column)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upsert_parquet(spark, base, path, keys=["id"])
+    evolved = spark.createDataFrame([(2, "B", "x2")], ["id", "v", "extra"])
+    upsert_parquet(spark, evolved, path, keys=["id"], schema_evolution=True)
+    plain = spark.createDataFrame([(3, "c")], ["id", "v"])
+    upsert_parquet(spark, plain, path, keys=["id"], schema_evolution=True)
+    got = {
+        (r["id"], r["v"], r["extra"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("id", "v", F.col("extra"))
+        .collect()
+    }
+    assert got == {(1, "a", None), (2, "B", "x2"), (3, "c", None)}
+
+
+def test_statements_pure_key_table(spark):
+    """Key-only tables generate valid no-op-on-conflict SQL instead of
+    an empty UPDATE SET list (a syntax error in every dialect)."""
+    from stadvdb_olap_spark.sources.sinks import (
+        merge_statement,
+        upsert_statement,
+    )
+
+    pg = upsert_statement("t", ["a", "b"], ["a", "b"])
+    assert pg.endswith("DO NOTHING") and "SET" not in pg
+    my = upsert_statement("t", ["a", "b"], ["a", "b"], dialect="mysql")
+    assert my.endswith("ON DUPLICATE KEY UPDATE a = a")
+    m = merge_statement("t", "s", ["a", "b"], ["a", "b"])
+    assert "WHEN MATCHED" not in m and "WHEN NOT MATCHED" in m

@@ -97,8 +97,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """Bit-signature column: bit r = 1 iff dot(vec, plane_r) > 0."""
-    sig = F.lit(0).cast("long")
+    """Bit-signature column: bit r = 1 iff dot(vec, plane_r) > 0.
+
+    FAILS LOUDLY on a vector whose length differs from the plane
+    dimension: ``zip_with`` would null-pad the shorter side, every dot
+    product would go NULL, and EVERY row would land in bucket 0 — a
+    silent O(Q*N) single-bucket skew cliff instead of an error."""
+    dim_guard = F.raise_error(
+        F.concat(
+            F.lit("lsh_signature: vector length ("),
+            F.size(vec_col).cast("string"),
+            F.lit(f") != plane dim ({len(planes[0])})"),
+        )
+    )
+    sig = F.when(
+        F.size(vec_col) != F.lit(len(planes[0])), dim_guard
+    ).otherwise(F.lit(0)).cast("long")
     for r, plane in enumerate(planes):
         plane_arr = F.array(*[F.lit(float(v)) for v in plane])
         d = F.aggregate(
@@ -259,6 +273,13 @@ def cosine_topk_pandas(
     import pandas as pd
 
     q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
+    if not q_rows:  # empty query frame -> empty result, not an AxisError
+        spark = queries.sparkSession
+        qt = queries.schema[query_id].dataType.simpleString()
+        ct = candidates.schema[cand_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, cosine double, rank long"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     if not exact_fold:
@@ -313,6 +334,13 @@ def cosine_topk_arrow(
     import pyarrow as pa
 
     q_rows = _collect_query_rows(queries, [query_id, vec_col], max_queries)
+    if not q_rows:  # empty query frame -> empty result, not an AxisError
+        spark = queries.sparkSession
+        qt = queries.schema[query_id].dataType.simpleString()
+        ct = candidates.schema[cand_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, cosine double, rank long"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     if not exact_fold:
@@ -509,14 +537,21 @@ def binary_quant_topk(
 
     q = coded(queries, query_id, "query_id", "qv", "qhi", "qlo")
     c = coded(candidates, cand_id, "neighbor_id", "cv", "code_hi", "code_lo")
+    # The coarse pass runs over SLIM rows (ids + 2 code words): the
+    # Hamming prefilter window would otherwise shuffle Q x N rows each
+    # carrying BOTH full embedding vectors — defeating the compressed
+    # pass's point. Vectors re-attach to the <= Q*prefilter survivors
+    # only: the survivor side is bounded by construction, so it
+    # broadcasts and the candidate table is probed in place.
     ham = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q.select("query_id", "qhi", "qlo"))
+        .join(
+            c.select("neighbor_id", "code_hi", "code_lo"),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
         .select(
             "query_id",
-            "qv",
             "neighbor_id",
-            "cv",
             (
                 F.bit_count(F.col("qhi").bitwiseXOR(F.col("code_hi")))
                 + F.bit_count(F.col("qlo").bitwiseXOR(F.col("code_lo")))
@@ -524,9 +559,12 @@ def binary_quant_topk(
         )
     )
     whrn = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    cand = ham.withColumn("hrn", F.row_number().over(whrn)).where(
+    survivors = ham.withColumn("hrn", F.row_number().over(whrn)).where(
         F.col("hrn") <= prefilter
     )
+    cand = F.broadcast(survivors).join(
+        c.select("neighbor_id", "cv"), "neighbor_id"
+    ).join(F.broadcast(q.select("query_id", "qv")), "query_id")
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
@@ -660,16 +698,22 @@ def ivf_fixed_topk(
         F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv2")
     )
 
-    w_c = Window.partitionBy("neighbor_id").orderBy("__d", "__cid")
+    # argmin as an aggregate (lexicographic min(struct) == the windowed
+    # rank's (__d, __cid) tiebreak): partial aggregation collapses the
+    # |centroids| copies map-side, so the candidate-side exchange moves
+    # ~N slim rows, never N x |centroids| embedding payloads.
     assigned = (
         candidates.select(
             F.col(cand_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         )
         .crossJoin(F.broadcast(cents))
         .withColumn("__d", l2_sq("__cv", "__cv2"))
-        .withColumn("__rn", F.row_number().over(w_c))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", F.col("__cid").alias("__cell"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("__cv").alias("__cv"),  # constant within the group
+            F.min(F.struct("__d", "__cid")).alias("__best"),
+        )
+        .select("neighbor_id", "__cv", F.col("__best.__cid").alias("__cell"))
     )
 
     w_q = Window.partitionBy("query_id").orderBy("__d", "__cid")
@@ -735,11 +779,20 @@ def semdedup_fixed(
         .crossJoin(F.broadcast(cents))
         .withColumn("__cos", cosine("__v", "__cv"))
     )
-    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), F.col("__cid"))
+    # argmax-by-cosine as an aggregate: min over (-cos, cid) reproduces
+    # the old window's (cos DESC, cid ASC) tiebreak exactly (negating a
+    # double is an exact sign flip), and map-side partial aggregation
+    # keeps the exchange at ~N slim rows instead of N x |centroids|
+    # embedding payloads.
     assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__v", F.col("__cid").alias("cluster"))
+        scored.groupBy("__id")
+        .agg(
+            F.first("__v").alias("__v"),  # constant within the group
+            F.min(F.struct((-F.col("__cos")).alias("__negcos"), "__cid")).alias(
+                "__best"
+            ),
+        )
+        .select("__id", "__v", F.col("__best.__cid").alias("cluster"))
     )
     return _mark_semantic_dups(assigned, id_col, threshold, cluster_type="long")
 
@@ -755,19 +808,27 @@ def _assign_min_l2(
     """Nearest-centroid assignment by squared euclidean distance (the
     k-means metric; ties to the smallest centroid id). Returns
     ``(__id, __v, cluster)``. Centroid set is broadcast (bounded by
-    construction); the argmin is a per-row windowed rank over the
-    broadcast cross — narrow, no data-sided shuffle."""
+    construction); the argmin is an AGGREGATE over the broadcast cross
+    — ``min(struct(__d, __cid))`` is lexicographic, so the tiebreak is
+    identical to the old windowed rank, but partial aggregation
+    collapses the |centroids| copies of each row MAP-SIDE (they are
+    co-located straight out of the cross join), so the exchange moves
+    ~N slim rows instead of N x |centroids| rows each carrying the full
+    embedding — the difference between a narrow pass and a
+    vector-payload shuffle at 100 TB."""
     cents = centroids.select(
         F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv0")
     )
-    w = Window.partitionBy("__id").orderBy("__d", "__cid")
     return (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .crossJoin(F.broadcast(cents))
         .withColumn("__d", l2_sq("__v", "__cv0"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__v", F.col("__cid").alias("cluster"))
+        .groupBy("__id")
+        .agg(
+            F.first("__v").alias("__v"),  # constant within the group
+            F.min(F.struct("__d", "__cid")).alias("__best"),
+        )
+        .select("__id", "__v", F.col("__best.__cid").alias("cluster"))
     )
 
 

@@ -70,6 +70,14 @@ def minhash_signatures(
     """
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
+    # Contentless docs (NULL / whitespace-only text) have no shingles:
+    # they would all share the degenerate md5('') band key in EVERY
+    # band — an m^2 candidate blowup in the LSH self-join — and their
+    # [NULL]-vs-[NULL] shingle sets would "verify" at jaccard 1.0
+    # (array_intersect treats NULL elements as equal), merging
+    # unrelated empty docs into one near-dup cluster. No content, no
+    # near-dup relation: they are excluded up front.
+    df = df.where(F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
     sh = word_shingles(text_col, shingle_n)
     n_groups = -(-num_hashes // 16)
 
@@ -104,6 +112,13 @@ def minhash_band_keys(
 ) -> DataFrame:
     """Band the signature: band key = md5 of the concatenated rows of each
     band. Output one row per (doc, band): (id, band_id, band_key)."""
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size="
+            f"{band_size}: the trailing {num_hashes % band_size} hashes "
+            "would be computed but never banded — paid-for recall "
+            "silently thrown away; pick a divisible pair"
+        )
     n_bands = num_hashes // band_size
     # Single parsed expression (see minhash_signatures): one py4j call
     # instead of one Column-object tree per band.
@@ -233,7 +248,21 @@ def incremental_lsh_matches(
         .distinct()
     )
     d_sets = _shingle_sets(delta, id_col, text_col, shingle_n, "delta_id", "sh_d")
-    c_sets = _shingle_sets(corpus, id_col, text_col, shingle_n, "corpus_id", "sh_c")
+    # Verify-side shingle sets are built only for corpus docs that
+    # actually COLLIDED: the semi-join prunes the corpus before the
+    # expensive tokenize/shingle projection, so the per-batch verify
+    # cost tracks the collision count — without it the full corpus
+    # would re-shingle every batch, contradicting the contract above.
+    colliders = corpus.join(
+        broadcast_if_small(
+            cands.select(F.col("corpus_id").alias(id_col)).distinct()
+        ),
+        id_col,
+        "left_semi",
+    )
+    c_sets = _shingle_sets(
+        colliders, id_col, text_col, shingle_n, "corpus_id", "sh_c"
+    )
     jac = _jaccard("sh_d", "sh_c")
     return (
         cands.join(broadcast_if_small(d_sets), "delta_id")
@@ -254,9 +283,15 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     portable string/arith ops (hex-digit -> int via strpos) so the DuckDB
     oracle reproduces it bit-for-bit.
 
-    ``bits`` hex-derived bits (default 16 = first 4 md5 hex chars); the
-    64-bit production variant just raises ``bits``.
+    ``bits`` hex-derived bits (default 16 = first 4 md5 hex chars);
+    raising ``bits`` widens the hash up to 63 — bit 63 would need the
+    literal 2^63, which overflows a signed BIGINT on BOTH engines, so
+    bits >= 64 raises here instead of failing opaquely at plan time
+    (split across two 32-bit halves if a full 64-bit variant is ever
+    needed, the binary-quant code-word pattern).
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     def bit_of(h: Column, j: int) -> Column:
         # hex digit value via base conversion, then extract bit (3 - j%4)
         hex_pos = j // 4 + 1
@@ -292,7 +327,9 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
 
 
 def simhash_sql(expr: str, bits: int = 16) -> str:
-    """DuckDB twin of :func:`simhash`."""
+    """DuckDB twin of :func:`simhash` (same [1, 63] bits bound)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     from stadvdb_olap_spark.functions.text import tokens_sql
 
     t = tokens_sql(expr)
@@ -475,8 +512,6 @@ def survivor_longest(
     absent (they all survive). One per-cluster window — bounded grain,
     one shuffle beyond the clustering itself."""
     from pyspark.sql import Window
-
-    from stadvdb_olap_spark.functions.text import tokens
 
     clusters = dedup_clusters(
         df, id_col, text_col, threshold, num_hashes, band_size, shingle_n

@@ -2206,3 +2206,56 @@ def test_widened_type_int_float_meet_at_double(spark):
     out = merge_scd1(tgt, src, ["k"], schema_evolution=True)
     assert dict(out.dtypes)["v"] == "double"
     assert {(r["k"], r["v"]) for r in out.collect()} == {(1, 7.0), (2, 1.5)}
+
+
+def test_dedup_similarity_guardrails(spark):
+    """Fail-fast guards: indivisible LSH bands, simhash bits >= 64, LSH
+    plane-dim mismatch, and the GEMM path's empty-query frame; NULL /
+    whitespace-only docs are excluded from near-dup candidacy instead
+    of all colliding on the degenerate empty band key."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stadvdb_olap_spark.operators.similarity import (
+        cosine_topk_pandas,
+        lsh_bucketed_topk,
+    )
+    from stadvdb_olap_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        minhash_signatures,
+        simhash,
+        simhash_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, None), (4, "   "), (5, None)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_band_keys(
+            minhash_signatures(docs, "doc_id", "text", 8), "doc_id", 8, 3
+        )
+    with pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash("text", bits=64)
+    with pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash_sql("text", bits=64)
+
+    # contentless docs never pair: only the true duplicate pair remains
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs == {(1, 2)}
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 128), (2, [0.5] * 128)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="plane dim"):
+        lsh_bucketed_topk(vecs, vecs, dim=64).collect()
+
+    empty = vecs.where(F.lit(False))
+    out = cosine_topk_pandas(empty, vecs)
+    assert out.count() == 0 and out.columns == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]

@@ -95,11 +95,14 @@ SHOWCASE = [
      "partial+final 1-row aggregate; the three fingerprints union without "
      "any wide operation — the whole-warehouse compare ships 3 rows"),
     ("ann_ivf_fixed_topk",
-     "the pinned centroid set broadcasts (bounded by construction) into "
-     "two nested-loop scorings — candidate assignment and query probing, "
-     "each finished by a windowed rank — then the search itself is a "
-     "hash join ON THE CELL ID: the probe side touches n_probe/|cells| "
-     "of the corpus, never all of it, and no driver collect anywhere"),
+     "the pinned centroid set broadcasts (bounded by construction); "
+     "candidate assignment is an ARGMIN AGGREGATE over the cross "
+     "(min(struct(d, cid)) — partial aggregation collapses the "
+     "|centroids| copies map-side, so the exchange is ~N slim rows, "
+     "never N x |centroids| vector payloads), query probing a bounded "
+     "windowed rank; the search itself is a hash join ON THE CELL ID — "
+     "the probe side touches n_probe/|cells| of the corpus, and no "
+     "driver collect anywhere"),
     ("pack_concat_offsets_docs",
      "one exchange on the shard id, a per-shard sort for the running "
      "cumsum window, then pure integer-division projections — the whole "

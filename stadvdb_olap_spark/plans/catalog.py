@@ -53,84 +53,28 @@ def query(
     return deco
 
 
-# ROUND-9 WINDOW (query-level rotation): the external driver hash-certifies
-# the FIRST 50 exported queries each round, cumulatively. This front —
-# regenerated by `python tools/next_window.py` MID-round 9 after the
-# round's new queries landed (the driver restarted the round before
-# grading, so the window could be widened) — is all 38 never-signed
-# queries (14 round-8 adds + 24 round-9 adds, including bpe_merges_docs
-# — the last rows-only query, converted via the unrolled trainer
-# replay) followed by the 12 oldest staleness re-certifications
-# (r2/r3-signed rows).
-#
-# ROUND-10 ROTATION: run `python tools/next_window.py` AFTER
-# CORRECTNESS_r09 lands — it diffs the catalog against every
-# CORRECTNESS_r*.json (counting only rows+schema+hash-green rows as
-# signed) and prints the next front list; replace this tuple with it.
-ROUND9_FRONT: tuple[str, ...] = (  # 50 queries (38 uncertified + 12 re-cert)
-    "debounce_events_per_user",
-    "session_stats_30m",
-    "cdc_feed_orders_restated",
-    "bpe_merges_docs",
-    "backfill_ranges_orders",
-    "late_arriving_dim_repair_orders",
-    "funnel_reentry_conversions_users",
-    "triangle_census_copurchase_parts",
-    "contamination_score_docs",
-    "image_near_dup_ahash",
-    "range_sync_plan_orders",
-    "ivm_agg_deletes_orders",
-    "rolling_7d_distinct_users_daily",
-    "kmv_bottomk_ndv_orders",
-    "dedup_survivor_longest_docs",
-    "ann_ivf_topk",
-    "spatial_radius_join_customers",
-    "cdc_generate_apply_roundtrip_orders",
-    "bpe_encode_replay_docs",
-    "compaction_plan_orders",
-    "merge_upsert_orders_widening",
-    "dsir_importance_weights_docs",
-    "audio_near_dup_fingerprint",
-    "bloom_skip_audit_orders",
-    "median_ci_order_stats_priority",
-    "pack_chunks_512",
-    "semdedup_embeddings",
-    "cdc_replay_orders",
-    "bpe_merge_step_docs",
-    "orphan_fk_audit_star",
-    "decontaminate_bloom_gated_docs",
-    "hilbert_vs_zorder_prune_orders",
-    "ann_pq_recall_audit",
-    "orphan_fk_repair_roundtrip_orders",
-    "ann_matryoshka_prefix_topk",
-    "snapshot_retention_gfs_orders",
-    "gdpr_erasure_blast_radius_star",
-    "scd2_validity_audit_customers",
-    "q6_forecast_revenue",  # re-cert (signed r2)
-    "q8_market_share",  # re-cert (signed r2)
-    "rake_keyphrases_docs",  # re-cert (signed r2)
-    "referential_filter_anti",  # re-cert (signed r2)
-    "rolling_origin_folds_events",  # re-cert (signed r2)
-    "sample_orders_hash",  # re-cert (signed r2)
-    "simhash_docs",  # re-cert (signed r2)
-    "stratified_sample_per_status",  # re-cert (signed r2)
-    "text_fingerprints",  # re-cert (signed r2)
-    "text_lang_id",  # re-cert (signed r2)
-    "text_quality_scores",  # re-cert (signed r2)
-    "text_token_counts",  # re-cert (signed r2)
-)
+# WINDOW ROTATION: the external driver hash-certifies the FIRST 50
+# exported queries each round, cumulatively. The front tuple is
+# GENERATED — `python tools/next_window.py --write` diffs the catalog
+# against every CORRECTNESS_r*.json (counting only
+# rows+schema+hash-green rows as signed) and writes
+# plans/round_front.py; tests/test_driver_contract.py pins that the
+# committed module equals the generator's output, so a hand-edited or
+# stale front (the round-9 red test: re-cert slots squeezed out by new
+# queries) cannot pass the suite. Regenerate after adding queries.
+from stadvdb_olap_spark.plans.round_front import ROUND_FRONT
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    front_pos = {n: i for i, n in enumerate(ROUND9_FRONT)}
+    front_pos = {n: i for i, n in enumerate(ROUND_FRONT)}
     specs = list(REGISTRY.values())
     # A typo'd / renamed / deferred front name would silently shrink the
     # 50-query certification window — fail loudly instead (real raises,
     # not asserts: the guard must survive python -O).
-    missing = set(ROUND9_FRONT) - set(REGISTRY)
+    missing = set(ROUND_FRONT) - set(REGISTRY)
     if missing:
         raise ValueError(f"front names not in registry: {sorted(missing)}")
-    bad = [n for n in ROUND9_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
+    bad = [n for n in ROUND_FRONT if REGISTRY[n].defer or REGISTRY[n].oracle is None]
     if bad:
         raise ValueError(
             f"front names must be oracle-backed and non-deferred: {bad}"
@@ -164,7 +108,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import the query modules for their registration side effects.
     #
-    # Window positions are decided by the ROUND9_FRONT tuple above, not
+    # Window positions are decided by the ROUND_FRONT tuple above, not
     # by this import order (front names sort first; everything else
     # keeps registration order behind them, deferred rows-only last).
     # Import order only breaks ties among non-front queries, so the

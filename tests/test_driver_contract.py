@@ -13,7 +13,7 @@ import pytest
 
 from stadvdb_olap_spark.plans.catalog import (
     REGISTRY,
-    ROUND9_FRONT,
+    ROUND_FRONT,
     all_oracles,
     all_queries,
 )
@@ -24,7 +24,7 @@ def test_window_front_is_first_50_oracle_backed():
     exactly the rotation front, every one oracle-backed, with deferred
     rows-only queries exporting last."""
     names = list(all_queries())
-    assert names[:50] == list(ROUND9_FRONT)
+    assert names[:50] == list(ROUND_FRONT)
     oracles = all_oracles()
     assert all(n in oracles for n in names[:50])
     # negative-slice pitfall: names[-0:] is the WHOLE list, so guard
@@ -32,6 +32,22 @@ def test_window_front_is_first_50_oracle_backed():
     # rows-only query to oracle-backed)
     deferred = [n for n in names if REGISTRY[n].defer]
     assert names[len(names) - len(deferred):] == deferred
+
+
+def test_front_matches_generator():
+    """The committed round_front.py must EQUAL tools/next_window.py's
+    canonical computation — the round-9 failure mode (a hand-tuned
+    front whose re-cert slots were squeezed out by new queries) becomes
+    uncommittable: adding a catalog query or landing a new
+    CORRECTNESS_r*.json without rerunning `next_window.py --write`
+    fails here."""
+    from tools.next_window import compute_front
+
+    picked, _ = compute_front(50)
+    assert list(ROUND_FRONT) == picked, (
+        "round_front.py is stale — regenerate with "
+        "`python tools/next_window.py --write`"
+    )
 
 
 def _canon():
@@ -124,7 +140,7 @@ def test_staleness_rotation_is_canonical():
     over_backstop = sorted(
         n
         for n, r in eligible.items()
-        if current - r >= 8 and n not in ROUND9_FRONT
+        if current - r >= 8 and n not in ROUND_FRONT
     )
     assert not over_backstop, (
         f"{len(over_backstop)} signed queries are >=8 rounds stale and "
@@ -133,7 +149,7 @@ def test_staleness_rotation_is_canonical():
 
     # canonical rotation: the re-cert slots (front names already signed)
     # must be the first-K of the (signed round, name) staleness ordering
-    recert_in_front = [n for n in ROUND9_FRONT if n in eligible]
+    recert_in_front = [n for n in ROUND_FRONT if n in eligible]
     canonical = [n for _, n in sorted((r, n) for n, r in eligible.items())]
     expect = canonical[: len(recert_in_front)]
     assert sorted(recert_in_front) == sorted(expect), (

@@ -131,6 +131,178 @@ def bpe_train(
     )
 
 
+def _created_pair_bounds(
+    spark: SparkSession,
+    vocab: DataFrame,
+    cands: list[tuple[str, str]],
+) -> dict[tuple[str, str], int]:
+    """Upper bound on the count of ANY SINGLE pair that merging
+    candidate (a, b) can create: merging makes only pairs (x, ab) and
+    (ab, y), and each instance of one comes from a triple occurrence
+    (x, a, b) / (a, b, y) in the CURRENT vocabulary, so
+    ``max over distinct neighbors of the weighted triple count`` bounds
+    every created pair's count from above (left-to-right non-overlap
+    only removes instances, never adds). One vocabulary-sized aggregate
+    for the whole candidate batch; candidates ride a broadcast join."""
+    cand_df = spark.createDataFrame(list(cands), "ca string, cb string")
+    idx = F.sequence(F.lit(0), F.size("symbols") - 3)
+    triples = (
+        vocab.where(F.size("symbols") >= 3)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.col("symbols")[i].alias("x"),
+                        F.col("symbols")[i + 1].alias("y"),
+                        F.col("symbols")[i + 2].alias("z"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("n", "t.x", "t.y", "t.z")
+    )
+    left = triples.join(
+        F.broadcast(cand_df),
+        (F.col("y") == F.col("ca")) & (F.col("z") == F.col("cb")),
+    ).select("ca", "cb", F.col("x").alias("nb"), F.lit("L").alias("side"), "n")
+    right = triples.join(
+        F.broadcast(cand_df),
+        (F.col("x") == F.col("ca")) & (F.col("y") == F.col("cb")),
+    ).select("ca", "cb", F.col("z").alias("nb"), F.lit("R").alias("side"), "n")
+    rows = (
+        left.unionByName(right)
+        .groupBy("ca", "cb", "nb", "side")
+        .agg(F.sum("n").alias("c"))
+        .groupBy("ca", "cb")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    )
+    return {(r["ca"], r["cb"]): int(r["m"]) for r in rows}
+
+
+def bpe_train_frontier(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    frontier: int = 16,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """``bpe_train`` with FRONTIER BATCHING: per round, collect the
+    top-``frontier`` pair counts once and apply the longest rank-prefix
+    of them that PROVABLY reproduces the sequential Sennrich trajectory,
+    cutting driver round trips ~batch× (the round-9 verdict's known
+    scale-out for real 32k-merge vocabularies; `operators/bpe.py`
+    bpe_train keeps the certified 1-per-round twin).
+
+    A rank-prefix p_1..p_m of the frontier is safe — batched application
+    EQUALS merging them one at a time with a full argmax recount between
+    — when, processing in rank order:
+
+    1. PREFIX RULE: acceptance stops at the FIRST pair sharing a symbol
+       with an earlier accepted pair (or its merged symbol). A rejected
+       pair's count can change under the earlier merge, so everything
+       at or below its rank must wait for the next recount.
+    2. NEW-SYMBOL RULE: once an accepted pair's merged symbol already
+       exists in the alphabet, it becomes the batch's last member —
+       later original pairs involving that symbol could gain count from
+       the merge's created adjacencies.
+    3. BOUND RULE: every earlier accepted pair's created-pair upper
+       bound (``_created_pair_bounds`` — one extra aggregate per round,
+       skipped for singleton batches) must be STRICTLY below the last
+       accepted count, so no created pair can outrank (or lex-tie into)
+       a later accepted pair at its sequential step.
+
+    Under 1+2, an accepted pair's count is untouched by earlier batch
+    merges and every original non-accepted pair still ranks after it;
+    under 3 the created pairs do too — so each p_i is exactly the argmax
+    sequential would compute at step i (rank 1 unconditionally is).
+    Equality is property-tested against ``bpe_train`` and the pure-
+    Python reference; the catalog entry reuses the unrolled sequential
+    DuckDB oracle, so the driver hash-certifies the equivalence too.
+
+    Round trips: 2 collects per round for m merges (worst case m=1
+    skips the bounds job — exact parity with the sequential trainer);
+    typical English-like corpora batch 2-6 disjoint top pairs per
+    round. All distributed work stays vocabulary-sized (Heaps' law)."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    alphabet = {
+        r["s"]
+        for r in vocab.select(F.explode("symbols").alias("s"))
+        .distinct()
+        .collect()
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        budget = n_merges - len(merges)
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(frontier)
+            .collect()
+        )
+        cands = [
+            (r["a"], r["b"], int(r["cnt"]))
+            for r in top
+            if r["cnt"] >= min_pair_count
+        ]
+        if not cands:
+            break
+        accepted = [cands[0]]
+        blocked = {cands[0][0], cands[0][1], cands[0][0] + cands[0][1]}
+        sealed = (cands[0][0] + cands[0][1]) in alphabet
+        for a, b, cnt in cands[1:]:
+            if sealed or len(accepted) >= budget:
+                break
+            if a in blocked or b in blocked or (a + b) in blocked:
+                break  # prefix rule: stop at the first rejection
+            accepted.append((a, b, cnt))
+            blocked.update((a, b, a + b))
+            sealed = (a + b) in alphabet
+        if len(accepted) > 1:
+            bounds = _created_pair_bounds(
+                spark, vocab, [(a, b) for a, b, _ in accepted[:-1]]
+            )
+            # keep the longest prefix whose earlier created-pair bounds
+            # all stay strictly below its LAST accepted count
+            m = len(accepted)
+            while m > 1:
+                last_cnt = accepted[m - 1][2]
+                if all(
+                    bounds.get((a, b), 0) < last_cnt
+                    for a, b, _ in accepted[: m - 1]
+                ):
+                    break
+                m -= 1
+            accepted = accepted[:m]
+        batch = [(a, b) for a, b, _ in accepted]
+        base = len(merges)
+        merges.extend(
+            (base + i, a, b, cnt) for i, (a, b, cnt) in enumerate(accepted)
+        )
+        alphabet.update(a + b for a, b in batch)
+
+        def apply_batch(pdfs, batch=batch):
+            for pdf in pdfs:
+                syms = pdf["symbols"]
+                for a, b in batch:
+                    syms = [_merge_symbols(list(s), a, b) for s in syms]
+                pdf["symbols"] = syms
+                yield pdf
+
+        vocab = vocab.mapInPandas(apply_batch, vocab.schema)
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
 def pair_frontier_after(
     docs: DataFrame,
     merges: list[tuple[str, str]],

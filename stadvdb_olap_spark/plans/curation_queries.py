@@ -546,6 +546,25 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, docs, n_merges=_BPE_TRAIN_N)
 
 
+@query("bpe_merges_frontier_docs", oracle=_bpe_train_oracle())
+def bpe_merges_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRONTIER-BATCHED BPE training (round-10 scale-out of
+    ``bpe_merges_docs``): per round, ONE top-16 pair-count collect plus
+    one created-pair-bound aggregate admit the longest provably-safe
+    rank-prefix of merges, cutting driver round trips ~batch× vs the
+    1-collect-per-merge sequential trainer — the known bottleneck for
+    real 32k-merge vocabularies (operators/bpe.py:bpe_train_frontier
+    states and proves the three admission rules). The ORACLE IS THE
+    SEQUENTIAL TRAJECTORY — the same unrolled 16-rank DuckDB replay
+    that certifies ``bpe_merges_docs`` — so the driver's hash check IS
+    the batched==sequential equivalence proof on real data, alongside
+    the property tests (tests/test_text_stats.py)."""
+    from stadvdb_olap_spark.operators.bpe import bpe_train_frontier
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_train_frontier(spark, docs, n_merges=_BPE_TRAIN_N)
+
+
 # Merge table learned ONCE offline (operators/bpe.py:bpe_train over the
 # sf0.01 documents fixture, n_merges=16) and pinned as literals — the
 # PQ-codebook device: the certified surface is the ENCODER applying a

@@ -92,6 +92,16 @@ def main() -> None:
         cal = time.time() - t0
         cal_best = cal if cal_best is None else min(cal_best, cal)
 
+    # Normalized total: the round-9 adjudication showed two reruns of
+    # the SAME tree differing 30% purely on residual host load, with
+    # calibration_s moving proportionally (0.152 loaded vs 0.091/0.076
+    # idle). normalized_value rescales the measured total to the pinned
+    # idle-box calibration so rounds compare directly without a judge
+    # rerun. The ratio is clamped at 1.0 — normalization may only
+    # DISCOUNT load inflation, never report a faster-than-measured
+    # number (a sub-reference calibration sample is itself noise).
+    idle_ref = 0.076  # SCALING.md round-9 idle-box reference probe
+    scale = min(1.0, idle_ref / cal_best) if cal_best > 0 else 1.0
     print(
         json.dumps(
             {
@@ -102,6 +112,8 @@ def main() -> None:
                 "sf": sf,
                 "runs": runs,
                 "calibration_s": round(cal_best, 3),
+                "idle_calibration_ref_s": idle_ref,
+                "normalized_value": round(total * scale, 3),
             }
         )
     )

@@ -1209,3 +1209,55 @@ def test_audio_dedup_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_kmv_stream_state_equals_batch_sketch_sf01(spark, tmp_path):
+    """sf0.1 fixture-driven KMV stream ↔ batch agreement (the
+    sessionizer batch-twin pattern, round-10): the streamed per-batch
+    bottom-k states over the REAL orders table — same 48-bit md5
+    hashing as the certified kmv_bottomk_ndv_orders — re-rank to
+    EXACTLY the batch sketch over the same rows, across multiple
+    micro-batches. 10x the driver gate: sub-second hash collisions and
+    deep per-group ties only exist at this volume."""
+    from stadvdb_olap_spark.plans.sketch_queries import bottomk_hashes
+    from stadvdb_olap_spark.sources.parquet import load_table
+    from stadvdb_olap_spark.streaming.sketches import (
+        kmv_bottomk_stream,
+        read_kmv_state,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders")
+    hashed = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    src = str(tmp_path / "incoming")
+    # three files => multiple micro-batches; uneven, overlapping groups
+    hashed.where("hv % 3 = 0").write.parquet(src)
+    hashed.where("hv % 3 = 1").write.mode("append").parquet(src)
+    hashed.where("hv % 3 = 2").write.mode("append").parquet(src)
+
+    out = str(tmp_path / "state")
+    q = kmv_bottomk_stream(
+        spark, src, "grp string, hv long", out, "grp", "hv", 32,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+
+    got = sorted(
+        (r["grp"], r["hv"], r["rn"])
+        for r in read_kmv_state(spark, out, "grp", "hv", 32).collect()
+    )
+    want = sorted(
+        (r["grp"], r["hv"], r["rn"])
+        for r in bottomk_hashes(
+            spark.read.parquet(src), "grp", "hv", 32
+        ).collect()
+    )
+    assert got == want
+    # every priority carries a full k=32 state at this scale
+    assert len(want) == 5 * 32

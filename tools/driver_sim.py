@@ -141,6 +141,7 @@ def main() -> int:
             return 2
         queries = {q: f for q, f in queries.items() if q in only}
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
@@ -150,11 +151,18 @@ def main() -> int:
                 dpdf = con.execute(oracles[name]).df()
                 sc, sr = canon_frame(spdf)
                 dc, dr = canon_frame(dpdf)
+                record[name] = {
+                    "status": "MATCH",
+                    "rows": len(sr),
+                    "secs": round(time.time() - t0, 1),
+                }
                 if sc != dc:
                     failures.append(name)
+                    record[name]["status"] = "FAIL"
                     print(f"FAIL  {name}: cols {sc} vs {dc}")
                 elif sr != dr:
                     failures.append(name)
+                    record[name]["status"] = "FAIL"
                     print(
                         f"FAIL  {name}: rows {len(sr)} vs {len(dr)};"
                         f" first diff {first_diff(sr, dr)}"
@@ -165,12 +173,22 @@ def main() -> int:
                 # Rows-only queries register defer=True and never occupy
                 # a certification-window slot, so their (legitimately
                 # non-SQL-shaped) outputs skip the canon.
+                record[name] = {
+                    "status": "ROWS",
+                    "rows": len(spdf),
+                    "secs": round(time.time() - t0, 1),
+                }
                 print(
                     f"ROWS  {name}: {len(spdf)} rows (no oracle)"
                     f"  [{time.time()-t0:.1f}s]"
                 )
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            record[name] = {
+                "status": "ERROR",
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"ERROR {name}: {type(exc).__name__}: {exc}")
         finally:
             # Long-session stamina: a 340+-query pass through ONE plain
@@ -187,6 +205,27 @@ def main() -> int:
             except Exception:  # noqa: BLE001  # JVM already gone
                 pass
     print(f"\n{len(queries) - len(failures)}/{len(queries)} ok; failures: {failures}")
+    # Whole-sweep artifact (SIMSWEEP_r*.json): per-query status + wall
+    # so staleness/coverage claims ride a recorded full-catalog pass,
+    # not per-window extrapolation.
+    out = os.environ.get("SPARK_GRAFT_SIM_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(queries),
+                    "n_ok": len(queries) - len(failures),
+                    "failures": failures,
+                    "results": record,
+                },
+                f,
+                indent=0,
+                sort_keys=True,
+            )
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 

@@ -872,3 +872,78 @@ def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("paths_agree"),
         )
     )
+
+
+@query(
+    "delta_log_roundtrip_orders",
+    oracle="""
+WITH a AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 10
+),
+b AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 14
+),
+latest AS (
+    SELECT o_orderstatus,
+           COUNT(*) AS n_latest,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_latest
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY o_orderstatus
+),
+v0 AS (
+    SELECT o_orderstatus, COUNT(*) AS n_overwrite_version
+    FROM a GROUP BY o_orderstatus
+)
+SELECT latest.o_orderstatus, latest.n_latest, latest.sum_latest,
+       v0.n_overwrite_version
+FROM latest JOIN v0 USING (o_orderstatus)
+""",
+)
+def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA TABLE FORMAT certified end-to-end (sources/delta_log.py —
+    the open _delta_log protocol: put-if-absent JSON commits with
+    protocol/metaData/add/remove actions, readable by any off-the-shelf
+    Delta reader): a deterministic orders slice OVERWRITES the table,
+    a second slice APPENDS as a new log version, and the query reads
+    BOTH the latest snapshot (aggregated per status) and the
+    time-traveled overwrite version through the log's pinned-schema
+    state reconstruction. The oracle recomputes straight from parquet,
+    so the driver's hash check certifies write -> log replay -> scan ->
+    aggregate bit-for-bit, including the append/overwrite live-set
+    semantics. Same bounded per-(session, sf) staging discipline as
+    ``format_roundtrip_orders``; commit versions come back from
+    write_delta, so reruns within a session time-travel to THEIR OWN
+    overwrite commit, keeping output invariant as the log grows."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import read_delta, write_delta
+
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders")
+    slice_a = orders.filter(F.col("o_orderkey") % 100 < 10).select(base_cols)
+    slice_b = orders.filter(
+        (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 14)
+    ).select(base_cols)
+
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders"
+    v_over = write_delta(slice_a, table_dir, mode="overwrite")
+    write_delta(slice_b, table_dir, mode="append")
+
+    latest = read_delta(spark, table_dir).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_latest"),
+        money_sum("o_totalprice").alias("sum_latest"),
+    )
+    at_v0 = (
+        read_delta(spark, table_dir, version=v_over)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_overwrite_version"))
+    )
+    return latest.join(at_v0, "o_orderstatus")

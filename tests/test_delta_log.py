@@ -1,0 +1,134 @@
+"""Delta-log table format (sources/delta_log.py): protocol-shaped
+transaction log, snapshot reads, time travel, put-if-absent commits."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.sources.delta_log import (
+    read_delta,
+    table_history,
+    table_versions,
+    write_delta,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_roundtrip_overwrite_append_timetravel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    b = spark.range(10, 15).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    v0 = write_delta(a, t, mode="overwrite")
+    v1 = write_delta(b, t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _rows(read_delta(spark, t)) == _rows(a.unionAll(b))
+    # time travel: version 0 is immutable under later appends
+    assert _rows(read_delta(spark, t, version=0)) == _rows(a)
+    # overwrite logically removes everything live
+    c = spark.range(3).select(
+        F.col("id"), F.lit(0.5).cast("double").alias("v")
+    )
+    v2 = write_delta(c, t, mode="overwrite")
+    assert v2 == 2
+    assert _rows(read_delta(spark, t)) == _rows(c)
+    # ...while old versions stay readable (files were never deleted)
+    assert _rows(read_delta(spark, t, version=1)) == _rows(a.unionAll(b))
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["operation"] for h in hist] == ["WRITE", "APPEND", "WRITE"]
+
+
+def test_delta_log_is_protocol_shaped(spark, tmp_path):
+    """Commit 0 must carry protocol + metaData actions, adds must point
+    at real files with true sizes, and the schema round-trips through
+    metaData.schemaString (pinned, never inferred)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("s"),
+        F.to_date(F.lit("2024-01-02")).alias("d"),
+    )
+    write_delta(df, t, mode="overwrite")
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log0) if line.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a for a in actions if "protocol" in a)["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a for a in actions if "metaData" in a)["metaData"]
+    assert meta["format"]["provider"] == "parquet"
+    assert json.loads(meta["schemaString"]) == json.loads(df.schema.json())
+    for a in actions:
+        if "add" in a:
+            p = os.path.join(t, a["add"]["path"])
+            assert os.path.isfile(p)
+            assert a["add"]["size"] == os.path.getsize(p)
+            assert a["add"]["partitionValues"] == {}
+    # read pins the logged schema exactly (date stays date, no
+    # inference); Spark file-source reads relax nullability, so names
+    # and types are the contract
+    back = read_delta(spark, t)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+
+
+def test_delta_commit_is_put_if_absent(spark, tmp_path):
+    """A racing writer that already took the next version must make the
+    commit RAISE (FileExistsError), never silently lose either commit —
+    the protocol's log-store contract."""
+    import stadvdb_olap_spark.sources.delta_log as dl
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(3).select("id")
+    write_delta(df, t, mode="overwrite")
+    # The race: a writer plans against a STALE view of the log (another
+    # writer landed the version it computed). Simulate by pinning
+    # table_versions to the pre-commit state — the commit must collide
+    # on open(..., "x"), never silently overwrite version 0.
+    orig = dl.table_versions
+    dl.table_versions = lambda d: []
+    try:
+        with pytest.raises(FileExistsError):
+            dl.write_delta(df, t, mode="overwrite")
+    finally:
+        dl.table_versions = orig
+    # the original commit survived intact
+    assert _rows(read_delta(spark, t)) == _rows(df)
+    assert table_versions(t) == [0]
+
+
+def test_delta_read_rejects_log_gaps(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(3).select("id"), t, mode="overwrite")
+    write_delta(spark.range(3).select("id"), t, mode="append")
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="gaps"):
+        read_delta(spark, t)
+
+
+def test_delta_empty_overwrite_reads_empty_with_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(4).select(F.col("id"), F.lit("x").alias("s"))
+    write_delta(df, t, mode="overwrite")
+    empty = df.where(F.lit(False))
+    write_delta(empty, t, mode="overwrite")
+    back = read_delta(spark, t)
+    assert back.count() == 0
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    # and the pre-truncation version still time-travels
+    assert _rows(read_delta(spark, t, version=0)) == _rows(df)

@@ -947,3 +947,86 @@ def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overwrite_version"))
     )
     return latest.join(at_v0, "o_orderstatus")
+
+
+@query(
+    "delta_cow_delete_roundtrip_orders",
+    oracle="""
+WITH live AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 15
+),
+after AS (
+    SELECT * FROM live
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 5)
+),
+agg AS (
+    SELECT o_orderstatus,
+           COUNT(*) AS n_after,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_after
+    FROM after GROUP BY o_orderstatus
+),
+pre AS (
+    SELECT o_orderstatus, COUNT(*) AS n_before_delete
+    FROM live GROUP BY o_orderstatus
+)
+SELECT agg.o_orderstatus, agg.n_after, agg.sum_after, pre.n_before_delete
+FROM agg JOIN pre USING (o_orderstatus)
+""",
+)
+def delta_cow_delete_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE DELETE on the Delta log, certified end-to-end
+    (sources/delta_log.py:delete_where — the `DELETE FROM` write path
+    every lakehouse format uses, and the ACTUAL erasure mechanics behind
+    the ``gdpr_erasure_blast_radius_star`` analysis): build the table
+    (overwrite + append commits), DELETE a deterministic predicate —
+    only files containing hits are rewritten, survivors copied forward,
+    remove+add committed as one version — then aggregate the post-delete
+    snapshot next to the time-traveled pre-delete counts. The oracle
+    recomputes both states straight from parquet, so the hash check
+    certifies hit-file detection, SQL NULL-semantics row filtering, the
+    rewrite, and log replay in one row set. Bounded per-(session, sf)
+    staging, own table dir (never shared with
+    ``delta_log_roundtrip_orders`` — reruns must not interleave logs)."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders")
+    slice_a = orders.filter(F.col("o_orderkey") % 100 < 10).select(base_cols)
+    slice_b = orders.filter(
+        (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 14)
+    ).select(base_cols)
+
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_cow"
+    write_delta(slice_a, table_dir, mode="overwrite")
+    v_pre = write_delta(slice_b, table_dir, mode="append")
+    v_del = delete_where(
+        spark,
+        table_dir,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 100 < 5),
+    )
+
+    after = read_delta(spark, table_dir, version=v_del).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        money_sum("o_totalprice").alias("sum_after"),
+    )
+    before = (
+        read_delta(spark, table_dir, version=v_pre)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_before_delete"))
+    )
+    return after.join(before, "o_orderstatus")

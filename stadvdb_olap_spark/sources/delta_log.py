@@ -42,6 +42,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
@@ -211,6 +212,103 @@ def read_delta(
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, predicate
+) -> int:
+    """COPY-ON-WRITE DELETE (the Delta `DELETE FROM` write pattern):
+    rewrite ONLY the files that contain matching rows — surviving rows
+    of hit files are copied into fresh files, untouched files keep
+    riding the log — then commit remove(hit) + add(rewritten) as one
+    version. Returns the committed version.
+
+    100 TB shape: the hit-file scan is one predicate-pushed pass
+    emitting distinct ``input_file_name()`` (driver collect bounded by
+    FILE COUNT, never rows); the rewrite reads only the hit files. A
+    point-delete (GDPR erasure) touching k files costs k file rewrites
+    regardless of table size — exactly why the lakehouse formats chose
+    copy-on-write."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    state = _replay(table_dir)
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    live = sorted(state["files"])
+    if not live:
+        raise ValueError(f"nothing live to delete from in {table_dir}")
+    paths = [os.path.join(table_dir, p) for p in live]
+    tagged = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumn("__file", F.input_file_name())
+    )
+    hit_uris = {
+        r["__file"]
+        for r in tagged.where(pred).select("__file").distinct().collect()
+    }
+    hits = sorted(os.path.basename(u) for u in hit_uris)
+    if not hits:
+        # no-op delete still commits (audit trail), with no file churn
+        return write_delta(
+            spark.createDataFrame([], schema), table_dir, mode="append",
+            operation="DELETE",
+        )
+    # SQL DELETE semantics: only predicate==TRUE rows go; a NULL
+    # predicate row SURVIVES (plain ~pred would silently drop it).
+    survivors = (
+        spark.read.schema(schema)
+        .parquet(*(os.path.join(table_dir, h) for h in hits))
+        .where(~F.coalesce(pred.cast("boolean"), F.lit(False)))
+    )
+    version = table_versions(table_dir)[-1] + 1
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    survivors.write.mode("overwrite").parquet(staging)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": str(predicate),
+                    "rewrittenFiles": len(hits),
+                },
+                "engineInfo": "stadvdb-olap-spark delta_log writer",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": h,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for h in hits
+    )
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(table_dir, final))
+        actions.append(
+            {
+                "add": {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_dir, final)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(staging)
+    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+    with open(_commit_path(table_dir, version), "x") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return version
 
 
 def table_history(table_dir: str) -> list[dict]:

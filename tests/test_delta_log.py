@@ -132,3 +132,50 @@ def test_delta_empty_overwrite_reads_empty_with_schema(spark, tmp_path):
     ]
     # and the pre-truncation version still time-travels
     assert _rows(read_delta(spark, t, version=0)) == _rows(df)
+
+
+def test_delta_delete_is_copy_on_write(spark, tmp_path):
+    """DELETE rewrites ONLY hit files: untouched files keep their exact
+    paths in the live set; survivors from hit files reappear in fresh
+    files; NULL-predicate rows survive (SQL DELETE semantics)."""
+    from stadvdb_olap_spark.sources.delta_log import delete_where
+
+    t = str(tmp_path / "tbl")
+    left = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(4, 40), (5, 50)], "id long, v long"
+    ).coalesce(1)
+    write_delta(left, t, mode="overwrite")
+    write_delta(right, t, mode="append")
+
+    from stadvdb_olap_spark.sources.delta_log import _replay
+
+    before = _replay(t)["files"]
+    v = delete_where(spark, t, F.col("v") < 15)  # hits only the left file
+    after = _replay(t)["files"]
+
+    # the right-side file is untouched (same path survives the commit)
+    left_files = {p for p in before if p.startswith("part-00000-")}
+    right_files = {p for p in before if p.startswith("part-00001-")}
+    assert right_files <= set(after)
+    assert not (left_files & set(after))
+    # values: id=1 deleted; id=2 (NULL predicate) and id=3 survive
+    assert _rows(read_delta(spark, t)) == [(2, None), (3, 30), (4, 40), (5, 50)]
+    # time travel still shows the pre-delete state
+    assert len(_rows(read_delta(spark, t, version=v - 1))) == 5
+    assert table_history(t)[-1]["operation"] == "DELETE"
+
+
+def test_delta_delete_no_match_is_a_noop_commit(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import _replay, delete_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    write_delta(df, t, mode="overwrite")
+    before = set(_replay(t)["files"])
+    v = delete_where(spark, t, "v > 999")
+    assert set(_replay(t)["files"]) >= before  # no file removed
+    assert v == 1 and table_history(t)[-1]["operation"] == "DELETE"
+    assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20)]

@@ -311,6 +311,80 @@ def delete_where(
     return version
 
 
+def compact_table(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite the live file set into
+    ``target_files`` files and commit remove+add with
+    ``dataChange: false`` — the protocol's marker that the snapshot's
+    CONTENT is unchanged, so incremental/streaming consumers skip the
+    commit entirely. Returns the committed version.
+
+    This is the table-format twin of the snapshot compaction planner
+    (``compaction_plan_orders`` / sources/versioned.py): the small-file
+    problem every per-batch committer accrues, fixed by one bounded
+    rewrite whose cost is the live data size, never the log length."""
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    state = _replay(table_dir)
+    live = sorted(state["files"])
+    if len(live) <= target_files:
+        return state["version"]  # nothing to do — no empty commit
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    packed = (
+        spark.read.schema(schema)
+        .parquet(*(os.path.join(table_dir, p) for p in live))
+        .repartition(target_files)
+    )
+    version = state["version"] + 1
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    packed.write.mode("overwrite").parquet(staging)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": target_files},
+                "engineInfo": "stadvdb-olap-spark delta_log writer",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for p in live
+    )
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(table_dir, final))
+        actions.append(
+            {
+                "add": {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_dir, final)),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(staging)
+    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+    with open(_commit_path(table_dir, version), "x") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return version
+
+
 def table_history(table_dir: str) -> list[dict]:
     """commitInfo per version, ascending — the DESCRIBE HISTORY twin."""
     out = []

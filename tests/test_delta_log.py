@@ -179,3 +179,37 @@ def test_delta_delete_no_match_is_a_noop_commit(spark, tmp_path):
     assert set(_replay(t)["files"]) >= before  # no file removed
     assert v == 1 and table_history(t)[-1]["operation"] == "DELETE"
     assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20)]
+
+
+def test_delta_compact_preserves_content_and_history(spark, tmp_path):
+    """OPTIMIZE packs the live set into target_files with
+    dataChange=false on every action; content is bit-identical, old
+    versions still time-travel, and an already-compact table commits
+    nothing."""
+    from stadvdb_olap_spark.sources.delta_log import _replay, compact_table
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):  # four tiny append commits => small-file debt
+        write_delta(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    before_rows = _rows(read_delta(spark, t))
+    assert len(_replay(t)["files"]) >= 4
+    v = compact_table(spark, t, target_files=1)
+    assert v == 4
+    assert len(_replay(t)["files"]) == 1
+    assert _rows(read_delta(spark, t)) == before_rows
+    assert _rows(read_delta(spark, t, version=3)) == before_rows
+    assert table_history(t)[-1]["operation"] == "OPTIMIZE"
+    # every action in the OPTIMIZE commit is dataChange=false
+    log4 = os.path.join(t, "_delta_log", f"{4:020d}.json")
+    for line in open(log4):
+        a = json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in a:
+                assert a[kind]["dataChange"] is False
+    # idempotent: already at target => same version back, no new commit
+    assert compact_table(spark, t, target_files=1) == 4
+    assert table_versions(t) == [0, 1, 2, 3, 4]

@@ -385,6 +385,75 @@ def compact_table(
     return version
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Incremental consumption (the change-data-feed-lite every
+    streaming sink wants): the rows ADDED by commits in
+    ``(from_version, to_version]`` — add actions with
+    ``dataChange: true`` only, so OPTIMIZE rewrites are skipped exactly
+    as the protocol intends. Returns (changes, to_version) — feed
+    to_version back in as the next from_version and the consumer tails
+    the table with per-commit granularity and no rescans.
+
+    Removes are not replayed as row-level deletes (that needs the full
+    CDF with per-row change types); appends + dataChange-aware skipping
+    cover the incremental-ETL pattern the repo's foreachBatch sinks
+    use."""
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table_dir}")
+    if to_version is None:
+        to_version = versions[-1]
+    state = _replay(table_dir, to_version)  # also validates contiguity
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    paths = []
+    for v in range(from_version + 1, to_version + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    paths.append(os.path.join(table_dir, action["add"]["path"]))
+    if not paths:
+        return spark.createDataFrame([], schema), to_version
+    return spark.read.schema(schema).parquet(*paths), to_version
+
+
+def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
+    """VACUUM: physically delete data files that are unreferenced by
+    the live sets of the newest ``keep_versions`` versions — the
+    retention clock that keeps the 100 TB footprint proportional to
+    retained history, not to write count (versioned.py's bounded-
+    retention discipline applied to the open format). Time travel
+    remains exact within the horizon; older versions lose files and
+    are truncated from what ``read_delta`` may target. Returns the
+    deleted file names."""
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table_dir}")
+    horizon = versions[-keep_versions:] if len(versions) > keep_versions else versions
+    referenced: set[str] = set()
+    for v in horizon:
+        referenced.update(_replay(table_dir, v)["files"])
+    deleted = []
+    for name in sorted(os.listdir(table_dir)):
+        if (
+            name.endswith(".parquet")
+            and name.startswith("part-")
+            and name not in referenced
+        ):
+            os.remove(os.path.join(table_dir, name))
+            deleted.append(name)
+    return deleted
+
+
 def table_history(table_dir: str) -> list[dict]:
     """commitInfo per version, ascending — the DESCRIBE HISTORY twin."""
     out = []

@@ -213,3 +213,58 @@ def test_delta_compact_preserves_content_and_history(spark, tmp_path):
     # idempotent: already at target => same version back, no new commit
     assert compact_table(spark, t, target_files=1) == 4
     assert table_versions(t) == [0, 1, 2, 3, 4]
+
+
+def test_delta_changes_tail_skips_optimize(spark, tmp_path):
+    """read_delta_changes returns exactly the appended rows per commit
+    window and skips dataChange=false OPTIMIZE rewrites — the
+    incremental-consumer contract."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        read_delta_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    write_delta(spark.createDataFrame([(2, 20)], "id long, v long"), t, "append")
+    write_delta(spark.createDataFrame([(3, 30)], "id long, v long"), t, "append")
+    ch, cursor = read_delta_changes(spark, t, from_version=0)
+    assert _rows(ch) == [(2, 20), (3, 30)] and cursor == 2
+    # an OPTIMIZE commit lands: the tail sees NO new rows
+    compact_table(spark, t, target_files=1)
+    ch2, cursor2 = read_delta_changes(spark, t, from_version=cursor)
+    assert ch2.count() == 0 and cursor2 == 3
+    # a real append after the optimize flows through
+    write_delta(spark.createDataFrame([(4, 40)], "id long, v long"), t, "append")
+    ch3, cursor3 = read_delta_changes(spark, t, from_version=cursor2)
+    assert _rows(ch3) == [(4, 40)] and cursor3 == 4
+    # full-history tail equals the table minus the seed commit
+    ch_all, _ = read_delta_changes(spark, t, from_version=0)
+    assert _rows(ch_all) == [(2, 20), (3, 30), (4, 40)]
+
+
+def test_delta_vacuum_respects_retention_horizon(spark, tmp_path):
+    """VACUUM deletes only files unreferenced by the newest
+    keep_versions live sets: reads within the horizon stay exact,
+    files of vacuumed history are physically gone."""
+    from stadvdb_olap_spark.sources.delta_log import vacuum_table
+
+    t = str(tmp_path / "tbl")
+    gen0 = spark.createDataFrame([(1, 10)], "id long, v long")
+    gen1 = spark.createDataFrame([(2, 20)], "id long, v long")
+    gen2 = spark.createDataFrame([(3, 30)], "id long, v long")
+    write_delta(gen0, t, "overwrite")   # v0
+    write_delta(gen1, t, "overwrite")   # v1 (v0's files now historical)
+    write_delta(gen2, t, "overwrite")   # v2
+    deleted = vacuum_table(t, keep_versions=2)
+    assert deleted, "v0's files should have been vacuumed"
+    # horizon versions read exactly
+    assert _rows(read_delta(spark, t, version=1)) == [(2, 20)]
+    assert _rows(read_delta(spark, t)) == [(3, 30)]
+    # vacuumed files are gone from disk
+    for name in deleted:
+        assert not os.path.exists(os.path.join(t, name))
+    # nothing referenced in-horizon was touched: a second vacuum is empty
+    assert vacuum_table(t, keep_versions=2) == []

@@ -83,6 +83,7 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
         raise ValueError(f"log has gaps below version {version}: {versions}")
     files: dict[str, dict] = {}
     schema_json: str | None = None
+    txns: dict[str, int] = {}
     for v in range(version + 1):
         with open(_commit_path(table_dir, v)) as f:
             for line in f:
@@ -95,9 +96,27 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
                     files.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     schema_json = action["metaData"]["schemaString"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        t["version"], txns.get(t["appId"], -1)
+                    )
     if schema_json is None:
         raise ValueError(f"no metaData action in {table_dir} log")
-    return {"files": files, "schema_json": schema_json, "version": version}
+    return {
+        "files": files,
+        "schema_json": schema_json,
+        "version": version,
+        "txns": txns,
+    }
+
+
+def last_txn_version(table_dir: str, app_id: str) -> int | None:
+    """Highest committed ``txn`` version for ``app_id`` (None: never
+    seen) — the protocol's idempotent-writer watermark."""
+    if not table_versions(table_dir):
+        return None
+    return _replay(table_dir)["txns"].get(app_id)
 
 
 def write_delta(
@@ -105,15 +124,25 @@ def write_delta(
     table_dir: str,
     mode: str = "append",
     operation: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to ``table_dir`` in the Delta log format; returns
     the committed version. ``mode`` is ``append`` or ``overwrite``
     (overwrite emits ``remove`` actions for every previously-live file
-    — logical delete; the data files stay for time travel, the
-    VACUUM/retention knob is deliberately not replicated here because
-    versioned.py already demonstrates bounded retention)."""
+    — logical delete; the data files stay for time travel, reclaimed by
+    ``vacuum_table``'s retention horizon). ``txn=(app_id, version)``
+    rides the commit as the protocol's idempotent-writer action: if the
+    table has already committed that app's version (or newer), this
+    raises ``ValueError`` BEFORE any data is staged — the exactly-once
+    guard Structured Streaming foreachBatch replays need."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn is not None:
+        seen = last_txn_version(table_dir, txn[0])
+        if seen is not None and seen >= txn[1]:
+            raise ValueError(
+                f"txn {txn[0]}@{txn[1]} already committed (latest {seen})"
+            )
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     versions = table_versions(table_dir)
     version = (versions[-1] + 1) if versions else 0
@@ -157,6 +186,8 @@ def write_delta(
             }
         }
     ]
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     if version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -294,3 +294,50 @@ def read_compaction_plan(
         "d", "mon", (F.col("n_rows") * row_bytes).cast("long").alias("est_bytes")
     )
     return compaction_groups(files, target)
+
+
+def delta_append_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str = "delta_append_stream",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream parquet files into a DELTA-FORMAT table
+    (sources/delta_log.py): each micro-batch appends as one put-if-absent
+    log commit carrying the protocol's ``txn`` action
+    ``(app_id, batch_id)``, so a foreachBatch REPLAY after a crash —
+    Structured Streaming's at-least-once reality — is detected against
+    the table's own transaction watermark and skipped. Per-batch commit
+    (SURVEY S6) on the open format, exactly-once end to end: the
+    checkpoint dedups deliveries forward, the txn action dedups them
+    backward."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        last_txn_version,
+        write_delta,
+    )
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        seen = last_txn_version(table_dir, app_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: already committed, skip
+        write_delta(
+            batch,
+            table_dir,
+            mode="append",
+            operation="STREAMING UPDATE",
+            txn=(app_id, batch_id),
+        )
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

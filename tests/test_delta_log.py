@@ -268,3 +268,44 @@ def test_delta_vacuum_respects_retention_horizon(spark, tmp_path):
         assert not os.path.exists(os.path.join(t, name))
     # nothing referenced in-horizon was touched: a second vacuum is empty
     assert vacuum_table(t, keep_versions=2) == []
+
+
+def test_delta_append_stream_is_exactly_once(spark, tmp_path):
+    """The streaming Delta sink: micro-batches land as txn-stamped
+    append commits; a replayed batch (the crash-recovery foreachBatch
+    reality) is skipped against the table's txn watermark, so the table
+    equals the source exactly — never doubled."""
+    from stadvdb_olap_spark.sources.delta_log import last_txn_version
+    from stadvdb_olap_spark.streaming.incremental import delta_append_stream
+
+    src = str(tmp_path / "incoming")
+    a = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    b = spark.createDataFrame([(3, 30)], "id long, v long")
+    a.write.parquet(src)
+    b.write.mode("append").parquet(src)
+
+    t = str(tmp_path / "tbl")
+    # seed commit so version 0 carries protocol+metaData before streams
+    write_delta(
+        spark.createDataFrame([], "id long, v long"), t, mode="overwrite"
+    )
+    q = delta_append_stream(
+        spark, src, "id long, v long", t, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20), (3, 30)]
+    wm = last_txn_version(t, "delta_append_stream")
+    assert wm is not None and wm >= 1  # two micro-batches committed
+
+    # crash replay: re-running an already-committed batch is a no-op
+    from stadvdb_olap_spark.sources.delta_log import table_versions
+
+    versions_before = table_versions(t)
+    q2 = delta_append_stream(
+        spark, src, "id long, v long", t, str(tmp_path / "ckpt2"),
+    )  # fresh checkpoint => the source replays from scratch
+    assert q2.awaitTermination(300)
+    assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20), (3, 30)]
+    # the replay committed nothing new beyond possibly-skipped batches
+    assert table_versions(t) == versions_before

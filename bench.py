@@ -83,8 +83,11 @@ def main() -> None:
     # normalize driver-load inflation across rounds: if calibration_s is
     # 1.4x its historical band, per-query upticks of the same magnitude
     # are host noise, not regressions (SCALING.md watch-table note).
+    # min-of-3 (one more than the query runs): the probe is the
+    # denominator of normalized_value, so its own noise multiplies into
+    # every reading — buy one extra sample's stability for ~0.1 s.
     cal_best = None
-    for _ in range(runs):
+    for _ in range(runs + 1):
         t0 = time.time()
         spark.range(100_000_000).selectExpr("sum(id)").write.format(
             "noop"

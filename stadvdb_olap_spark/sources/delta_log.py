@@ -5,26 +5,34 @@ travel with a bespoke manifest; this module writes the SAME guarantees
 in the open Delta Lake TABLE FORMAT (the published protocol:
 delta-io/delta PROTOCOL.md — an append-only ``_delta_log/`` of JSON
 commit files whose actions are ``protocol`` / ``metaData`` / ``add`` /
-``remove`` / ``commitInfo``), so any off-the-shelf Delta reader
-(delta-spark, delta-rs, DuckDB's delta extension, Trino) can open the
-tables this engine writes. The reference's closest surface is the plain
-overwrite-in-place warehouse write (``app.py:13-21``); this is the
-production next step the round-9 verdict named.
+``remove`` / ``txn`` / ``commitInfo``), so any off-the-shelf Delta
+reader (delta-spark, delta-rs, DuckDB's delta extension, Trino) can
+open the tables this engine writes. The reference's closest surface is
+the plain overwrite-in-place warehouse write (``app.py:13-21``); this
+is the production next step the round-9 verdict named.
 
 Scope (documented, like versioned.py's):
 
 - **Single writer.** Commit N lands via ``open(..., "x")`` — the
   put-if-absent the protocol requires of the log store; a concurrent
   writer racing the same version raises ``FileExistsError`` instead of
-  silently losing a commit. Multi-writer coordination (LogStore / DynamoDB
-  in production Delta) is out of scope.
-- **No checkpoints.** Readers replay every commit JSON. At production
-  commit counts Delta writes a parquet checkpoint every N commits;
-  the replay here is a driver-side loop over tiny JSON files (bounded by
-  commit count, never data size) and checkpoints slot in without
-  changing any reader semantics.
-- **Unpartitioned tables** (``partitionValues`` always ``{}``): the
-  fixture tables are file-pruned by stats/Z-order elsewhere in the repo.
+  silently losing a commit. Multi-writer coordination (LogStore /
+  DynamoDB in production Delta) is out of scope. Maintenance
+  (``vacuum_table``) runs under the same single-writer discipline, so a
+  ``_staging_*`` directory seen during vacuum is an orphan from a
+  crashed write and is reclaimed.
+- **Parquet checkpoints** (the protocol's ``N.checkpoint.parquet`` +
+  ``_last_checkpoint``): every ``checkpoint_interval`` commits the
+  reconstructed state is written as one parquet file of actions, and
+  ``_replay`` starts from the newest checkpoint at-or-below the target
+  version — reads stay O(interval) in commit count instead of
+  O(commits), which is what keeps a per-micro-batch streaming sink
+  (~2,900 commits/day at 30 s triggers) readable.
+- **Partitioned tables**: ``write_delta(partition_by=[...])`` lays data
+  out hive-style, records ``partitionValues`` per file, and
+  ``read_delta`` / ``delete_where`` prune files FROM THE LOG ALONE
+  (``live_files``) before any parquet footer is touched — the skip that
+  matters at 100 TB.
 
 Everything data-sized stays in Spark executors: data files are written
 by ``df.write.parquet`` and only RENAMED into the table root; the log
@@ -40,12 +48,21 @@ import os
 import shutil
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+_EARLIEST_RETAINED = "_earliest_retained"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: Commits between automatic parquet checkpoints (production Delta
+#: defaults to 10). Every write path passes its ``checkpoint_interval``
+#: through to :func:`_maybe_checkpoint`.
+CHECKPOINT_INTERVAL = 10
 
 
 def _log_dir(table_dir: str) -> str:
@@ -54,6 +71,12 @@ def _log_dir(table_dir: str) -> str:
 
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _log_dir(table_dir), f"{version:020d}.checkpoint.parquet"
+    )
 
 
 def table_versions(table_dir: str) -> list[int]:
@@ -68,10 +91,238 @@ def table_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def checkpoint_versions(table_dir: str) -> list[int]:
+    """Versions with a parquet checkpoint, ascending."""
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    suffix = ".checkpoint.parquet"
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(suffix) and name[: -len(suffix)].isdigit():
+            out.append(int(name[: -len(suffix)]))
+    return sorted(out)
+
+
+def earliest_retained_version(table_dir: str) -> int:
+    """Oldest version whose full live file set is still on disk (0 if
+    the table has never been vacuumed). Recorded by :func:`vacuum_table`
+    so out-of-horizon time travel fails FAST with a clear error instead
+    of a path-does-not-exist at scan time."""
+    p = os.path.join(_log_dir(table_dir), _EARLIEST_RETAINED)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return json.load(f)["version"]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints (protocol: N.checkpoint.parquet + _last_checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", pa.map_(pa.string(), pa.string())),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _write_checkpoint(table_dir: str, state: dict) -> None:
+    """Materialize ``state`` (a :func:`_replay` result) as the
+    protocol's parquet checkpoint + atomically-replaced
+    ``_last_checkpoint`` pointer. Driver-side and bounded by FILE COUNT
+    (one row per action), never data size. Tombstones (expired
+    ``remove`` actions) are not carried — the protocol allows dropping
+    them after the retention window; vacuum here scans live sets
+    directly."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    version = state["version"]
+    meta = state["meta"]
+    meta_row = {
+        "id": meta["id"],
+        "format": {
+            "provider": meta["format"]["provider"],
+            "options": list(meta["format"].get("options", {}).items()),
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": meta.get("partitionColumns", []),
+        "configuration": list(meta.get("configuration", {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    rows = [
+        {"protocol": state["protocol"], "metaData": None, "txn": None, "add": None},
+        {"protocol": None, "metaData": meta_row, "txn": None, "add": None},
+    ]
+    for app_id in sorted(state["txns"]):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": {"appId": app_id, "version": state["txns"][app_id]},
+                "add": None,
+            }
+        )
+    for path in sorted(state["files"]):
+        a = state["files"][path]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
+                    "dataChange": a.get("dataChange", True),
+                },
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
+    papq.write_table(table, _checkpoint_path(table_dir, version))
+    pointer = json.dumps({"version": version, "size": len(rows)})
+    tmp = os.path.join(_log_dir(table_dir), f".{_LAST_CHECKPOINT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(pointer)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(_log_dir(table_dir), _LAST_CHECKPOINT))
+
+
+def _map_to_dict(v) -> dict:
+    """pyarrow map columns round-trip as list-of-pairs; accept both."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return dict(v)
+    return {k: val for k, val in v}
+
+
+def _load_checkpoint(table_dir: str, version: int) -> dict:
+    """Rebuild a state dict from ``version``'s parquet checkpoint."""
+    import pyarrow.parquet as papq
+
+    rows = papq.read_table(_checkpoint_path(table_dir, version)).to_pylist()
+    files: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    meta = None
+    protocol = None
+    for row in rows:
+        if row.get("protocol") is not None:
+            protocol = row["protocol"]
+        elif row.get("metaData") is not None:
+            m = row["metaData"]
+            meta = {
+                "id": m["id"],
+                "format": {
+                    "provider": m["format"]["provider"],
+                    "options": _map_to_dict(m["format"].get("options")),
+                },
+                "schemaString": m["schemaString"],
+                "partitionColumns": list(m.get("partitionColumns") or []),
+                "configuration": _map_to_dict(m.get("configuration")),
+                "createdTime": m.get("createdTime"),
+            }
+        elif row.get("txn") is not None:
+            txns[row["txn"]["appId"]] = row["txn"]["version"]
+        elif row.get("add") is not None:
+            a = dict(row["add"])
+            a["partitionValues"] = _map_to_dict(a.get("partitionValues"))
+            files[a["path"]] = a
+    if meta is None or protocol is None:
+        raise ValueError(
+            f"checkpoint {version} of {table_dir} lacks metaData/protocol"
+        )
+    return {
+        "files": files,
+        "meta": meta,
+        "protocol": protocol,
+        "schema_json": meta["schemaString"],
+        "partition_columns": meta["partitionColumns"],
+        "version": version,
+        "txns": txns,
+    }
+
+
+def checkpoint_table(table_dir: str) -> int:
+    """Write a parquet checkpoint of the CURRENT table state and point
+    ``_last_checkpoint`` at it; returns the checkpointed version. Write
+    paths call this automatically every ``checkpoint_interval`` commits;
+    exposed for explicit maintenance."""
+    state = _replay(table_dir)
+    _write_checkpoint(table_dir, state)
+    return state["version"]
+
+
+def _maybe_checkpoint(table_dir: str, version: int, interval: int | None) -> None:
+    if interval and version > 0 and version % interval == 0:
+        _write_checkpoint(table_dir, _replay(table_dir, version))
+
+
+# ---------------------------------------------------------------------------
+# State reconstruction
+# ---------------------------------------------------------------------------
+
+
 def _replay(table_dir: str, version: int | None = None) -> dict:
-    """Protocol state reconstruction: replay commits 0..version and
-    return {"files": {path: add_action}, "schema_json": str,
-    "version": int}. Removes drop entries; the last metaData wins."""
+    """Protocol state reconstruction: start from the newest parquet
+    checkpoint at-or-below ``version`` (if any) and replay only the
+    commits after it. Returns ``{"files": {path: add_action}, "meta",
+    "protocol", "schema_json", "partition_columns", "version",
+    "txns"}``. Removes drop entries; the last metaData wins."""
     versions = table_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {table_dir}")
@@ -79,12 +330,33 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {table_dir} ({versions})")
-    if versions[: versions.index(version) + 1] != list(range(version + 1)):
-        raise ValueError(f"log has gaps below version {version}: {versions}")
+    horizon = earliest_retained_version(table_dir)
+    if version < horizon:
+        raise ValueError(
+            f"version {version} of {table_dir} has been vacuumed; "
+            f"earliest retained version is {horizon}"
+        )
+
+    start = -1  # replay from commit start+1
     files: dict[str, dict] = {}
-    schema_json: str | None = None
     txns: dict[str, int] = {}
-    for v in range(version + 1):
+    meta: dict | None = None
+    protocol: dict | None = None
+    cps = [c for c in checkpoint_versions(table_dir) if c <= version]
+    if cps:
+        state = _load_checkpoint(table_dir, cps[-1])
+        start = cps[-1]
+        files, txns = state["files"], state["txns"]
+        meta, protocol = state["meta"], state["protocol"]
+
+    present = set(versions)
+    missing = [v for v in range(start + 1, version + 1) if v not in present]
+    if missing:
+        raise ValueError(
+            f"log has gaps between checkpoint {start} and version "
+            f"{version}: missing {missing}"
+        )
+    for v in range(start + 1, version + 1):
         with open(_commit_path(table_dir, v)) as f:
             for line in f:
                 if not line.strip():
@@ -95,17 +367,22 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
                 elif "txn" in action:
                     t = action["txn"]
                     txns[t["appId"]] = max(
                         t["version"], txns.get(t["appId"], -1)
                     )
-    if schema_json is None:
+    if meta is None:
         raise ValueError(f"no metaData action in {table_dir} log")
     return {
         "files": files,
-        "schema_json": schema_json,
+        "meta": meta,
+        "protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+        "schema_json": meta["schemaString"],
+        "partition_columns": list(meta.get("partitionColumns") or []),
         "version": version,
         "txns": txns,
     }
@@ -119,22 +396,134 @@ def last_txn_version(table_dir: str, app_id: str) -> int | None:
     return _replay(table_dir)["txns"].get(app_id)
 
 
+# ---------------------------------------------------------------------------
+# Staging + commit plumbing (shared by every write path)
+# ---------------------------------------------------------------------------
+
+
+def _stage_files(
+    df: DataFrame,
+    table_dir: str,
+    version: int,
+    partition_by: list[str],
+    data_change: bool,
+    now_ms: int,
+) -> list[dict]:
+    """Write ``df`` to a staging dir (hive-partitioned when
+    ``partition_by``), rename the parquet files into the table keeping
+    the partition layout, and return their ``add`` actions. Executors
+    write the data; the driver only walks/renames file pointers
+    (bounded by file count)."""
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = None if v == _HIVE_NULL else unquote(v)
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            final_name = (
+                f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
+            )
+            rel_final = (
+                os.path.join(rel_dir, final_name)
+                if rel_dir != "."
+                else final_name
+            )
+            os.makedirs(
+                os.path.dirname(os.path.join(table_dir, rel_final)),
+                exist_ok=True,
+            )
+            os.replace(
+                os.path.join(root, name), os.path.join(table_dir, rel_final)
+            )
+            adds.append(
+                {
+                    "path": rel_final.replace(os.sep, "/"),
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(table_dir, rel_final)),
+                    "modificationTime": now_ms,
+                    "dataChange": data_change,
+                }
+            )
+    shutil.rmtree(staging)
+    return adds
+
+
+def _commit(
+    table_dir: str,
+    version: int,
+    actions: list[dict],
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """Put-if-absent commit (the protocol's log-store contract): "x"
+    raises FileExistsError if another writer took this version, so a
+    lost update is impossible — the loser retries at version+1. Writes
+    an automatic parquet checkpoint every ``checkpoint_interval``
+    commits."""
+    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+    with open(_commit_path(table_dir, version), "x") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    _maybe_checkpoint(table_dir, version, checkpoint_interval)
+    return version
+
+
+def _commit_info(operation: str, params: dict, now_ms: int) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": operation,
+            "operationParameters": params,
+            "engineInfo": "stadvdb-olap-spark delta_log writer",
+        }
+    }
+
+
+# ---------------------------------------------------------------------------
+# Write / read
+# ---------------------------------------------------------------------------
+
+
 def write_delta(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     operation: str | None = None,
     txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """Commit ``df`` to ``table_dir`` in the Delta log format; returns
     the committed version. ``mode`` is ``append`` or ``overwrite``
     (overwrite emits ``remove`` actions for every previously-live file
     — logical delete; the data files stay for time travel, reclaimed by
-    ``vacuum_table``'s retention horizon). ``txn=(app_id, version)``
-    rides the commit as the protocol's idempotent-writer action: if the
-    table has already committed that app's version (or newer), this
-    raises ``ValueError`` BEFORE any data is staged — the exactly-once
-    guard Structured Streaming foreachBatch replays need."""
+    ``vacuum_table``'s retention horizon).
+
+    Schema discipline (Delta semantics): an APPEND whose schema differs
+    from the table's pinned metaData raises unless
+    ``merge_schema=True`` (explicit evolution — commits a new metaData
+    action); silently rebinding the read schema under historic files is
+    how renamed columns start reading NULL. OVERWRITE may always
+    replace the schema (it replaces the data too). The same rule holds
+    for ``partition_by``: appends must match the table's partition
+    columns exactly.
+
+    ``txn=(app_id, version)`` rides the commit as the protocol's
+    idempotent-writer action: if the table has already committed that
+    app's version (or newer), this raises ``ValueError`` BEFORE any
+    data is staged — the exactly-once guard Structured Streaming
+    foreachBatch replays need."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None:
@@ -143,48 +532,46 @@ def write_delta(
             raise ValueError(
                 f"txn {txn[0]}@{txn[1]} already committed (latest {seen})"
             )
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in df: {missing}")
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     versions = table_versions(table_dir)
     version = (versions[-1] + 1) if versions else 0
     prior_files: dict[str, dict] = {}
     prior_schema: str | None = None
+    prior_parts: list[str] = []
     if versions:
         prior = _replay(table_dir)
         prior_files = prior["files"]
         prior_schema = prior["schema_json"]
-
-    # Executors write the data; the driver only renames file pointers.
-    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    now_ms = int(time.time() * 1000)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
-        os.replace(os.path.join(staging, name), os.path.join(table_dir, final))
-        adds.append(
-            {
-                "path": final,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(table_dir, final)),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-        )
-    shutil.rmtree(staging)
+        prior_parts = prior["partition_columns"]
 
     schema_json = df.schema.json()
+    if versions and mode == "append":
+        if prior_parts != partition_by:
+            raise ValueError(
+                f"append partition_by {partition_by} != table partition "
+                f"columns {prior_parts}; repartitioning requires overwrite"
+            )
+        if schema_json != prior_schema and not merge_schema:
+            raise ValueError(
+                "append schema differs from the table's pinned metaData "
+                "schema — pass merge_schema=True for explicit evolution, "
+                "or align the frame upstream (silent rebinding would make "
+                "historic files read through the new schema)"
+            )
+
+    now_ms = int(time.time() * 1000)
+    adds = _stage_files(df, table_dir, version, partition_by, True, now_ms)
+
     actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": operation
-                or ("WRITE" if mode == "overwrite" else "APPEND"),
-                "operationParameters": {"mode": mode.upper()},
-                "engineInfo": "stadvdb-olap-spark delta_log writer",
-            }
-        }
+        _commit_info(
+            operation or ("WRITE" if mode == "overwrite" else "APPEND"),
+            {"mode": mode.upper(), "partitionBy": json.dumps(partition_by)},
+            now_ms,
+        )
     ]
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -192,14 +579,18 @@ def write_delta(
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
-    if version == 0 or schema_json != prior_schema:
+    if (
+        version == 0
+        or schema_json != prior_schema
+        or partition_by != prior_parts
+    ):
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
-                    "partitionColumns": [],
+                    "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -217,36 +608,154 @@ def write_delta(
             for p in sorted(prior_files)
         )
     actions.extend({"add": a} for a in adds)
+    return _commit(table_dir, version, actions, checkpoint_interval)
 
-    # Put-if-absent commit (the protocol's log-store contract): "x"
-    # raises FileExistsError if another writer took this version, so a
-    # lost update is impossible — the loser retries at version+1.
-    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
-    with open(_commit_path(table_dir, version), "x") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    return version
+
+def _partition_schemas(schema: StructType, partition_columns: list[str]):
+    """(data file schema, {partition col: type}) — Delta data files do
+    not store partition columns; readers re-attach them from
+    ``partitionValues``."""
+    data_fields = [f for f in schema.fields if f.name not in partition_columns]
+    part_types = {
+        f.name: f.dataType for f in schema.fields if f.name in partition_columns
+    }
+    return StructType(data_fields), part_types
+
+
+def live_files(
+    table_dir: str,
+    version: int | None = None,
+    partition_predicate: str | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
+    """The live file paths at ``version``, pruned by
+    ``partition_predicate`` (a SQL expression over the table's partition
+    columns) FROM THE LOG ALONE — no parquet footer is opened. The
+    pruning evaluates the predicate over one row per file's
+    ``partitionValues`` (driver-bounded by file count), typed per the
+    pinned schema, via Spark's own expression engine so semantics match
+    the scan's exactly."""
+    state = _replay(table_dir, version)
+    paths = sorted(state["files"])
+    if partition_predicate is None:
+        return paths
+    parts = state["partition_columns"]
+    if not parts:
+        raise ValueError(
+            f"{table_dir} is unpartitioned; partition_predicate needs "
+            "partitionColumns in the table metaData"
+        )
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    _, part_types = _partition_schemas(schema, parts)
+    rows = [
+        (p, *[state["files"][p]["partitionValues"].get(c) for c in parts])
+        for p in paths
+    ]
+    pdf = spark.createDataFrame(
+        rows, ["__path"] + [f"__raw_{c}" for c in parts]
+    )
+    for c in parts:
+        pdf = pdf.withColumn(
+            c, F.col(f"__raw_{c}").cast(part_types[c])
+        )
+    kept = (
+        pdf.where(F.expr(partition_predicate))
+        .select("__path")
+        .collect()
+    )
+    return sorted(r["__path"] for r in kept)
+
+
+def _read_adds(
+    spark: SparkSession, table_dir: str, state: dict, paths: list[str]
+) -> DataFrame:
+    """Scan ``paths`` with the pinned schema, re-attaching partition
+    columns from ``partitionValues`` (one typed literal per partition
+    group — grouping is bounded by partition count, so the plan stays a
+    union of plain parquet scans)."""
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    parts = state["partition_columns"]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    if not parts:
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(table_dir, p) for p in paths)
+        )
+    data_schema, part_types = _partition_schemas(schema, parts)
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        pv = state["files"][p]["partitionValues"]
+        groups.setdefault(tuple(pv.get(c) for c in parts), []).append(p)
+    out = None
+    for pvals in sorted(groups, key=lambda t: tuple(str(v) for v in t)):
+        df = spark.read.schema(data_schema).parquet(
+            *(os.path.join(table_dir, p) for p in groups[pvals])
+        )
+        for c, v in zip(parts, pvals):
+            df = df.withColumn(c, F.lit(v).cast(part_types[c]))
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def read_delta(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition_predicate: str | None = None,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest). The schema
     is pinned from the log's metaData (never re-inferred — at 100 TB
     inference is an extra full pass), and only the live file set is
-    scanned; an empty live set returns an empty frame of the pinned
-    schema."""
+    scanned — further narrowed by ``partition_predicate`` using the
+    log's ``partitionValues`` alone (:func:`live_files`), so a
+    partition-selective read never lists or opens non-matching files.
+    An empty live set returns an empty frame of the pinned schema.
+    Reading a version older than the vacuum horizon fails fast with the
+    earliest retained version in the error."""
     state = _replay(table_dir, version)
-    schema = StructType.fromJson(json.loads(state["schema_json"]))
-    paths = [os.path.join(table_dir, p) for p in sorted(state["files"])]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    paths = (
+        live_files(table_dir, version, partition_predicate, spark)
+        if partition_predicate is not None
+        else sorted(state["files"])
+    )
+    return _read_adds(spark, table_dir, state, paths)
+
+
+# ---------------------------------------------------------------------------
+# DELETE / MERGE (copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def _tagged_live(
+    spark: SparkSession, table_dir: str, state: dict, paths: list[str]
+) -> DataFrame:
+    """Live rows of ``paths`` with a ``__file`` column (the file's
+    log-relative path) — the hit-detection scan for copy-on-write.
+    Staged file BASENAMES embed a uuid (``_stage_files``), so the
+    basename → log-path map is total and URI-format-independent."""
+    base_to_rel = {os.path.basename(p): p for p in paths}
+    mapping = F.create_map(
+        *[
+            x
+            for b, p in sorted(base_to_rel.items())
+            for x in (F.lit(b), F.lit(p))
+        ]
+    )
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return _read_adds(spark, table_dir, state, paths).withColumn(
+        "__file", mapping[basename]
+    )
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, predicate
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    partition_predicate: str | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """COPY-ON-WRITE DELETE (the Delta `DELETE FROM` write pattern):
     rewrite ONLY the files that contain matching rows — surviving rows
@@ -254,58 +763,55 @@ def delete_where(
     riding the log — then commit remove(hit) + add(rewritten) as one
     version. Returns the committed version.
 
-    100 TB shape: the hit-file scan is one predicate-pushed pass
-    emitting distinct ``input_file_name()`` (driver collect bounded by
-    FILE COUNT, never rows); the rewrite reads only the hit files. A
-    point-delete (GDPR erasure) touching k files costs k file rewrites
-    regardless of table size — exactly why the lakehouse formats chose
-    copy-on-write."""
+    100 TB shape: ``partition_predicate`` (optional) prunes candidate
+    files from the log before anything is scanned; the hit-file scan is
+    one predicate-pushed pass emitting distinct file tags (driver
+    collect bounded by FILE COUNT, never rows); the rewrite reads only
+    the hit files. A point-delete (GDPR erasure) touching k files costs
+    k file rewrites regardless of table size — exactly why the
+    lakehouse formats chose copy-on-write."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     state = _replay(table_dir)
     schema = StructType.fromJson(json.loads(state["schema_json"]))
-    live = sorted(state["files"])
-    if not live:
-        raise ValueError(f"nothing live to delete from in {table_dir}")
-    paths = [os.path.join(table_dir, p) for p in live]
-    tagged = (
-        spark.read.schema(schema)
-        .parquet(*paths)
-        .withColumn("__file", F.input_file_name())
+    parts = state["partition_columns"]
+    candidates = (
+        live_files(table_dir, None, partition_predicate, spark)
+        if partition_predicate is not None
+        else sorted(state["files"])
     )
-    hit_uris = {
-        r["__file"]
-        for r in tagged.where(pred).select("__file").distinct().collect()
-    }
-    hits = sorted(os.path.basename(u) for u in hit_uris)
+    if not state["files"]:
+        raise ValueError(f"nothing live to delete from in {table_dir}")
+    now_ms = int(time.time() * 1000)
+    if candidates:
+        tagged = _tagged_live(spark, table_dir, state, candidates)
+        hits = sorted(
+            r["__file"]
+            for r in tagged.where(pred).select("__file").distinct().collect()
+        )
+    else:
+        hits = []
     if not hits:
         # no-op delete still commits (audit trail), with no file churn
-        return write_delta(
-            spark.createDataFrame([], schema), table_dir, mode="append",
-            operation="DELETE",
+        version = state["version"] + 1
+        return _commit(
+            table_dir,
+            version,
+            [_commit_info("DELETE", {"predicate": str(predicate)}, now_ms)],
+            checkpoint_interval,
         )
     # SQL DELETE semantics: only predicate==TRUE rows go; a NULL
     # predicate row SURVIVES (plain ~pred would silently drop it).
-    survivors = (
-        spark.read.schema(schema)
-        .parquet(*(os.path.join(table_dir, h) for h in hits))
-        .where(~F.coalesce(pred.cast("boolean"), F.lit(False)))
+    survivors = _read_adds(spark, table_dir, state, hits).where(
+        ~F.coalesce(pred.cast("boolean"), F.lit(False))
     )
-    version = table_versions(table_dir)[-1] + 1
-    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    survivors.write.mode("overwrite").parquet(staging)
-    now_ms = int(time.time() * 1000)
+    version = state["version"] + 1
+    adds = _stage_files(survivors, table_dir, version, parts, True, now_ms)
     actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {
-                    "predicate": str(predicate),
-                    "rewrittenFiles": len(hits),
-                },
-                "engineInfo": "stadvdb-olap-spark delta_log writer",
-            }
-        }
+        _commit_info(
+            "DELETE",
+            {"predicate": str(predicate), "rewrittenFiles": len(hits)},
+            now_ms,
+        )
     ]
     actions.extend(
         {
@@ -317,39 +823,124 @@ def delete_where(
         }
         for h in hits
     )
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
-        os.replace(os.path.join(staging, name), os.path.join(table_dir, final))
-        actions.append(
-            {
-                "add": {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table_dir, final)),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
+    actions.extend({"add": a} for a in adds)
+    return _commit(table_dir, version, actions, checkpoint_interval)
+
+
+def merge_delta_scd1(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """MERGE INTO on the Delta format — copy-on-write SCD-1 upsert, the
+    per-batch warehouse loader pattern (the reference's core loop is
+    Postgres ``INSERT ... ON CONFLICT DO UPDATE``,
+    ``/root/reference/ETL/user_ETL.py:105-117``; the engine-side
+    relational twin is :func:`operators.merge.merge_scd1`):
+
+    - key in both    -> the source row REPLACES the target's (files
+      containing matched keys are rewritten without those rows)
+    - key only in src -> row appended (insert)
+    - key only in tgt -> file untouched unless it shares a file with a
+      matched key (copy-on-write granularity is the FILE)
+
+    ``source`` must match the table's pinned schema exactly and be
+    unique per key (pre-dedup with ``dedup_keep_first`` — same contract
+    as ``merge_scd1``). Re-running the same merge is idempotent on the
+    DATA (hit files are rewritten to identical content); pass ``txn``
+    to make replays no-op at the commit level too.
+
+    100 TB shape: the source (a batch) broadcasts into the hit-file
+    probe; only hit files are rewritten — a k-row upsert touching f
+    files costs f file rewrites plus one append, regardless of table
+    size."""
+    state = _replay(table_dir)
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    parts = state["partition_columns"]
+    if source.schema.json() != state["schema_json"]:
+        raise ValueError(
+            "merge source schema differs from the table's pinned schema "
+            f"({source.schema.simpleString()} vs {schema.simpleString()}) — "
+            "align the frame upstream; MERGE never evolves the schema "
+            "implicitly"
         )
-    shutil.rmtree(staging)
-    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
-    with open(_commit_path(table_dir, version), "x") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    return version
+    if txn is not None:
+        seen = last_txn_version(table_dir, txn[0])
+        if seen is not None and seen >= txn[1]:
+            raise ValueError(
+                f"txn {txn[0]}@{txn[1]} already committed (latest {seen})"
+            )
+    paths = sorted(state["files"])
+    now_ms = int(time.time() * 1000)
+    src_keys = source.select(*keys).dropDuplicates(keys)
+    hits: list[str] = []
+    if paths:
+        tagged = _tagged_live(spark, table_dir, state, paths)
+        cond = [tagged[k].eqNullSafe(src_keys[k]) for k in keys]
+        hits = sorted(
+            r["__file"]
+            for r in tagged.join(F.broadcast(src_keys), cond, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+    version = state["version"] + 1
+    # Survivors: rows of hit files whose key is NOT in the source
+    # (matched rows are replaced by the source's). Null-safe key
+    # equality, same as merge_scd1.
+    if hits:
+        hit_rows = _read_adds(spark, table_dir, state, hits)
+        cond = [hit_rows[k].eqNullSafe(src_keys[k]) for k in keys]
+        survivors = hit_rows.join(F.broadcast(src_keys), cond, "left_anti")
+        new_data = survivors.select(*[f.name for f in schema.fields]).unionByName(
+            source.select(*[f.name for f in schema.fields])
+        )
+    else:
+        new_data = source.select(*[f.name for f in schema.fields])
+    adds = _stage_files(new_data, table_dir, version, parts, True, now_ms)
+    actions: list[dict] = [
+        _commit_info(
+            "MERGE",
+            {"matchedFiles": len(hits), "keys": json.dumps(keys)},
+            now_ms,
+        )
+    ]
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+    actions.extend(
+        {
+            "remove": {
+                "path": h,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for h in hits
+    )
+    actions.extend({"add": a} for a in adds)
+    return _commit(table_dir, version, actions, checkpoint_interval)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance
+# ---------------------------------------------------------------------------
 
 
 def compact_table(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """OPTIMIZE (bin-packing compaction): rewrite the live file set into
-    ``target_files`` files and commit remove+add with
-    ``dataChange: false`` — the protocol's marker that the snapshot's
-    CONTENT is unchanged, so incremental/streaming consumers skip the
-    commit entirely. Returns the committed version.
+    ``target_files`` files (per partition directory for partitioned
+    tables — compaction never crosses partition boundaries) and commit
+    remove+add with ``dataChange: false`` — the protocol's marker that
+    the snapshot's CONTENT is unchanged, so incremental/streaming
+    consumers skip the commit entirely. Returns the committed version.
 
     This is the table-format twin of the snapshot compaction planner
     (``compaction_plan_orders`` / sources/versioned.py): the small-file
@@ -359,27 +950,20 @@ def compact_table(
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     state = _replay(table_dir)
     live = sorted(state["files"])
+    parts = state["partition_columns"]
     if len(live) <= target_files:
         return state["version"]  # nothing to do — no empty commit
-    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    packed = _read_adds(spark, table_dir, state, live)
     packed = (
-        spark.read.schema(schema)
-        .parquet(*(os.path.join(table_dir, p) for p in live))
-        .repartition(target_files)
+        packed.repartition(target_files, *parts)
+        if parts
+        else packed.repartition(target_files)
     )
     version = state["version"] + 1
-    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
-    packed.write.mode("overwrite").parquet(staging)
     now_ms = int(time.time() * 1000)
+    adds = _stage_files(packed, table_dir, version, parts, False, now_ms)
     actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "OPTIMIZE",
-                "operationParameters": {"targetFiles": target_files},
-                "engineInfo": "stadvdb-olap-spark delta_log writer",
-            }
-        }
+        _commit_info("OPTIMIZE", {"targetFiles": target_files}, now_ms)
     ]
     actions.extend(
         {
@@ -391,29 +975,8 @@ def compact_table(
         }
         for p in live
     )
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{version:05d}-{uuid.uuid4().hex}-c000.snappy.parquet"
-        os.replace(os.path.join(staging, name), os.path.join(table_dir, final))
-        actions.append(
-            {
-                "add": {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(table_dir, final)),
-                    "modificationTime": now_ms,
-                    "dataChange": False,
-                }
-            }
-        )
-    shutil.rmtree(staging)
-    payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
-    with open(_commit_path(table_dir, version), "x") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    return version
+    actions.extend({"add": a} for a in adds)
+    return _commit(table_dir, version, actions, checkpoint_interval)
 
 
 def read_delta_changes(
@@ -439,9 +1002,15 @@ def read_delta_changes(
         raise FileNotFoundError(f"no Delta log at {table_dir}")
     if to_version is None:
         to_version = versions[-1]
+    horizon = earliest_retained_version(table_dir)
+    if from_version + 1 < horizon:
+        raise ValueError(
+            f"change feed from version {from_version} reaches below the "
+            f"vacuum horizon; earliest retained version is {horizon}"
+        )
     state = _replay(table_dir, to_version)  # also validates contiguity
     schema = StructType.fromJson(json.loads(state["schema_json"]))
-    paths = []
+    adds: dict[str, dict] = {}
     for v in range(from_version + 1, to_version + 1):
         with open(_commit_path(table_dir, v)) as f:
             for line in f:
@@ -449,10 +1018,17 @@ def read_delta_changes(
                     continue
                 action = json.loads(line)
                 if "add" in action and action["add"].get("dataChange", True):
-                    paths.append(os.path.join(table_dir, action["add"]["path"]))
-    if not paths:
+                    adds[action["add"]["path"]] = action["add"]
+    if not adds:
         return spark.createDataFrame([], schema), to_version
-    return spark.read.schema(schema).parquet(*paths), to_version
+    # change files may post-date `state`'s live set; read them directly
+    # with the pinned schema + their own partitionValues
+    change_state = dict(state)
+    change_state["files"] = adds
+    return (
+        _read_adds(spark, table_dir, change_state, sorted(adds)),
+        to_version,
+    )
 
 
 def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
@@ -461,9 +1037,12 @@ def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
     retention clock that keeps the 100 TB footprint proportional to
     retained history, not to write count (versioned.py's bounded-
     retention discipline applied to the open format). Time travel
-    remains exact within the horizon; older versions lose files and
-    are truncated from what ``read_delta`` may target. Returns the
-    deleted file names."""
+    remains exact within the horizon; the horizon version is recorded
+    in the log dir so out-of-horizon reads fail FAST (``read_delta``
+    raises "version N has been vacuumed", never a mid-scan
+    path-not-found). Orphaned ``_staging_*`` directories from crashed
+    writes are reclaimed too (single-writer discipline: no write is in
+    flight while vacuum runs). Returns the deleted file names."""
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     versions = table_versions(table_dir)
@@ -474,14 +1053,40 @@ def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
     for v in horizon:
         referenced.update(_replay(table_dir, v)["files"])
     deleted = []
-    for name in sorted(os.listdir(table_dir)):
-        if (
-            name.endswith(".parquet")
-            and name.startswith("part-")
-            and name not in referenced
-        ):
-            os.remove(os.path.join(table_dir, name))
-            deleted.append(name)
+    for root, dirs, names in os.walk(table_dir, topdown=True):
+        rel_root = os.path.relpath(root, table_dir)
+        if rel_root == ".":
+            for d in list(dirs):
+                if d == _LOG_DIR:
+                    dirs.remove(d)
+                elif d.startswith("_staging_"):
+                    shutil.rmtree(os.path.join(root, d))
+                    dirs.remove(d)
+                    deleted.append(d)
+        for name in names:
+            rel = (
+                name
+                if rel_root == "."
+                else os.path.join(rel_root, name).replace(os.sep, "/")
+            )
+            if (
+                name.endswith(".parquet")
+                and name.startswith("part-")
+                and rel not in referenced
+            ):
+                os.remove(os.path.join(root, name))
+                deleted.append(rel)
+    # prune now-empty partition directories
+    for root, dirs, names in os.walk(table_dir, topdown=False):
+        if root != table_dir and not dirs and not names:
+            os.rmdir(root)
+    marker = json.dumps({"version": horizon[0]})
+    tmp = os.path.join(_log_dir(table_dir), f".{_EARLIEST_RETAINED}.tmp")
+    with open(tmp, "w") as f:
+        f.write(marker)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(_log_dir(table_dir), _EARLIEST_RETAINED))
     return deleted
 
 

@@ -302,7 +302,7 @@ def delta_append_stream(
     source_schema,
     table_dir: str,
     checkpoint_dir: str,
-    app_id: str = "delta_append_stream",
+    app_id: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream parquet files into a DELTA-FORMAT table
@@ -313,11 +313,30 @@ def delta_append_stream(
     the table's own transaction watermark and skipped. Per-batch commit
     (SURVEY S6) on the open format, exactly-once end to end: the
     checkpoint dedups deliveries forward, the txn action dedups them
-    backward."""
+    backward.
+
+    ``app_id`` defaults to a hash of the CHECKPOINT LOCATION — the txn
+    watermark is only meaningful relative to the checkpoint's batch-id
+    sequence, so a fresh checkpoint dir (whose batch ids restart at 0)
+    automatically gets a fresh watermark. With a shared constant id,
+    restarting with a new checkpoint after the source grew would
+    silently DROP every batch whose id falls under the old watermark;
+    with the derived id the failure mode is duplicate appends
+    (at-least-once), which is recoverable — pass an explicit ``app_id``
+    only if you migrate the checkpoint and want the watermark to carry
+    over. Two different streams feeding one table must never share an
+    id."""
+    import hashlib
+
     from stadvdb_olap_spark.sources.delta_log import (
         last_txn_version,
         write_delta,
     )
+
+    if app_id is None:
+        app_id = "delta_append_" + hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
 
     def append_batch(batch: DataFrame, batch_id: int) -> None:
         seen = last_txn_version(table_dir, app_id)

@@ -291,21 +291,291 @@ def test_delta_append_stream_is_exactly_once(spark, tmp_path):
     )
     q = delta_append_stream(
         spark, src, "id long, v long", t, str(tmp_path / "ckpt"),
-        max_files_per_trigger=1,
+        app_id="stream_a", max_files_per_trigger=1,
     )
     assert q.awaitTermination(300)
     assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20), (3, 30)]
-    wm = last_txn_version(t, "delta_append_stream")
+    wm = last_txn_version(t, "stream_a")
     assert wm is not None and wm >= 1  # two micro-batches committed
 
-    # crash replay: re-running an already-committed batch is a no-op
     from stadvdb_olap_spark.sources.delta_log import table_versions
 
+    # crash replay, SAME checkpoint: restart re-delivers nothing new and
+    # a replayed batch id is skipped against the txn watermark
     versions_before = table_versions(t)
     q2 = delta_append_stream(
-        spark, src, "id long, v long", t, str(tmp_path / "ckpt2"),
-    )  # fresh checkpoint => the source replays from scratch
+        spark, src, "id long, v long", t, str(tmp_path / "ckpt"),
+        app_id="stream_a",
+    )
     assert q2.awaitTermination(300)
     assert _rows(read_delta(spark, t)) == [(1, 10), (2, 20), (3, 30)]
-    # the replay committed nothing new beyond possibly-skipped batches
     assert table_versions(t) == versions_before
+
+    # fresh checkpoint + explicitly carried-over app_id: batch ids
+    # restart at 0, all under the watermark -> skipped (the migration
+    # path for a MOVED checkpoint whose source did not change)
+    q3 = delta_append_stream(
+        spark, src, "id long, v long", t, str(tmp_path / "ckpt2"),
+        app_id="stream_a",
+    )
+    assert q3.awaitTermination(300)
+    assert table_versions(t) == versions_before
+
+    # the round-10 advice's data-loss mode: source GREW, checkpoint
+    # lost. With the default (checkpoint-derived) app_id the new rows
+    # must LAND — duplicates of old batches are allowed (at-least-once),
+    # silent loss is not.
+    spark.createDataFrame([(4, 40)], "id long, v long").write.mode(
+        "append"
+    ).parquet(src)
+    q4 = delta_append_stream(
+        spark, src, "id long, v long", t, str(tmp_path / "ckpt3"),
+    )
+    assert q4.awaitTermination(300)
+    vals = _rows(read_delta(spark, t))
+    assert (4, 40) in vals  # new data is never dropped
+
+
+# ---------------------------------------------------------------------------
+# Round 11: checkpoints, schema guard, MERGE, partitioned tables, vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_delta_checkpoint_written_and_replay_starts_from_it(spark, tmp_path):
+    """Every checkpoint_interval commits a parquet checkpoint +
+    _last_checkpoint lands, and _replay reads THROUGH the checkpoint:
+    commits below it can disappear from the log without breaking
+    latest-version reads — the O(interval) read the streaming sink's
+    per-batch commits need."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        checkpoint_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(13):
+        write_delta(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+            checkpoint_interval=5,
+        )
+    assert checkpoint_versions(t) == [5, 10]
+    lc = json.load(open(os.path.join(t, "_delta_log", "_last_checkpoint")))
+    assert lc["version"] == 10
+
+    # the proof _replay starts from the checkpoint, not commit 0:
+    # delete every commit json strictly below the newest checkpoint
+    for v in range(10):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    state = _replay(t)
+    assert state["version"] == 12
+    assert _rows(read_delta(spark, t)) == [(i, i * 10) for i in range(13)]
+    # time travel to the checkpointed version itself also works
+    assert len(_rows(read_delta(spark, t, version=10))) == 11
+    # ...but below the surviving history it reports the truncation
+    # honestly (version no longer listed in the log)
+    with pytest.raises(ValueError, match="not in|gaps"):
+        read_delta(spark, t, version=4)
+
+
+def test_delta_checkpoint_roundtrips_txn_and_schema(spark, tmp_path):
+    """The checkpoint carries txn watermarks, the pinned schema, and
+    partition columns — state from a checkpoint equals state from a
+    full log replay."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        checkpoint_table,
+        last_txn_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_delta(df, t, mode="overwrite", txn=("appX", 7))
+    full = _replay(t)
+    v = checkpoint_table(t)
+    assert v == 0
+    # wipe the only commit json: state must now come from the checkpoint
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    # (table_versions is empty -> re-add an empty marker commit at v0 is
+    # not possible; instead read the checkpoint-backed state directly)
+    from stadvdb_olap_spark.sources.delta_log import _load_checkpoint
+
+    cp = _load_checkpoint(t, 0)
+    assert cp["schema_json"] == full["schema_json"]
+    assert cp["txns"] == full["txns"] == {"appX": 7}
+    assert set(cp["files"]) == set(full["files"])
+    assert cp["protocol"]["minReaderVersion"] == 1
+    del last_txn_version  # imported for parity with other tests
+
+
+def test_delta_append_schema_mismatch_raises_unless_merge_schema(
+    spark, tmp_path
+):
+    """Round-10 advice: an append whose schema differs from the pinned
+    metaData must fail loudly; merge_schema=True is the explicit
+    evolution gate; overwrite may always replace the schema."""
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    drifted = spark.createDataFrame([(2, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(drifted, t, mode="append")
+    # explicit evolution commits new metaData and reads back
+    renamed = spark.createDataFrame([(2, 20, "x")], "id long, v long, tag string")
+    write_delta(renamed, t, mode="append", merge_schema=True)
+    back = read_delta(spark, t)
+    assert set(back.columns) == {"id", "v", "tag"}
+    # overwrite still replaces the schema silently (it replaces the data)
+    write_delta(drifted, t, mode="overwrite")
+    assert _rows(read_delta(spark, t)) == [(2, "x")]
+
+
+def test_delta_merge_scd1_copy_on_write(spark, tmp_path):
+    """MERGE INTO: matched keys take the source row, unmatched source
+    keys insert, files without matches keep their exact paths, and
+    re-running the same merge is idempotent on the data."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        merge_delta_scd1,
+    )
+
+    t = str(tmp_path / "tbl")
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(3, 30), (4, 40)], "id long, v long"
+    ).coalesce(1)
+    write_delta(left, t, mode="overwrite")
+    write_delta(right, t, mode="append")
+    before = _replay(t)["files"]
+    right_files = {p for p in before if p.startswith("part-00001-")}
+
+    src = spark.createDataFrame([(2, 99), (5, 50)], "id long, v long")
+    merge_delta_scd1(spark, t, src, keys=["id"])
+    after = _replay(t)["files"]
+    # the right file had no matched keys -> untouched path
+    assert right_files <= set(after)
+    assert _rows(read_delta(spark, t)) == [
+        (1, 10), (2, 99), (3, 30), (4, 40), (5, 50),
+    ]
+    # idempotence: same merge again -> same data
+    merge_delta_scd1(spark, t, src, keys=["id"])
+    assert _rows(read_delta(spark, t)) == [
+        (1, 10), (2, 99), (3, 30), (4, 40), (5, 50),
+    ]
+    assert table_history(t)[-1]["operation"] == "MERGE"
+    # txn guard makes a REPLAYED merge a hard error before staging
+    merge_delta_scd1(spark, t, src, keys=["id"], txn=("merge_app", 3))
+    with pytest.raises(ValueError, match="already committed"):
+        merge_delta_scd1(spark, t, src, keys=["id"], txn=("merge_app", 3))
+
+
+def test_delta_merge_rejects_schema_drift(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import merge_delta_scd1
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    bad = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="pinned schema"):
+        merge_delta_scd1(spark, t, bad, keys=["id"])
+
+
+def test_delta_partitioned_write_prune_and_read(spark, tmp_path):
+    """partition_by lays files out hive-style with partitionValues in
+    the log; live_files prunes FROM THE LOG ALONE; read_delta with a
+    partition_predicate scans only matching files and re-attaches typed
+    partition columns."""
+    from stadvdb_olap_spark.sources.delta_log import live_files
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40)],
+        "id long, grp string, v long",
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    all_files = live_files(t)
+    assert all(("grp=" in p) for p in all_files)
+    pruned = live_files(t, partition_predicate="grp = 'a'", spark=spark)
+    assert pruned and set(pruned) < set(all_files)
+    assert all("grp=a/" in p for p in pruned)
+
+    back = read_delta(spark, t, partition_predicate="grp = 'a'")
+    assert _rows(back.select("id", "grp", "v")) == [(1, "a", 10), (2, "a", 20)]
+    # full read re-attaches the partition column, including the null
+    full = read_delta(spark, t)
+    assert _rows(full.select("id", "grp", "v")) == [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40),
+    ]
+    assert dict(full.dtypes)["grp"] == "string"
+    # appends must keep the partition spec
+    with pytest.raises(ValueError, match="partition"):
+        write_delta(
+            spark.createDataFrame([(9, "c", 90)], "id long, grp string, v long"),
+            t,
+            mode="append",
+        )
+
+
+def test_delta_partitioned_delete_and_merge_keep_layout(spark, tmp_path):
+    """Copy-on-write DELETE and MERGE on a partitioned table rewrite
+    hit files INTO the partition layout (partitionValues preserved)."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        live_files,
+        merge_delta_scd1,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, grp string, v long",
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    delete_where(
+        spark, t, "id = 2", partition_predicate="grp = 'a'"
+    )
+    assert _rows(read_delta(spark, t).select("id", "grp", "v")) == [
+        (1, "a", 10), (3, "b", 30),
+    ]
+    assert all("grp=" in p for p in live_files(t))
+
+    src = spark.createDataFrame(
+        [(1, "a", 99), (7, "c", 70)], "id long, grp string, v long"
+    )
+    merge_delta_scd1(spark, t, src, keys=["id"])
+    assert _rows(read_delta(spark, t).select("id", "grp", "v")) == [
+        (1, "a", 99), (3, "b", 30), (7, "c", 70),
+    ]
+    assert any("grp=c/" in p for p in live_files(t))
+
+
+def test_delta_vacuum_reclaims_staging_and_fails_fast_below_horizon(
+    spark, tmp_path
+):
+    """Round-10 advice: vacuum removes orphaned _staging_* dirs, and a
+    read below the vacuum horizon raises an explicit 'vacuumed' error
+    instead of a scan-time path-not-found."""
+    from stadvdb_olap_spark.sources.delta_log import vacuum_table
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="overwrite",
+        )
+    orphan = os.path.join(t, "_staging_deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").close()
+    deleted = vacuum_table(t, keep_versions=2)
+    assert not os.path.exists(orphan)
+    assert "_staging_deadbeef" in deleted
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta(spark, t, version=0)
+    # in-horizon reads still exact
+    assert _rows(read_delta(spark, t, version=1)) == [(1, 1)]

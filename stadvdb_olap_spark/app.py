@@ -37,14 +37,27 @@ def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
+    table_format: str = "parquet",
+    compact_target: int | None = None,
+    keep_versions: int | None = None,
 ) -> dict[str, dict[str, float | int]]:
     """Run the dim→fact warehouse build; return per-stage
     ``{"rows": n, "seconds": s}``. With ``out_dir``, each stage also
-    writes ``<out_dir>/<stage>`` as parquet (atomic job commit), making
-    this the batch-load twin of the streaming incremental path."""
+    writes ``<out_dir>/<stage>`` — as a parquet atomic job commit
+    (``table_format="parquet"``, the default) or as a DELTA-FORMAT
+    transaction-log commit (``table_format="delta"``,
+    sources/delta_log.py): every run lands as one overwrite version per
+    table, the stage report records ``delta_version``, and earlier
+    builds stay time-travelable. With delta, ``compact_target`` runs
+    OPTIMIZE per table after the write (``optimize_version`` in the
+    report) and ``keep_versions`` runs VACUUM with that retention —
+    the load + maintenance loop a production lakehouse sink performs
+    per batch."""
     from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
     from stadvdb_olap_spark.sources.sinks import write_table
 
+    if table_format not in ("parquet", "delta"):
+        raise ValueError(f"table_format must be parquet|delta, got {table_format!r}")
     _ensure_loaded()
     stages: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
         (name, REGISTRY[name].fn)
@@ -59,14 +72,33 @@ def run_pipeline(
             # df.observe collects the row count DURING the write job —
             # no post-write re-read (a second full scan at 100 TB).
             obs = Observation(f"{name}_rows")
-            write_table(
-                df.observe(obs, F.count(F.lit(1)).alias("rows")),
-                f"{out_dir}/{name}",
-            )
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            extra: dict[str, float | int] = {}
+            if table_format == "delta":
+                from stadvdb_olap_spark.sources.delta_log import (
+                    compact_table,
+                    vacuum_table,
+                    write_delta,
+                )
+
+                table_dir = f"{out_dir}/{name}"
+                extra["delta_version"] = write_delta(
+                    observed, table_dir, mode="overwrite",
+                    operation="PIPELINE LOAD",
+                )
+                if compact_target is not None:
+                    extra["optimize_version"] = compact_table(
+                        spark, table_dir, target_files=compact_target
+                    )
+                if keep_versions is not None:
+                    vacuum_table(table_dir, keep_versions=keep_versions)
+            else:
+                write_table(observed, f"{out_dir}/{name}")
             rows = int(obs.get["rows"])
         else:
+            extra = {}
             rows = df.count()
         secs = round(time.perf_counter() - t0, 3)
-        report[name] = {"rows": rows, "seconds": secs}
+        report[name] = {"rows": rows, "seconds": secs, **extra}
         log.info("stage %s: %d rows in %.3fs", name, rows, secs)
     return report

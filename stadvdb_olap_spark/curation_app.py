@@ -78,13 +78,20 @@ def run_curation_pipeline(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
+    table_format: str = "parquet",
 ) -> dict[str, dict[str, float | int]]:
     """Run the 7-stage curation DAG; return per-stage
     ``{"rows": n, "seconds": s}`` (plus the final manifest row count).
-    With ``out_dir``, the layout and manifest stages write parquet."""
+    With ``out_dir``, the layout and manifest stages write parquet — or
+    Delta-format versioned tables with ``table_format="delta"``
+    (sources/delta_log.py; ``delta_version`` rides the stage report and
+    prior corpus builds stay time-travelable, which is exactly what a
+    training-data lineage audit asks for)."""
     from stadvdb_olap_spark.sources.parquet import load_table, spread
     from stadvdb_olap_spark.sources.sinks import write_table
 
+    if table_format not in ("parquet", "delta"):
+        raise ValueError(f"table_format must be parquet|delta, got {table_format!r}")
     report: dict[str, dict[str, float | int]] = {}
     persisted: list[DataFrame] = []
 
@@ -92,11 +99,25 @@ def run_curation_pipeline(
         t0 = time.perf_counter()
         if write and out_dir is not None:
             obs = Observation(f"{name}_rows")
-            write_table(
-                df.observe(obs, F.count(F.lit(1)).alias("rows")),
-                f"{out_dir}/{name}",
-            )
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            extra: dict[str, float | int] = {}
+            if table_format == "delta":
+                from stadvdb_olap_spark.sources.delta_log import write_delta
+
+                extra["delta_version"] = write_delta(
+                    observed, f"{out_dir}/{name}", mode="overwrite",
+                    operation="CURATION LOAD",
+                )
+            else:
+                write_table(observed, f"{out_dir}/{name}")
             rows = int(obs.get["rows"])
+            report[name] = {
+                "rows": rows,
+                "seconds": round(time.perf_counter() - t0, 3),
+                **extra,
+            }
+            log.info("stage %s: %d rows", name, rows)
+            return df
         else:
             # Persist before counting: each stage's count is also the
             # materialization the NEXT stage builds on, so the DAG costs

@@ -1030,3 +1030,274 @@ def delta_cow_delete_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).alias("n_before_delete"))
     )
     return after.join(before, "o_orderstatus")
+
+@query(
+    "delta_merge_upsert_orders",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+), s AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'X' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END         AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END        AS o_orderstatus
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def delta_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the DELTA FORMAT, certified end-to-end
+    (sources/delta_log.py:merge_delta_scd1 — the copy-on-write upsert a
+    warehouse loader runs per batch; the reference's core loop is the
+    same ON CONFLICT DO UPDATE, user_ETL.py:105-117): the even-key
+    orders snapshot becomes a multi-file Delta table, the restated feed
+    (keys ≡ 0 mod 3) merges in — only files containing matched keys are
+    rewritten, unmatched source keys append — and the merge runs TWICE,
+    so the hash check certifies idempotence along with hit-file
+    detection, null-safe key anti-join survivorship, and log replay.
+    Same oracle family as ``merge_upsert_orders`` (the relational twin):
+    the driver proves the format-level merge and the engine-level merge
+    agree with SQL. 100 TB shape: the batch broadcasts into the
+    hit-file probe; cost is proportional to files TOUCHED, never table
+    size."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from stadvdb_olap_spark.sources.delta_log import (
+        merge_delta_scd1,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_merge"
+    # multi-file target so copy-on-write granularity is exercised
+    write_delta(target.repartition(4), table_dir, mode="overwrite")
+    merge_delta_scd1(spark, table_dir, source, keys=["o_orderkey"])
+    v2 = merge_delta_scd1(spark, table_dir, source, keys=["o_orderkey"])
+    return read_delta(spark, table_dir, version=v2)
+
+
+@query(
+    "delta_checkpoint_read_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       CAST(1 AS BIGINT) AS n_checkpoints
+FROM orders WHERE o_orderkey % 100 < 12
+GROUP BY o_orderstatus
+""",
+)
+def delta_checkpoint_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINTED Delta log certified end-to-end
+    (sources/delta_log.py:_write_checkpoint / _replay): twelve commits
+    land (overwrite + 11 appends, one per key bucket), the automatic
+    parquet checkpoint + ``_last_checkpoint`` appear at version 10, and
+    the read reconstructs state FROM THE CHECKPOINT plus the two
+    trailing commits (`tests/test_delta_log.py` proves _replay starts
+    at the checkpoint by deleting the commits below it). The oracle
+    recomputes from raw parquet and pins n_checkpoints=1, so the driver
+    hash-certifies that a checkpointed log reads exactly like a fully
+    replayed one — the O(interval) read the per-micro-batch streaming
+    sink needs (a day of 30 s batches is ~2,900 commits; replaying all
+    of them per read is the scale blocker the checkpoint removes)."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        checkpoint_versions,
+        read_delta,
+        write_delta,
+    )
+
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders")
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_ckpt"
+    # fresh log per run: the commit COUNT (and thus the checkpoint
+    # version set) is part of what this query certifies
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    for b in range(12):
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 100 == b).select(base_cols),
+            table_dir,
+            mode="overwrite" if b == 0 else "append",
+        )
+    n_cp = len(checkpoint_versions(table_dir))
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("n_checkpoints", F.lit(n_cp).cast("long"))
+    )
+
+
+@query(
+    "delta_partition_prune_orders",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS scanned_only_matching,
+       TRUE AS files_pruned
+FROM orders
+WHERE o_orderkey % 100 < 20 AND o_orderstatus = 'F'
+GROUP BY 1
+""",
+)
+def delta_partition_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED Delta table with log-only pruning, certified
+    end-to-end (sources/delta_log.py:live_files / read_delta): an
+    orders slice lands partitioned by o_orderstatus (hive layout,
+    ``partitionValues`` in every add action), and the read for status
+    'F' prunes the file list FROM THE LOG ALONE — the two booleans are
+    computed from the actual pruned path list (every scanned file sits
+    under o_orderstatus=F/, and the pruned list is a strict subset of
+    the live set), then hash-certified against the oracle's TRUE
+    literals. The partition column itself is re-attached from
+    partitionValues (it is NOT in the data files — protocol layout),
+    which the per-year aggregation exercises. 100 TB shape: a
+    partition-selective read opens zero non-matching parquet footers;
+    candidate selection cost is bounded by FILE COUNT."""
+    import hashlib as _hashlib
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = orders.filter(F.col("o_orderkey") % 100 < 20).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_part"
+    write_delta(
+        sliced, table_dir, mode="overwrite", partition_by=["o_orderstatus"]
+    )
+    pred = "o_orderstatus = 'F'"
+    scanned = live_files(table_dir, partition_predicate=pred, spark=spark)
+    total = live_files(table_dir)
+    only_matching = bool(scanned) and all(
+        p.startswith("o_orderstatus=F/") for p in scanned
+    )
+    pruned = len(scanned) < len(total)
+    return (
+        read_delta(spark, table_dir, partition_predicate=pred)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("scanned_only_matching", F.lit(only_matching))
+        .withColumn("files_pruned", F.lit(pruned))
+    )
+
+
+@query(
+    "delta_stream_append_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS multi_batch,
+       TRUE AS exactly_once_ok
+FROM orders WHERE o_orderkey % 100 BETWEEN 20 AND 29
+GROUP BY o_orderstatus
+""",
+)
+def delta_stream_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Delta sink certified end-to-end
+    (streaming/incremental.py:delta_append_stream — per-micro-batch
+    put-if-absent commits carrying the protocol txn action): an orders
+    slice is laid out as three source files, streamed with
+    maxFilesPerTrigger=1 (so multiple batch commits land), then the
+    SAME stream is RESTARTED from its checkpoint — the restart must
+    re-deliver nothing and commit nothing (multi_batch and
+    exactly_once_ok are computed from the actual log versions). The
+    final table aggregates hash-match a plain SQL recompute of the
+    slice, certifying source → micro-batches → txn-stamped commits →
+    checkpointed log read as one driver row. The txn app_id derives
+    from the checkpoint location (round-10 advice), so a fresh
+    checkpoint can never silently drop batches."""
+    import hashlib as _hashlib
+    import tempfile
+    import uuid as _uuid
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        read_delta,
+        table_versions,
+    )
+    from stadvdb_olap_spark.streaming.incremental import delta_append_stream
+
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = orders.filter(
+        (F.col("o_orderkey") % 100 >= 20) & (F.col("o_orderkey") % 100 <= 29)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    # per-call unique root: the stream's commit sequence is the test
+    # subject, so it must never interleave with a previous run's log
+    root = (
+        f"{tempfile.gettempdir()}/stadvdb_delta_stream_"
+        f"{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{_uuid.uuid4().hex[:8]}"
+    )
+    src, table_dir, ckpt = f"{root}/src", f"{root}/tbl", f"{root}/ckpt"
+    sliced.repartition(3).write.parquet(src)
+    schema = sliced.schema
+
+    q = delta_append_stream(
+        spark, src, schema, table_dir, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(600)
+    versions_after = table_versions(table_dir)
+    multi_batch = len(versions_after) >= 2
+
+    # crash-recovery restart from the SAME checkpoint: nothing new
+    q2 = delta_append_stream(
+        spark, src, schema, table_dir, ckpt, max_files_per_trigger=1
+    )
+    q2.awaitTermination(600)
+    exactly_once = table_versions(table_dir) == versions_after
+
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("multi_batch", F.lit(multi_batch))
+        .withColumn("exactly_once_ok", F.lit(exactly_once))
+    )

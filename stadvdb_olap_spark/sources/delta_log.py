@@ -860,7 +860,12 @@ def merge_delta_scd1(
     state = _replay(table_dir)
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
-    if source.schema.json() != state["schema_json"]:
+    # names + types must match the pinned schema exactly; nullability is
+    # NOT compared (file reads relax it, computed literals tighten it —
+    # neither changes what lands in parquet)
+    tbl_fields = [(f.name, f.dataType) for f in schema.fields]
+    src_fields = [(f.name, f.dataType) for f in source.schema.fields]
+    if tbl_fields != src_fields:
         raise ValueError(
             "merge source schema differs from the table's pinned schema "
             f"({source.schema.simpleString()} vs {schema.simpleString()}) — "

@@ -1301,3 +1301,95 @@ def delta_stream_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("multi_batch", F.lit(multi_batch))
         .withColumn("exactly_once_ok", F.lit(exactly_once))
     )
+
+
+@query(
+    "delta_tail_source_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS optimize_skipped
+FROM orders WHERE o_orderkey % 100 BETWEEN 30 AND 39
+GROUP BY o_orderstatus
+""",
+)
+def delta_tail_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over a Delta table, certified end-to-end
+    (sources/delta_stream.py — the Python-DataSource twin of
+    delta-spark's streaming source: offsets are commit versions, one
+    input partition per dataChange add-file, Arrow batches with
+    partition columns re-attached): an orders slice lands as two
+    commits plus an OPTIMIZE rewrite, then the table is consumed as a
+    STREAM into a memory sink and aggregated. The oracle recomputes
+    from raw parquet, so the hash certifies log-tail → offsets →
+    micro-batches → rows with no loss AND no double-delivery — the
+    dataChange=false OPTIMIZE adds must be skipped or every row would
+    arrive twice (optimize_skipped pins the row-count proof). 100 TB
+    shape: file-grain partitions declared from the log, pyarrow reads
+    on executors, nothing data-sized on the driver."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        write_delta,
+    )
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    slice_a = orders.filter(
+        (F.col("o_orderkey") % 100 >= 30) & (F.col("o_orderkey") % 100 <= 34)
+    ).select(base_cols)
+    slice_b = orders.filter(
+        (F.col("o_orderkey") % 100 >= 35) & (F.col("o_orderkey") % 100 <= 39)
+    ).select(base_cols)
+
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_tail"
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    write_delta(slice_a.repartition(2), table_dir, mode="overwrite")
+    write_delta(slice_b.repartition(2), table_dir, mode="append")
+    compact_table(spark, table_dir, target_files=1)
+
+    expected = slice_a.count() + slice_b.count()
+    sink = f"delta_tail_orders_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", table_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            n = spark.sql(f"SELECT count(*) c FROM {sink}").collect()[0].c
+            if n >= expected:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = spark.table(sink)
+    n_streamed = streamed.count()
+    return (
+        streamed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("optimize_skipped", F.lit(n_streamed == expected))
+    )

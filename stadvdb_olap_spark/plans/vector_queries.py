@@ -1446,11 +1446,16 @@ def _pqf_fitted_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.filter(F.col("vec_id") != _PQF_QUERY)
         .crossJoin(F.broadcast(qd))
         .select(
+            F.lit(_PQF_QUERY).cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
             pick.alias("approx_dist_sq"),
         )
     )
-    w = Window.orderBy("approx_dist_sq", "neighbor_id")
+    # per-query window (the multi-query production shape: N queries
+    # partition into N independent top-R folds)
+    w = Window.partitionBy("query_id").orderBy(
+        "approx_dist_sq", "neighbor_id"
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PQF_R)
@@ -1541,11 +1546,12 @@ def ann_pq_fitted_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != _PQF_QUERY)
         .crossJoin(F.broadcast(q))
         .select(
+            F.lit(_PQF_QUERY).cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
             l2_sq("embedding", "qv").alias("d"),
         )
     )
-    w = Window.orderBy("d", "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
     exact_topk = (
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PQF_K)

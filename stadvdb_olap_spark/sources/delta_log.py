@@ -1095,6 +1095,44 @@ def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
     return deleted
 
 
+def cleanup_log(table_dir: str, keep_versions: int = 10) -> list[str]:
+    """Metadata retention (production Delta's log cleanup): delete
+    commit JSONs and checkpoints STRICTLY BELOW the newest checkpoint
+    that still covers the retention window, so the ``_delta_log`` dir
+    stays bounded while every version in the window (and the checkpoint
+    floor itself) remains readable — ``_replay`` reconstructs from the
+    checkpoint, which ``tests/test_delta_log.py`` proves by deleting
+    exactly these files. Returns the deleted names.
+
+    A per-micro-batch streaming sink plus ``checkpoint_interval`` and
+    this cleanup gives a log whose size is O(keep_versions + interval)
+    forever, independent of total commits. No-op (returns []) until a
+    checkpoint at-or-below the horizon exists — cleanup never makes a
+    retained version unreadable."""
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table_dir}")
+    horizon = versions[-keep_versions] if len(versions) > keep_versions else versions[0]
+    floors = [c for c in checkpoint_versions(table_dir) if c <= horizon]
+    if not floors:
+        return []
+    floor = floors[-1]
+    deleted: list[str] = []
+    for v in versions:
+        if v < floor:
+            name = f"{v:020d}.json"
+            os.remove(os.path.join(_log_dir(table_dir), name))
+            deleted.append(name)
+    for c in checkpoint_versions(table_dir):
+        if c < floor:
+            name = f"{c:020d}.checkpoint.parquet"
+            os.remove(os.path.join(_log_dir(table_dir), name))
+            deleted.append(name)
+    return deleted
+
+
 def table_history(table_dir: str) -> list[dict]:
     """commitInfo per version, ascending — the DESCRIBE HISTORY twin."""
     out = []

@@ -1,0 +1,194 @@
+"""Streaming SOURCE over a Delta-log table — a pure-Python Spark 4
+DataSource (``spark.readStream.format("delta_tail")``).
+
+``sources/delta_log.py`` gives the engine the open Delta format as a
+SINK (per-batch txn commits) and a batch change tail
+(``read_delta_changes``). This closes the loop: any table this engine
+writes can also be CONSUMED as a Structured Streaming source, with the
+log's commit versions as the stream's offsets — the same contract
+delta-spark's streaming source keeps:
+
+- **Offsets are commit versions.** ``initialOffset`` starts at
+  ``startingVersion - 1`` (default: before version 0, so the first
+  micro-batch delivers the table-so-far); ``latestOffset`` reports the
+  log's current last version — the source never fabricates progress,
+  an idle table yields empty batches.
+- **One input partition per add-file** with ``dataChange=true`` in the
+  offset range — OPTIMIZE rewrites are skipped exactly as the protocol
+  intends (their adds carry ``dataChange: false``), so compaction never
+  doubles a consumer's rows. Parallelism = file count, declared to
+  Spark, not discovered.
+- **Executors read parquet via pyarrow** and yield RecordBatches (the
+  Arrow fast path of the Python DataSource API); partition columns are
+  re-attached as typed constant arrays from the log's
+  ``partitionValues`` (the protocol keeps them out of the data files).
+- **Exactly-once riding the checkpoint.** Offsets are version numbers
+  in an append-only log, so a restart re-reads precisely the
+  checkpointed range; replays are deterministic by construction.
+
+Like the batch change tail, removes are not replayed as row-level
+deletes (that needs the full CDF) — this is the append/ETL consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from stadvdb_olap_spark.sources.delta_log import (
+    _commit_path,
+    _replay,
+    table_versions,
+)
+
+
+@dataclass
+class _AddFile(InputPartition):
+    path: str                      # absolute path of the data file
+    schema_json: str               # pinned full schema (log metaData)
+    partition_columns: tuple       # ordered partition column names
+    partition_values: tuple = field(default=())  # raw string values
+
+
+def _adds_in_range(
+    table_dir: str, after_version: int, to_version: int
+) -> list[dict]:
+    """dataChange add actions committed in (after_version, to_version],
+    ascending by (version, path) for a deterministic partition order."""
+    out: list[dict] = []
+    for v in range(after_version + 1, to_version + 1):
+        with open(_commit_path(table_dir, v)) as f:
+            adds = []
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    adds.append(action["add"])
+            out.extend(sorted(adds, key=lambda a: a["path"]))
+    return out
+
+
+def _constant_array(value: str | None, spark_type: str, length: int):
+    """A pyarrow constant column of ``length`` carrying the partition
+    value parsed per the pinned Spark type (the protocol stores
+    partition values as strings in the log)."""
+    import pyarrow as pa
+
+    types = {
+        "byte": (pa.int8(), int),
+        "short": (pa.int16(), int),
+        "integer": (pa.int32(), int),
+        "long": (pa.int64(), int),
+        "float": (pa.float32(), float),
+        "double": (pa.float64(), float),
+        "string": (pa.string(), str),
+        "boolean": (pa.bool_(), lambda s: s == "true"),
+        "date": (pa.date32(), None),
+    }
+    if spark_type not in types:
+        raise ValueError(
+            f"unsupported partition column type {spark_type!r} for the "
+            "delta_tail stream source"
+        )
+    pa_type, conv = types[spark_type]
+    if value is None:
+        return pa.nulls(length, pa_type)
+    if spark_type == "date":
+        import datetime
+
+        parsed = datetime.date.fromisoformat(value)
+    else:
+        parsed = conv(value)
+    return pa.array([parsed] * length, pa_type)
+
+
+class _DeltaTailStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("delta_tail requires .option('path', table_dir)")
+        self.starting_version = int(options.get("startingVersion", 0))
+        state = _replay(self.table_dir)
+        self._schema_json = state["schema_json"]
+        self._partition_columns = tuple(state["partition_columns"])
+
+    def initialOffset(self):
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self):
+        versions = table_versions(self.table_dir)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        adds = _adds_in_range(self.table_dir, lo, hi)
+        return [
+            _AddFile(
+                path=os.path.join(self.table_dir, a["path"]),
+                schema_json=self._schema_json,
+                partition_columns=self._partition_columns,
+                partition_values=tuple(
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in self._partition_columns
+                ),
+            )
+            for a in adds
+        ]
+
+    def read(self, partition: _AddFile):
+        import pyarrow.parquet as papq
+
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        names = [f.name for f in schema.fields]
+        part_types = {
+            f.name: f.dataType.typeName()
+            for f in schema.fields
+            if f.name in partition.partition_columns
+        }
+        pf = papq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(batch_size=64_000):
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            for c, v in zip(partition.partition_columns, partition.partition_values):
+                cols[c] = _constant_array(v, part_types[c], batch.num_rows)
+            import pyarrow as pa
+
+            yield pa.RecordBatch.from_arrays(
+                [cols[n] for n in names], names=names
+            )
+
+    def commit(self, end):
+        pass
+
+
+class DeltaTailDataSource(DataSource):
+    """``spark.readStream.format("delta_tail").option("path", dir)`` —
+    stream the dataChange adds of a delta_log table, offsets = commit
+    versions. Options: ``path`` (required), ``startingVersion``
+    (default 0: deliver the whole table first)."""
+
+    @classmethod
+    def name(cls):
+        return "delta_tail"
+
+    def schema(self):
+        return StructType.fromJson(
+            json.loads(_replay(self.options["path"])["schema_json"])
+        )
+
+    def streamReader(self, schema: StructType):
+        return _DeltaTailStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeltaTailDataSource)

@@ -1,0 +1,231 @@
+"""Streaming SOURCE over a delta_log table (sources/delta_stream.py,
+the Python DataSource API) + log metadata retention (cleanup_log)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from stadvdb_olap_spark.sources.delta_log import (
+    compact_table,
+    write_delta,
+)
+
+
+def _drain(spark, sdf, min_rows, timeout_s=60):
+    """Run a memory-sink stream until it has delivered >= min_rows (or
+    a grace period proves no more are coming); returns the sink name."""
+    name = f"delta_tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+            if n >= min_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return name
+
+
+def test_delta_tail_streams_table_then_only_new_commits(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        t,
+        mode="overwrite",
+    )
+    write_delta(
+        spark.createDataFrame([(3, 30)], "id long, v long"), t, mode="append"
+    )
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    assert [f.name for f in sdf.schema.fields] == ["id", "v"]
+    name = _drain(spark, sdf, min_rows=3)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"SELECT id, v FROM {name}").collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+    # startingVersion skips the table-so-far: only the append arrives
+    sdf2 = (
+        spark.readStream.format("delta_tail")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .load()
+    )
+    name2 = _drain(spark, sdf2, min_rows=1)
+    got2 = sorted(
+        tuple(r) for r in spark.sql(f"SELECT id, v FROM {name2}").collect()
+    )
+    assert got2 == [(3, 30)]
+
+
+def test_delta_tail_skips_optimize_rewrites(spark, tmp_path):
+    """dataChange=false adds (OPTIMIZE) must NOT re-deliver rows."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    compact_table(spark, t, target_files=1)
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    name = _drain(spark, sdf, min_rows=4)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"SELECT id, v FROM {name}").collect()
+    )
+    assert got == [(0, 0), (1, 10), (2, 20), (3, 30)]  # exactly once
+
+
+def test_delta_tail_reattaches_partition_columns(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)],
+        "id long, grp string, v double",
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    assert [f.name for f in sdf.schema.fields] == ["id", "grp", "v"]
+    name = _drain(spark, sdf, min_rows=3)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(f"SELECT id, grp, v FROM {name}").collect()
+    )
+    assert got == [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)]
+
+
+def test_delta_tail_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop after the first batch, append a new commit, restart with the
+    SAME checkpoint: only the new commit's rows arrive (offsets are
+    commit versions riding the stream checkpoint)."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    def run_once(min_rows):
+        # file sink: the fault-tolerant sink whose checkpoint recovery
+        # exercises the SOURCE's version offsets (memory sink cannot
+        # recover from a checkpoint)
+        sdf = spark.readStream.format("delta_tail").option("path", t).load()
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if sink_count() >= min_rows:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_once(1)
+    write_delta(
+        spark.createDataFrame([(2, 20)], "id long, v long"), t, "append"
+    )
+    run_once(2)  # restart from the same checkpoint: only v1 arrives
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_cleanup_log_bounds_metadata_and_keeps_window_readable(
+    spark, tmp_path
+):
+    from stadvdb_olap_spark.sources.delta_log import (
+        checkpoint_versions,
+        cleanup_log,
+        read_delta,
+        table_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(13):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+            checkpoint_interval=5,
+        )
+    assert checkpoint_versions(t) == [5, 10]
+    deleted = cleanup_log(t, keep_versions=3)
+    # floor = newest checkpoint <= horizon(v10) -> 10: commits 0..9 and
+    # checkpoint 5 go
+    assert f"{0:020d}.json" in deleted
+    assert f"{5:020d}.checkpoint.parquet" in deleted
+    assert table_versions(t) == [10, 11, 12]
+    assert checkpoint_versions(t) == [10]
+    # everything in (and at the floor of) the window still reads
+    assert read_delta(spark, t, version=10).count() == 11
+    assert read_delta(spark, t).count() == 13
+    with pytest.raises(ValueError, match="not in"):
+        read_delta(spark, t, version=4)
+    # idempotent: a second cleanup with the same window deletes nothing
+    assert cleanup_log(t, keep_versions=3) == []
+
+
+def test_cleanup_log_noop_without_covering_checkpoint(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import cleanup_log
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+            checkpoint_interval=None,
+        )
+    assert cleanup_log(t, keep_versions=2) == []
+
+
+def test_delta_tail_idle_table_yields_no_rows(spark, tmp_path):
+    """latestOffset never fabricates progress: an already-drained table
+    produces empty micro-batches, not duplicates."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    name = _drain(spark, sdf, min_rows=1)
+    time.sleep(2)
+    n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+    assert n == 1

@@ -1393,3 +1393,98 @@ def delta_tail_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("optimize_skipped", F.lit(n_streamed == expected))
     )
+
+
+@query(
+    "delta_zorder_optimize_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS ranges_disjoint,
+       TRUE AS content_unchanged
+FROM orders WHERE o_orderkey % 100 BETWEEN 40 AND 49
+GROUP BY o_orderstatus
+""",
+)
+def delta_zorder_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the Delta format, certified end-to-end
+    (sources/delta_log.py:compact_table(zorder_by=...) — the clustered
+    rewrite every lakehouse runs to make data skipping work): an orders
+    slice lands as four appends whose files each span the whole
+    o_totalprice range, ZORDER rewrites them into four files holding
+    contiguous curve segments, and the output pins BOTH properties the
+    operation exists for — per-file min/max ranges of the z-ordered
+    column are pairwise disjoint (read from the actual parquet footers,
+    driver-bounded by file count) and the snapshot content is unchanged
+    (the aggregates hash-match a raw recompute; time travel to the
+    pre-OPTIMIZE version still works). 100 TB shape: the rewrite costs
+    one range-exchange + local sort of the live set; afterwards a
+    price-selective scan skips all but one file per predicate range."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    import pyarrow.parquet as _papq
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        compact_table,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    sliced = orders.filter(
+        (F.col("o_orderkey") % 100 >= 40) & (F.col("o_orderkey") % 100 <= 49)
+    ).select(base_cols)
+
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_zorder"
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    for b in range(4):
+        write_delta(
+            sliced.filter(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table_dir,
+            mode="append" if b else "overwrite",
+        )
+    v_pre = _replay(table_dir)["version"]
+    v_opt = compact_table(
+        spark, table_dir, target_files=4, zorder_by=["o_totalprice"]
+    )
+
+    # footer-stats proof, bounded by file count
+    ranges = []
+    for p in sorted(_replay(table_dir)["files"]):
+        md = _papq.read_metadata(_os.path.join(table_dir, p))
+        idx = md.schema.to_arrow_schema().names.index("o_totalprice")
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    disjoint = all(h1 < l2 for (_l1, h1), (l2, _h2) in zip(ranges, ranges[1:]))
+
+    after = read_delta(spark, table_dir, version=v_opt)
+    pre = read_delta(spark, table_dir, version=v_pre)
+    unchanged = after.count() == pre.count() and v_opt == v_pre + 1
+    return (
+        after.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("ranges_disjoint", F.lit(disjoint))
+        .withColumn("content_unchanged", F.lit(unchanged))
+    )

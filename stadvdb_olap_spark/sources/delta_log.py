@@ -938,6 +938,7 @@ def compact_table(
     spark: SparkSession,
     table_dir: str,
     target_files: int = 1,
+    zorder_by: list[str] | None = None,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """OPTIMIZE (bin-packing compaction): rewrite the live file set into
@@ -946,6 +947,17 @@ def compact_table(
     remove+add with ``dataChange: false`` — the protocol's marker that
     the snapshot's CONTENT is unchanged, so incremental/streaming
     consumers skip the commit entirely. Returns the committed version.
+
+    ``zorder_by`` is OPTIMIZE ZORDER: rows are clustered on the Morton
+    curve of the named columns (``operators/maintenance.py:
+    zorder_value`` — equi-depth buckets, bit interleave). On an
+    unpartitioned table the rewrite RANGE-partitions on the z-value, so
+    each output file holds one contiguous curve segment and every
+    z-ordered column gets tight per-file min/max ranges — the property
+    data-skipping readers key on. On a partitioned table rows stay
+    hash-distributed by partition column and are curve-SORTED within
+    files (Delta's per-partition ZORDER discipline; ZORDER never
+    crosses partition boundaries).
 
     This is the table-format twin of the snapshot compaction planner
     (``compaction_plan_orders`` / sources/versioned.py): the small-file
@@ -956,19 +968,50 @@ def compact_table(
     state = _replay(table_dir)
     live = sorted(state["files"])
     parts = state["partition_columns"]
-    if len(live) <= target_files:
+    if zorder_by:
+        overlap = [c for c in zorder_by if c in parts]
+        if overlap:
+            raise ValueError(
+                f"zorder_by {overlap} are partition columns — they are "
+                "constant within every file already; z-order data columns"
+            )
+    if len(live) <= target_files and not zorder_by:
         return state["version"]  # nothing to do — no empty commit
     packed = _read_adds(spark, table_dir, state, live)
-    packed = (
-        packed.repartition(target_files, *parts)
-        if parts
-        else packed.repartition(target_files)
-    )
+    if zorder_by:
+        from stadvdb_olap_spark.operators.maintenance import zorder_value
+
+        zdf, zcol = zorder_value(packed, list(zorder_by))
+        if parts:
+            packed = (
+                zdf.repartition(target_files, *parts)
+                .sortWithinPartitions(*parts, zcol)
+                .drop(zcol)
+            )
+        else:
+            packed = (
+                zdf.repartitionByRange(target_files, F.col(zcol))
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+    else:
+        packed = (
+            packed.repartition(target_files, *parts)
+            if parts
+            else packed.repartition(target_files)
+        )
     version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     adds = _stage_files(packed, table_dir, version, parts, False, now_ms)
     actions: list[dict] = [
-        _commit_info("OPTIMIZE", {"targetFiles": target_files}, now_ms)
+        _commit_info(
+            "OPTIMIZE",
+            {
+                "targetFiles": target_files,
+                "zOrderBy": json.dumps(list(zorder_by or [])),
+            },
+            now_ms,
+        )
     ]
     actions.extend(
         {

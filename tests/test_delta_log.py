@@ -579,3 +579,64 @@ def test_delta_vacuum_reclaims_staging_and_fails_fast_below_horizon(
         read_delta(spark, t, version=0)
     # in-horizon reads still exact
     assert _rows(read_delta(spark, t, version=1)) == [(1, 1)]
+
+
+def test_delta_optimize_zorder_gives_disjoint_file_ranges(spark, tmp_path):
+    """OPTIMIZE ZORDER: after the clustered rewrite, each live file
+    holds one contiguous curve segment, so per-file min/max ranges of
+    the z-ordered column are pairwise DISJOINT (the data-skipping
+    property); content is unchanged and history still time-travels."""
+    import pyarrow.parquet as papq
+
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        compact_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    # shuffled values across 4 appends: every pre-compact file spans
+    # nearly the whole value range
+    vals = [(i * 373) % 1000 for i in range(1000)]
+    for c in range(4):
+        chunk = [(i, v) for i, v in enumerate(vals) if i % 4 == c]
+        write_delta(
+            spark.createDataFrame(chunk, "id long, v long").coalesce(1),
+            t,
+            mode="append" if c else "overwrite",
+        )
+    before = _rows(read_delta(spark, t))
+    v = compact_table(spark, t, target_files=4, zorder_by=["v"])
+    assert _rows(read_delta(spark, t)) == before
+    assert _rows(read_delta(spark, t, version=v - 1)) == before
+
+    ranges = []
+    for p in sorted(_replay(t)["files"]):
+        md = papq.read_metadata(os.path.join(t, p))
+        lo = min(
+            md.row_group(g).column(1).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(1).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file value ranges overlap: {ranges}"
+    hist = table_history(t)[-1]
+    assert hist["operation"] == "OPTIMIZE"
+    assert json.loads(hist["operationParameters"]["zOrderBy"]) == ["v"]
+
+
+def test_delta_zorder_rejects_partition_columns(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import compact_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, grp string, v long"
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    with pytest.raises(ValueError, match="partition columns"):
+        compact_table(spark, t, target_files=1, zorder_by=["grp"])

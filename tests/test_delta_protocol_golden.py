@@ -126,7 +126,8 @@ GOLDEN = [
     # consumers skip it
     [
         {"commitInfo": dict(_CI, operation="OPTIMIZE",
-                            operationParameters={"targetFiles": 1})},
+                            operationParameters={"targetFiles": 1,
+                                                 "zOrderBy": "[]"})},
         {"remove": {"path": "<file-1>", "deletionTimestamp": 0,
                     "dataChange": False}},
         {"remove": {"path": "<file-2>", "deletionTimestamp": 0,

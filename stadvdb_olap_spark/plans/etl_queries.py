@@ -1488,3 +1488,95 @@ def delta_zorder_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ranges_disjoint", F.lit(disjoint))
         .withColumn("content_unchanged", F.lit(unchanged))
     )
+
+
+@query(
+    "delta_cdf_orders",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 BETWEEN 50 AND 59
+),
+del1 AS (
+    SELECT * FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+),
+merge_src AS (
+    SELECT o_orderkey, 'X' AS o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 BETWEEN 55 AND 64
+),
+pre_image AS (
+    SELECT * FROM base WHERE o_orderkey % 100 BETWEEN 55 AND 59
+),
+feed AS (
+    SELECT CAST(1 AS BIGINT) AS _commit_version, 'delete' AS _change_type,
+           o_totalprice FROM del1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM pre_image
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', o_totalprice FROM merge_src
+)
+SELECT _commit_version, _change_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price
+FROM feed
+GROUP BY _commit_version, _change_type
+""",
+)
+def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED on the Delta format, certified
+    end-to-end (sources/delta_log.py:read_delta_cdf — the `table_changes`
+    consumer every downstream incremental pipeline wants): an orders
+    slice lands (v0), a copy-on-write DELETE drops a deterministic
+    subset (v1), a MERGE restates five key-buckets and inserts five new
+    ones (v2), then the feed over (0, 2] is aggregated per
+    (_commit_version, _change_type). The oracle reconstructs the exact
+    expected feed from raw parquet: v1 must yield ONLY the dropped rows
+    as deletes (rewrite survivors cancel via the symmetric multiset
+    diff), v2 must yield the matched PRE-IMAGE as deletes plus the
+    source batch as inserts. 100 TB shape: per commit the diff touches
+    only the files that commit rewrote — one counted aggregate + one
+    full-outer join at touched-file grain, never table size."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        merge_delta_scd1,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = orders.filter(
+        (F.col("o_orderkey") % 100 >= 50) & (F.col("o_orderkey") % 100 <= 59)
+    ).select(base_cols)
+    src = orders.filter(
+        (F.col("o_orderkey") % 100 >= 55) & (F.col("o_orderkey") % 100 <= 64)
+    ).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    ).select(base_cols)
+
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_cdf"
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    write_delta(base.repartition(3), table_dir, mode="overwrite")   # v0
+    delete_where(
+        spark, table_dir,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0),
+    )                                                               # v1
+    merge_delta_scd1(spark, table_dir, src, keys=["o_orderkey"])    # v2
+
+    cdf, _to = read_delta_cdf(spark, table_dir, from_version=0)
+    return cdf.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )

@@ -1079,6 +1079,140 @@ def read_delta_changes(
     )
 
 
+def version_at_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Timestamp time travel: the newest version whose commitInfo
+    timestamp is <= ``ts_ms`` (epoch millis) — Delta's
+    ``timestampAsOf`` resolution rule. Raises if the timestamp predates
+    the first commit."""
+    best = None
+    for info in table_history(table_dir):
+        if info.get("timestamp", 0) <= ts_ms:
+            best = info["version"]
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first commit of {table_dir}"
+        )
+    return best
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """ROW-LEVEL change data feed for commits in
+    ``(from_version, to_version]``: every row carries ``_change_type``
+    (``insert`` / ``delete``) and ``_commit_version``. Unlike
+    :func:`read_delta_changes` (adds only), this replays REMOVES at row
+    grain by set-differencing each commit's removed files against its
+    added files — a copy-on-write DELETE yields exactly its dropped
+    rows as ``delete``; rewrite survivors cancel out; a MERGE yields
+    the replaced pre-image as ``delete`` plus the post-image batch as
+    ``insert``; OPTIMIZE (dataChange=false both sides) yields nothing.
+    Returns (changes, to_version).
+
+    Requires the removed files to still exist (pre-vacuum) — the same
+    retention contract production CDF reads have. Cost per commit is
+    one anti-join of rewritten-file rows against their replacements,
+    bounded by the files that commit touched, never table size."""
+    versions = table_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table_dir}")
+    if to_version is None:
+        to_version = versions[-1]
+    horizon = earliest_retained_version(table_dir)
+    if from_version < horizon:
+        raise ValueError(
+            f"CDF from version {from_version} reaches below the vacuum "
+            f"horizon; earliest retained version is {horizon}"
+        )
+    state = _replay(table_dir, to_version)
+    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    cols = [f.name for f in schema.fields]
+    out: DataFrame | None = None
+
+    def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.select(*cols).withColumns(
+            {
+                "_change_type": F.lit(kind),
+                "_commit_version": F.lit(v).cast("long"),
+            }
+        )
+
+    for v in range(from_version + 1, to_version + 1):
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        with open(_commit_path(table_dir, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes[action["remove"]["path"]] = action["remove"]
+        if not adds and not removes:
+            continue
+        # SYMMETRIC multiset difference per commit: a copy-on-write
+        # rewrite re-adds its survivors, which must cancel on BOTH
+        # sides — inserts = adds - removes, deletes = removes - adds,
+        # counted per row value so duplicates keep exact multiplicity
+        # (an anti-join would drop every copy once one matches).
+        def _cnt(files: dict, alias: str) -> DataFrame:
+            st = dict(state, files=files)
+            return (
+                _read_adds(spark, table_dir, st, sorted(files))
+                .groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        if adds and removes:
+            a_cnt, r_cnt = _cnt(adds, "__n_a"), _cnt(removes, "__n_r")
+            cond = [a_cnt[c].eqNullSafe(r_cnt[c]) for c in cols]
+            diff = a_cnt.join(r_cnt, cond, "full_outer").select(
+                *[
+                    F.coalesce(a_cnt[c], r_cnt[c]).alias(c)
+                    for c in cols
+                ],
+                F.coalesce(a_cnt["__n_a"], F.lit(0)).alias("__n_a"),
+                F.coalesce(r_cnt["__n_r"], F.lit(0)).alias("__n_r"),
+            )
+        elif adds:
+            diff = _cnt(adds, "__n_a").withColumn("__n_r", F.lit(0))
+        else:
+            diff = _cnt(removes, "__n_r").withColumn("__n_a", F.lit(0))
+
+        def _explode(df: DataFrame, n_col) -> DataFrame:
+            return (
+                df.filter(n_col > 0)
+                .select(
+                    *cols,
+                    F.explode(
+                        F.sequence(F.lit(1), n_col.cast("int"))
+                    ).alias("__i"),
+                )
+                .drop("__i")
+            )
+
+        ins = _explode(diff, F.col("__n_a") - F.col("__n_r"))
+        dels = _explode(diff, F.col("__n_r") - F.col("__n_a"))
+        for piece, kind in ((ins, "insert"), (dels, "delete")):
+            tagged = tag(piece, kind, v)
+            out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        empty = spark.createDataFrame([], schema).withColumns(
+            {
+                "_change_type": F.lit("insert"),
+                "_commit_version": F.lit(0).cast("long"),
+            }
+        ).where(F.lit(False))
+        return empty, to_version
+    return out, to_version
+
+
 def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
     """VACUUM: physically delete data files that are unreferenced by
     the live sets of the newest ``keep_versions`` versions — the

@@ -640,3 +640,99 @@ def test_delta_zorder_rejects_partition_columns(spark, tmp_path):
     write_delta(df, t, mode="overwrite", partition_by=["grp"])
     with pytest.raises(ValueError, match="partition columns"):
         compact_table(spark, t, target_files=1, zorder_by=["grp"])
+
+
+def test_delta_cdf_row_level_change_types(spark, tmp_path):
+    """read_delta_cdf: DELETE commits yield their dropped rows as
+    'delete' (rewrite survivors cancel), MERGE yields the replaced
+    pre-image + the source batch, OPTIMIZE yields nothing, duplicates
+    delete with exact multiplicity."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        delete_where,
+        merge_delta_scd1,
+        read_delta_cdf,
+    )
+
+    t = str(tmp_path / "tbl")
+    # v0: two identical (2,20) rows in one file + (1,10),(3,30)
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (2, 20), (3, 30)], "id long, v long"
+        ).coalesce(1),
+        t,
+        mode="overwrite",
+    )
+    # v1: delete id=3 (copy-on-write rewrites the single file)
+    delete_where(spark, t, "id = 3")
+    # v2: merge replaces one (2,20) pair-member? no — SCD1 replaces BOTH
+    # copies of key 2 with the single source row, and inserts key 4
+    src = spark.createDataFrame([(2, 99), (4, 40)], "id long, v long")
+    merge_delta_scd1(spark, t, src, keys=["id"])
+    # v3: OPTIMIZE — dataChange=false, must not appear in the feed
+    compact_table(spark, t, target_files=1)
+
+    cdf, to_v = read_delta_cdf(spark, t, from_version=0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (1, "delete", 3, 30),
+        (2, "delete", 2, 20),
+        (2, "delete", 2, 20),   # both duplicate copies vanished
+        (2, "insert", 2, 99),
+        (2, "insert", 4, 40),
+    ]
+    assert to_v == 3
+
+    # applying the feed to the v0 snapshot reproduces the v3 snapshot
+    base = _rows(read_delta(spark, t, version=0))
+    for cv, kind, i, vv in rows:
+        if kind == "delete":
+            base.remove((i, vv))
+        else:
+            base.append((i, vv))
+    assert sorted(base) == _rows(read_delta(spark, t))
+
+
+def test_delta_cdf_empty_range_and_vacuum_guard(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import (
+        read_delta_cdf,
+        vacuum_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="overwrite",
+        )
+    cdf, to_v = read_delta_cdf(spark, t, from_version=2)
+    assert cdf.count() == 0 and to_v == 2
+    assert cdf.columns[-2:] == ["_change_type", "_commit_version"]
+    vacuum_table(t, keep_versions=1)
+    with pytest.raises(ValueError, match="horizon"):
+        read_delta_cdf(spark, t, from_version=0)
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import (
+        table_history,
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="overwrite",
+        )
+    hist = table_history(t)
+    # at exactly v1's commit time -> v1 (<= rule); after the last -> v2
+    assert version_at_timestamp(t, hist[1]["timestamp"]) >= 1
+    assert version_at_timestamp(t, hist[-1]["timestamp"] + 10_000) == 2
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(t, hist[0]["timestamp"] - 10_000)

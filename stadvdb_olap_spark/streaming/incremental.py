@@ -360,3 +360,67 @@ def delta_append_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def delta_to_delta_stream(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Bronze -> silver: stream one Delta table into another with an
+    optional per-batch transform — BOTH ends on the open format
+    (sources/delta_stream.py `delta_tail` source, whose offsets are the
+    bronze table's commit versions; sources/delta_log.py txn-stamped
+    append sink). The medallion hop every lakehouse pipeline runs:
+
+    - the SOURCE's offsets ride the stream checkpoint, so a restart
+      resumes at the exact bronze commit it left off;
+    - the SINK's txn action (app_id, batch_id) makes a foreachBatch
+      replay a no-op — exactly-once end to end across BOTH logs;
+    - OPTIMIZE on the bronze table is invisible (dataChange=false adds
+      are skipped by the source), so maintenance never re-feeds silver.
+
+    ``transform`` runs inside the micro-batch (plain DataFrame ->
+    DataFrame); app_id derives from the checkpoint location like
+    ``delta_append_stream``. Trigger is processingTime-paced; stop the
+    query when the caller's convergence condition holds (Python
+    DataSource stream readers do not support availableNow)."""
+    import hashlib
+
+    from stadvdb_olap_spark.sources.delta_log import (
+        last_txn_version,
+        write_delta,
+    )
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    if app_id is None:
+        app_id = "delta_to_delta_" + hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        seen = last_txn_version(target_table, app_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: already committed
+        out = transform(batch) if transform is not None else batch
+        write_delta(
+            out,
+            target_table,
+            mode="append",
+            operation="STREAMING UPDATE",
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        spark.readStream.format("delta_tail")
+        .option("path", source_table)
+        .load()
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )

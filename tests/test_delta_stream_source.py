@@ -229,3 +229,67 @@ def test_delta_tail_idle_table_yields_no_rows(spark, tmp_path):
     time.sleep(2)
     n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
     assert n == 1
+
+
+def test_delta_to_delta_bronze_silver_pipeline(spark, tmp_path):
+    """Medallion hop with BOTH ends on the open format: bronze commits
+    stream into silver through a transform, restart resumes at the
+    bronze version offset, bronze OPTIMIZE never re-feeds silver, and
+    the silver log carries the txn watermark."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        read_delta,
+        write_delta,
+    )
+    from stadvdb_olap_spark.streaming.incremental import (
+        delta_to_delta_stream,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        bronze,
+        mode="overwrite",
+    )
+    write_delta(
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        bronze,
+        mode="append",
+    )
+
+    def xform(df):
+        return df.withColumn("v2", F.col("v") * 2)
+
+    def run_until(n_rows):
+        q = delta_to_delta_stream(spark, bronze, silver, ckpt, xform)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if read_delta(spark, silver).count() >= n_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_until(3)
+    got = sorted(
+        tuple(r) for r in read_delta(spark, silver).collect()
+    )
+    assert got == [(1, 10, 20), (2, 20, 40), (3, 30, 60)]
+
+    # bronze maintenance is invisible; a new bronze commit flows through
+    compact_table(spark, bronze, target_files=1)
+    write_delta(
+        spark.createDataFrame([(4, 40)], "id long, v long"),
+        bronze,
+        mode="append",
+    )
+    run_until(4)
+    got = sorted(tuple(r) for r in read_delta(spark, silver).collect())
+    assert got == [(1, 10, 20), (2, 20, 40), (3, 30, 60), (4, 40, 80)]

@@ -874,6 +874,19 @@ def format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _delta_tmp_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Bounded per-(session, sf) staging dir for the Delta-format
+    certified queries — one isolation scheme, defined once."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/{name}"
+
+
 @query(
     "delta_log_roundtrip_orders",
     oracle="""
@@ -917,8 +930,6 @@ def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``format_roundtrip_orders``; commit versions come back from
     write_delta, so reruns within a session time-travel to THEIR OWN
     overwrite commit, keeping output invariant as the log grows."""
-    import hashlib as _hashlib
-    import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
     from stadvdb_olap_spark.sources.delta_log import read_delta, write_delta
@@ -930,10 +941,7 @@ def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 14)
     ).select(base_cols)
 
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders")
     v_over = write_delta(slice_a, table_dir, mode="overwrite")
     write_delta(slice_b, table_dir, mode="append")
 
@@ -989,8 +997,6 @@ def delta_cow_delete_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
     rewrite, and log replay in one row set. Bounded per-(session, sf)
     staging, own table dir (never shared with
     ``delta_log_roundtrip_orders`` — reruns must not interleave logs)."""
-    import hashlib as _hashlib
-    import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
     from stadvdb_olap_spark.sources.delta_log import (
@@ -1006,10 +1012,7 @@ def delta_cow_delete_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 14)
     ).select(base_cols)
 
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_cow"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_cow")
     write_delta(slice_a, table_dir, mode="overwrite")
     v_pre = write_delta(slice_b, table_dir, mode="append")
     v_del = delete_where(
@@ -1064,8 +1067,6 @@ def delta_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree with SQL. 100 TB shape: the batch broadcasts into the
     hit-file probe; cost is proportional to files TOUCHED, never table
     size."""
-    import hashlib as _hashlib
-    import tempfile
 
     from stadvdb_olap_spark.sources.delta_log import (
         merge_delta_scd1,
@@ -1082,10 +1083,7 @@ def delta_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
         F.lit("X").alias("o_orderstatus"),
     )
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_merge"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_merge")
     # multi-file target so copy-on-write granularity is exercised
     write_delta(target.repartition(4), table_dir, mode="overwrite")
     merge_delta_scd1(spark, table_dir, source, keys=["o_orderkey"])
@@ -1118,9 +1116,7 @@ def delta_checkpoint_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed one — the O(interval) read the per-micro-batch streaming
     sink needs (a day of 30 s batches is ~2,900 commits; replaying all
     of them per read is the scale blocker the checkpoint removes)."""
-    import hashlib as _hashlib
     import shutil as _shutil
-    import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
     from stadvdb_olap_spark.sources.delta_log import (
@@ -1131,10 +1127,7 @@ def delta_checkpoint_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     orders = load_table(spark, sf_dir, "orders")
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_ckpt"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_ckpt")
     # fresh log per run: the commit COUNT (and thus the checkpoint
     # version set) is part of what this query certifies
     _shutil.rmtree(table_dir, ignore_errors=True)
@@ -1184,8 +1177,6 @@ def delta_partition_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the per-year aggregation exercises. 100 TB shape: a
     partition-selective read opens zero non-matching parquet footers;
     candidate selection cost is bounded by FILE COUNT."""
-    import hashlib as _hashlib
-    import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
     from stadvdb_olap_spark.sources.delta_log import (
@@ -1198,10 +1189,7 @@ def delta_partition_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = orders.filter(F.col("o_orderkey") % 100 < 20).select(
         "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
     )
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_part"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_part")
     write_delta(
         sliced, table_dir, mode="overwrite", partition_by=["o_orderstatus"]
     )
@@ -1329,9 +1317,7 @@ def delta_tail_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive twice (optimize_skipped pins the row-count proof). 100 TB
     shape: file-grain partitions declared from the log, pyarrow reads
     on executors, nothing data-sized on the driver."""
-    import hashlib as _hashlib
     import shutil as _shutil
-    import tempfile
     import time as _time
     import uuid as _uuid
 
@@ -1352,10 +1338,7 @@ def delta_tail_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 100 >= 35) & (F.col("o_orderkey") % 100 <= 39)
     ).select(base_cols)
 
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_tail"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_tail")
     _shutil.rmtree(table_dir, ignore_errors=True)
     write_delta(slice_a.repartition(2), table_dir, mode="overwrite")
     write_delta(slice_b.repartition(2), table_dir, mode="append")
@@ -1422,10 +1405,8 @@ def delta_zorder_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-OPTIMIZE version still works). 100 TB shape: the rewrite costs
     one range-exchange + local sort of the live set; afterwards a
     price-selective scan skips all but one file per predicate range."""
-    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
-    import tempfile
 
     import pyarrow.parquet as _papq
 
@@ -1443,10 +1424,7 @@ def delta_zorder_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 100 >= 40) & (F.col("o_orderkey") % 100 <= 49)
     ).select(base_cols)
 
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_zorder"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_zorder")
     _shutil.rmtree(table_dir, ignore_errors=True)
     for b in range(4):
         write_delta(
@@ -1538,9 +1516,7 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     source batch as inserts. 100 TB shape: per commit the diff touches
     only the files that commit rewrote — one counted aggregate + one
     full-outer join at touched-file grain, never table size."""
-    import hashlib as _hashlib
     import shutil as _shutil
-    import tempfile
 
     from stadvdb_olap_spark.plans.compat import money_sum
     from stadvdb_olap_spark.sources.delta_log import (
@@ -1563,10 +1539,7 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
     ).select(base_cols)
 
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-    ).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/stadvdb_delta_{tag}/orders_cdf"
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_cdf")
     _shutil.rmtree(table_dir, ignore_errors=True)
     write_delta(base.repartition(3), table_dir, mode="overwrite")   # v0
     delete_where(

@@ -601,6 +601,9 @@ def write_delta(
             {
                 "remove": {
                     "path": p,
+                    "partitionValues": prior_files[p].get(
+                        "partitionValues", {}
+                    ),
                     "deletionTimestamp": now_ms,
                     "dataChange": True,
                 }
@@ -635,9 +638,21 @@ def live_files(
     ``partitionValues`` (driver-bounded by file count), typed per the
     pinned schema, via Spark's own expression engine so semantics match
     the scan's exactly."""
-    state = _replay(table_dir, version)
+    return _prune_files(
+        spark, _replay(table_dir, version), partition_predicate, table_dir
+    )
+
+
+def _prune_files(
+    spark: SparkSession | None,
+    state: dict,
+    partition_predicate: str | None,
+    table_dir: str,
+) -> list[str]:
+    """Pruning over an ALREADY-REPLAYED state (so callers that hold a
+    state dict never replay the log twice)."""
     paths = sorted(state["files"])
-    if partition_predicate is None:
+    if partition_predicate is None or not paths:
         return paths
     parts = state["partition_columns"]
     if not parts:
@@ -653,9 +668,15 @@ def live_files(
         (p, *[state["files"][p]["partitionValues"].get(c) for c in parts])
         for p in paths
     ]
-    pdf = spark.createDataFrame(
-        rows, ["__path"] + [f"__raw_{c}" for c in parts]
+    # explicit schema: raw partition values are protocol STRINGS and may
+    # be all-null (the hive default partition) — inference would fail
+    from pyspark.sql.types import StringType, StructField
+
+    raw_schema = StructType(
+        [StructField("__path", StringType())]
+        + [StructField(f"__raw_{c}", StringType()) for c in parts]
     )
+    pdf = spark.createDataFrame(rows, raw_schema)
     for c in parts:
         pdf = pdf.withColumn(
             c, F.col(f"__raw_{c}").cast(part_types[c])
@@ -716,11 +737,7 @@ def read_delta(
     Reading a version older than the vacuum horizon fails fast with the
     earliest retained version in the error."""
     state = _replay(table_dir, version)
-    paths = (
-        live_files(table_dir, version, partition_predicate, spark)
-        if partition_predicate is not None
-        else sorted(state["files"])
-    )
+    paths = _prune_files(spark, state, partition_predicate, table_dir)
     return _read_adds(spark, table_dir, state, paths)
 
 
@@ -774,11 +791,7 @@ def delete_where(
     state = _replay(table_dir)
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
-    candidates = (
-        live_files(table_dir, None, partition_predicate, spark)
-        if partition_predicate is not None
-        else sorted(state["files"])
-    )
+    candidates = _prune_files(spark, state, partition_predicate, table_dir)
     if not state["files"]:
         raise ValueError(f"nothing live to delete from in {table_dir}")
     now_ms = int(time.time() * 1000)
@@ -817,6 +830,9 @@ def delete_where(
         {
             "remove": {
                 "path": h,
+                "partitionValues": state["files"][h].get(
+                    "partitionValues", {}
+                ),
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
             }
@@ -919,6 +935,9 @@ def merge_delta_scd1(
         {
             "remove": {
                 "path": h,
+                "partitionValues": state["files"][h].get(
+                    "partitionValues", {}
+                ),
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
             }
@@ -942,8 +961,11 @@ def compact_table(
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """OPTIMIZE (bin-packing compaction): rewrite the live file set into
-    ``target_files`` files (per partition directory for partitioned
-    tables — compaction never crosses partition boundaries) and commit
+    ``target_files`` files (at most ``target_files`` PER PARTITION
+    DIRECTORY for partitioned tables — a data-column salt spreads each
+    directory across up to ``target_files`` writer tasks, since plain
+    hash-by-partition-column would collapse every directory to one file;
+    compaction never crosses partition boundaries) and commit
     remove+add with ``dataChange: false`` — the protocol's marker that
     the snapshot's CONTENT is unchanged, so incremental/streaming
     consumers skip the commit entirely. Returns the committed version.
@@ -994,12 +1016,22 @@ def compact_table(
                 .sortWithinPartitions(zcol)
                 .drop(zcol)
             )
-    else:
-        packed = (
-            packed.repartition(target_files, *parts)
-            if parts
-            else packed.repartition(target_files)
+    elif parts:
+        # salt alongside the partition columns: plain hash-by-parts
+        # collapses every hive directory to ONE file regardless of
+        # target_files; the salt bounds each directory at target_files
+        # files as documented
+        salt = (
+            F.abs(F.hash(*[c for c in packed.columns if c not in parts]))
+            % target_files
         )
+        packed = (
+            packed.withColumn("__salt", salt)
+            .repartition(target_files * 4, *parts, F.col("__salt"))
+            .drop("__salt")
+        )
+    else:
+        packed = packed.repartition(target_files)
     version = state["version"] + 1
     now_ms = int(time.time() * 1000)
     adds = _stage_files(packed, table_dir, version, parts, False, now_ms)
@@ -1017,6 +1049,9 @@ def compact_table(
         {
             "remove": {
                 "path": p,
+                "partitionValues": state["files"][p].get(
+                    "partitionValues", {}
+                ),
                 "deletionTimestamp": now_ms,
                 "dataChange": False,
             }
@@ -1055,6 +1090,12 @@ def read_delta_changes(
         raise ValueError(
             f"change feed from version {from_version} reaches below the "
             f"vacuum horizon; earliest retained version is {horizon}"
+        )
+    if from_version + 1 < versions[0]:
+        raise ValueError(
+            f"change feed from version {from_version} needs commits "
+            f"below {versions[0]}, which log cleanup has removed "
+            f"(cleanup_log); earliest available commit is {versions[0]}"
         )
     state = _replay(table_dir, to_version)  # also validates contiguity
     schema = StructType.fromJson(json.loads(state["schema_json"]))
@@ -1127,8 +1168,20 @@ def read_delta_cdf(
             f"CDF from version {from_version} reaches below the vacuum "
             f"horizon; earliest retained version is {horizon}"
         )
-    state = _replay(table_dir, to_version)
-    schema = StructType.fromJson(json.loads(state["schema_json"]))
+    if from_version < versions[0]:
+        raise ValueError(
+            f"CDF from version {from_version} needs state below commit "
+            f"{versions[0]}, which log cleanup has removed "
+            f"(cleanup_log); earliest usable from_version is {versions[0]}"
+        )
+    # Walk the log ONCE from from_version, maintaining the live file
+    # map — so a remove always resolves to the FULL add action it
+    # retires (partitionValues included; a remove action itself need
+    # not carry them, and pre-round-11 logs don't).
+    state = _replay(table_dir, from_version)
+    cur_files: dict[str, dict] = dict(state["files"])
+    to_state = _replay(table_dir, to_version)
+    schema = StructType.fromJson(json.loads(to_state["schema_json"]))
     cols = [f.name for f in schema.fields]
     out: DataFrame | None = None
 
@@ -1148,12 +1201,16 @@ def read_delta_cdf(
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "add" in action and action["add"].get("dataChange", True):
-                    adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action and action["remove"].get(
-                    "dataChange", True
-                ):
-                    removes[action["remove"]["path"]] = action["remove"]
+                if "add" in action:
+                    cur_files[action["add"]["path"]] = action["add"]
+                    if action["add"].get("dataChange", True):
+                        adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    retired = cur_files.pop(
+                        action["remove"]["path"], action["remove"]
+                    )
+                    if action["remove"].get("dataChange", True):
+                        removes[action["remove"]["path"]] = retired
         if not adds and not removes:
             continue
         # SYMMETRIC multiset difference per commit: a copy-on-write

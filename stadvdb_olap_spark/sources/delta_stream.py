@@ -46,6 +46,7 @@ from pyspark.sql.types import StructType
 from stadvdb_olap_spark.sources.delta_log import (
     _commit_path,
     _replay,
+    earliest_retained_version,
     table_versions,
 )
 
@@ -132,6 +133,24 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
             return []
+        # retention guards: fail with the clear errors the batch readers
+        # give, never a raw FileNotFoundError from a cleaned commit JSON
+        # or a vacuumed data file surfacing executor-side
+        versions = table_versions(self.table_dir)
+        if versions and lo + 1 < versions[0]:
+            raise ValueError(
+                f"delta_tail offset {lo} needs commits below "
+                f"{versions[0]}, which log cleanup has removed "
+                f"(cleanup_log); restart with startingVersion >= "
+                f"{versions[0]}"
+            )
+        horizon = earliest_retained_version(self.table_dir)
+        if lo + 1 < horizon:
+            raise ValueError(
+                f"delta_tail offset {lo} reaches below the vacuum "
+                f"horizon; earliest retained version is {horizon} — "
+                f"restart with startingVersion >= {horizon}"
+            )
         adds = _adds_in_range(self.table_dir, lo, hi)
         return [
             _AddFile(
@@ -163,6 +182,16 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
                 cols[c] = _constant_array(v, part_types[c], batch.num_rows)
             import pyarrow as pa
 
+            # files written BEFORE a merge_schema evolution lack the
+            # evolved columns — null-fill them like the batch reader
+            # does (read_delta pins the schema and reads NULL)
+            for f in schema.fields:
+                if f.name not in cols:
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    cols[f.name] = pa.nulls(
+                        batch.num_rows, to_arrow_type(f.dataType)
+                    )
             yield pa.RecordBatch.from_arrays(
                 [cols[n] for n in names], names=names
             )

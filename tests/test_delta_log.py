@@ -736,3 +736,103 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
     assert version_at_timestamp(t, hist[-1]["timestamp"] + 10_000) == 2
     with pytest.raises(ValueError, match="predates"):
         version_at_timestamp(t, hist[0]["timestamp"] - 10_000)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_delta_cdf_on_partitioned_table(spark, tmp_path):
+    """Review regression: the CDF must work on PARTITIONED tables —
+    removes resolve to the full add action they retire (partitionValues
+    included), and the feed carries the re-attached partition column."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        read_delta_cdf,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, grp string, v long",
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    delete_where(spark, t, "id = 2")
+    cdf, _ = read_delta_cdf(spark, t, from_version=0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["grp"], r["v"])
+        for r in cdf.collect()
+    )
+    assert rows == [(1, "delete", 2, "a", 20)]
+
+
+def test_delta_cdf_partitioned_overwrite_pre_round11_removes(spark, tmp_path):
+    """Even when a remove action carries NO partitionValues (pre-fix
+    logs), the CDF resolves it against the live file map it maintains."""
+    import json as _json
+
+    from stadvdb_olap_spark.sources.delta_log import read_delta_cdf
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a", 10)], "id long, grp string, v long")
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    write_delta(
+        spark.createDataFrame([(9, "z", 90)], "id long, grp string, v long"),
+        t,
+        mode="overwrite",
+        partition_by=["grp"],
+    )
+    # strip partitionValues from v1's removes, simulating an old log
+    p = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    actions = [_json.loads(line) for line in open(p) if line.strip()]
+    for a in actions:
+        if "remove" in a:
+            a["remove"].pop("partitionValues", None)
+    with open(p, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a, sort_keys=True) + "\n")
+    cdf, _ = read_delta_cdf(spark, t, from_version=0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["grp"])
+        for r in cdf.collect()
+    )
+    assert rows == [(1, "delete", 1, "a"), (1, "insert", 9, "z")]
+
+
+def test_delta_prune_empty_live_set_returns_empty(spark, tmp_path):
+    """Review regression: partition pruning over an EMPTY live set must
+    return []/an empty frame, not crash schema inference."""
+    from stadvdb_olap_spark.sources.delta_log import delete_where, live_files
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a", 10)], "id long, grp string, v long")
+    write_delta(df, t, mode="overwrite", partition_by=["grp"])
+    delete_where(spark, t, "id >= 0")  # empties the table
+    assert live_files(t, partition_predicate="grp = 'a'", spark=spark) == []
+    back = read_delta(spark, t, partition_predicate="grp = 'a'")
+    assert back.count() == 0 and back.columns == ["id", "grp", "v"]
+
+
+def test_delta_compact_partitioned_respects_target_files(spark, tmp_path):
+    """Review regression: target_files bounds files PER PARTITION DIR
+    (plain hash-by-partition collapsed every dir to one file) and a
+    directory can actually receive more than one."""
+    from stadvdb_olap_spark.sources.delta_log import _replay, compact_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    write_delta(df.repartition(8), t, mode="overwrite", partition_by=["grp"])
+    compact_table(spark, t, target_files=3)
+    by_dir: dict = {}
+    for p in _replay(t)["files"]:
+        by_dir.setdefault(p.split("/")[0], []).append(p)
+    assert set(by_dir) == {"grp=0", "grp=1"}
+    for d, files in by_dir.items():
+        assert 1 <= len(files) <= 3, (d, files)
+    assert any(len(files) > 1 for files in by_dir.values())
+    assert read_delta(spark, t).count() == 2000

@@ -116,8 +116,8 @@ GOLDEN = [
         {"commitInfo": dict(_CI, operation="DELETE",
                             operationParameters={"predicate": "id = 1",
                                                  "rewrittenFiles": 1})},
-        {"remove": {"path": "<file-0>", "deletionTimestamp": 0,
-                    "dataChange": True}},
+        {"remove": {"path": "<file-0>", "partitionValues": {},
+                    "deletionTimestamp": 0, "dataChange": True}},
         {"add": {"path": "<file-2>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
                  "dataChange": True}},
@@ -128,10 +128,10 @@ GOLDEN = [
         {"commitInfo": dict(_CI, operation="OPTIMIZE",
                             operationParameters={"targetFiles": 1,
                                                  "zOrderBy": "[]"})},
-        {"remove": {"path": "<file-1>", "deletionTimestamp": 0,
-                    "dataChange": False}},
-        {"remove": {"path": "<file-2>", "deletionTimestamp": 0,
-                    "dataChange": False}},
+        {"remove": {"path": "<file-1>", "partitionValues": {},
+                    "deletionTimestamp": 0, "dataChange": False}},
+        {"remove": {"path": "<file-2>", "partitionValues": {},
+                    "deletionTimestamp": 0, "dataChange": False}},
         {"add": {"path": "<file-3>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
                  "dataChange": True}},

@@ -293,3 +293,70 @@ def test_delta_to_delta_bronze_silver_pipeline(spark, tmp_path):
     run_until(4)
     got = sorted(tuple(r) for r in read_delta(spark, silver).collect())
     assert got == [(1, 10, 20), (2, 20, 40), (3, 30, 60), (4, 40, 80)]
+
+
+def test_delta_tail_null_fills_schema_evolved_history(spark, tmp_path):
+    """Review regression: files written before a merge_schema evolution
+    lack the evolved column — the stream must null-fill them like the
+    batch reader, not crash."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    write_delta(
+        spark.createDataFrame([(2, 20, "x")], "id long, v long, tag string"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    name = _drain(spark, sdf, min_rows=2)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"SELECT id, v, tag FROM {name}").collect()
+    )
+    assert got == [(1, 10, None), (2, 20, "x")]
+
+
+def test_delta_tail_fails_fast_below_cleaned_or_vacuumed_floor(
+    spark, tmp_path
+):
+    """Review regression: a stream whose offset needs cleaned commits or
+    vacuumed files raises the clear retention error, not a raw
+    FileNotFoundError."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        cleanup_log,
+        vacuum_table,
+    )
+    from stadvdb_olap_spark.sources.delta_stream import (
+        _DeltaTailStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(13):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t,
+            mode="append" if i else "overwrite",
+            checkpoint_interval=5,
+        )
+    cleanup_log(t, keep_versions=3)
+    reader = _DeltaTailStreamReader({"path": t})
+    with pytest.raises(ValueError, match="cleanup_log"):
+        reader.partitions({"version": -1}, {"version": 12})
+    # within the available window it plans fine
+    assert reader.partitions({"version": 10}, {"version": 12})
+
+    t2 = str(tmp_path / "tbl2")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, i)], "id long, v long"),
+            t2,
+            mode="overwrite",
+        )
+    vacuum_table(t2, keep_versions=1)
+    reader2 = _DeltaTailStreamReader({"path": t2})
+    with pytest.raises(ValueError, match="vacuum"):
+        reader2.partitions({"version": -1}, {"version": 2})

@@ -76,6 +76,7 @@ def run_pipeline(
             extra: dict[str, float | int] = {}
             if table_format == "delta":
                 from stadvdb_olap_spark.sources.delta_log import (
+                    cleanup_log,
                     compact_table,
                     vacuum_table,
                     write_delta,
@@ -91,7 +92,11 @@ def run_pipeline(
                         spark, table_dir, target_files=compact_target
                     )
                 if keep_versions is not None:
+                    # data retention (vacuum) + metadata retention
+                    # (cleanup_log) together keep footprint AND
+                    # _delta_log bounded across daily loads
                     vacuum_table(table_dir, keep_versions=keep_versions)
+                    cleanup_log(table_dir, keep_versions=keep_versions)
             else:
                 write_table(observed, f"{out_dir}/{name}")
             rows = int(obs.get["rows"])

@@ -252,15 +252,22 @@ def _map_to_dict(v) -> dict:
 
 
 def _load_checkpoint(table_dir: str, version: int) -> dict:
-    """Rebuild a state dict from ``version``'s parquet checkpoint."""
+    """Rebuild a state dict from ``version``'s parquet checkpoint.
+
+    The ``add`` column (one row per live file — the only O(table)
+    column) is decoded FIELD-WISE: per-field ``to_pylist`` on flat
+    arrays, zipped into dicts, instead of whole-table per-row nested
+    ``to_pylist`` — a few× cheaper dict materialization when the live
+    set is large. The singleton columns (protocol/metaData/txn) stay on
+    the simple row path."""
     import pyarrow.parquet as papq
 
-    rows = papq.read_table(_checkpoint_path(table_dir, version)).to_pylist()
+    table = papq.read_table(_checkpoint_path(table_dir, version))
     files: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta = None
     protocol = None
-    for row in rows:
+    for row in table.drop_columns("add").to_pylist():
         if row.get("protocol") is not None:
             protocol = row["protocol"]
         elif row.get("metaData") is not None:
@@ -278,10 +285,23 @@ def _load_checkpoint(table_dir: str, version: int) -> dict:
             }
         elif row.get("txn") is not None:
             txns[row["txn"]["appId"]] = row["txn"]["version"]
-        elif row.get("add") is not None:
-            a = dict(row["add"])
-            a["partitionValues"] = _map_to_dict(a.get("partitionValues"))
-            files[a["path"]] = a
+    add = table.column("add").combine_chunks()
+    for path, pv, size, mtime, dc in zip(
+        add.field("path").to_pylist(),
+        add.field("partitionValues").to_pylist(),
+        add.field("size").to_pylist(),
+        add.field("modificationTime").to_pylist(),
+        add.field("dataChange").to_pylist(),
+    ):
+        if path is None:
+            continue  # a protocol/metaData/txn row
+        files[path] = {
+            "path": path,
+            "partitionValues": _map_to_dict(pv),
+            "size": size,
+            "modificationTime": mtime,
+            "dataChange": dc,
+        }
     if meta is None or protocol is None:
         raise ValueError(
             f"checkpoint {version} of {table_dir} lacks metaData/protocol"

@@ -262,12 +262,20 @@ def _load_checkpoint(table_dir: str, version: int) -> dict:
     the simple row path."""
     import pyarrow.parquet as papq
 
+    import pyarrow.compute as pc
+
     table = papq.read_table(_checkpoint_path(table_dir, version))
     files: dict[str, dict] = {}
     txns: dict[str, int] = {}
     meta = None
     protocol = None
-    for row in table.drop_columns("add").to_pylist():
+    # singleton rows (protocol/metaData/txn) are the ones WITHOUT an
+    # add — filter first so this pass materializes O(singletons) dicts,
+    # not one None-dict per live file
+    singletons = table.filter(pc.is_null(table.column("add"))).drop_columns(
+        "add"
+    )
+    for row in singletons.to_pylist():
         if row.get("protocol") is not None:
             protocol = row["protocol"]
         elif row.get("metaData") is not None:
@@ -996,10 +1004,11 @@ def compact_table(
     unpartitioned table the rewrite RANGE-partitions on the z-value, so
     each output file holds one contiguous curve segment and every
     z-ordered column gets tight per-file min/max ranges — the property
-    data-skipping readers key on. On a partitioned table rows stay
-    hash-distributed by partition column and are curve-SORTED within
-    files (Delta's per-partition ZORDER discipline; ZORDER never
-    crosses partition boundaries).
+    data-skipping readers key on. On a partitioned table the rewrite
+    RANGE-partitions on (partition columns..., z), so each directory's
+    rows land in consecutive buckets: up to ``target_files`` files per
+    directory, each one contiguous curve segment (Delta's per-partition
+    ZORDER discipline; ZORDER never crosses partition boundaries).
 
     This is the table-format twin of the snapshot compaction planner
     (``compaction_plan_orders`` / sources/versioned.py): the small-file
@@ -1020,13 +1029,29 @@ def compact_table(
     if len(live) <= target_files and not zorder_by:
         return state["version"]  # nothing to do — no empty commit
     packed = _read_adds(spark, table_dir, state, live)
+    n_dirs = len(
+        {
+            tuple(a.get("partitionValues", {}).get(c) for c in parts)
+            for a in state["files"].values()
+        }
+    ) if parts else 1
     if zorder_by:
         from stadvdb_olap_spark.operators.maintenance import zorder_value
 
         zdf, zcol = zorder_value(packed, list(zorder_by))
         if parts:
+            # range-partition on (partition cols..., z): rows sort
+            # lexicographically, so each hive directory's rows occupy
+            # CONSECUTIVE range buckets and every output file is one
+            # contiguous curve segment of one directory — target_files
+            # actually bounds per-directory file count (plain
+            # hash-by-parts collapsed each directory to one giant file)
             packed = (
-                zdf.repartition(target_files, *parts)
+                zdf.repartitionByRange(
+                    max(1, target_files * n_dirs),
+                    *[F.col(c) for c in parts],
+                    F.col(zcol),
+                )
                 .sortWithinPartitions(*parts, zcol)
                 .drop(zcol)
             )
@@ -1040,10 +1065,31 @@ def compact_table(
         # salt alongside the partition columns: plain hash-by-parts
         # collapses every hive directory to ONE file regardless of
         # target_files; the salt bounds each directory at target_files
-        # files as documented
+        # files as documented. Only HASHABLE columns feed the salt
+        # (F.hash rejects map types); a table whose every data column
+        # is unhashable falls back to the source-partition id.
+        from pyspark.sql.types import MapType
+
+        def _hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            fields = getattr(dt, "fields", None)
+            if fields is not None:
+                return all(_hashable(f.dataType) for f in fields)
+            elem = getattr(dt, "elementType", None)
+            if elem is not None:
+                return _hashable(elem)
+            return True
+
+        hashable_cols = [
+            f.name
+            for f in packed.schema.fields
+            if f.name not in parts and _hashable(f.dataType)
+        ]
         salt = (
-            F.abs(F.hash(*[c for c in packed.columns if c not in parts]))
-            % target_files
+            F.abs(F.hash(*hashable_cols)) % target_files
+            if hashable_cols
+            else F.spark_partition_id() % target_files
         )
         packed = (
             packed.withColumn("__salt", salt)
@@ -1183,23 +1229,27 @@ def read_delta_cdf(
     if to_version is None:
         to_version = versions[-1]
     horizon = earliest_retained_version(table_dir)
-    if from_version < horizon:
+    if horizon > 0 and from_version < horizon:
         raise ValueError(
             f"CDF from version {from_version} reaches below the vacuum "
             f"horizon; earliest retained version is {horizon}"
         )
-    if from_version < versions[0]:
+    # Walk the log ONCE from from_version, maintaining the live file
+    # map — so a remove always resolves to the FULL add action it
+    # retires (partitionValues included; a remove action itself need
+    # not carry them, and pre-round-11 logs don't). from_version =
+    # versions[0]-1 on an uncleaned log (e.g. -1) means "full history":
+    # the map starts empty.
+    if from_version + 1 == versions[0] == 0:
+        cur_files: dict[str, dict] = {}
+    elif from_version < versions[0]:
         raise ValueError(
             f"CDF from version {from_version} needs state below commit "
             f"{versions[0]}, which log cleanup has removed "
             f"(cleanup_log); earliest usable from_version is {versions[0]}"
         )
-    # Walk the log ONCE from from_version, maintaining the live file
-    # map — so a remove always resolves to the FULL add action it
-    # retires (partitionValues included; a remove action itself need
-    # not carry them, and pre-round-11 logs don't).
-    state = _replay(table_dir, from_version)
-    cur_files: dict[str, dict] = dict(state["files"])
+    else:
+        cur_files = dict(_replay(table_dir, from_version)["files"])
     to_state = _replay(table_dir, to_version)
     schema = StructType.fromJson(json.loads(to_state["schema_json"]))
     cols = [f.name for f in schema.fields]
@@ -1239,7 +1289,10 @@ def read_delta_cdf(
         # counted per row value so duplicates keep exact multiplicity
         # (an anti-join would drop every copy once one matches).
         def _cnt(files: dict, alias: str) -> DataFrame:
-            st = dict(state, files=files)
+            # the feed presents every commit's rows through the LATEST
+            # schema (production CDF semantics): files written before a
+            # merge_schema evolution null-fill the evolved columns
+            st = dict(to_state, files=files)
             return (
                 _read_adds(spark, table_dir, st, sorted(files))
                 .groupBy(*cols)

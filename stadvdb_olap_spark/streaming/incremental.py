@@ -296,6 +296,45 @@ def read_compaction_plan(
     return compaction_groups(files, target)
 
 
+
+def _derive_app_id(prefix: str, checkpoint_dir: str) -> str:
+    """txn app_id derived from the CHECKPOINT LOCATION — the watermark
+    is only meaningful relative to that checkpoint's batch-id sequence
+    (round-10 advice: a constant id + fresh checkpoint silently drops
+    batches; a derived id degrades to at-least-once instead)."""
+    import hashlib
+
+    return prefix + hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+
+def _txn_append_batch(table_dir: str, app_id: str, transform=None):
+    """foreachBatch body shared by every Delta-format sink: skip batches
+    at-or-under the table's txn watermark, else append with the
+    protocol's (app_id, batch_id) txn action — exactly-once under
+    replay."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        last_txn_version,
+        write_delta,
+    )
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        seen = last_txn_version(table_dir, app_id)
+        if seen is not None and seen >= batch_id:
+            return  # replayed batch: already committed
+        out = transform(batch) if transform is not None else batch
+        write_delta(
+            out,
+            table_dir,
+            mode="append",
+            operation="STREAMING UPDATE",
+            txn=(app_id, batch_id),
+        )
+
+    return body
+
+
 def delta_append_stream(
     spark: SparkSession,
     source_dir: str,
@@ -326,29 +365,9 @@ def delta_append_stream(
     only if you migrate the checkpoint and want the watermark to carry
     over. Two different streams feeding one table must never share an
     id."""
-    import hashlib
-
-    from stadvdb_olap_spark.sources.delta_log import (
-        last_txn_version,
-        write_delta,
-    )
-
     if app_id is None:
-        app_id = "delta_append_" + hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:16]
-
-    def append_batch(batch: DataFrame, batch_id: int) -> None:
-        seen = last_txn_version(table_dir, app_id)
-        if seen is not None and seen >= batch_id:
-            return  # replayed batch: already committed, skip
-        write_delta(
-            batch,
-            table_dir,
-            mode="append",
-            operation="STREAMING UPDATE",
-            txn=(app_id, batch_id),
-        )
+        app_id = _derive_app_id("delta_append_", checkpoint_dir)
+    append_batch = _txn_append_batch(table_dir, app_id)
 
     reader = spark.readStream.schema(source_schema)
     if max_files_per_trigger is not None:
@@ -388,32 +407,12 @@ def delta_to_delta_stream(
     ``delta_append_stream``. Trigger is processingTime-paced; stop the
     query when the caller's convergence condition holds (Python
     DataSource stream readers do not support availableNow)."""
-    import hashlib
-
-    from stadvdb_olap_spark.sources.delta_log import (
-        last_txn_version,
-        write_delta,
-    )
     from stadvdb_olap_spark.sources.delta_stream import register
 
     register(spark)
     if app_id is None:
-        app_id = "delta_to_delta_" + hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:16]
-
-    def sink_batch(batch: DataFrame, batch_id: int) -> None:
-        seen = last_txn_version(target_table, app_id)
-        if seen is not None and seen >= batch_id:
-            return  # replayed batch: already committed
-        out = transform(batch) if transform is not None else batch
-        write_delta(
-            out,
-            target_table,
-            mode="append",
-            operation="STREAMING UPDATE",
-            txn=(app_id, batch_id),
-        )
+        app_id = _derive_app_id("delta_to_delta_", checkpoint_dir)
+    sink_batch = _txn_append_batch(target_table, app_id, transform)
 
     return (
         spark.readStream.format("delta_tail")

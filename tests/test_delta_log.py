@@ -836,3 +836,97 @@ def test_delta_compact_partitioned_respects_target_files(spark, tmp_path):
         assert 1 <= len(files) <= 3, (d, files)
     assert any(len(files) > 1 for files in by_dir.values())
     assert read_delta(spark, t).count() == 2000
+
+
+def test_delta_cdf_full_history_and_schema_evolution(spark, tmp_path):
+    """Second-review regressions: from_version=-1 yields the whole
+    history on an uncleaned log (commit 0's inserts included), and a
+    range spanning a merge_schema evolution presents every row through
+    the LATEST schema (old files null-fill the evolved column)."""
+    from stadvdb_olap_spark.sources.delta_log import read_delta_cdf
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, v long"), t, "overwrite"
+    )
+    write_delta(
+        spark.createDataFrame([(2, 20, "x")], "id long, v long, tag string"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    cdf, to_v = read_delta_cdf(spark, t, from_version=-1)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"], r["tag"])
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (0, "insert", 1, 10, None),
+        (1, "insert", 2, 20, "x"),
+    ]
+    assert to_v == 1
+
+
+def test_delta_compact_salt_handles_map_columns(spark, tmp_path):
+    """Second-review regression: the per-directory salt must not feed
+    map-typed columns to F.hash (unhashable); such tables fall back to
+    other columns or the source partition id."""
+    from stadvdb_olap_spark.sources.delta_log import compact_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", {"k": "v"}), (2, "b", {"k2": "v2"})],
+        "id long, grp string, attrs map<string,string>",
+    )
+    write_delta(df.repartition(4), t, mode="overwrite", partition_by=["grp"])
+    compact_table(spark, t, target_files=2)
+    assert read_delta(spark, t).count() == 2
+
+    # all-map data columns: the spark_partition_id fallback
+    t2 = str(tmp_path / "tbl2")
+    df2 = spark.createDataFrame(
+        [("a", {"k": "v"}), ("b", {"k2": "v2"})],
+        "grp string, attrs map<string,string>",
+    )
+    write_delta(df2.repartition(4), t2, mode="overwrite", partition_by=["grp"])
+    compact_table(spark, t2, target_files=2)
+    assert read_delta(spark, t2).count() == 2
+
+
+def test_delta_zorder_partitioned_bounds_files_per_dir(spark, tmp_path):
+    """Second-review regression: partitioned ZORDER range-partitions on
+    (parts..., z) so target_files bounds per-directory files AND each
+    file is a contiguous curve segment (disjoint per-dir value ranges)."""
+    import pyarrow.parquet as papq
+
+    from stadvdb_olap_spark.sources.delta_log import _replay, compact_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        ((F.col("id") * 373) % 1000).alias("v"),
+    )
+    write_delta(df.repartition(8), t, mode="overwrite", partition_by=["grp"])
+    before = _rows(read_delta(spark, t))
+    compact_table(spark, t, target_files=3, zorder_by=["v"])
+    assert _rows(read_delta(spark, t)) == before
+
+    by_dir: dict = {}
+    for p in _replay(t)["files"]:
+        by_dir.setdefault(p.split("/")[0], []).append(p)
+    assert set(by_dir) == {"grp=0", "grp=1"}
+    for d, files in by_dir.items():
+        assert 1 < len(files) <= 3, (d, files)
+        ranges = []
+        for p in files:
+            md = papq.read_metadata(os.path.join(t, p))
+            idx = md.schema.to_arrow_schema().names.index("v")
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        ranges.sort()
+        for (l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
+            assert h1 <= l2, (d, ranges)

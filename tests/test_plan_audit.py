@@ -142,6 +142,8 @@ _BNLJ_OK = {
     "ann_pq_recall_audit",  # 1-row pinned query vector cross (measured)
     "ann_pq_fitted_rerank_topk",  # 1-row query ADC-table broadcast + R-bounded rerank
     "ann_pq_fitted_recall_audit",  # same fitted-PQ shape + 1-row query cross
+    "ann_ivfadc_topk",  # broadcast pinned cells + 1-row query ADC table
+    "ann_ivfadc_recall_audit",  # same IVFADC shape + 1-row query cross
     "ann_ivf_topk",  # aggregate-bounded Lloyd-refined centroid broadcast (8 rows)
     "semdedup_embeddings",  # same refined-centroid broadcast
     "ann_matryoshka_prefix_topk",  # broadcast query side (max_queries-bounded, measured)

@@ -232,7 +232,15 @@ def _write_checkpoint(table_dir: str, state: dict) -> None:
             }
         )
     table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
-    papq.write_table(table, _checkpoint_path(table_dir, version))
+    # tmp + atomic rename (same discipline as _last_checkpoint below):
+    # a crash mid-write must never leave a truncated N.checkpoint.parquet
+    # in place — _replay picks checkpoints by listing, so a torn file
+    # would poison every subsequent read AND write of the table
+    cp_tmp = os.path.join(
+        _log_dir(table_dir), f".{version:020d}.checkpoint.parquet.tmp"
+    )
+    papq.write_table(table, cp_tmp)
+    os.replace(cp_tmp, _checkpoint_path(table_dir, version))
     pointer = json.dumps({"version": version, "size": len(rows)})
     tmp = os.path.join(_log_dir(table_dir), f".{_LAST_CHECKPOINT}.tmp")
     with open(tmp, "w") as f:
@@ -371,11 +379,20 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
     meta: dict | None = None
     protocol: dict | None = None
     cps = [c for c in checkpoint_versions(table_dir) if c <= version]
-    if cps:
-        state = _load_checkpoint(table_dir, cps[-1])
-        start = cps[-1]
+    # Newest-first with degradation: a checkpoint that fails to parse
+    # (torn write from a pre-atomic-rename crash, bit rot) falls back to
+    # the next older checkpoint and finally to full JSON replay, instead
+    # of bricking the table. The atomic rename above makes this a
+    # recovery path, not a normal one.
+    for c in reversed(cps):
+        try:
+            state = _load_checkpoint(table_dir, c)
+        except Exception:
+            continue
+        start = c
         files, txns = state["files"], state["txns"]
         meta, protocol = state["meta"], state["protocol"]
+        break
 
     present = set(versions)
     missing = [v for v in range(start + 1, version + 1) if v not in present]
@@ -690,6 +707,13 @@ def _prune_files(
         )
     if spark is None:
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "partition_predicate pruning needs a SparkSession (the "
+                "predicate is typed/evaluated by Spark's expression "
+                "engine) — pass spark= explicitly; no active session "
+                "was found"
+            )
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     _, part_types = _partition_schemas(schema, parts)
     rows = [
@@ -808,6 +832,15 @@ def delete_where(
     riding the log — then commit remove(hit) + add(rewritten) as one
     version. Returns the committed version.
 
+    ``partition_predicate`` is a SEMANTIC RESTRICTION, not a pure
+    optimization: the statement executed is
+    ``DELETE WHERE (predicate) AND (partition_predicate)`` — matching
+    rows in non-matching partitions are deliberately out of scope and
+    survive. Callers that need the row predicate to be authoritative
+    (GDPR erasure) must either omit ``partition_predicate`` or ensure
+    it is implied by the row predicate. Both predicates are recorded in
+    the commitInfo so the audit trail shows exactly what was deleted.
+
     100 TB shape: ``partition_predicate`` (optional) prunes candidate
     files from the log before anything is scanned; the hit-file scan is
     one predicate-pushed pass emitting distinct file tags (driver
@@ -831,13 +864,18 @@ def delete_where(
         )
     else:
         hits = []
+    del_params: dict = {"predicate": str(predicate)}
+    if partition_predicate is not None:
+        # part of the executed statement (see docstring), so part of
+        # the audit trail
+        del_params["partitionPredicate"] = partition_predicate
     if not hits:
         # no-op delete still commits (audit trail), with no file churn
         version = state["version"] + 1
         return _commit(
             table_dir,
             version,
-            [_commit_info("DELETE", {"predicate": str(predicate)}, now_ms)],
+            [_commit_info("DELETE", dict(del_params), now_ms)],
             checkpoint_interval,
         )
     # SQL DELETE semantics: only predicate==TRUE rows go; a NULL
@@ -849,9 +887,7 @@ def delete_where(
     adds = _stage_files(survivors, table_dir, version, parts, True, now_ms)
     actions: list[dict] = [
         _commit_info(
-            "DELETE",
-            {"predicate": str(predicate), "rewrittenFiles": len(hits)},
-            now_ms,
+            "DELETE", dict(del_params, rewrittenFiles=len(hits)), now_ms
         )
     ]
     actions.extend(
@@ -1086,10 +1122,14 @@ def compact_table(
             for f in packed.schema.fields
             if f.name not in parts and _hashable(f.dataType)
         ]
+        # pmod, not abs(hash) % n: F.abs(Integer.MIN_VALUE) overflows
+        # negative and Spark's % keeps the dividend sign, so the abs
+        # form can yield a salt outside [0, target_files) and let a
+        # directory exceed its file bound
         salt = (
-            F.abs(F.hash(*hashable_cols)) % target_files
+            F.pmod(F.hash(*hashable_cols), F.lit(target_files))
             if hashable_cols
-            else F.spark_partition_id() % target_files
+            else F.pmod(F.spark_partition_id(), F.lit(target_files))
         )
         packed = (
             packed.withColumn("__salt", salt)

@@ -78,37 +78,64 @@ def _adds_in_range(
     return out
 
 
-def _constant_array(value: str | None, spark_type: str, length: int):
-    """A pyarrow constant column of ``length`` carrying the partition
-    value parsed per the pinned Spark type (the protocol stores
-    partition values as strings in the log)."""
-    import pyarrow as pa
-
-    types = {
-        "byte": (pa.int8(), int),
-        "short": (pa.int16(), int),
-        "integer": (pa.int32(), int),
-        "long": (pa.int64(), int),
-        "float": (pa.float32(), float),
-        "double": (pa.float64(), float),
-        "string": (pa.string(), str),
-        "boolean": (pa.bool_(), lambda s: s == "true"),
-        "date": (pa.date32(), None),
+#: Partition column typeName()s the source can re-attach from the log's
+#: string partitionValues. Validated ONCE, driver-side, at stream
+#: construction — never mid-batch on an executor.
+_SUPPORTED_PARTITION_TYPES = frozenset(
+    {
+        "byte",
+        "short",
+        "integer",
+        "long",
+        "float",
+        "double",
+        "string",
+        "boolean",
+        "date",
+        "timestamp",
+        "decimal",
     }
-    if spark_type not in types:
-        raise ValueError(
-            f"unsupported partition column type {spark_type!r} for the "
-            "delta_tail stream source"
-        )
-    pa_type, conv = types[spark_type]
+)
+
+
+def _constant_array(value: str | None, dtype, length: int):
+    """A pyarrow constant column of ``length`` carrying the partition
+    value parsed per the pinned Spark type ``dtype`` (the protocol
+    stores partition values as strings in the log)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    pa_type = to_arrow_type(dtype)
     if value is None:
         return pa.nulls(length, pa_type)
-    if spark_type == "date":
+    name = dtype.typeName()
+    if name == "date":
         import datetime
 
         parsed = datetime.date.fromisoformat(value)
-    else:
-        parsed = conv(value)
+    elif name == "timestamp":
+        import datetime
+
+        # the protocol serializes timestamp partition values as
+        # "yyyy-MM-dd HH:mm:ss[.ffffff]" — fromisoformat parses both
+        parsed = datetime.datetime.fromisoformat(value)
+    elif name == "decimal":
+        import decimal
+
+        parsed = decimal.Decimal(value)
+    elif name == "boolean":
+        parsed = value == "true"
+    elif name in ("byte", "short", "integer", "long"):
+        parsed = int(value)
+    elif name in ("float", "double"):
+        parsed = float(value)
+    elif name == "string":
+        parsed = value
+    else:  # unreachable: validated at stream construction
+        raise ValueError(
+            f"unsupported partition column type {name!r} for the "
+            "delta_tail stream source"
+        )
     return pa.array([parsed] * length, pa_type)
 
 
@@ -121,6 +148,22 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
         state = _replay(self.table_dir)
         self._schema_json = state["schema_json"]
         self._partition_columns = tuple(state["partition_columns"])
+        # validate partition column types NOW, driver-side, so an
+        # unsupported type is a clear planning-time error instead of an
+        # executor-side ValueError mid-batch
+        schema = StructType.fromJson(json.loads(self._schema_json))
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.name in self._partition_columns
+            and f.dataType.typeName() not in _SUPPORTED_PARTITION_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                "delta_tail cannot re-attach partition column(s) of "
+                f"unsupported type: {', '.join(bad)} (supported: "
+                f"{sorted(_SUPPORTED_PARTITION_TYPES)})"
+            )
 
     def initialOffset(self):
         return {"version": self.starting_version - 1}
@@ -171,7 +214,7 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
         schema = StructType.fromJson(json.loads(partition.schema_json))
         names = [f.name for f in schema.fields]
         part_types = {
-            f.name: f.dataType.typeName()
+            f.name: f.dataType
             for f in schema.fields
             if f.name in partition.partition_columns
         }

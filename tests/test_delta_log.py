@@ -930,3 +930,75 @@ def test_delta_zorder_partitioned_bounds_files_per_dir(spark, tmp_path):
         ranges.sort()
         for (l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
             assert h1 <= l2, (d, ranges)
+
+
+def test_delta_corrupt_checkpoint_degrades_to_json_replay(spark, tmp_path):
+    """A torn/corrupt N.checkpoint.parquet (crash mid-write on a
+    pre-atomic-rename log, bit rot) must degrade to an older checkpoint
+    or full JSON replay, never brick the table — and the checkpoint
+    writer itself lands via tmp + os.replace, so no in-place torn file
+    can appear in a normal lifecycle."""
+    from stadvdb_olap_spark.sources.delta_log import checkpoint_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(6).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    write_delta(df, t, mode="overwrite")
+    write_delta(df, t, mode="append")
+    v = checkpoint_table(t)
+    cp = os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    assert os.path.isfile(cp)
+    # no tmp leftovers from the atomic rename
+    assert not [
+        n for n in os.listdir(os.path.join(t, "_delta_log"))
+        if n.endswith(".tmp")
+    ]
+    before = _rows(read_delta(spark, t))
+    # truncate the checkpoint to simulate a torn write
+    with open(cp, "r+b") as f:
+        f.truncate(16)
+    assert _rows(read_delta(spark, t)) == before  # JSON replay fallback
+    # and writes still work (append replays state through the fallback)
+    write_delta(df, t, mode="append")
+    assert len(_rows(read_delta(spark, t))) == 18
+
+
+def test_delta_delete_partition_predicate_is_semantic_and_audited(
+    spark, tmp_path
+):
+    """partition_predicate restricts the DELETE's scope (WHERE pred AND
+    partition_pred) and is recorded in commitInfo for the audit trail."""
+    from stadvdb_olap_spark.sources.delta_log import delete_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["g"])
+    # id < 4 matches rows in BOTH partitions; scope restricts to g='0'
+    delete_where(spark, t, "id < 4", partition_predicate="g = '0'")
+    left = _rows(read_delta(spark, t))
+    assert sorted(r[0] for r in left) == [1, 3, 4, 5, 6, 7, 8, 9]
+    hist = table_history(t)
+    params = hist[-1]["operationParameters"]
+    assert params["partitionPredicate"] == "g = '0'"
+    assert "id < 4" in params["predicate"]
+
+
+def test_delta_prune_without_session_raises_clear_error(spark, tmp_path):
+    """live_files with a partition predicate and no usable session must
+    raise a descriptive ValueError, not AttributeError on None."""
+    from unittest import mock
+
+    from stadvdb_olap_spark.sources import delta_log
+    from stadvdb_olap_spark.sources.delta_log import live_files
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["g"])
+    with mock.patch.object(
+        delta_log.SparkSession, "getActiveSession", return_value=None
+    ):
+        with pytest.raises(ValueError, match="SparkSession"):
+            live_files(t, partition_predicate="g = '0'")

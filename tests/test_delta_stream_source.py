@@ -360,3 +360,81 @@ def test_delta_tail_fails_fast_below_cleaned_or_vacuumed_floor(
     reader2 = _DeltaTailStreamReader({"path": t2})
     with pytest.raises(ValueError, match="vacuum"):
         reader2.partitions({"version": -1}, {"version": 2})
+
+
+def test_delta_tail_timestamp_and_decimal_partition_columns(spark, tmp_path):
+    """Partition columns of timestamp/decimal type re-attach correctly
+    (protocol string values parsed to the pinned type)."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, TIMESTAMP '2024-03-01 12:30:00', CAST(1.25 AS DECIMAL(10,2))),
+          (2L, TIMESTAMP '2024-03-02 00:00:00', CAST(2.50 AS DECIMAL(10,2)))
+        AS v(id, ts, amt)
+        """
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["ts", "amt"])
+    sdf = spark.readStream.format("delta_tail").option("path", t).load()
+    name = _drain(spark, sdf, min_rows=2)
+    got = sorted(
+        (r.id, str(r.ts), str(r.amt))
+        for r in spark.sql(f"SELECT id, ts, amt FROM {name}").collect()
+    )
+    assert got == [
+        (1, "2024-03-01 12:30:00", "1.25"),
+        (2, "2024-03-02 00:00:00", "2.50"),
+    ]
+
+
+def test_delta_tail_unsupported_partition_type_fails_at_planning(
+    spark, tmp_path
+):
+    """An unsupported partition column type must raise a clear
+    driver-side error at stream construction, not executor-side
+    mid-batch."""
+    from stadvdb_olap_spark.sources.delta_stream import (
+        _DeltaTailStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT 1L AS id, ARRAY(1, 2) AS arr"
+    ).select("id", F.col("arr").cast("array<int>"))
+    # array partition columns are rejected by Spark's writer itself, so
+    # fabricate the reader state: point it at a table whose metaData
+    # claims an array partition column
+    write_delta(df.select("id"), t, mode="overwrite")
+    import json as _json
+    import os as _os
+
+    log0 = _os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log0):
+        if line.strip() and "metaData" in _json.loads(line):
+            meta = _json.loads(line)["metaData"]
+            schema = _json.loads(meta["schemaString"])
+            schema["fields"].append(
+                {
+                    "name": "arr",
+                    "type": {
+                        "type": "array",
+                        "elementType": "integer",
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+            meta["schemaString"] = _json.dumps(schema)
+            meta["partitionColumns"] = ["arr"]
+            lines.append(_json.dumps({"metaData": meta}) + "\n")
+        else:
+            lines.append(line)
+    with open(log0, "w") as f:
+        f.writelines(lines)
+    with pytest.raises(ValueError, match="unsupported type"):
+        _DeltaTailStreamReader({"path": t})

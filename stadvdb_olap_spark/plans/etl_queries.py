@@ -1092,6 +1092,80 @@ def delta_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_merge_evolving_orders",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           CAST(o_orderkey % 10 AS INTEGER) AS o_code
+    FROM orders WHERE o_orderkey % 2 = 0
+), s AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+           'X' AS o_orderstatus,
+           CAST(o_orderkey % 10 AS BIGINT) AS o_code,
+           'ch' || CAST(o_orderkey % 5 AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+            ELSE t.o_totalprice END          AS o_totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END         AS o_orderstatus,
+       CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_code
+            ELSE t.o_code END AS BIGINT)     AS o_code,
+       s.o_channel                           AS o_channel
+FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def delta_merge_evolving_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLVING MERGE on the DELTA FORMAT, certified end-to-end
+    (sources/delta_log.py:merge_delta_scd1(merge_schema=True) — the
+    format-path twin of ``merge_upsert_orders_evolving``, closing the
+    round-11 gap where the format path raised on any drift): the target
+    lands multi-file with an INT code column, the restated feed carries
+    that column WIDENED to BIGINT plus a column the table never had
+    (o_channel), and the merge widens the pinned schema in-place —
+    un-rewritten files keep their int32 pages and read through the
+    evolved metaData via the parquet reader's promotion set; rows from
+    files never touched read NULL o_channel. The merge runs TWICE so
+    the hash check certifies idempotence including the metadata level
+    (the second run must NOT re-commit metaData — an evolved schema
+    evolves to itself). 100 TB shape: evolution is one metaData action;
+    only files containing matched keys are rewritten."""
+
+    from stadvdb_olap_spark.sources.delta_log import (
+        merge_delta_scd1,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 10).cast("int").alias("o_code"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_orderkey") % 10).cast("long").alias("o_code"),
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "o_channel"
+        ),
+    )
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_merge_evolve")
+    write_delta(target.repartition(4), table_dir, mode="overwrite")
+    merge_delta_scd1(
+        spark, table_dir, source, keys=["o_orderkey"], merge_schema=True
+    )
+    v2 = merge_delta_scd1(
+        spark, table_dir, source, keys=["o_orderkey"], merge_schema=True
+    )
+    return read_delta(spark, table_dir, version=v2)
+
+
+@query(
     "delta_checkpoint_read_orders",
     oracle="""
 SELECT o_orderstatus,
@@ -1552,4 +1626,107 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.groupBy("_commit_version", "_change_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         money_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "delta_stats_skipping_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS files_skipped,
+       TRUE AS skip_sound
+FROM orders
+WHERE o_orderkey % 100 BETWEEN 60 AND 69
+  AND o_totalprice >= 1000 AND o_totalprice < 25000
+GROUP BY o_orderstatus
+""",
+)
+def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-ONLY DATA SKIPPING over per-file column stats, certified
+    end-to-end (sources/delta_stats.py + read_delta(data_predicate=) —
+    the protocol's ``stats`` JSON on every add action, consumed without
+    touching a single parquet footer): an orders slice lands as four
+    appends whose files each span the WHOLE price range (worst case:
+    nothing skippable), OPTIMIZE ZORDER clusters them into four
+    contiguous-range files, and a selective price-range read then
+    prunes the file list from the log's min/max stats alone —
+    ``files_skipped`` pins that the scanned list is a strict subset of
+    the live set, and ``skip_sound`` proves every SKIPPED file could
+    not have matched by checking its actual parquet footer
+    (independently of the log stats that did the skipping). The
+    aggregates hash-match a raw SQL recompute, so over-pruning would
+    fail the driver's value hash, not just a boolean. This closes the
+    round-11 gap: ZORDER's payoff realized as a metadata-only skip —
+    at 100 TB the difference between one log read and a million footer
+    fetches."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.parquet as _papq
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        live_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    sliced = orders.filter(
+        (F.col("o_orderkey") % 100 >= 60) & (F.col("o_orderkey") % 100 <= 69)
+    ).select(base_cols)
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_skip")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    for b in range(4):
+        write_delta(
+            sliced.filter(F.col("o_orderkey") % 4 == b).coalesce(1),
+            table_dir,
+            mode="append" if b else "overwrite",
+        )
+    compact_table(spark, table_dir, target_files=4, zorder_by=["o_totalprice"])
+
+    pred = "o_totalprice >= 1000 AND o_totalprice < 25000"
+    total = live_files(table_dir)
+    scanned = live_files(table_dir, data_predicate=pred)
+    skipped = sorted(set(total) - set(scanned))
+    files_skipped = bool(skipped) and set(scanned) < set(total)
+
+    # independent soundness proof: each SKIPPED file's parquet footer
+    # (not the log stats that made the decision) shows its price range
+    # is disjoint from the predicate's — driver work bounded by file
+    # count
+    def _footer_range(rel: str) -> tuple[float, float]:
+        md = _papq.read_metadata(_os.path.join(table_dir, rel))
+        idx = md.schema.to_arrow_schema().names.index("o_totalprice")
+        los, his = zip(
+            *(
+                (
+                    md.row_group(g).column(idx).statistics.min,
+                    md.row_group(g).column(idx).statistics.max,
+                )
+                for g in range(md.num_row_groups)
+            )
+        )
+        return min(los), max(his)
+
+    skip_sound = all(
+        hi < 1000 or lo >= 25000
+        for lo, hi in (_footer_range(p) for p in skipped)
+    )
+
+    return (
+        read_delta(spark, table_dir, data_predicate=pred)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("files_skipped", F.lit(files_skipped))
+        .withColumn("skip_sound", F.lit(skip_sound))
     )

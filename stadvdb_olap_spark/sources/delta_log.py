@@ -54,6 +54,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from stadvdb_olap_spark.sources.delta_stats import (
+    collect_file_stats,
+    prune_by_stats,
+)
+
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 _EARLIEST_RETAINED = "_earliest_retained"
@@ -169,6 +174,7 @@ def _checkpoint_arrow_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -228,6 +234,7 @@ def _write_checkpoint(table_dir: str, state: dict) -> None:
                     "size": a["size"],
                     "modificationTime": a["modificationTime"],
                     "dataChange": a.get("dataChange", True),
+                    "stats": a.get("stats"),
                 },
             }
         )
@@ -302,12 +309,20 @@ def _load_checkpoint(table_dir: str, version: int) -> dict:
         elif row.get("txn") is not None:
             txns[row["txn"]["appId"]] = row["txn"]["version"]
     add = table.column("add").combine_chunks()
-    for path, pv, size, mtime, dc in zip(
+    # pre-stats checkpoints (older tables) have no stats field
+    add_fields = {f.name for f in add.type}
+    stats_list = (
+        add.field("stats").to_pylist()
+        if "stats" in add_fields
+        else [None] * len(add)
+    )
+    for path, pv, size, mtime, dc, st in zip(
         add.field("path").to_pylist(),
         add.field("partitionValues").to_pylist(),
         add.field("size").to_pylist(),
         add.field("modificationTime").to_pylist(),
         add.field("dataChange").to_pylist(),
+        stats_list,
     ):
         if path is None:
             continue  # a protocol/metaData/txn row
@@ -318,6 +333,8 @@ def _load_checkpoint(table_dir: str, version: int) -> dict:
             "modificationTime": mtime,
             "dataChange": dc,
         }
+        if st is not None:
+            files[path]["stats"] = st
     if meta is None or protocol is None:
         raise ValueError(
             f"checkpoint {version} of {table_dir} lacks metaData/protocol"
@@ -463,7 +480,22 @@ def _stage_files(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    # INT64 micros, not Spark's default INT96: INT96 is deprecated in
+    # the parquet spec, is what production Delta writers emit, and —
+    # decisive here — INT96 column chunks carry NO min/max statistics,
+    # which would silence data skipping on every timestamp column.
+    # Session conf (no per-write option exists), saved and restored.
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    sess = df.sparkSession
+    prev_ts = sess.conf.get(ts_key, None)
+    sess.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(staging)
+    finally:
+        if prev_ts is None:
+            sess.conf.unset(ts_key)
+        else:
+            sess.conf.set(ts_key, prev_ts)
     adds: list[dict] = []
     for root, _dirs, names in os.walk(staging):
         rel_dir = os.path.relpath(root, staging)
@@ -490,6 +522,10 @@ def _stage_files(
             os.replace(
                 os.path.join(root, name), os.path.join(table_dir, rel_final)
             )
+            # per-file column stats from the footer we JUST wrote (no
+            # data pages touched) — the protocol's stats JSON string,
+            # so readers can data-skip from the log alone
+            stats = collect_file_stats(os.path.join(table_dir, rel_final))
             adds.append(
                 {
                     "path": rel_final.replace(os.sep, "/"),
@@ -497,6 +533,7 @@ def _stage_files(
                     "size": os.path.getsize(os.path.join(table_dir, rel_final)),
                     "modificationTime": now_ms,
                     "dataChange": data_change,
+                    "stats": json.dumps(stats, sort_keys=True),
                 }
             )
     shutil.rmtree(staging)
@@ -675,17 +712,28 @@ def live_files(
     version: int | None = None,
     partition_predicate: str | None = None,
     spark: SparkSession | None = None,
+    data_predicate: str | None = None,
 ) -> list[str]:
-    """The live file paths at ``version``, pruned by
-    ``partition_predicate`` (a SQL expression over the table's partition
-    columns) FROM THE LOG ALONE — no parquet footer is opened. The
-    pruning evaluates the predicate over one row per file's
-    ``partitionValues`` (driver-bounded by file count), typed per the
-    pinned schema, via Spark's own expression engine so semantics match
-    the scan's exactly."""
-    return _prune_files(
-        spark, _replay(table_dir, version), partition_predicate, table_dir
-    )
+    """The live file paths at ``version``, pruned FROM THE LOG ALONE —
+    no parquet footer is opened — by two composable mechanisms:
+
+    - ``partition_predicate``: a SQL expression over the table's
+      partition columns, evaluated over one row per file's
+      ``partitionValues`` (driver-bounded by file count), typed per the
+      pinned schema, via Spark's own expression engine so semantics
+      match the scan's exactly.
+    - ``data_predicate``: a comparison predicate over DATA columns,
+      intersected with each add action's ``stats`` ranges
+      (min/max/nullCount — ``sources/delta_stats.py``). Purely an I/O
+      optimization: a skipped file PROVABLY contains no matching row;
+      files without stats, and predicates outside the skipping subset,
+      are kept. Unlike ``partition_predicate`` it never changes
+      semantics — callers still apply the row filter to the scan."""
+    state = _replay(table_dir, version)
+    paths = _prune_files(spark, state, partition_predicate, table_dir)
+    if data_predicate is not None:
+        paths = prune_by_stats(state["files"], paths, data_predicate)
+    return paths
 
 
 def _prune_files(
@@ -778,19 +826,32 @@ def read_delta(
     table_dir: str,
     version: int | None = None,
     partition_predicate: str | None = None,
+    data_predicate: str | None = None,
 ) -> DataFrame:
     """Read a Delta table at ``version`` (default: latest). The schema
     is pinned from the log's metaData (never re-inferred — at 100 TB
     inference is an extra full pass), and only the live file set is
     scanned — further narrowed by ``partition_predicate`` using the
-    log's ``partitionValues`` alone (:func:`live_files`), so a
-    partition-selective read never lists or opens non-matching files.
-    An empty live set returns an empty frame of the pinned schema.
-    Reading a version older than the vacuum horizon fails fast with the
-    earliest retained version in the error."""
+    log's ``partitionValues`` alone and by ``data_predicate`` using the
+    add actions' per-file column stats (:func:`live_files`), so a
+    selective read never lists or opens non-matching files.
+
+    ``data_predicate`` skipping is SOUND-only pruning: every skipped
+    file provably holds no matching row, but kept files may still hold
+    non-matching rows — the returned frame carries the data predicate
+    as a ``.where`` so results are identical with or without skipping
+    (the filter then also pushes into the parquet scan for row-group
+    pruning). An empty live set returns an empty frame of the pinned
+    schema. Reading a version older than the vacuum horizon fails fast
+    with the earliest retained version in the error."""
     state = _replay(table_dir, version)
     paths = _prune_files(spark, state, partition_predicate, table_dir)
-    return _read_adds(spark, table_dir, state, paths)
+    if data_predicate is not None:
+        paths = prune_by_stats(state["files"], paths, data_predicate)
+    df = _read_adds(spark, table_dir, state, paths)
+    if data_predicate is not None:
+        df = df.where(F.expr(data_predicate))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -907,12 +968,94 @@ def delete_where(
     return _commit(table_dir, version, actions, checkpoint_interval)
 
 
+def _evolved_merge_schema(
+    schema: StructType, source: DataFrame, keys: list[str], parts: list[str]
+) -> StructType:
+    """The evolved pinned schema for a ``merge_schema=True`` Delta
+    MERGE: table fields first (shared columns widened to the
+    value-preserving meet), then source-only fields appended in source
+    order — ``operators/merge.py``'s mergeSchema semantics on the
+    format path.
+
+    The format adds one constraint the relational merge doesn't have:
+    NON-HIT files are not rewritten, so their old physical type must
+    stay readable through the widened pinned schema. Spark's parquet
+    reader promotes int-family->long, int-family->double and
+    float->double, but NOT date->timestamp — widenings outside the
+    reader's promotion set raise here (rewriting the whole table behind
+    a MERGE would be a silent full-table operation)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.types import StructField
+
+    from stadvdb_olap_spark.operators.merge import _widened_type
+
+    src_types = {f.name: f for f in source.schema.fields}
+    tbl_names = {f.name for f in schema.fields}
+    readable_promotions = (
+        (T.ByteType, T.LongType), (T.ShortType, T.LongType),
+        (T.IntegerType, T.LongType),
+        (T.ByteType, T.DoubleType), (T.ShortType, T.DoubleType),
+        (T.IntegerType, T.DoubleType), (T.FloatType, T.DoubleType),
+        (T.ByteType, T.ShortType), (T.ByteType, T.IntegerType),
+        (T.ShortType, T.IntegerType),
+    )
+    fields = []
+    for f in schema.fields:
+        s = src_types.get(f.name)
+        if s is None or s.dataType == f.dataType:
+            fields.append(f)
+            continue
+        if f.name in keys:
+            raise ValueError(
+                f"type drift on KEY {f.name!r}: table "
+                f"{f.dataType.simpleString()} vs source "
+                f"{s.dataType.simpleString()} — keys are never widened"
+            )
+        if f.name in parts:
+            raise ValueError(
+                f"type drift on partition column {f.name!r} — partition "
+                "columns define the table layout and are never widened"
+            )
+        widened = _widened_type(f.dataType, s.dataType)  # raises if lossy
+        if widened != f.dataType and not any(
+            isinstance(f.dataType, frm) and isinstance(widened, to)
+            for frm, to in readable_promotions
+        ):
+            raise ValueError(
+                f"widening {f.name!r} {f.dataType.simpleString()} -> "
+                f"{widened.simpleString()} would make the table's "
+                "un-rewritten files unreadable (outside the parquet "
+                "reader's promotion set) — align the source upstream"
+            )
+        fields.append(StructField(f.name, widened, True))
+    for f in source.schema.fields:
+        if f.name not in tbl_names:
+            # always nullable: every un-rewritten file null-fills it
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``: present columns cast to the
+    pinned type, absent ones null-filled."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def merge_delta_scd1(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
     keys: list[str],
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
     checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
 ) -> int:
     """MERGE INTO on the Delta format — copy-on-write SCD-1 upsert, the
@@ -927,11 +1070,20 @@ def merge_delta_scd1(
     - key only in tgt -> file untouched unless it shares a file with a
       matched key (copy-on-write granularity is the FILE)
 
-    ``source`` must match the table's pinned schema exactly and be
-    unique per key (pre-dedup with ``dedup_keep_first`` — same contract
-    as ``merge_scd1``). Re-running the same merge is idempotent on the
-    DATA (hit files are rewritten to identical content); pass ``txn``
-    to make replays no-op at the commit level too.
+    ``source`` must match the table's pinned schema exactly — unless
+    ``merge_schema=True`` (the format-path twin of ``merge_scd1``'s
+    ``schema_evolution``): source-only columns are APPENDED to the
+    pinned schema (un-rewritten files read NULL for them), shared
+    columns may WIDEN along the value-preserving ladder restricted to
+    the parquet reader's promotion set (int-family->long/double,
+    float->double — see :func:`_evolved_merge_schema`), and the commit
+    carries the evolved metaData action. Keys and partition columns
+    never drift. ``source`` must be unique per key (pre-dedup with
+    ``dedup_keep_first`` — same contract as ``merge_scd1``).
+    Re-running the same merge is idempotent on the DATA (hit files are
+    rewritten to identical content; an already-evolved schema evolves
+    to itself); pass ``txn`` to make replays no-op at the commit level
+    too.
 
     100 TB shape: the source (a batch) broadcasts into the hit-file
     probe; only hit files are rewritten — a k-row upsert touching f
@@ -945,13 +1097,21 @@ def merge_delta_scd1(
     # neither changes what lands in parquet)
     tbl_fields = [(f.name, f.dataType) for f in schema.fields]
     src_fields = [(f.name, f.dataType) for f in source.schema.fields]
+    out_schema = schema
     if tbl_fields != src_fields:
-        raise ValueError(
-            "merge source schema differs from the table's pinned schema "
-            f"({source.schema.simpleString()} vs {schema.simpleString()}) — "
-            "align the frame upstream; MERGE never evolves the schema "
-            "implicitly"
-        )
+        if not merge_schema:
+            raise ValueError(
+                "merge source schema differs from the table's pinned schema "
+                f"({source.schema.simpleString()} vs {schema.simpleString()}) — "
+                "pass merge_schema=True for explicit evolution, or align "
+                "the frame upstream; MERGE never evolves the schema "
+                "implicitly"
+            )
+        missing_keys = [k for k in keys if k not in source.columns]
+        if missing_keys:
+            raise ValueError(f"merge source lacks key columns {missing_keys}")
+        out_schema = _evolved_merge_schema(schema, source, keys, parts)
+        source = _align_to(source, out_schema)
     if txn is not None:
         seen = last_txn_version(table_dir, txn[0])
         if seen is not None and seen >= txn[1]:
@@ -977,22 +1137,44 @@ def merge_delta_scd1(
     # (matched rows are replaced by the source's). Null-safe key
     # equality, same as merge_scd1.
     if hits:
+        # hit files were written under the OLD pinned schema; align the
+        # survivors to the (possibly evolved) output schema before the
+        # union — null-fill new columns, cast widened ones
         hit_rows = _read_adds(spark, table_dir, state, hits)
         cond = [hit_rows[k].eqNullSafe(src_keys[k]) for k in keys]
         survivors = hit_rows.join(F.broadcast(src_keys), cond, "left_anti")
-        new_data = survivors.select(*[f.name for f in schema.fields]).unionByName(
-            source.select(*[f.name for f in schema.fields])
+        new_data = _align_to(survivors, out_schema).unionByName(
+            _align_to(source, out_schema)
         )
     else:
-        new_data = source.select(*[f.name for f in schema.fields])
+        new_data = _align_to(source, out_schema)
     adds = _stage_files(new_data, table_dir, version, parts, True, now_ms)
     actions: list[dict] = [
         _commit_info(
             "MERGE",
-            {"matchedFiles": len(hits), "keys": json.dumps(keys)},
+            {
+                "matchedFiles": len(hits),
+                "keys": json.dumps(keys),
+                "schemaEvolved": out_schema != schema,
+            },
             now_ms,
         )
     ]
+    if out_schema != schema:
+        # explicit evolution: re-pin the schema so every reader (and
+        # the null-fill of un-rewritten files) follows the new metaData
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": out_schema.json(),
+                    "partitionColumns": parts,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
     actions.extend(

@@ -1,0 +1,495 @@
+"""Per-file column statistics + log-only data skipping for the Delta
+log writer (``sources/delta_log.py``).
+
+The Delta protocol's ``add`` action carries an optional ``stats`` field:
+a JSON string with ``numRecords`` plus ``minValues`` / ``maxValues`` /
+``nullCount`` per (top-level leaf) column. Production readers skip
+files from the LOG ALONE by intersecting a query predicate with those
+ranges — at 100 TB that is the difference between one metadata read and
+a million parquet-footer fetches, and it is what makes OPTIMIZE ZORDER
+actually pay off (clustered files get tight disjoint ranges; the
+skipping here is what consumes them).
+
+Two halves, both driver-side and bounded by FILE COUNT:
+
+- :func:`collect_file_stats` — fold one just-written parquet FOOTER
+  (row-group statistics only, no data pages) into the protocol's stats
+  dict. Conservative by construction: a column whose type or footer
+  doesn't support sound bounds is simply omitted, and omitted columns
+  never skip anything.
+- :func:`parse_predicate` / :func:`file_might_match` — a small,
+  self-contained evaluator for the conjunctive/disjunctive comparison
+  subset every skipping engine supports (``col <op> literal``,
+  ``IS [NOT] NULL``, ``IN``, ``BETWEEN``, ``AND`` / ``OR`` / ``NOT``,
+  parentheses). ``file_might_match`` answers "could ANY row of this
+  file satisfy the predicate?" — ``False`` is a proof from the stats,
+  anything un-analyzable degrades to ``True`` (keep the file), so
+  skipping can never change query results, only I/O.
+
+The reference has no table format at all (its warehouse writes are
+plain overwrites, ``/root/reference/app.py:13-21``); this module is
+part of the production uplift the round-11 verdict ranked first.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+# Columns longer than this never publish string bounds — a truncated
+# max is NOT an upper bound unless incremented (the protocol's
+# tie-breaking rule), so rather than implement increment-last-char we
+# omit bounds for pathological strings. Sound, and irrelevant for real
+# key/dimension columns.
+_MAX_STR_STAT_LEN = 256
+
+
+# ---------------------------------------------------------------------------
+# Footer -> stats dict
+# ---------------------------------------------------------------------------
+
+
+def _json_safe(v):
+    """Convert a pyarrow statistics value to the protocol's JSON form,
+    or None if the type can't carry a SOUND, comparable bound."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, str):
+        return v if len(v) <= _MAX_STR_STAT_LEN else None
+    if isinstance(v, datetime.datetime):
+        # naive, space-separated — compares lexicographically with SQL
+        # timestamp literals ('2024-03-01 12:30:00')
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None  # bytes / Decimal / nested: omitted (conservative)
+
+
+def collect_file_stats(path: str) -> dict:
+    """The add action's ``stats`` dict for one parquet file, from its
+    footer alone: ``numRecords`` always; per top-level leaf column,
+    ``minValues`` / ``maxValues`` when EVERY row group publishes sound
+    min/max, ``nullCount`` when every row group publishes a null count.
+    Nested columns (dotted path_in_schema) and unsupported value types
+    are omitted — omission is always sound for skipping."""
+    import pyarrow.parquet as papq
+
+    md = papq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete_minmax: dict[str, bool] = {}
+    complete_nulls: dict[str, bool] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf — top-level columns only
+            st = col.statistics
+            if st is None:
+                complete_minmax[name] = False
+                complete_nulls[name] = False
+                continue
+            if st.has_min_max:
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                if lo is None or hi is None:
+                    complete_minmax[name] = False
+                elif complete_minmax.setdefault(name, True):
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            else:
+                # row group without bounds; sound only if it is empty
+                if rg.num_rows > 0 and not (
+                    st.has_null_count and st.null_count == rg.num_rows
+                ):
+                    complete_minmax[name] = False
+            if st.has_null_count and st.null_count is not None:
+                if complete_nulls.setdefault(name, True):
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                complete_nulls[name] = False
+    stats: dict = {"numRecords": md.num_rows}
+    stats["minValues"] = {
+        k: v for k, v in mins.items() if complete_minmax.get(k, False)
+    }
+    stats["maxValues"] = {
+        k: v for k, v in maxs.items() if complete_minmax.get(k, False)
+    }
+    stats["nullCount"] = {
+        k: v for k, v in nulls.items() if complete_nulls.get(k, False)
+    }
+    # an all-null column has no min/max but its bounds-absence is not
+    # "unknown" — nullCount == numRecords already encodes it soundly
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Predicate mini-parser (the data-skipping subset)
+# ---------------------------------------------------------------------------
+#
+# Grammar (case-insensitive keywords):
+#   expr     := term (OR term)*
+#   term     := factor (AND factor)*
+#   factor   := NOT factor | '(' expr ')' | leaf
+#   leaf     := operand op operand
+#             | ident IS [NOT] NULL
+#             | ident [NOT] IN '(' literal (',' literal)* ')'
+#             | ident [NOT] BETWEEN literal AND literal
+#   operand  := ident | literal
+#   literal  := number | string | TRUE | FALSE | NULL
+#             | DATE string | TIMESTAMP string
+#
+# AST nodes are plain tuples; evaluation is in file_might_match below.
+
+
+class PredicateError(ValueError):
+    """The predicate is outside the skipping subset — callers should
+    treat the whole predicate as un-analyzable (scan everything),
+    never guess."""
+
+
+_OPS = ("<=", ">=", "!=", "<>", "==", "=", "<", ">")
+_KEYWORDS = {
+    "and", "or", "not", "is", "null", "in", "between",
+    "true", "false", "date", "timestamp",
+}
+
+
+def _tokenize(s: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "(),":
+            out.append((c, c))
+            i += 1
+            continue
+        two = s[i : i + 2]
+        if two in _OPS:
+            out.append(("op", "!=" if two == "<>" else ("=" if two == "==" else two)))
+            i += 2
+            continue
+        if c in "<>=!":
+            if c == "!":
+                raise PredicateError(f"stray '!' at {i} in {s!r}")
+            out.append(("op", c))
+            i += 1
+            continue
+        if c == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                buf.append(s[j])
+                j += 1
+            else:
+                raise PredicateError(f"unterminated string in {s!r}")
+            out.append(("str", "".join(buf)))
+            i = j + 1
+            continue
+        if c == "`":
+            j = s.find("`", i + 1)
+            if j < 0:
+                raise PredicateError(f"unterminated identifier in {s!r}")
+            out.append(("ident", s[i + 1 : j]))
+            i = j + 1
+            continue
+        if c.isdigit() or (
+            c in "+-" and i + 1 < n and (s[i + 1].isdigit() or s[i + 1] == ".")
+        ) or (c == "." and i + 1 < n and s[i + 1].isdigit()):
+            j = i + 1
+            while j < n and (s[j].isdigit() or s[j] in ".eE" or (
+                s[j] in "+-" and s[j - 1] in "eE"
+            )):
+                j += 1
+            text = s[i:j]
+            try:
+                num = int(text)
+            except ValueError:
+                try:
+                    num = float(text)
+                except ValueError:
+                    raise PredicateError(f"bad number {text!r} in {s!r}")
+            out.append(("num", num))
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] in "_."):
+                j += 1
+            word = s[i:j]
+            if word.lower() in _KEYWORDS:
+                out.append(("kw", word.lower()))
+            else:
+                out.append(("ident", word))
+            i = j
+            continue
+        raise PredicateError(f"unexpected character {c!r} at {i} in {s!r}")
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def expect_kw(self, word):
+        kind, val = self.next()
+        if kind != "kw" or val != word:
+            raise PredicateError(f"expected {word.upper()}, got {val!r}")
+
+    def parse(self):
+        node = self.expr()
+        if self.pos != len(self.toks):
+            raise PredicateError(f"trailing tokens after {self.pos}")
+        return node
+
+    def expr(self):
+        node = self.term()
+        while self.peek() == ("kw", "or"):
+            self.next()
+            node = ("or", node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while self.peek() == ("kw", "and"):
+            self.next()
+            node = ("and", node, self.factor())
+        return node
+
+    def factor(self):
+        kind, val = self.peek()
+        if (kind, val) == ("kw", "not"):
+            self.next()
+            return ("not", self.factor())
+        if kind == "(":
+            self.next()
+            node = self.expr()
+            if self.next()[0] != ")":
+                raise PredicateError("expected ')'")
+            return node
+        return self.leaf()
+
+    def literal(self):
+        kind, val = self.next()
+        if kind == "num" or kind == "str":
+            return val
+        if kind == "kw" and val in ("true", "false"):
+            return val == "true"
+        if kind == "kw" and val == "null":
+            return None
+        if kind == "kw" and val in ("date", "timestamp"):
+            k2, v2 = self.next()
+            if k2 != "str":
+                raise PredicateError(f"{val.upper()} needs a string literal")
+            # normalized to the stats' own string forms (space-separated
+            # timestamps) so lexicographic comparison is type-consistent
+            return v2.replace("T", " ") if val == "timestamp" else v2
+        raise PredicateError(f"expected literal, got {val!r}")
+
+    def leaf(self):
+        kind, val = self.next()
+        lit_first = None
+        if kind in ("num", "str") or (
+            kind == "kw" and val in ("true", "false")
+        ):
+            # literal <op> column — flip below
+            lit_first = val if kind != "kw" else (val == "true")
+            k_op, op = self.next()
+            if k_op != "op":
+                raise PredicateError(f"expected operator after literal")
+            k_id, ident = self.next()
+            if k_id != "ident":
+                raise PredicateError("literal-vs-literal comparison")
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            return ("cmp", flip.get(op, op), ident, lit_first)
+        if kind != "ident":
+            raise PredicateError(f"expected column or literal, got {val!r}")
+        col = val
+        kind, val = self.next()
+        if kind == "op":
+            return ("cmp", val, col, self.literal())
+        if (kind, val) == ("kw", "is"):
+            if self.peek() == ("kw", "not"):
+                self.next()
+                self.expect_kw("null")
+                return ("notnull", col)
+            self.expect_kw("null")
+            return ("isnull", col)
+        negate = False
+        if (kind, val) == ("kw", "not"):
+            negate = True
+            kind, val = self.next()
+        if (kind, val) == ("kw", "in"):
+            if self.next()[0] != "(":
+                raise PredicateError("expected '(' after IN")
+            vals = [self.literal()]
+            while self.peek()[0] == ",":
+                self.next()
+                vals.append(self.literal())
+            if self.next()[0] != ")":
+                raise PredicateError("expected ')' after IN list")
+            node = ("in", col, vals)
+            return ("not", node) if negate else node
+        if (kind, val) == ("kw", "between"):
+            lo = self.literal()
+            self.expect_kw("and")
+            hi = self.literal()
+            node = ("and", ("cmp", ">=", col, lo), ("cmp", "<=", col, hi))
+            return ("not", node) if negate else node
+        raise PredicateError(f"unsupported construct at {val!r}")
+
+
+def parse_predicate(sql: str):
+    """Parse the data-skipping predicate subset; raises
+    :class:`PredicateError` for anything outside it (callers scan all
+    files in that case — never guess)."""
+    return _Parser(_tokenize(sql)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluation over one file's stats
+# ---------------------------------------------------------------------------
+
+
+def _ordered(a, b):
+    """-1/0/1 if ``a`` and ``b`` are comparable (same kind), else None."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        if isinstance(a, bool) and isinstance(b, bool):
+            return (a > b) - (a < b)
+        return None
+    if isinstance(a, num) and isinstance(b, num):
+        return (a > b) - (a < b)
+    if isinstance(a, str) and isinstance(b, str):
+        return (a > b) - (a < b)
+    return None
+
+
+def file_might_match(node, stats: dict) -> bool:
+    """Could ANY row of a file with ``stats`` satisfy ``node``? False
+    is a proof (skip the file); un-analyzable anything returns True."""
+    n_rows = stats.get("numRecords")
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+
+    def all_null(col):
+        nc = nulls.get(col)
+        return nc is not None and n_rows is not None and nc == n_rows
+
+    def might(nd) -> bool:
+        kind = nd[0]
+        if kind == "and":
+            return might(nd[1]) and might(nd[2])
+        if kind == "or":
+            return might(nd[1]) or might(nd[2])
+        if kind == "not":
+            return might_neg(nd[1])
+        if kind == "isnull":
+            nc = nulls.get(nd[1])
+            return True if nc is None else nc > 0
+        if kind == "notnull":
+            return not all_null(nd[1])
+        if kind == "in":
+            return any(might(("cmp", "=", nd[1], v)) for v in nd[2])
+        # cmp
+        _, op, col, v = nd
+        if v is None:
+            return False  # col <op> NULL is never TRUE
+        if all_null(col):
+            return False  # comparisons with NULL rows are never TRUE
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            return True  # no bounds recorded — keep
+        clo, chi = _ordered(lo, v), _ordered(hi, v)
+        if clo is None or chi is None:
+            return True  # incomparable types — keep
+        if op == "=":
+            return clo <= 0 <= chi
+        if op == "<":
+            return clo < 0
+        if op == "<=":
+            return clo <= 0
+        if op == ">":
+            return chi > 0
+        if op == ">=":
+            return chi >= 0
+        if op == "!=":
+            # only skippable when every non-null row equals v
+            return not (clo == 0 and chi == 0)
+        return True
+
+    def might_neg(nd) -> bool:
+        """Could any row satisfy NOT(nd)? (three-valued: NOT(NULL) is
+        NULL, so negated comparisons still require non-null rows)."""
+        kind = nd[0]
+        if kind == "and":
+            return might_neg(nd[1]) or might_neg(nd[2])
+        if kind == "or":
+            return might_neg(nd[1]) and might_neg(nd[2])
+        if kind == "not":
+            return might(nd[1])
+        if kind == "isnull":
+            return might(("notnull", nd[1]))
+        if kind == "notnull":
+            return might(("isnull", nd[1]))
+        if kind == "in":
+            # NOT IN: a row qualifies if non-null and != every value;
+            # AND of per-value possibilities over-approximates (sound)
+            return all(might(("cmp", "!=", nd[1], v)) for v in nd[2])
+        _, op, col, v = nd
+        inverse = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+        return might(("cmp", inverse[op], col, v))
+
+    return might(node)
+
+
+def prune_by_stats(files: dict, paths: list[str], data_predicate: str) -> list[str]:
+    """Subset of ``paths`` whose add-action stats admit a match for
+    ``data_predicate``. Files without a stats field are always kept; a
+    predicate outside the skipping subset keeps everything (with no
+    partial guessing). Driver-side, bounded by file count."""
+    import json
+
+    try:
+        node = parse_predicate(data_predicate)
+    except PredicateError:
+        return list(paths)
+    kept = []
+    for p in paths:
+        raw = files[p].get("stats")
+        if not raw:
+            kept.append(p)
+            continue
+        try:
+            stats = json.loads(raw) if isinstance(raw, str) else raw
+        except (ValueError, TypeError):
+            kept.append(p)
+            continue
+        if file_might_match(node, stats):
+            kept.append(p)
+    return kept

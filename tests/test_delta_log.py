@@ -1002,3 +1002,89 @@ def test_delta_prune_without_session_raises_clear_error(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="SparkSession"):
             live_files(t, partition_predicate="g = '0'")
+
+
+def test_delta_merge_schema_evolution_adds_and_widens(spark, tmp_path):
+    """merge_schema=True on the format path: source-only columns append
+    (un-rewritten files read NULL), shared columns widen within the
+    parquet reader's promotion set (un-rewritten int files read as
+    long), the commit re-pins metaData, and the merge is idempotent —
+    including at the metadata level on the second run."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        merge_delta_scd1,
+    )
+
+    t = str(tmp_path / "tbl")
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "id long, v int, s string",
+    )
+    # multi-file so SOME files stay un-rewritten
+    write_delta(target.repartition(4), t, mode="overwrite")
+    source = spark.createDataFrame(
+        [(2, 200, "B", "x"), (5, 500, "E", "y")],
+        "id long, v long, s string, extra string",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_delta_scd1(spark, t, source, keys=["id"])
+    merge_delta_scd1(spark, t, source, keys=["id"], merge_schema=True)
+    got = read_delta(spark, t)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in got.schema.fields
+    ] == [
+        ("id", "bigint"), ("v", "bigint"), ("s", "string"),
+        ("extra", "string"),
+    ]
+    assert _rows(got) == [
+        (1, 10, "a", None), (2, 200, "B", "x"), (3, 30, "c", None),
+        (4, 40, "d", None), (5, 500, "E", "y"),
+    ]
+    v1 = _replay(t)["version"]
+    # second identical merge: same data, and NO new metaData action
+    merge_delta_scd1(spark, t, source, keys=["id"], merge_schema=True)
+    assert _rows(read_delta(spark, t)) == _rows(got)
+    last = os.path.join(t, "_delta_log", f"{v1 + 1:020d}.json")
+    kinds = {next(iter(json.loads(l))) for l in open(last) if l.strip()}
+    assert "metaData" not in kinds
+
+
+def test_delta_merge_evolution_guards(spark, tmp_path):
+    """Key drift, partition-column drift, and widenings outside the
+    parquet reader's promotion set all raise clearly."""
+    from stadvdb_olap_spark.sources.delta_log import merge_delta_scd1
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.sql(
+            "SELECT 1L AS id, CAST(1 AS INT) AS v, DATE '2024-01-01' AS d, "
+            "'p' AS g"
+        ),
+        t,
+        mode="overwrite",
+        partition_by=["g"],
+    )
+    key_drift = spark.sql(
+        "SELECT CAST(1 AS INT) AS id, CAST(1 AS INT) AS v, "
+        "DATE '2024-01-01' AS d, 'p' AS g"
+    )
+    with pytest.raises(ValueError, match="KEY"):
+        merge_delta_scd1(spark, t, key_drift, keys=["id"], merge_schema=True)
+    part_drift = spark.sql(
+        "SELECT 1L AS id, CAST(1 AS INT) AS v, DATE '2024-01-01' AS d, "
+        "CAST(NULL AS BIGINT) AS g"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        merge_delta_scd1(spark, t, part_drift, keys=["id"], merge_schema=True)
+    # date -> timestamp is value-preserving but NOT parquet-readable
+    # over un-rewritten files: must raise, not corrupt reads
+    ts_drift = spark.sql(
+        "SELECT 1L AS id, CAST(1 AS INT) AS v, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS d, 'p' AS g"
+    )
+    with pytest.raises(ValueError, match="promotion"):
+        merge_delta_scd1(spark, t, ts_drift, keys=["id"], merge_schema=True)
+    # missing key column
+    no_key = spark.sql("SELECT CAST(1 AS INT) AS v")
+    with pytest.raises(ValueError, match="key columns"):
+        merge_delta_scd1(spark, t, no_key, keys=["id"], merge_schema=True)

@@ -60,6 +60,9 @@ def _normalized_log(table_dir: str) -> list[list[dict]]:
                 body["path"] = tok(body["path"])
                 body["size"] = "<bytes>"
                 body["modificationTime"] = 0
+                # stats are DETERMINISTIC for the scripted data — pin
+                # values, not just shape (parsed like schemaString)
+                body["stats"] = json.loads(body["stats"])
             elif kind == "remove":
                 body["path"] = tok(body["path"])
                 body["deletionTimestamp"] = 0
@@ -99,7 +102,11 @@ GOLDEN = [
                       "createdTime": 0}},
         {"add": {"path": "<file-0>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
-                 "dataChange": True}},
+                 "dataChange": True,
+                 "stats": {"maxValues": {"id": 2, "s": "b"},
+                   "minValues": {"id": 1, "s": "a"},
+                   "nullCount": {"id": 0, "s": 0},
+                   "numRecords": 2}}},
     ],
     # v1: APPEND with an idempotent-writer txn action
     [
@@ -109,7 +116,11 @@ GOLDEN = [
         {"txn": {"appId": "golden_app", "version": 1}},
         {"add": {"path": "<file-1>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
-                 "dataChange": True}},
+                 "dataChange": True,
+                 "stats": {"maxValues": {"id": 3, "s": "c"},
+                   "minValues": {"id": 3, "s": "c"},
+                   "nullCount": {"id": 0, "s": 0},
+                   "numRecords": 1}}},
     ],
     # v2: copy-on-write DELETE — remove(hit file-0) + add(rewrite)
     [
@@ -120,7 +131,11 @@ GOLDEN = [
                     "deletionTimestamp": 0, "dataChange": True}},
         {"add": {"path": "<file-2>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
-                 "dataChange": True}},
+                 "dataChange": True,
+                 "stats": {"maxValues": {"id": 2, "s": "b"},
+                   "minValues": {"id": 2, "s": "b"},
+                   "nullCount": {"id": 0, "s": 0},
+                   "numRecords": 1}}},
     ],
     # v3: OPTIMIZE — dataChange=false on BOTH sides so streaming
     # consumers skip it
@@ -134,7 +149,11 @@ GOLDEN = [
                     "deletionTimestamp": 0, "dataChange": False}},
         {"add": {"path": "<file-3>", "partitionValues": {},
                  "size": "<bytes>", "modificationTime": 0,
-                 "dataChange": True}},
+                 "dataChange": True,
+                 "stats": {"maxValues": {"id": 3, "s": "c"},
+                   "minValues": {"id": 2, "s": "b"},
+                   "nullCount": {"id": 0, "s": 0},
+                   "numRecords": 2}}},
     ],
 ]
 
@@ -185,6 +204,7 @@ def test_delta_checkpoint_matches_protocol_columns(spark, tmp_path):
     add_fields = {f.name for f in schema.field("add").type}
     assert {
         "path", "partitionValues", "size", "modificationTime", "dataChange",
+        "stats",
     } <= add_fields
     lc = json.load(open(os.path.join(t, "_delta_log", "_last_checkpoint")))
     assert lc["version"] == v and lc["size"] >= 3

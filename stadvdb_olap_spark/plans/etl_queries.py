@@ -1630,6 +1630,157 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_cdf_stream_orders",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 BETWEEN 80 AND 89
+),
+del1 AS (
+    SELECT * FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+),
+merge_src AS (
+    SELECT o_orderkey, 'X' AS o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 BETWEEN 85 AND 94
+),
+pre_image AS (
+    SELECT * FROM base WHERE o_orderkey % 100 BETWEEN 85 AND 89
+),
+feed AS (
+    SELECT CAST(1 AS BIGINT) AS _commit_version, 'delete' AS _change_type,
+           o_totalprice FROM del1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM pre_image
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', o_totalprice FROM merge_src
+)
+SELECT _commit_version, _change_type,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS restart_silent
+FROM feed
+GROUP BY _commit_version, _change_type
+""",
+)
+def delta_cdf_stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE DATA FEED over the Delta format, certified
+    end-to-end (sources/delta_stream.py:_DeltaCdfStreamReader — the
+    ``readChangeFeed`` twin of delta-spark's streaming CDF, closing the
+    round-11 gap where the stream source skipped removals): an orders
+    slice lands (v0), a copy-on-write DELETE drops a deterministic
+    subset (v1), a MERGE restates five key-buckets and inserts five new
+    ones (v2), and the table is consumed AS A STREAM from
+    startingVersion=1 with row-level ``_change_type`` /
+    ``_commit_version`` — per commit, the executor-side symmetric
+    multiset diff of removed vs added files must yield exactly the
+    dropped rows as deletes (rewrite survivors cancel) and the merge's
+    pre-image + post-image pair. The stream then RESTARTS from its
+    checkpoint and must re-deliver nothing (``restart_silent``). The
+    oracle reconstructs the exact expected feed from raw parquet, so
+    the hash certifies log tail -> per-commit diff -> micro-batches ->
+    rows. 100 TB shape: one input partition per commit, per-commit work
+    bounded by the files that commit touched, Arrow end-to-end on
+    executors."""
+    import hashlib as _hashlib
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        merge_delta_scd1,
+        write_delta,
+    )
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = orders.filter(
+        (F.col("o_orderkey") % 100 >= 80) & (F.col("o_orderkey") % 100 <= 89)
+    ).select(base_cols)
+    src = orders.filter(
+        (F.col("o_orderkey") % 100 >= 85) & (F.col("o_orderkey") % 100 <= 94)
+    ).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    ).select(base_cols)
+
+    # per-call unique root: the commit/offset/checkpoint sequence is the
+    # test subject, so it must never interleave with a previous run's
+    root = (
+        f"{tempfile.gettempdir()}/stadvdb_delta_cdfstream_"
+        f"{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{_uuid.uuid4().hex[:8]}"
+    )
+    table_dir, out, ckpt = f"{root}/tbl", f"{root}/out", f"{root}/ckpt"
+    write_delta(base.repartition(3), table_dir, mode="overwrite")   # v0
+    delete_where(
+        spark, table_dir,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0),
+    )                                                               # v1
+    merge_delta_scd1(spark, table_dir, src, keys=["o_orderkey"])    # v2
+
+    n_del = base.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)
+    ).count()
+    n_pre = base.filter(
+        (F.col("o_orderkey") % 100 >= 85) & (F.col("o_orderkey") % 100 <= 89)
+    ).count()
+    expected = n_del + n_pre + src.count()
+
+    def _run(min_rows: int) -> None:
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", table_dir)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                # also wait for at least one COMPLETED trigger so the
+                # restart run provably processed an (empty) batch
+                done = (q.lastProgress or {}).get("batchId", -1) >= 0
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = -1
+                if n >= min_rows and done:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    _run(expected)
+    n_first = spark.read.parquet(out).count()
+    _run(0)  # checkpointed restart: must re-deliver NOTHING
+    restart_silent = (
+        n_first == expected and spark.read.parquet(out).count() == expected
+    )
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("restart_silent", F.lit(restart_silent))
+    )
+
+
+@query(
     "delta_stats_skipping_orders",
     oracle="""
 SELECT o_orderstatus,
@@ -1729,4 +1880,99 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_skipped", F.lit(files_skipped))
         .withColumn("skip_sound", F.lit(skip_sound))
+    )
+
+
+@query(
+    "delta_concurrent_append_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS retried_ok,
+       TRUE AS conflict_detected
+FROM orders WHERE o_orderkey % 100 BETWEEN 70 AND 79
+GROUP BY o_orderstatus
+""",
+)
+def delta_concurrent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY on the Delta writer, certified end-to-end
+    (sources/delta_log.py:_commit_retry — production Delta's commit
+    protocol: losers of the put-if-absent race conflict-check the
+    interleaved commits and retry at N+1): writer A stages its append
+    for version 1, writer B commits version 1 first, and A's commit
+    retries to version 2 WITHOUT restaging — both appends survive
+    (``retried_ok`` pins the retried version number; a lost update
+    would also break the hash, since the aggregates cover all three
+    slices). Then a non-commuting transaction (DELETE semantics,
+    planned at the same stale snapshot) must REFUSE to land across the
+    interleaved dataChange adds — ``conflict_detected`` pins the
+    ``ConcurrentWriteError``. 100 TB shape: a retry re-reads only the
+    interleaved commit JSONs (bounded by the race window) and re-runs
+    one put-if-absent; staged data files are never rewritten."""
+    import shutil as _shutil
+    import time as _time
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        ConcurrentWriteError,
+        _commit_info,
+        _commit_retry,
+        _stage_files,
+        read_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def bucket(lo: int, hi: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderkey") % 100 >= lo)
+            & (F.col("o_orderkey") % 100 <= hi)
+        ).select(base_cols)
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_race")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    write_delta(bucket(70, 73), table_dir, mode="overwrite")  # v0
+
+    # writer A stages its append intending version 1...
+    now_ms = int(_time.time() * 1000)
+    adds_a = _stage_files(bucket(74, 76), table_dir, 1, [], True, now_ms)
+    # ...writer B wins version 1 with its own append...
+    write_delta(bucket(77, 79), table_dir, mode="append")
+    # ...and A's commit detects the loss, conflict-checks B's commit
+    # (append/append commute) and lands at version 2
+    actions = [
+        _commit_info("APPEND", {"mode": "APPEND", "partitionBy": "[]"}, now_ms)
+    ] + [{"add": a} for a in adds_a]
+    v_a = _commit_retry(
+        table_dir, 1, actions, 10, allow_concurrent_adds=True
+    )
+    retried_ok = v_a == 2
+
+    # a non-commuting writer planned at the same stale snapshot (DELETE
+    # scope decided before B's and A's rows landed) must refuse
+    try:
+        _commit_retry(
+            table_dir,
+            1,
+            [_commit_info("DELETE", {"predicate": "1=1"}, now_ms)],
+            10,
+            allow_concurrent_adds=False,
+        )
+        conflict_detected = False
+    except ConcurrentWriteError:
+        conflict_detected = True
+
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("retried_ok", F.lit(retried_ok))
+        .withColumn("conflict_detected", F.lit(conflict_detected))
     )

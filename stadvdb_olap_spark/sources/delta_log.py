@@ -13,13 +13,20 @@ is the production next step the round-9 verdict named.
 
 Scope (documented, like versioned.py's):
 
-- **Single writer.** Commit N lands via ``open(..., "x")`` — the
-  put-if-absent the protocol requires of the log store; a concurrent
-  writer racing the same version raises ``FileExistsError`` instead of
-  silently losing a commit. Multi-writer coordination (LogStore /
-  DynamoDB in production Delta) is out of scope. Maintenance
-  (``vacuum_table``) runs under the same single-writer discipline, so a
-  ``_staging_*`` directory seen during vacuum is an orphan from a
+- **Optimistic concurrency.** Commit N lands via ``open(..., "x")`` —
+  the put-if-absent the protocol requires of the log store — and a
+  writer that loses the race re-reads ONLY the interleaved commits,
+  conflict-checks them (``_commit_retry``: metaData/protocol change,
+  removes of files it read or removes, non-commuting dataChange adds,
+  txn watermark advances), and retries at the next version. Appends
+  commute with appends and with compaction; DELETE/MERGE/overwrite
+  conflict with any racing dataChange — the same rules production
+  Delta's commit protocol checks. A non-commuting race raises
+  ``ConcurrentWriteError``; a lost update is impossible either way.
+  (Distributed log stores — DynamoDB-style put-if-absent across
+  machines — remain out of scope; this is the single-filesystem form.)
+  Maintenance (``vacuum_table``) still assumes no write is in flight,
+  so a ``_staging_*`` directory seen during vacuum is an orphan from a
   crashed write and is reclaimed.
 - **Parquet checkpoints** (the protocol's ``N.checkpoint.parquet`` +
   ``_last_checkpoint``): every ``checkpoint_interval`` commits the
@@ -560,6 +567,98 @@ def _commit(
     return version
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A racing writer committed a change this transaction cannot
+    commute with (same semantics family as production Delta's
+    ConcurrentAppend/ConcurrentDeleteRead/ConcurrentDeleteDelete
+    exceptions). The operation must be re-run from a fresh snapshot."""
+
+
+def _commit_retry(
+    table_dir: str,
+    version: int,
+    actions: list[dict],
+    checkpoint_interval: int | None,
+    read_files: frozenset[str] | set[str] = frozenset(),
+    removed_files: frozenset[str] | set[str] = frozenset(),
+    allow_concurrent_adds: bool = True,
+    max_retries: int = 10,
+) -> int:
+    """Optimistic-concurrency commit (production Delta's commit
+    protocol): attempt the put-if-absent at ``version``; when a racing
+    writer took it, re-read ONLY the interleaved commit JSONs (bounded
+    by the race window, never table size), check the transaction still
+    commutes, and re-commit at the next free version — the staged data
+    files are untouched, so a retry costs one log read + one rename-free
+    commit. Conflict rules, checked per interleaved commit:
+
+    - ``metaData`` / ``protocol`` change -> conflict (the transaction
+      planned against a schema that no longer holds);
+    - a ``remove`` of any file this transaction READ or is itself
+      removing -> conflict (ConcurrentDeleteRead / ConcurrentDeleteDelete);
+    - a ``dataChange`` add -> conflict unless ``allow_concurrent_adds``
+      (appends commute with appends and with compaction of the OLD
+      files; they do NOT commute with delete/merge/overwrite, whose row
+      scope the new rows might have joined);
+    - a ``txn`` action with this transaction's appId at >= its version
+      -> conflict (the idempotence watermark advanced under us).
+    """
+    my_txn = next((a["txn"] for a in actions if "txn" in a), None)
+    attempt = version
+    for _ in range(max_retries + 1):
+        try:
+            return _commit(table_dir, attempt, actions, checkpoint_interval)
+        except FileExistsError:
+            pass
+        latest = table_versions(table_dir)[-1]
+        for v in range(attempt, latest + 1):
+            with open(_commit_path(table_dir, v)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action or "protocol" in action:
+                        raise ConcurrentWriteError(
+                            f"concurrent metaData/protocol change in "
+                            f"version {v} of {table_dir}; re-run against "
+                            "the new snapshot"
+                        )
+                    if "remove" in action:
+                        p = action["remove"]["path"]
+                        if p in read_files or p in removed_files:
+                            raise ConcurrentWriteError(
+                                f"version {v} of {table_dir} removed "
+                                f"{p}, which this transaction "
+                                f"{'reads' if p in read_files else 'also removes'};"
+                                " re-run against the new snapshot"
+                            )
+                    if "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        if not allow_concurrent_adds:
+                            raise ConcurrentWriteError(
+                                f"version {v} of {table_dir} added data "
+                                "this transaction's row scope might "
+                                "include; re-run against the new snapshot"
+                            )
+                    if "txn" in action and my_txn is not None:
+                        t = action["txn"]
+                        if (
+                            t["appId"] == my_txn["appId"]
+                            and t["version"] >= my_txn["version"]
+                        ):
+                            raise ConcurrentWriteError(
+                                f"txn {t['appId']}@{t['version']} landed "
+                                f"concurrently in version {v}; this batch "
+                                "is already committed"
+                            )
+        attempt = latest + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_retries} retries racing writers on "
+        f"{table_dir}"
+    )
+
+
 def _commit_info(operation: str, params: dict, now_ms: int) -> dict:
     return {
         "commitInfo": {
@@ -693,7 +792,19 @@ def write_delta(
             for p in sorted(prior_files)
         )
     actions.extend({"add": a} for a in adds)
-    return _commit(table_dir, version, actions, checkpoint_interval)
+    # appends commute with racing appends (optimistic retry at N+1);
+    # an overwrite or schema-pinning write conflicts with any racing
+    # dataChange — its remove set / metaData were planned on a snapshot
+    return _commit_retry(
+        table_dir,
+        version,
+        actions,
+        checkpoint_interval,
+        removed_files=frozenset(prior_files) if mode == "overwrite" else frozenset(),
+        allow_concurrent_adds=(
+            mode == "append" and not any("metaData" in a for a in actions)
+        ),
+    )
 
 
 def _partition_schemas(schema: StructType, partition_columns: list[str]):
@@ -931,13 +1042,17 @@ def delete_where(
         # the audit trail
         del_params["partitionPredicate"] = partition_predicate
     if not hits:
-        # no-op delete still commits (audit trail), with no file churn
+        # no-op delete still commits (audit trail), with no file churn;
+        # a racing dataChange add could carry rows the predicate matches,
+        # so the "nothing to delete" decision conflicts with it
         version = state["version"] + 1
-        return _commit(
+        return _commit_retry(
             table_dir,
             version,
             [_commit_info("DELETE", dict(del_params), now_ms)],
             checkpoint_interval,
+            read_files=frozenset(candidates),
+            allow_concurrent_adds=False,
         )
     # SQL DELETE semantics: only predicate==TRUE rows go; a NULL
     # predicate row SURVIVES (plain ~pred would silently drop it).
@@ -965,7 +1080,15 @@ def delete_where(
         for h in hits
     )
     actions.extend({"add": a} for a in adds)
-    return _commit(table_dir, version, actions, checkpoint_interval)
+    return _commit_retry(
+        table_dir,
+        version,
+        actions,
+        checkpoint_interval,
+        read_files=frozenset(candidates),
+        removed_files=frozenset(hits),
+        allow_concurrent_adds=False,
+    )
 
 
 def _evolved_merge_schema(
@@ -1191,7 +1314,17 @@ def merge_delta_scd1(
         for h in hits
     )
     actions.extend({"add": a} for a in adds)
-    return _commit(table_dir, version, actions, checkpoint_interval)
+    # the hit probe scanned every live file; racing adds could carry
+    # matched keys, racing removes of probed files invalidate the scan
+    return _commit_retry(
+        table_dir,
+        version,
+        actions,
+        checkpoint_interval,
+        read_files=frozenset(paths),
+        removed_files=frozenset(hits),
+        allow_concurrent_adds=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1347,7 +1480,18 @@ def compact_table(
         for p in live
     )
     actions.extend({"add": a} for a in adds)
-    return _commit(table_dir, version, actions, checkpoint_interval)
+    # compaction commutes with racing APPENDS (it only retires the OLD
+    # live set — new files stay live untouched); it conflicts with any
+    # racing remove of a file it is rewriting
+    return _commit_retry(
+        table_dir,
+        version,
+        actions,
+        checkpoint_interval,
+        read_files=frozenset(live),
+        removed_files=frozenset(live),
+        allow_concurrent_adds=True,
+    )
 
 
 def read_delta_changes(

@@ -26,8 +26,24 @@ delta-spark's streaming source keeps:
   in an append-only log, so a restart re-reads precisely the
   checkpointed range; replays are deterministic by construction.
 
-Like the batch change tail, removes are not replayed as row-level
-deletes (that needs the full CDF) — this is the append/ETL consumer.
+Two consumption modes:
+
+- **Default (append tail)**: removes are not replayed as row-level
+  deletes — this is the append/ETL consumer, and OPTIMIZE rewrites are
+  invisible by dataChange.
+- **``.option("readChangeFeed", "true")``**: the streaming CHANGE DATA
+  FEED — each micro-batch carries ``_change_type`` (``insert`` /
+  ``delete``) and ``_commit_version`` columns, computed per commit as
+  the symmetric multiset difference of its dataChange adds vs removes
+  (the same semantics as the batch ``read_delta_cdf``): a
+  copy-on-write DELETE yields exactly its dropped rows as ``delete``
+  (rewrite survivors cancel), a MERGE yields the replaced pre-image as
+  ``delete`` plus the post-image as ``insert``, OPTIMIZE yields
+  nothing. One input partition per COMMIT (the diff needs the commit's
+  full add/remove file set); the per-commit work is bounded by the
+  files that commit touched, never table size, and runs executor-side
+  over Arrow. This closes the round-11 gap where consumers of tables
+  taking DELETE/MERGE traffic silently missed removals.
 """
 
 from __future__ import annotations
@@ -57,6 +73,18 @@ class _AddFile(InputPartition):
     schema_json: str               # pinned full schema (log metaData)
     partition_columns: tuple       # ordered partition column names
     partition_values: tuple = field(default=())  # raw string values
+
+
+@dataclass
+class _CdfCommit(InputPartition):
+    """One COMMIT of the change feed: its dataChange add and remove
+    file sets (path + raw partition values each), diffed executor-side."""
+
+    version: int
+    adds: tuple                    # ((abs path, (raw pvals...)), ...)
+    removes: tuple
+    schema_json: str
+    partition_columns: tuple
 
 
 def _adds_in_range(
@@ -172,13 +200,10 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
         versions = table_versions(self.table_dir)
         return {"version": versions[-1] if versions else -1}
 
-    def partitions(self, start, end):
-        lo, hi = start["version"], end["version"]
-        if hi <= lo:
-            return []
-        # retention guards: fail with the clear errors the batch readers
-        # give, never a raw FileNotFoundError from a cleaned commit JSON
-        # or a vacuumed data file surfacing executor-side
+    def _check_floor(self, lo: int) -> None:
+        """Retention guards: fail with the clear errors the batch
+        readers give, never a raw FileNotFoundError from a cleaned
+        commit JSON or a vacuumed data file surfacing executor-side."""
         versions = table_versions(self.table_dir)
         if versions and lo + 1 < versions[0]:
             raise ValueError(
@@ -194,6 +219,12 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
                 f"horizon; earliest retained version is {horizon} — "
                 f"restart with startingVersion >= {horizon}"
             )
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        self._check_floor(lo)
         adds = _adds_in_range(self.table_dir, lo, hi)
         return [
             _AddFile(
@@ -243,22 +274,191 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
         pass
 
 
+def _cdf_changes_in_commit(table_dir: str, v: int) -> tuple[list, list]:
+    """dataChange add and remove actions of commit ``v``."""
+    adds: list[dict] = []
+    removes: list[dict] = []
+    with open(_commit_path(table_dir, v)) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange", True):
+                adds.append(action["add"])
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                removes.append(action["remove"])
+    return adds, removes
+
+
+class _DeltaCdfStreamReader(_DeltaTailStreamReader):
+    """``readChangeFeed`` mode: one input partition per COMMIT; the
+    executor loads that commit's removed and added files, takes the
+    symmetric multiset difference (null-safe, exact multiplicity — the
+    same semantics as the batch ``read_delta_cdf``), and emits rows
+    tagged ``_change_type`` / ``_commit_version``. Cost per commit is
+    bounded by the files it touched."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        schema = StructType.fromJson(json.loads(self._schema_json))
+        nested = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            raise ValueError(
+                "readChangeFeed needs hashable row values for the "
+                f"multiset diff; nested column(s) unsupported: "
+                f"{', '.join(nested)}"
+            )
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        self._check_floor(lo)
+        parts = self._partition_columns
+        out = []
+        for v in range(lo + 1, hi + 1):
+            adds, removes = _cdf_changes_in_commit(self.table_dir, v)
+            if not adds and not removes:
+                continue
+            # this engine's removes always carry partitionValues; for a
+            # partitioned table written by an older writer, resolve the
+            # retired add action from the pre-commit state (one bounded
+            # log replay, only when actually needed)
+            retired: dict = {}
+            if parts and any(
+                r.get("partitionValues") is None for r in removes
+            ):
+                retired = _replay(self.table_dir, v - 1)["files"]
+
+            def pvals(action: dict) -> tuple:
+                m = action.get("partitionValues")
+                if m is None:
+                    m = (retired.get(action["path"]) or {}).get(
+                        "partitionValues", {}
+                    )
+                return tuple((m or {}).get(c) for c in parts)
+
+            out.append(
+                _CdfCommit(
+                    version=v,
+                    adds=tuple(
+                        (os.path.join(self.table_dir, a["path"]), pvals(a))
+                        for a in sorted(adds, key=lambda a: a["path"])
+                    ),
+                    removes=tuple(
+                        (os.path.join(self.table_dir, r["path"]), pvals(r))
+                        for r in sorted(removes, key=lambda r: r["path"])
+                    ),
+                    schema_json=self._schema_json,
+                    partition_columns=parts,
+                )
+            )
+        return out
+
+    def read(self, partition: _CdfCommit):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        names = [f.name for f in schema.fields]
+        arrow_types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+        spark_types = {f.name: f.dataType for f in schema.fields}
+
+        def load(files: tuple) -> pd.DataFrame:
+            frames = []
+            for path, pvals in files:
+                t = papq.read_table(path)
+                cols = {n: t.column(n) for n in t.schema.names}
+                for c, raw in zip(partition.partition_columns, pvals):
+                    cols[c] = _constant_array(raw, spark_types[c], t.num_rows)
+                for n in names:  # pre-evolution files: null-fill
+                    if n not in cols:
+                        cols[n] = pa.nulls(t.num_rows, arrow_types[n])
+                tbl = pa.table(
+                    {n: cols[n].cast(arrow_types[n]) for n in names}
+                )
+                frames.append(tbl.to_pandas(types_mapper=pd.ArrowDtype))
+            if not frames:
+                empty = pa.table(
+                    {n: pa.nulls(0, arrow_types[n]) for n in names}
+                )
+                return empty.to_pandas(types_mapper=pd.ArrowDtype)
+            return pd.concat(frames, ignore_index=True)
+
+        # symmetric multiset difference, null-safe (dropna=False groups
+        # null keys together), exact multiplicity via count repeat
+        ga = load(partition.adds).groupby(names, dropna=False).size()
+        gr = load(partition.removes).groupby(names, dropna=False).size()
+        m = pd.concat(
+            [ga.rename("__a"), gr.rename("__r")], axis=1
+        ).fillna(0)
+        net = m["__a"] - m["__r"]
+
+        out_schema = pa.schema(
+            [pa.field(n, arrow_types[n]) for n in names]
+            + [
+                pa.field("_change_type", pa.string()),
+                pa.field("_commit_version", pa.int64()),
+            ]
+        )
+        for counts, kind in ((net, "insert"), (-net, "delete")):
+            pos = counts[counts > 0]
+            if pos.empty:
+                continue
+            idx = pos.index.repeat(pos.astype(int).to_numpy())
+            df = idx.to_frame(index=False)
+            df.columns = names
+            df["_change_type"] = kind
+            df["_commit_version"] = partition.version
+            tbl = pa.Table.from_pandas(
+                df, schema=out_schema, preserve_index=False
+            )
+            yield from tbl.to_batches()
+
+
 class DeltaTailDataSource(DataSource):
     """``spark.readStream.format("delta_tail").option("path", dir)`` —
     stream the dataChange adds of a delta_log table, offsets = commit
     versions. Options: ``path`` (required), ``startingVersion``
-    (default 0: deliver the whole table first)."""
+    (default 0: deliver the whole table first), ``readChangeFeed``
+    (``"true"``: emit the row-level change feed with ``_change_type``
+    and ``_commit_version`` columns, replaying DELETE/MERGE removals —
+    see :class:`_DeltaCdfStreamReader`)."""
 
     @classmethod
     def name(cls):
         return "delta_tail"
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readChangeFeed", "")).lower() == "true"
+
     def schema(self):
-        return StructType.fromJson(
+        base = StructType.fromJson(
             json.loads(_replay(self.options["path"])["schema_json"])
+        )
+        if not self._cdf():
+            return base
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        return StructType(
+            base.fields
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
         )
 
     def streamReader(self, schema: StructType):
+        if self._cdf():
+            return _DeltaCdfStreamReader(self.options)
         return _DeltaTailStreamReader(self.options)
 
 

@@ -86,22 +86,30 @@ def test_delta_log_is_protocol_shaped(spark, tmp_path):
 
 
 def test_delta_commit_is_put_if_absent(spark, tmp_path):
-    """A racing writer that already took the next version must make the
-    commit RAISE (FileExistsError), never silently lose either commit —
-    the protocol's log-store contract."""
+    """A racing writer that already took the next version must collide
+    on open(..., "x") — the protocol's log-store contract — and then
+    resolve through the optimistic conflict check: a table-CREATE race
+    (both writers planned version 0, the interleaved commit pins
+    metaData) cannot commute, so it raises ConcurrentWriteError. Either
+    way a silent lost update is impossible."""
     import stadvdb_olap_spark.sources.delta_log as dl
 
     t = str(tmp_path / "tbl")
     df = spark.range(3).select("id")
     write_delta(df, t, mode="overwrite")
-    # The race: a writer plans against a STALE view of the log (another
-    # writer landed the version it computed). Simulate by pinning
-    # table_versions to the pre-commit state — the commit must collide
-    # on open(..., "x"), never silently overwrite version 0.
+    # The race: a writer PLANS against a stale view of the log (another
+    # writer landed the version it computed). table_versions returns
+    # the stale [] exactly once — the planning call — then reality.
     orig = dl.table_versions
-    dl.table_versions = lambda d: []
+    calls = {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else orig(d)
+
+    dl.table_versions = stale_once
     try:
-        with pytest.raises(FileExistsError):
+        with pytest.raises(dl.ConcurrentWriteError, match="metaData"):
             dl.write_delta(df, t, mode="overwrite")
     finally:
         dl.table_versions = orig
@@ -1088,3 +1096,123 @@ def test_delta_merge_evolution_guards(spark, tmp_path):
     no_key = spark.sql("SELECT CAST(1 AS INT) AS v")
     with pytest.raises(ValueError, match="key columns"):
         merge_delta_scd1(spark, t, no_key, keys=["id"], merge_schema=True)
+
+
+def _interleave(monkeypatch, interloper):
+    """Run ``interloper()`` (a racing writer) exactly once, right after
+    the NEXT write's data files are staged and before its commit — the
+    deterministic version of two writers racing the same log version."""
+    from stadvdb_olap_spark.sources import delta_log
+
+    original = delta_log._stage_files
+    fired = {"done": False}
+
+    def wrapper(*args, **kwargs):
+        adds = original(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(delta_log, "_stage_files", original)
+            interloper()
+        return adds
+
+    monkeypatch.setattr(delta_log, "_stage_files", wrapper)
+
+
+def test_delta_concurrent_appends_commute_via_retry(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 5), t, mode="overwrite")
+
+    def interloper():
+        write_delta(spark.range(10, 15), t, mode="append")
+
+    _interleave(monkeypatch, interloper)
+    v = write_delta(spark.range(5, 10), t, mode="append")
+    # interloper took version 1; ours retried and landed at 2
+    assert v == 2 and table_versions(t) == [0, 1, 2]
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
+        range(15)
+    )
+
+
+def test_delta_delete_conflicts_with_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    from stadvdb_olap_spark.sources.delta_log import (
+        ConcurrentWriteError,
+        delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(10), t, mode="overwrite")
+
+    def interloper():
+        write_delta(spark.range(100, 105), t, mode="append")
+
+    _interleave(monkeypatch, interloper)
+    with pytest.raises(ConcurrentWriteError, match="added data"):
+        delete_where(spark, t, "id < 3")
+    # nothing half-committed: the racing append is intact, delete is not
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
+        range(10)
+    ) + list(range(100, 105))
+
+
+def test_delta_delete_conflicts_with_racing_delete_same_file(
+    spark, tmp_path, monkeypatch
+):
+    from stadvdb_olap_spark.sources.delta_log import (
+        ConcurrentWriteError,
+        delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(10).coalesce(1), t, mode="overwrite")
+
+    def interloper():
+        delete_where(spark, t, "id = 9")
+
+    _interleave(monkeypatch, interloper)
+    with pytest.raises(ConcurrentWriteError, match="remove"):
+        delete_where(spark, t, "id < 3")
+
+
+def test_delta_compact_commutes_with_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    from stadvdb_olap_spark.sources.delta_log import compact_table
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 6).repartition(3), t, mode="overwrite")
+
+    def interloper():
+        write_delta(spark.range(6, 9), t, mode="append")
+
+    _interleave(monkeypatch, interloper)
+    v = compact_table(spark, t, target_files=1)
+    assert v == 2
+    # compaction retired only the OLD files; the racing append's rows
+    # survive alongside the compacted ones
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
+        range(9)
+    )
+
+
+def test_delta_txn_watermark_conflict_on_race(spark, tmp_path, monkeypatch):
+    from stadvdb_olap_spark.sources.delta_log import ConcurrentWriteError
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(3), t, mode="overwrite")
+
+    def interloper():
+        # the SAME idempotent batch lands first from another worker
+        write_delta(spark.range(3, 6), t, mode="append", txn=("app", 7))
+
+    _interleave(monkeypatch, interloper)
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        write_delta(spark.range(3, 6), t, mode="append", txn=("app", 7))
+    # exactly-once held: one copy of the batch
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
+        range(6)
+    )

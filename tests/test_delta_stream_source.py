@@ -438,3 +438,147 @@ def test_delta_tail_unsupported_partition_type_fails_at_planning(
         f.writelines(lines)
     with pytest.raises(ValueError, match="unsupported type"):
         _DeltaTailStreamReader({"path": t})
+
+
+def _cdf_stream(spark, t, **opts):
+    reader = (
+        spark.readStream.format("delta_tail")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_delta_cdf_stream_matches_batch_cdf(spark, tmp_path):
+    """The streaming change feed must agree row-for-row with the batch
+    read_delta_cdf over a lifecycle containing DELETE and MERGE — the
+    removals the plain tail documents it skips."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        merge_delta_scd1,
+        read_delta_cdf,
+    )
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).cast("long").alias("v")
+    )
+    write_delta(base.repartition(3), t, mode="overwrite")        # v0
+    delete_where(spark, t, "id >= 8")                            # v1
+    src = spark.range(5, 12).select(
+        F.col("id"), F.lit(99).cast("long").alias("v")
+    )
+    merge_delta_scd1(spark, t, src, keys=["id"])                 # v2
+    compact_table(spark, t, target_files=1)                      # v3: silent
+
+    sdf = _cdf_stream(spark, t)
+    assert [f.name for f in sdf.schema.fields] == [
+        "id", "v", "_change_type", "_commit_version",
+    ]
+    batch, _ = read_delta_cdf(spark, t, from_version=-1)
+    expected = sorted(tuple(r) for r in batch.collect())
+    name = _drain(spark, sdf, min_rows=len(expected))
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == expected
+    # sanity on the semantics themselves: v1 yields ONLY deletes of
+    # id 8,9; v2 deletes the 5..7 pre-image and inserts 5..11
+    by = {}
+    for *vals, ct, cv in got:
+        by.setdefault((cv, ct), []).append(tuple(vals))
+    assert sorted(by[(1, "delete")]) == [(8, 2), (9, 0)]
+    assert (1, "insert") not in by
+    assert sorted(k for k, _v in by[(2, "delete")]) == [5, 6, 7]
+    assert sorted(k for k, _v in by[(2, "insert")]) == [5, 6, 7, 8, 9, 10, 11]
+    assert not [k for k in by if k[0] == 3]  # OPTIMIZE invisible
+
+
+def test_delta_cdf_stream_partitioned_and_duplicates(spark, tmp_path):
+    """Partition columns re-attach in the feed, and duplicate rows keep
+    exact multiplicity through the multiset diff."""
+    from stadvdb_olap_spark.sources.delta_log import delete_where
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, None)], "id long, g string"
+    )
+    write_delta(df, t, mode="overwrite", partition_by=["g"])
+    delete_where(spark, t, "id = 1")  # drops BOTH duplicates
+    sdf = _cdf_stream(spark, t)
+    name = _drain(spark, sdf, min_rows=6)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == [
+        (1, "a", "delete", 1),
+        (1, "a", "delete", 1),
+        (1, "a", "insert", 0),
+        (1, "a", "insert", 0),
+        (2, "a", "insert", 0),
+        (3, None, "insert", 0),
+    ]
+
+
+def test_delta_cdf_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Restarting the CDF stream from its checkpoint re-delivers
+    nothing and picks up only post-restart commits."""
+    from stadvdb_olap_spark.sources.delta_log import delete_where
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_delta(spark.range(6).select("id"), t, mode="overwrite")
+
+    def run_until(n):
+        q = (
+            _cdf_stream(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= n:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_until(6)
+    delete_where(spark, t, "id < 2")
+    run_until(8)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select(
+            "id", "_change_type", "_commit_version"
+        ).collect()
+    )
+    assert got == sorted(
+        [(i, "insert", 0) for i in range(6)]
+        + [(0, "delete", 1), (1, "delete", 1)]
+    )
+
+
+def test_delta_cdf_stream_rejects_nested_columns(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_stream import (
+        _DeltaCdfStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.sql("SELECT 1L AS id, ARRAY(1, 2) AS arr"), t, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="nested"):
+        _DeltaCdfStreamReader({"path": t})

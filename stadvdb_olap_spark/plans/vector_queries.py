@@ -1577,14 +1577,48 @@ def ann_pq_fitted_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus to the probed cells, the product quantizer ranks ONLY those
 # candidates from 2-byte codes, and the exact pass touches only the
 # shortlist. All three stages reuse already-certified devices: the
-# pinned-cell assignment of `ann_ivf_fixed_topk`, the fitted codebooks
-# of `ann_pq_fitted_rerank_topk`, and the l2_sq fold pair.
+# FITTED coarse cells (round-12: tools/fit_ivf_cells.py, certified
+# Lloyd step, pinned literals in plans/ivf_cells.py — previously the
+# demo vec_id<16 set), the fitted codebooks of
+# `ann_pq_fitted_rerank_topk`, and the l2_sq fold pair.
 
-_IVFADC_C = 16     # pinned coarse cells: embeddings with vec_id < 16
-_IVFADC_PROBE = 6  # cells probed per query
+from stadvdb_olap_spark.plans.ivf_cells import FITTED_IVF_C, FITTED_IVF_CELLS
+
+_IVFADC_C = FITTED_IVF_C  # fitted coarse cells (k-means, pinned literals)
+_IVFADC_PROBE = 3  # cells probed per query (balanced fitted cells)
 _IVFADC_R = 400    # ADC shortlist re-ranked exactly
 _IVFADC_K = 20
 _IVFADC_QUERY = 0
+
+
+def _ivf_cells_sql() -> str:
+    """The fitted coarse cells as a VALUES literal — the `c (cid, cv)`
+    CTE body both the oracle and the Spark plan quantize against."""
+    rows = ", ".join(
+        f"({cid}, {list(cv)!r})" for cid, cv in enumerate(FITTED_IVF_CELLS)
+    )
+    return f"SELECT cid, cv FROM (VALUES {rows}) AS t(cid, cv)"
+
+
+def _ivf_cells_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(FITTED_IVF_CELLS)],
+        "cid long, cv array<double>",
+    )
+
+
+def _ivfadc_cand_with() -> str:
+    """The coarse-prune CTE chain (fitted cells -> corpus assignment ->
+    probed cells -> candidate set), shared by the retrieval oracle and
+    the audit's scan accounting."""
+    return f"""c AS ({_ivf_cells_sql()}),
+ca AS ({_argnear_sql(1)}),
+qp AS ({_argnear_sql(_IVFADC_PROBE, f"WHERE e.vec_id = {_IVFADC_QUERY}")}),
+cand AS (
+    SELECT ca.vec_id, ca.embedding
+    FROM ca JOIN qp USING (cell)
+    WHERE ca.vec_id <> {_IVFADC_QUERY}
+)"""
 
 
 def _ivfadc_oracle() -> str:
@@ -1606,15 +1640,7 @@ def _ivfadc_oracle() -> str:
     for m in range(_PQF_M):
         pick = f"({pick} + qd.qd_{m}[c.code_{m}])"
     return f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           WHERE vec_id < {_IVFADC_C}),
-ca AS ({_argnear_sql(1)}),
-qp AS ({_argnear_sql(_IVFADC_PROBE, f"WHERE e.vec_id = {_IVFADC_QUERY}")}),
-cand AS (
-    SELECT ca.vec_id, ca.embedding
-    FROM ca JOIN qp USING (cell)
-    WHERE ca.vec_id <> {_IVFADC_QUERY}
-),
+WITH {_ivfadc_cand_with()},
 d AS MATERIALIZED (SELECT vec_id, {d_cols} FROM cand),
 c2 AS MATERIALIZED (SELECT vec_id, {code_cols} FROM d),
 qd AS MATERIALIZED (
@@ -1659,9 +1685,7 @@ def _ivfadc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.operators.similarity import _assign_min_l2
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < _IVFADC_C).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    cents = _ivf_cells_df(spark)
     ca = _assign_min_l2(emb, cents, "vec_id", "embedding", "cid", "cv")
     q = emb.filter(F.col("vec_id") == _IVFADC_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1686,19 +1710,31 @@ def _ivfadc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivfadc_topk", oracle=_ivfadc_oracle())
 def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the FULL billion-scale ANN composition (Jégou et al.
-    2011; FAISS IndexIVFPQ), every stage hash-certified: the pinned
-    coarse quantizer prunes the corpus to the query's {probe} nearest
-    cells of {C} (~{probe}/{C} of the data scanned — the
-    `ann_ivf_fixed_topk` device), the FITTED product quantizer ranks
-    only those candidates from their 2-byte codes (8 lookups + 7 adds
-    each — the `ann_pq_fitted_rerank_topk` device), and exact squared-L2
-    re-ranks the top-400 shortlist into the published top-20. Measured
-    recall@20 vs the exact full scan: 0.95 at sf0.01 AND sf0.1 while
-    scanning ~15% of the corpus (certified by
-    `ann_ivfadc_recall_audit`). 100 TB
-    shape: assignment is a broadcast argmin aggregate (one narrow
-    pass); the ADC scan reads codes of probed cells only; rerank is
-    bounded by R."""
+    2011; FAISS IndexIVFPQ), every stage hash-certified AND every stage
+    now FITTED (round-12): the coarse quantizer is a real k-means fit
+    (tools/fit_ivf_cells.py — certified Lloyd step, pinned literals in
+    plans/ivf_cells.py) pruning the corpus to the query's 3 nearest of
+    16 cells (~21% scanned), the FITTED product quantizer ranks only
+    those candidates from their 2-byte codes (8 lookups + 7 adds each —
+    the `ann_pq_fitted_rerank_topk` device), and exact squared-L2
+    re-ranks the top-400 shortlist into the published top-20.
+
+    HONESTY NOTE superseding the round-11 claim: the r11 "recall 0.95
+    at ~15% scanned" was an artifact — the demo coarse cells were the
+    first 16 corpus vectors, INCLUDING the query (vec_id 0), so 17-18
+    of the true top-20 landed in the cell whose centroid WAS the query:
+    the quantizer had memorized the benchmark. With honestly fitted
+    cells the fixture's embeddings (isotropic random unit vectors — no
+    cluster structure, the known worst case for space partitioning)
+    yield recall ~= scan fraction, as theory predicts; the measured,
+    certified numbers live in `ann_ivfadc_recall_audit` together with
+    the scan accounting and the coverage decomposition. On clusterable
+    production embeddings the same fitted pipeline recovers the usual
+    IVF trade-off; on isotropic data the real I/O win is the PQ code
+    scan itself (32x fewer bytes at recall 0.9-1.0 —
+    `ann_pq_fitted_rerank_topk`). 100 TB shape: assignment is a
+    broadcast argmin aggregate (one narrow pass); the ADC scan reads
+    codes of probed cells only; rerank is bounded by R."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
@@ -1762,7 +1798,8 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfadc_recall_audit",
     oracle=f"""
-WITH approx AS MATERIALIZED (
+WITH {_ivfadc_cand_with()},
+approx AS MATERIALIZED (
     SELECT neighbor_id FROM ({_ivfadc_oracle()})
 ),
 ex AS MATERIALIZED (
@@ -1779,6 +1816,10 @@ ex AS MATERIALIZED (
 )
 SELECT CAST({_IVFADC_QUERY} AS BIGINT) AS query_id,
        CAST({_IVFADC_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_scanned,
+       CAST((SELECT COUNT(*) - 1 FROM embeddings) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM ex JOIN cand
+             ON ex.neighbor_id = cand.vec_id) AS BIGINT) AS n_covered,
        CAST((SELECT COUNT(*) FROM approx JOIN ex USING (neighbor_id))
             AS BIGINT) AS n_overlap,
        CAST((SELECT COUNT(*) FROM approx JOIN ex USING (neighbor_id))
@@ -1786,12 +1827,24 @@ SELECT CAST({_IVFADC_QUERY} AS BIGINT) AS query_id,
 """,
 )
 def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECALL of the full IVFADC stack against the exact full-corpus
-    ranking, hash-certified: 0.95 at BOTH sf0.01 and sf0.1 while the
-    index scans ~15% of the corpus — the accuracy/IO trade
-    every IVF-PQ deployment dials with (n_probe, R). Certified like the
-    fitted-PQ audit: both rankings replay in the oracle, so the
-    measured number itself is signed, not eyeballed."""
+    """RECALL + SCAN ACCOUNTING of the fitted IVFADC stack against the
+    exact full-corpus ranking, ALL hash-certified: ``n_scanned`` /
+    ``n_total`` is the coarse quantizer's real I/O fraction,
+    ``n_covered`` is how many of the true top-20 the probed cells even
+    contain (the information-theoretic ceiling on recall — whatever the
+    ADC/rerank stages do, recall <= coverage), and ``n_overlap`` /
+    ``recall`` is what the full pipeline delivers. Measured with the
+    round-12 FITTED cells: recall 0.75 at ~21% scanned (sf0.01) and
+    0.40 at ~23% (sf0.1) — honest numbers superseding the round-11
+    0.95, which was a memorized-query artifact (the demo cells included
+    the query vector as centroid 0; 17-18 of the true top-20 sat in its
+    own cell — see `ann_ivfadc_topk`). On this fixture's isotropic
+    random unit vectors, coverage ~= scan fraction is the theoretical
+    behavior of ANY space partitioning, which is exactly what the
+    coverage column certifies; clusterable embeddings are where IVF
+    earns its prune. Both rankings, the candidate set, and the coverage
+    all replay in the oracle, so every number is signed, not
+    eyeballed."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
@@ -1813,6 +1866,12 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVFADC_K)
         .select("neighbor_id")
     )
+    cand = _ivfadc_candidates(spark, sf_dir)
+    n_scanned = cand.count()
+    n_total = emb.filter(F.col("vec_id") != _IVFADC_QUERY).count()
+    n_covered = exact_topk.join(
+        cand, exact_topk["neighbor_id"] == cand["vec_id"]
+    ).count()
     approx_topk = ann_ivfadc_topk(spark, sf_dir).select("neighbor_id")
     overlap = approx_topk.join(exact_topk, "neighbor_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap")
@@ -1820,6 +1879,9 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap.select(
         F.lit(_IVFADC_QUERY).cast("long").alias("query_id"),
         F.lit(_IVFADC_K).cast("long").alias("k"),
-        "n_overlap",
+        F.lit(n_scanned).cast("long").alias("n_scanned"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(n_covered).cast("long").alias("n_covered"),
+        F.col("n_overlap"),
         (F.col("n_overlap").cast("double") / _IVFADC_K).alias("recall"),
     )

@@ -147,12 +147,18 @@ def test_staleness_rotation_is_canonical():
             ):
                 last_signed[name] = rnd
 
+    # a signature that predates a declared semantics/schema change no
+    # longer certifies the current code — such queries are LAPSED (they
+    # re-enter as uncertified), not re-cert occupants
+    from tools.next_window import CHANGED_IN_ROUND
+
     eligible = {
         n: r
         for n, r in last_signed.items()
         if n in REGISTRY
         and REGISTRY[n].oracle is not None
         and not REGISTRY[n].defer
+        and r >= CHANGED_IN_ROUND.get(n, 0)
     }
 
     # hard backstop: one full rotation cycle is the worst allowed drift

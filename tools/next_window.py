@@ -72,6 +72,21 @@ def latest_results(
     return latest, rounds
 
 
+#: Queries whose SEMANTICS or output schema changed in a given round
+#: AFTER they had already been signed: a green row from an earlier
+#: round certifies code that no longer exists, so the generator treats
+#: such rows as lapsed (retry bucket, front of the window) until a
+#: signature from >= the changed round lands. Append-only log of
+#: deliberate re-certification obligations — entries stay harmless once
+#: satisfied.
+CHANGED_IN_ROUND: dict[str, int] = {
+    # r12: fitted coarse cells replaced the demo (memorized-query)
+    # cells; the audit gained scan/coverage columns and honest numbers
+    "ann_ivfadc_topk": 12,
+    "ann_ivfadc_recall_audit": 12,
+}
+
+
 def passed(row: dict) -> bool:
     return bool(
         row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
@@ -106,7 +121,12 @@ def compute_front(
             continue
         row = latest.get(spec.name)
         if row is not None and passed(row):
-            stale.append((rounds[spec.name], spec.name))
+            if rounds[spec.name] < CHANGED_IN_ROUND.get(spec.name, 0):
+                # signed BEFORE the query changed: the signature no
+                # longer certifies the current code — re-enter now
+                retry.append(spec.name)
+            else:
+                stale.append((rounds[spec.name], spec.name))
             continue
         if row is not None:
             retry.append(spec.name)

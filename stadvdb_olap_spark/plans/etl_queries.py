@@ -1884,6 +1884,130 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_dv_read_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS pre_dv_intact
+FROM orders
+WHERE o_orderkey % 100 BETWEEN 90 AND 99 AND o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def delta_dv_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR READ support, certified end-to-end
+    (sources/deletion_vectors.py + the delta_log reader — protocol v3's
+    ``deletionVectors`` reader feature, the round-11 stretch item): an
+    orders slice lands as two files, then a FABRICATED EXTERNAL-WRITER
+    commit upgrades the table to reader version 3 and re-adds both
+    files with on-disk deletion vectors (real byte format: Z85 uuid
+    pathOrInlineDv, version-1 DV file, big-endian length + CRC32,
+    64-bit RoaringBitmapArray portable bitmaps) marking every
+    ``o_orderkey % 7 == 0`` row deleted at its actual parquet row
+    index. The read must decode the bitmaps and anti-join
+    ``_metadata.row_index`` — a reader that ignores DVs resurrects the
+    deleted rows and fails the hash; time travel to the pre-DV version
+    still sees every row (``pre_dv_intact``). This engine never WRITES
+    DVs (its DML is copy-on-write; tables stay v1-readable) — this
+    certifies it can CONSUME tables modern writers produce. 100 TB
+    shape: DV decode is driver-side bounded by deleted-row count per
+    file; the anti-join broadcasts positions; scans stay per-file
+    parquet."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        _commit_path,
+        _replay,
+        read_delta,
+        table_versions,
+        write_delta,
+    )
+    from stadvdb_olap_spark.sources.deletion_vectors import (
+        dv_file_name,
+        write_dv_file,
+        z85_encode,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    sliced = orders.filter(
+        (F.col("o_orderkey") % 100 >= 90) & (F.col("o_orderkey") % 100 <= 99)
+    ).select(base_cols)
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_dv")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    v0 = write_delta(sliced.repartition(2), table_dir, mode="overwrite")
+    n_all = sliced.count()
+
+    # What a modern engine's DELETE would commit: per file, the parquet
+    # ROW INDEXES of the doomed rows (read back from the actual files —
+    # no layout assumption), serialized as a real DV file.
+    state = _replay(table_dir)
+    paths = sorted(state["files"])
+    pos_by_file = []
+    for p in paths:
+        rows = (
+            spark.read.parquet(_os.path.join(table_dir, p))
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(F.col("_metadata.row_index").alias("ri"))
+            .collect()
+        )
+        pos_by_file.append(sorted(int(r.ri) for r in rows))
+    dv_uuid = _uuid.uuid4()
+    entries = write_dv_file(
+        _os.path.join(table_dir, dv_file_name(z85_encode(dv_uuid.bytes))),
+        pos_by_file,
+    )
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": 0,
+                "operation": "DELETE",
+                "engineInfo": "fabricated external DV writer",
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+    ]
+    for p, entry in zip(paths, entries):
+        add = dict(state["files"][p])
+        add["deletionVector"] = dict(
+            entry,
+            storageType="u",
+            pathOrInlineDv=z85_encode(dv_uuid.bytes),
+        )
+        actions.append({"add": add})
+    v1 = table_versions(table_dir)[-1] + 1
+    with open(_commit_path(table_dir, v1), "x") as f:
+        f.write(
+            "".join(_json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        )
+
+    pre_dv_intact = read_delta(spark, table_dir, version=v0).count() == n_all
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("pre_dv_intact", F.lit(pre_dv_intact))
+    )
+
+
+@query(
     "delta_concurrent_append_orders",
     oracle="""
 SELECT o_orderstatus,

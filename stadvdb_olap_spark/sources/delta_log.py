@@ -40,6 +40,15 @@ Scope (documented, like versioned.py's):
   ``read_delta`` / ``delete_where`` prune files FROM THE LOG ALONE
   (``live_files``) before any parquet footer is touched — the skip that
   matters at 100 TB.
+- **Deletion vectors: READ yes, WRITE no.** Tables produced by modern
+  writers (protocol v3 + ``deletionVectors`` reader feature) are
+  readable — each DV'd file is scanned with ``_metadata.row_index``
+  and its roaring-bitmap positions anti-joined out
+  (``sources/deletion_vectors.py``); the reader-protocol gate
+  (``_check_reader_protocol``) refuses unknown reader features and
+  enabled column mapping instead of misreading. This engine's own DML
+  stays copy-on-write, so its tables remain v1-readable; checkpoints
+  are never written over live DVs (they would drop the descriptors).
 
 Everything data-sized stays in Spark executors: data files are written
 by ``df.write.parquet`` and only RENAMED into the table root; the log
@@ -65,6 +74,39 @@ from stadvdb_olap_spark.sources.delta_stats import (
     collect_file_stats,
     prune_by_stats,
 )
+
+#: Reader features this engine implements (protocol v3 gating).
+_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors"})
+
+
+def _check_reader_protocol(protocol: dict, meta: dict, table_dir: str) -> None:
+    """Refuse to read (or write onto) a table whose protocol demands
+    capabilities this reader lacks — the gate PROTOCOL.md requires so an
+    old reader can never silently misread a column-mapped or otherwise
+    feature-gated table. v1 is always fine; v2 is fine unless column
+    mapping is actually enabled; v3 requires every readerFeature to be
+    implemented here (currently: deletionVectors)."""
+    v = protocol.get("minReaderVersion", 1)
+    if v <= 1:
+        return
+    mapping = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mapping not in ("none", None):
+        raise ValueError(
+            f"{table_dir} uses column mapping mode {mapping!r}, which "
+            "this reader does not implement — reading by physical name "
+            "would silently misbind columns"
+        )
+    if v >= 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"{table_dir} requires reader features "
+                f"{sorted(unsupported)} this engine does not implement "
+                f"(supported: {sorted(_SUPPORTED_READER_FEATURES)})"
+            )
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -201,6 +243,15 @@ def _write_checkpoint(table_dir: str, state: dict) -> None:
     import pyarrow.parquet as papq
 
     version = state["version"]
+    if any(a.get("deletionVector") for a in state["files"].values()):
+        # this checkpoint schema has no deletionVector column; writing
+        # one would silently DROP the descriptors and resurrect deleted
+        # rows on the next replay — refuse instead
+        raise ValueError(
+            "cannot checkpoint a table with live deletion vectors — "
+            "this engine reads DV tables but checkpoints only its own "
+            "(copy-on-write) tables"
+        )
     meta = state["meta"]
     meta_row = {
         "id": meta["id"],
@@ -369,7 +420,10 @@ def checkpoint_table(table_dir: str) -> int:
 
 def _maybe_checkpoint(table_dir: str, version: int, interval: int | None) -> None:
     if interval and version > 0 and version % interval == 0:
-        _write_checkpoint(table_dir, _replay(table_dir, version))
+        state = _replay(table_dir, version)
+        if any(a.get("deletionVector") for a in state["files"].values()):
+            return  # never auto-checkpoint away another writer's DVs
+        _write_checkpoint(table_dir, state)
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +500,11 @@ def _replay(table_dir: str, version: int | None = None) -> dict:
                     )
     if meta is None:
         raise ValueError(f"no metaData action in {table_dir} log")
+    _check_reader_protocol(
+        protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+        meta,
+        table_dir,
+    )
     return {
         "files": files,
         "meta": meta,
@@ -900,35 +959,88 @@ def _prune_files(
     return sorted(r["__path"] for r in kept)
 
 
+def _apply_dv(
+    spark: SparkSession, df: DataFrame, table_dir: str, descriptor: dict
+) -> DataFrame:
+    """Drop the rows a deletion-vector descriptor marks deleted: the
+    scan exposes the parquet ROW INDEX (``_metadata.row_index``) and
+    anti-joins the DV's positions — broadcast, bounded by the rows that
+    DV deletes, never file size."""
+    from stadvdb_olap_spark.sources.deletion_vectors import deleted_positions
+
+    positions = deleted_positions(descriptor, table_dir)
+    if not positions:
+        return df
+    pos_df = spark.createDataFrame(
+        [(int(i),) for i in positions], "__dv_pos long"
+    )
+    withpos = df.select("*", F.col("_metadata.row_index").alias("__row_idx"))
+    return (
+        withpos.join(
+            F.broadcast(pos_df),
+            withpos["__row_idx"] == pos_df["__dv_pos"],
+            "left_anti",
+        )
+        .drop("__row_idx")
+    )
+
+
 def _read_adds(
     spark: SparkSession, table_dir: str, state: dict, paths: list[str]
 ) -> DataFrame:
     """Scan ``paths`` with the pinned schema, re-attaching partition
     columns from ``partitionValues`` (one typed literal per partition
     group — grouping is bounded by partition count, so the plan stays a
-    union of plain parquet scans)."""
+    union of plain parquet scans). Adds carrying a ``deletionVector``
+    (v3 tables produced by other writers) are scanned per file with
+    their deleted row indexes anti-joined out."""
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     if not paths:
         return spark.createDataFrame([], schema)
-    if not parts:
-        return spark.read.schema(schema).parquet(
-            *(os.path.join(table_dir, p) for p in paths)
-        )
+    dv_paths = [
+        p for p in paths if state["files"][p].get("deletionVector")
+    ]
+    plain = [p for p in paths if p not in set(dv_paths)]
     data_schema, part_types = _partition_schemas(schema, parts)
-    groups: dict[tuple, list[str]] = {}
-    for p in paths:
-        pv = state["files"][p]["partitionValues"]
-        groups.setdefault(tuple(pv.get(c) for c in parts), []).append(p)
-    out = None
-    for pvals in sorted(groups, key=lambda t: tuple(str(v) for v in t)):
-        df = spark.read.schema(data_schema).parquet(
-            *(os.path.join(table_dir, p) for p in groups[pvals])
+
+    out: DataFrame | None = None
+    if plain:
+        if not parts:
+            out = spark.read.schema(schema).parquet(
+                *(os.path.join(table_dir, p) for p in plain)
+            )
+        else:
+            groups: dict[tuple, list[str]] = {}
+            for p in plain:
+                pv = state["files"][p]["partitionValues"]
+                groups.setdefault(
+                    tuple(pv.get(c) for c in parts), []
+                ).append(p)
+            for pvals in sorted(
+                groups, key=lambda t: tuple(str(v) for v in t)
+            ):
+                df = spark.read.schema(data_schema).parquet(
+                    *(os.path.join(table_dir, p) for p in groups[pvals])
+                )
+                for c, v in zip(parts, pvals):
+                    df = df.withColumn(c, F.lit(v).cast(part_types[c]))
+                df = df.select(*[f.name for f in schema.fields])
+                out = df if out is None else out.unionByName(df)
+    for p in sorted(dv_paths):
+        a = state["files"][p]
+        df = spark.read.schema(data_schema if parts else schema).parquet(
+            os.path.join(table_dir, p)
         )
-        for c, v in zip(parts, pvals):
-            df = df.withColumn(c, F.lit(v).cast(part_types[c]))
+        df = _apply_dv(spark, df, table_dir, a["deletionVector"])
+        if parts:
+            pv = a["partitionValues"]
+            for c in parts:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(part_types[c]))
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
+    if out is None:
+        return spark.createDataFrame([], schema)
     return out
 
 

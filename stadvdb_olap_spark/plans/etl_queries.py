@@ -1884,6 +1884,91 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_restore_orders",
+    oracle="""
+WITH live AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 < 15
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS history_intact,
+       TRUE AS unrestore_ok
+FROM live
+GROUP BY o_orderstatus
+""",
+)
+def delta_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF on the Delta format,
+    certified end-to-end (sources/delta_log.py:restore_table —
+    production Delta's rollback as a NEW commit, history intact): the
+    table lands as overwrite + append (v0, v1), a copy-on-write DELETE
+    drops a slice (v2), RESTORE rolls back to v1 (v3: remove the
+    delete's rewrites, re-add its victims — metadata-only, zero data
+    I/O), and the aggregates must hash-match the pre-delete recompute.
+    ``history_intact`` pins that every prior version stays readable
+    (the restore ADDS a version, never rewrites the log);
+    ``unrestore_ok`` pins the round trip — restoring forward to the
+    post-delete version and back again reproduces the same live set,
+    which is what makes a bad rollback itself recoverable. 100 TB
+    shape: a restore commits file POINTERS from two log replays; cost
+    is commit size, independent of table size."""
+    import shutil as _shutil
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        restore_table,
+        table_versions,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    slice_a = orders.filter(F.col("o_orderkey") % 100 < 10).select(base_cols)
+    slice_b = orders.filter(
+        (F.col("o_orderkey") % 100 >= 10) & (F.col("o_orderkey") % 100 <= 14)
+    ).select(base_cols)
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_restore")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    write_delta(slice_a, table_dir, mode="overwrite")                # v0
+    v1 = write_delta(slice_b, table_dir, mode="append")              # v1
+    v2 = delete_where(
+        spark, table_dir,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 < 5),
+    )                                                                # v2
+    n_deleted_state = read_delta(spark, table_dir, version=v2).count()
+    v3 = restore_table(table_dir, version=v1)                        # v3
+
+    # every version of the lifecycle stays readable after the restore
+    history_intact = (
+        table_versions(table_dir) == [0, 1, 2, 3]
+        and read_delta(spark, table_dir, version=v2).count()
+        == n_deleted_state
+    )
+    # un-restore round trip: forward to v2's state, back to v1's
+    restore_table(table_dir, version=v2)                             # v4
+    fwd_ok = read_delta(spark, table_dir).count() == n_deleted_state
+    v5 = restore_table(table_dir, version=v1)                        # v5
+    unrestore_ok = fwd_ok and v5 == 5
+
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("history_intact", F.lit(history_intact))
+        .withColumn("unrestore_ok", F.lit(unrestore_ok))
+    )
+
+
+@query(
     "delta_dv_read_orders",
     oracle="""
 SELECT o_orderstatus,

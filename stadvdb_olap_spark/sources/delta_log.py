@@ -1821,6 +1821,74 @@ def read_delta_cdf(
     return out, to_version
 
 
+def restore_table(
+    table_dir: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — production
+    Delta's rollback: commit a NEW version whose live set equals the
+    target version's, leaving history intact (an un-restore is just
+    another restore). Files live now but not then are removed; files
+    live then but not now are re-added (their data must still exist —
+    the vacuum horizon guard in ``_replay`` raises otherwise, exactly
+    the constraint production RESTORE has). If the target's schema
+    differs from the current metaData, the old metaData is re-pinned
+    as part of the commit. A no-op restore (target state == current)
+    still commits, for the audit trail.
+
+    Returns the committed version. Metadata-only cost: the commit is
+    built from two log replays and lists of file POINTERS — no data is
+    read or written at any table size. Races resolve through the
+    optimistic conflict check (any concurrent dataChange conflicts: the
+    restore's remove set was planned against a snapshot)."""
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of version= / timestamp_ms=")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(table_dir, timestamp_ms)
+    cur = _replay(table_dir)
+    if version == cur["version"]:
+        raise ValueError(f"already at version {version}")
+    old = _replay(table_dir, version)  # validates horizon + gaps
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        _commit_info(
+            "RESTORE",
+            {"version": version, "sourceVersion": cur["version"]},
+            now_ms,
+        )
+    ]
+    if old["schema_json"] != cur["schema_json"] or (
+        old["partition_columns"] != cur["partition_columns"]
+    ):
+        actions.append({"metaData": dict(old["meta"], createdTime=now_ms)})
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "partitionValues": cur["files"][p].get("partitionValues", {}),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(set(cur["files"]) - set(old["files"]))
+    )
+    actions.extend(
+        {"add": dict(old["files"][p], dataChange=True, modificationTime=now_ms)}
+        for p in sorted(set(old["files"]) - set(cur["files"]))
+    )
+    return _commit_retry(
+        table_dir,
+        cur["version"] + 1,
+        actions,
+        checkpoint_interval,
+        read_files=frozenset(cur["files"]),
+        removed_files=frozenset(set(cur["files"]) - set(old["files"])),
+        allow_concurrent_adds=False,
+    )
+
+
 def vacuum_table(table_dir: str, keep_versions: int = 2) -> list[str]:
     """VACUUM: physically delete data files that are unreferenced by
     the live sets of the newest ``keep_versions`` versions — the

@@ -167,6 +167,7 @@ def _constant_array(value: str | None, dtype, length: int):
     return pa.array([parsed] * length, pa_type)
 
 
+
 class _DeltaTailStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.table_dir = options.get("path")
@@ -193,12 +194,25 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
                 f"{sorted(_SUPPORTED_PARTITION_TYPES)})"
             )
 
+        self.max_commits = int(options.get("maxCommitsPerTrigger", 0))
+        self._last_ret: int | None = None
+
     def initialOffset(self):
+        self._last_ret = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self):
         versions = table_versions(self.table_dir)
-        return {"version": versions[-1] if versions else -1}
+        latest = versions[-1] if versions else -1
+        if self.max_commits > 0:
+            base = (
+                self._last_ret
+                if self._last_ret is not None
+                else self.starting_version - 1
+            )
+            latest = min(latest, base + self.max_commits)
+            self._last_ret = latest
+        return {"version": latest}
 
     def _check_floor(self, lo: int) -> None:
         """Retention guards: fail with the clear errors the batch
@@ -222,6 +236,14 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        # learn the stream's true position: after a checkpoint restart
+        # Spark re-plans the last committed batch (partitions is called
+        # with the checkpointed range BEFORE the first latestOffset), so
+        # this keeps the admission cap from ever returning an offset
+        # below the committed one (offset regression = re-delivery)
+        floor = max(lo, hi)
+        if self._last_ret is None or self._last_ret < floor:
+            self._last_ret = floor
         if hi <= lo:
             return []
         self._check_floor(lo)
@@ -317,6 +339,11 @@ class _DeltaCdfStreamReader(_DeltaTailStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        # same committed-floor learning as the base reader (restart
+        # re-plans the last batch before the first latestOffset)
+        floor = max(lo, hi)
+        if self._last_ret is None or self._last_ret < floor:
+            self._last_ret = floor
         if hi <= lo:
             return []
         self._check_floor(lo)
@@ -431,7 +458,10 @@ class DeltaTailDataSource(DataSource):
     (default 0: deliver the whole table first), ``readChangeFeed``
     (``"true"``: emit the row-level change feed with ``_change_type``
     and ``_commit_version`` columns, replaying DELETE/MERGE removals —
-    see :class:`_DeltaCdfStreamReader`)."""
+    see :class:`_DeltaCdfStreamReader`), ``maxCommitsPerTrigger``
+    (admission control at commit grain, the ``maxFilesPerTrigger``
+    analogue: each micro-batch advances at most N commits; the cap
+    never regresses below the checkpoint-committed offset)."""
 
     @classmethod
     def name(cls):

@@ -1216,3 +1216,77 @@ def test_delta_txn_watermark_conflict_on_race(spark, tmp_path, monkeypatch):
     assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
         range(6)
     )
+
+
+def test_delta_restore_to_version_and_timestamp(spark, tmp_path):
+    """RESTORE commits a new version equal to the target's live set,
+    history intact; schema re-pins when the target's differs; vacuumed
+    targets fail fast."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        restore_table,
+        table_history,
+        vacuum_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    a = spark.range(6).select("id")
+    b = spark.range(6, 10).select("id")
+    write_delta(a, t, mode="overwrite")                  # v0
+    v1 = write_delta(b, t, mode="append")                # v1
+    delete_where(spark, t, "id % 2 = 0")                 # v2
+    v3 = restore_table(t, version=v1)
+    assert v3 == 3
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == list(
+        range(10)
+    )
+    # history preserved; restore is itself a version
+    hist = table_history(t)
+    assert [h["operation"] for h in hist] == [
+        "WRITE", "APPEND", "DELETE", "RESTORE",
+    ]
+    # un-restore: roll forward to the post-delete state again
+    restore_table(t, version=2)
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [
+        1, 3, 5, 7, 9,
+    ]
+    # timestamp form resolves through version_at_timestamp
+    ts = hist[1]["timestamp"]
+    restore_table(t, timestamp_ms=ts)
+    assert read_delta(spark, t).count() == 10
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(t)
+    with pytest.raises(ValueError, match="already at"):
+        restore_table(t, version=table_versions(t)[-1])
+
+
+def test_delta_restore_repins_old_schema(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import restore_table
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(3).select("id"), t, mode="overwrite")
+    write_delta(
+        spark.range(3).select("id", F.lit("x").alias("s")),
+        t,
+        mode="overwrite",
+    )
+    restore_table(t, version=0)
+    got = read_delta(spark, t)
+    assert [f.name for f in got.schema.fields] == ["id"]
+    assert got.count() == 3
+
+
+def test_delta_restore_below_vacuum_horizon_fails_fast(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import (
+        delete_where,
+        restore_table,
+        vacuum_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(4), t, mode="overwrite")     # v0
+    write_delta(spark.range(4, 8), t, mode="append")     # v1
+    delete_where(spark, t, "id < 2")                     # v2
+    vacuum_table(t, keep_versions=1)                     # horizon = v2
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_table(t, version=0)

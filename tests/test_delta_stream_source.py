@@ -582,3 +582,104 @@ def test_delta_cdf_stream_rejects_nested_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="nested"):
         _DeltaCdfStreamReader({"path": t})
+
+
+def test_delta_tail_max_commits_per_trigger(spark, tmp_path):
+    """Admission control: with maxCommitsPerTrigger=1 a 4-commit table
+    drains over multiple micro-batches, never one giant batch, and
+    still delivers everything exactly once."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 5, i * 5 + 5).select("id"),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    sdf = (
+        spark.readStream.format("delta_tail")
+        .option("path", t)
+        .option("maxCommitsPerTrigger", 1)
+        .load()
+    )
+    name = f"cap_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+            if n >= 20:
+                break
+            time.sleep(0.5)
+        # every row arrived, exactly once
+        got = sorted(r.id for r in spark.table(name).collect())
+        assert got == list(range(20))
+        # and it took multiple batches: no single batch carried all 4
+        # commits' rows (progress rows with numInputRows == 20 absent)
+        batches = [
+            p["numInputRows"] for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        assert batches and max(batches) < 20
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_delta_tail_max_commits_cap_survives_restart(spark, tmp_path):
+    """After a checkpoint restart the in-memory cap base resets; the
+    stream must still resume from the committed offset with no loss,
+    no duplicates, and no offset regression."""
+    from stadvdb_olap_spark.sources.delta_stream import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 5, i * 5 + 5).select("id"),
+            t,
+            mode="append" if i else "overwrite",
+        )
+
+    def run_until(n):
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", t)
+            .option("maxCommitsPerTrigger", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= n:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            if q.exception():
+                raise AssertionError(q.exception())
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_until(20)
+    for i in (4, 5):
+        write_delta(spark.range(i * 5, i * 5 + 5).select("id"), t, "append")
+    run_until(30)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(30))

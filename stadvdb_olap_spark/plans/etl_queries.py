@@ -1884,6 +1884,158 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_column_mapping_read_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS writes_refused
+FROM orders WHERE o_orderkey % 100 BETWEEN 20 AND 24
+GROUP BY o_orderstatus
+""",
+)
+def delta_column_mapping_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED table READ ('name' mode), certified end-to-end
+    (sources/delta_log.py:_physical_type / _read_adds — protocol v2's
+    column mapping, what every ALTER COLUMN RENAME-capable writer
+    produces): a fabricated external-writer table stores the orders
+    slice under PHYSICAL column names (``col-k``/``col-s``/``col-p``)
+    with the logical names only in the metaData's
+    ``delta.columnMapping.physicalName`` field metadata — the reader
+    must scan by physical name and rebind to logical, or every column
+    reads NULL/misbound and the hash fails. Stats skipping keys by
+    physical name under a LOGICAL predicate (pinned via the empty
+    pruned list for an impossible range), and all write paths refuse
+    the table (``writes_refused``) — this engine reads mapped tables
+    but never writes them, since its staged files carry logical names.
+    100 TB shape: the rebinding is a projection (zero extra passes);
+    pruning stays log-only."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        live_files,
+        read_delta,
+        write_delta,
+    )
+    from stadvdb_olap_spark.sources.delta_stats import collect_file_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = orders.filter(
+        (F.col("o_orderkey") % 100 >= 20) & (F.col("o_orderkey") % 100 <= 24)
+    ).select(
+        F.col("o_orderkey").alias("col-k"),
+        F.col("o_orderstatus").alias("col-s"),
+        F.col("o_totalprice").alias("col-p"),
+    )
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_cmap")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    _os.makedirs(_os.path.join(table_dir, "_delta_log"))
+    adds = []
+    for b in range(2):
+        staging = _os.path.join(table_dir, "_stage")
+        sliced.filter(F.col("col-k") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(_os.path.join(staging, "*.parquet"))[0]
+        rel = f"part-{b}.parquet"
+        _os.replace(part, _os.path.join(table_dir, rel))
+        _shutil.rmtree(staging)
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": {},
+                "size": _os.path.getsize(_os.path.join(table_dir, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+                # stats keyed by PHYSICAL names, as a real mapped
+                # writer's are
+                "stats": _json.dumps(
+                    collect_file_stats(_os.path.join(table_dir, rel)),
+                    sort_keys=True,
+                ),
+            }
+        )
+
+    def field(name, phys, typ, fid):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": 0,
+                "operation": "WRITE",
+                "engineInfo": "fabricated column-mapped writer",
+            }
+        },
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cmap-orders",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            field("o_orderkey", "col-k", "long", 1),
+                            field("o_orderstatus", "col-s", "string", 2),
+                            field("o_totalprice", "col-p", "double", 3),
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        },
+    ] + [{"add": a} for a in adds]
+    with open(
+        _os.path.join(table_dir, "_delta_log", f"{0:020d}.json"), "x"
+    ) as f:
+        f.write(
+            "".join(_json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        )
+
+    # logical-name predicate against physical-keyed stats: impossible
+    # range must prune to ZERO files from the log alone
+    skipped_all = live_files(table_dir, data_predicate="o_orderkey < 0") == []
+    # and the table is read-only here
+    try:
+        write_delta(
+            read_delta(spark, table_dir).limit(1), table_dir, mode="append"
+        )
+        writes_refused = False
+    except ValueError:
+        writes_refused = True
+
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("writes_refused", F.lit(writes_refused and skipped_all))
+    )
+
+
+@query(
     "delta_restore_orders",
     oracle="""
 WITH live AS (

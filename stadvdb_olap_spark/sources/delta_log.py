@@ -76,26 +76,35 @@ from stadvdb_olap_spark.sources.delta_stats import (
 )
 
 #: Reader features this engine implements (protocol v3 gating).
-_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors"})
+#: columnMapping here means 'name' mode — 'id' mode is still refused by
+#: the mode check in _check_reader_protocol.
+_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+
+
+def _mapping_mode(meta: dict) -> str:
+    return (
+        (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        or "none"
+    )
 
 
 def _check_reader_protocol(protocol: dict, meta: dict, table_dir: str) -> None:
     """Refuse to read (or write onto) a table whose protocol demands
     capabilities this reader lacks — the gate PROTOCOL.md requires so an
     old reader can never silently misread a column-mapped or otherwise
-    feature-gated table. v1 is always fine; v2 is fine unless column
-    mapping is actually enabled; v3 requires every readerFeature to be
-    implemented here (currently: deletionVectors)."""
+    feature-gated table. v1 is always fine; v2 is fine for column
+    mapping mode ``none`` or ``name`` (implemented — physical-name
+    reads with logical rebinding); ``id`` mode (parquet field-id
+    matching) is refused; v3 requires every readerFeature to be
+    implemented here (currently: deletionVectors, columnMapping)."""
     v = protocol.get("minReaderVersion", 1)
     if v <= 1:
         return
-    mapping = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if mapping not in ("none", None):
+    mapping = _mapping_mode(meta)
+    if mapping not in ("none", "name"):
         raise ValueError(
-            f"{table_dir} uses column mapping mode {mapping!r}, which "
-            "this reader does not implement — reading by physical name "
+            f"{table_dir} uses column mapping mode {mapping!r}; this "
+            "reader implements only 'name' mode — field-id matching "
             "would silently misbind columns"
         )
     if v >= 3:
@@ -107,6 +116,68 @@ def _check_reader_protocol(protocol: dict, meta: dict, table_dir: str) -> None:
                 f"{sorted(unsupported)} this engine does not implement "
                 f"(supported: {sorted(_SUPPORTED_READER_FEATURES)})"
             )
+
+
+def _stats_col_map(state: dict) -> dict | None:
+    """logical -> physical column map for stats skipping on
+    column-mapped tables (their stats JSON keys are physical)."""
+    if _mapping_mode(state["meta"]) != "name":
+        return None
+    return _logical_to_physical(
+        StructType.fromJson(json.loads(state["schema_json"]))
+    )
+
+
+def _require_writable(state: dict, table_dir: str) -> None:
+    """Write paths call this: column-mapped tables are READ-ONLY here —
+    this writer stages files under logical column names, which a
+    name-mapped table's other readers would not find."""
+    if _mapping_mode(state["meta"]) != "none":
+        raise ValueError(
+            f"{table_dir} is column-mapped; this engine reads such "
+            "tables but never writes them (its files would carry "
+            "logical, not physical, column names)"
+        )
+
+
+def _physical_type(dt):
+    """The physical-named twin of a (possibly nested) data type under
+    'name' column mapping: struct field names are replaced by their
+    delta.columnMapping.physicalName metadata, recursively."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _logical_to_physical(schema: StructType) -> dict[str, str]:
+    """Top-level logical name -> physical name under 'name' mapping."""
+    return {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -784,6 +855,7 @@ def write_delta(
     prior_parts: list[str] = []
     if versions:
         prior = _replay(table_dir)
+        _require_writable(prior, table_dir)
         prior_files = prior["files"]
         prior_schema = prior["schema_json"]
         prior_parts = prior["partition_columns"]
@@ -902,7 +974,9 @@ def live_files(
     state = _replay(table_dir, version)
     paths = _prune_files(spark, state, partition_predicate, table_dir)
     if data_predicate is not None:
-        paths = prune_by_stats(state["files"], paths, data_predicate)
+        paths = prune_by_stats(
+            state["files"], paths, data_predicate, _stats_col_map(state)
+        )
     return paths
 
 
@@ -934,8 +1008,21 @@ def _prune_files(
             )
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     _, part_types = _partition_schemas(schema, parts)
+    # 'name'-mapped tables key partitionValues by PHYSICAL name; the
+    # predicate (and part_types) speak logical
+    l2p = (
+        _logical_to_physical(schema)
+        if _mapping_mode(state["meta"]) == "name"
+        else {c: c for c in parts}
+    )
     rows = [
-        (p, *[state["files"][p]["partitionValues"].get(c) for c in parts])
+        (
+            p,
+            *[
+                state["files"][p]["partitionValues"].get(l2p[c])
+                for c in parts
+            ],
+        )
         for p in paths
     ]
     # explicit schema: raw partition values are protocol STRINGS and may
@@ -998,16 +1085,28 @@ def _read_adds(
     parts = state["partition_columns"]
     if not paths:
         return spark.createDataFrame([], schema)
+    # 'name' column mapping: files (and partitionValues keys) use
+    # PHYSICAL names — scan in physical space, rebind to logical at the
+    # end (nested fields rename through the positional struct cast)
+    mapped = _mapping_mode(state["meta"]) == "name"
+    if mapped:
+        l2p = _logical_to_physical(schema)
+        read_schema = _physical_type(schema)
+        read_parts = [l2p[c] for c in parts]
+    else:
+        read_schema = schema
+        read_parts = list(parts)
     dv_paths = [
         p for p in paths if state["files"][p].get("deletionVector")
     ]
     plain = [p for p in paths if p not in set(dv_paths)]
-    data_schema, part_types = _partition_schemas(schema, parts)
+    data_schema, part_types = _partition_schemas(read_schema, read_parts)
+    read_names = [f.name for f in read_schema.fields]
 
     out: DataFrame | None = None
     if plain:
-        if not parts:
-            out = spark.read.schema(schema).parquet(
+        if not read_parts:
+            out = spark.read.schema(read_schema).parquet(
                 *(os.path.join(table_dir, p) for p in plain)
             )
         else:
@@ -1015,7 +1114,7 @@ def _read_adds(
             for p in plain:
                 pv = state["files"][p]["partitionValues"]
                 groups.setdefault(
-                    tuple(pv.get(c) for c in parts), []
+                    tuple(pv.get(c) for c in read_parts), []
                 ).append(p)
             for pvals in sorted(
                 groups, key=lambda t: tuple(str(v) for v in t)
@@ -1023,24 +1122,31 @@ def _read_adds(
                 df = spark.read.schema(data_schema).parquet(
                     *(os.path.join(table_dir, p) for p in groups[pvals])
                 )
-                for c, v in zip(parts, pvals):
+                for c, v in zip(read_parts, pvals):
                     df = df.withColumn(c, F.lit(v).cast(part_types[c]))
-                df = df.select(*[f.name for f in schema.fields])
+                df = df.select(*read_names)
                 out = df if out is None else out.unionByName(df)
     for p in sorted(dv_paths):
         a = state["files"][p]
-        df = spark.read.schema(data_schema if parts else schema).parquet(
-            os.path.join(table_dir, p)
-        )
+        df = spark.read.schema(
+            data_schema if read_parts else read_schema
+        ).parquet(os.path.join(table_dir, p))
         df = _apply_dv(spark, df, table_dir, a["deletionVector"])
-        if parts:
+        if read_parts:
             pv = a["partitionValues"]
-            for c in parts:
+            for c in read_parts:
                 df = df.withColumn(c, F.lit(pv.get(c)).cast(part_types[c]))
-        df = df.select(*[f.name for f in schema.fields])
+        df = df.select(*read_names)
         out = df if out is None else out.unionByName(df)
     if out is None:
         return spark.createDataFrame([], schema)
+    if mapped:
+        out = out.select(
+            *[
+                F.col(l2p[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     return out
 
 
@@ -1070,7 +1176,9 @@ def read_delta(
     state = _replay(table_dir, version)
     paths = _prune_files(spark, state, partition_predicate, table_dir)
     if data_predicate is not None:
-        paths = prune_by_stats(state["files"], paths, data_predicate)
+        paths = prune_by_stats(
+            state["files"], paths, data_predicate, _stats_col_map(state)
+        )
     df = _read_adds(spark, table_dir, state, paths)
     if data_predicate is not None:
         df = df.where(F.expr(data_predicate))
@@ -1134,6 +1242,7 @@ def delete_where(
     lakehouse formats chose copy-on-write."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     state = _replay(table_dir)
+    _require_writable(state, table_dir)
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     candidates = _prune_files(spark, state, partition_predicate, table_dir)
@@ -1325,6 +1434,7 @@ def merge_delta_scd1(
     files costs f file rewrites plus one append, regardless of table
     size."""
     state = _replay(table_dir)
+    _require_writable(state, table_dir)
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     # names + types must match the pinned schema exactly; nullability is
@@ -1480,6 +1590,7 @@ def compact_table(
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     state = _replay(table_dir)
+    _require_writable(state, table_dir)
     live = sorted(state["files"])
     parts = state["partition_columns"]
     if zorder_by:
@@ -1848,6 +1959,7 @@ def restore_table(
     if timestamp_ms is not None:
         version = version_at_timestamp(table_dir, timestamp_ms)
     cur = _replay(table_dir)
+    _require_writable(cur, table_dir)
     if version == cur["version"]:
         raise ValueError(f"already at version {version}")
     old = _replay(table_dir, version)  # validates horizon + gaps

@@ -468,17 +468,44 @@ def file_might_match(node, stats: dict) -> bool:
     return might(node)
 
 
-def prune_by_stats(files: dict, paths: list[str], data_predicate: str) -> list[str]:
+def _rename_cols(node, col_map: dict):
+    """AST twin with leaf column names mapped (logical -> physical for
+    column-mapped tables); unmapped names pass through (they just miss
+    stats and keep the file — sound)."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        return (kind, _rename_cols(node[1], col_map), _rename_cols(node[2], col_map))
+    if kind == "not":
+        return ("not", _rename_cols(node[1], col_map))
+    if kind in ("isnull", "notnull"):
+        return (kind, col_map.get(node[1], node[1]))
+    if kind == "in":
+        return ("in", col_map.get(node[1], node[1]), node[2])
+    _, op, col, v = node
+    return ("cmp", op, col_map.get(col, col), v)
+
+
+def prune_by_stats(
+    files: dict,
+    paths: list[str],
+    data_predicate: str,
+    col_map: dict | None = None,
+) -> list[str]:
     """Subset of ``paths`` whose add-action stats admit a match for
     ``data_predicate``. Files without a stats field are always kept; a
     predicate outside the skipping subset keeps everything (with no
-    partial guessing). Driver-side, bounded by file count."""
+    partial guessing). ``col_map`` renames predicate columns before
+    evaluation (logical -> physical on column-mapped tables, whose
+    stats are keyed by physical name). Driver-side, bounded by file
+    count."""
     import json
 
     try:
         node = parse_predicate(data_predicate)
     except PredicateError:
         return list(paths)
+    if col_map:
+        node = _rename_cols(node, col_map)
     kept = []
     for p in paths:
         raw = files[p].get("stats")

@@ -175,6 +175,14 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
             raise ValueError("delta_tail requires .option('path', table_dir)")
         self.starting_version = int(options.get("startingVersion", 0))
         state = _replay(self.table_dir)
+        mode = (state["meta"].get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) or "none"
+        if mode != "none":
+            raise ValueError(
+                "delta_tail does not support column-mapped tables "
+                f"(mode {mode!r}) — use the batch reader (read_delta)"
+            )
         self._schema_json = state["schema_json"]
         self._partition_columns = tuple(state["partition_columns"])
         # validate partition column types NOW, driver-side, so an

@@ -229,7 +229,8 @@ def test_reader_protocol_gate(spark, tmp_path):
         }
     )
     assert read_delta(spark, t).count() == 3
-    # unknown reader feature: refuse
+    # v3 with columnMapping feature but mapping not enabled: readable
+    # ('name'-mode support landed round 12)
     upgrade(
         {
             "minReaderVersion": 3,
@@ -237,18 +238,29 @@ def test_reader_protocol_gate(spark, tmp_path):
             "readerFeatures": ["deletionVectors", "columnMapping"],
         }
     )
-    with pytest.raises(ValueError, match="columnMapping"):
+    assert read_delta(spark, t).count() == 3
+    # genuinely unknown reader feature: refuse
+    upgrade(
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "typeWidening"],
+        }
+    )
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta(spark, t).count()
 
 
-def test_reader_gate_refuses_enabled_column_mapping(spark, tmp_path):
+def test_reader_gate_refuses_id_column_mapping(spark, tmp_path):
+    """'name' mode reads are supported (tests/test_column_mapping.py);
+    'id' mode (parquet field-id matching) is still refused."""
     from stadvdb_olap_spark.sources.delta_log import _commit_path, _replay, table_versions
 
     t = str(tmp_path / "tbl")
     write_delta(spark.range(3), t, mode="overwrite")
     state = _replay(t)
     meta = dict(state["meta"])
-    meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    meta["configuration"] = {"delta.columnMapping.mode": "id"}
     v = table_versions(t)[-1] + 1
     with open(_commit_path(t, v), "x") as f:
         f.write(
@@ -256,7 +268,7 @@ def test_reader_gate_refuses_enabled_column_mapping(spark, tmp_path):
             + "\n"
         )
         f.write(json.dumps({"metaData": meta}) + "\n")
-    with pytest.raises(ValueError, match="column mapping"):
+    with pytest.raises(ValueError, match="'name' mode"):
         read_delta(spark, t)
 
 

@@ -1884,6 +1884,81 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_check_constraint_orders",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_price,
+       TRUE AS violation_blocked,
+       TRUE AS writer_v3
+FROM orders WHERE o_orderkey % 100 BETWEEN 25 AND 29
+GROUP BY o_orderstatus
+""",
+)
+def delta_check_constraint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS on the Delta format, certified end-to-end
+    (sources/delta_log.py:set_check_constraint / _validate_constraints
+    — protocol writer-version-3 enforcement, the data-quality gate a
+    warehouse loader runs per batch): the orders slice lands, ADD
+    CONSTRAINT validates the existing rows and bumps minWriterVersion
+    to 3 (``writer_v3``), a valid append lands, and a batch violating
+    the constraint is REFUSED before its commit with the staged files
+    reclaimed (``violation_blocked``) — if the bad batch leaked into
+    table state, its negated prices would break the value hash, so the
+    abort itself is hash-certified, not just asserted. 100 TB shape:
+    enforcement is one predicate-pushed scan of the STAGED files only
+    (never the table); adding a constraint costs the same one-time
+    full validation scan production Delta pays."""
+    import shutil as _shutil
+
+    from stadvdb_olap_spark.plans.compat import money_sum
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        read_delta,
+        set_check_constraint,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def bucket(lo: int, hi: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderkey") % 100 >= lo)
+            & (F.col("o_orderkey") % 100 <= hi)
+        ).select(base_cols)
+
+    table_dir = _delta_tmp_dir(spark, sf_dir, "orders_check")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    write_delta(bucket(25, 27), table_dir, mode="overwrite")
+    set_check_constraint(spark, table_dir, "price_pos", "o_totalprice > 0")
+    write_delta(bucket(28, 29), table_dir, mode="append")
+
+    bad = bucket(28, 29).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    ).select(base_cols)
+    try:
+        write_delta(bad, table_dir, mode="append")
+        violation_blocked = False
+    except ValueError:
+        violation_blocked = True
+    state = _replay(table_dir)
+    writer_v3 = state["protocol"]["minWriterVersion"] >= 3
+
+    return (
+        read_delta(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .withColumn("violation_blocked", F.lit(violation_blocked))
+        .withColumn("writer_v3", F.lit(writer_v3))
+    )
+
+
+@query(
     "delta_column_mapping_read_orders",
     oracle="""
 SELECT o_orderstatus,

@@ -75,6 +75,17 @@ from stadvdb_olap_spark.sources.delta_stats import (
     prune_by_stats,
 )
 
+_LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+_EARLIEST_RETAINED = "_earliest_retained"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: Commits between automatic parquet checkpoints (production Delta
+#: defaults to 10). Every write path passes its ``checkpoint_interval``
+#: through to :func:`_maybe_checkpoint`.
+CHECKPOINT_INTERVAL = 10
+
+
 #: Reader features this engine implements (protocol v3 gating).
 #: columnMapping here means 'name' mode — 'id' mode is still refused by
 #: the mode check in _check_reader_protocol.
@@ -140,6 +151,181 @@ def _require_writable(state: dict, table_dir: str) -> None:
         )
 
 
+def table_constraints(meta: dict) -> dict[str, str]:
+    """CHECK constraints from the table configuration
+    (``delta.constraints.<name>`` -> SQL expression)."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def _require_dml_allowed(state: dict, table_dir: str, operation: str) -> None:
+    """``delta.appendOnly = true`` tables accept appends and
+    content-preserving OPTIMIZE only — DELETE/MERGE/overwrite/RESTORE
+    refuse (the protocol's append-only writer invariant)."""
+    if (state["meta"].get("configuration") or {}).get(
+        "delta.appendOnly"
+    ) == "true":
+        raise ValueError(
+            f"{table_dir} has delta.appendOnly=true; {operation} would "
+            "remove or rewrite rows"
+        )
+
+
+def _validate_constraints(
+    spark: SparkSession,
+    table_dir: str,
+    meta: dict,
+    adds: list[dict],
+    schema_json: str,
+    partition_columns: list[str],
+) -> None:
+    """Enforce the table's CHECK constraints on JUST-STAGED files (one
+    predicate-pushed scan of the new files only, never the table). A
+    violating batch aborts BEFORE the commit and reclaims its staged
+    files — nothing invalid ever becomes table state. SQL CHECK
+    semantics: NULL satisfies; only an expression that is FALSE for
+    some row violates."""
+    constraints = table_constraints(meta)
+    if not constraints or not adds:
+        return
+    probe_state = {
+        "files": {a["path"]: a for a in adds},
+        "schema_json": schema_json,
+        "partition_columns": partition_columns,
+        "meta": meta,
+    }
+    df = _read_adds(spark, table_dir, probe_state, sorted(a["path"] for a in adds))
+    violated = None
+    for name, expr in sorted(constraints.items()):
+        cond = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        violated = cond if violated is None else (violated | cond)
+    if df.where(violated).limit(1).count() > 0:
+        for a in adds:
+            try:
+                os.remove(os.path.join(table_dir, a["path"]))
+            except OSError:
+                pass
+        raise ValueError(
+            f"batch violates CHECK constraint(s) "
+            f"{sorted(constraints)} on {table_dir}; commit aborted and "
+            "staged files reclaimed"
+        )
+
+
+def set_check_constraint(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    expr: str,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validate the
+    EXISTING table satisfies ``expr`` (one full predicate-pushed scan —
+    the same one-time cost production Delta pays), then commit the
+    constraint into the table configuration
+    (``delta.constraints.<name>``), bumping minWriterVersion to 3 (the
+    protocol version that obliges writers to enforce checks). Every
+    subsequent write through this engine validates its staged batch
+    against the constraint before committing."""
+    state = _replay(table_dir)
+    _require_writable(state, table_dir)
+    if name in table_constraints(state["meta"]):
+        raise ValueError(f"constraint {name!r} already exists on {table_dir}")
+    live = sorted(state["files"])
+    if live:
+        df = _read_adds(spark, table_dir, state, live)
+        bad = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        if df.where(bad).limit(1).count() > 0:
+            raise ValueError(
+                f"existing rows of {table_dir} violate CHECK ({expr}); "
+                "constraint not added"
+            )
+    now_ms = int(time.time() * 1000)
+    config = dict(state["meta"].get("configuration") or {})
+    config[f"delta.constraints.{name}"] = expr
+    actions: list[dict] = [
+        _commit_info(
+            "ADD CONSTRAINT", {"name": name, "expr": expr}, now_ms
+        )
+    ]
+    if state["protocol"].get("minWriterVersion", 2) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": state["protocol"].get(
+                        "minReaderVersion", 1
+                    ),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append(
+        {"metaData": dict(state["meta"], configuration=config)}
+    )
+    return _commit_retry(
+        table_dir, state["version"] + 1, actions, checkpoint_interval,
+        allow_concurrent_adds=False,  # a racing batch was not validated
+    )
+
+
+def drop_check_constraint(
+    table_dir: str,
+    name: str,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only."""
+    state = _replay(table_dir)
+    _require_writable(state, table_dir)
+    key = f"delta.constraints.{name}"
+    config = dict(state["meta"].get("configuration") or {})
+    if key not in config:
+        raise ValueError(f"no constraint {name!r} on {table_dir}")
+    del config[key]
+    now_ms = int(time.time() * 1000)
+    actions = [
+        _commit_info("DROP CONSTRAINT", {"name": name}, now_ms),
+        {"metaData": dict(state["meta"], configuration=config)},
+    ]
+    return _commit_retry(
+        table_dir, state["version"] + 1, actions, checkpoint_interval
+    )
+
+
+def set_table_properties(
+    table_dir: str,
+    props: dict[str, str | None],
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES: merge ``props`` into
+    the table configuration (``None`` values unset keys) and commit the
+    updated metaData. Metadata-only; properties survive later schema
+    re-pins (write_delta/merge carry configuration forward)."""
+    state = _replay(table_dir)
+    _require_writable(state, table_dir)
+    config = dict(state["meta"].get("configuration") or {})
+    for k, v in props.items():
+        if v is None:
+            config.pop(k, None)
+        else:
+            config[k] = str(v)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        _commit_info(
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps(props, sort_keys=True)},
+            now_ms,
+        ),
+        {"metaData": dict(state["meta"], configuration=config)},
+    ]
+    return _commit_retry(
+        table_dir, state["version"] + 1, actions, checkpoint_interval
+    )
+
+
 def _physical_type(dt):
     """The physical-named twin of a (possibly nested) data type under
     'name' column mapping: struct field names are replaced by their
@@ -179,15 +365,6 @@ def _logical_to_physical(schema: StructType) -> dict[str, str]:
         for f in schema.fields
     }
 
-_LOG_DIR = "_delta_log"
-_LAST_CHECKPOINT = "_last_checkpoint"
-_EARLIEST_RETAINED = "_earliest_retained"
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-
-#: Commits between automatic parquet checkpoints (production Delta
-#: defaults to 10). Every write path passes its ``checkpoint_interval``
-#: through to :func:`_maybe_checkpoint`.
-CHECKPOINT_INTERVAL = 10
 
 
 def _log_dir(table_dir: str) -> str:
@@ -875,8 +1052,15 @@ def write_delta(
                 "historic files read through the new schema)"
             )
 
+    if versions and mode == "overwrite":
+        _require_dml_allowed(prior, table_dir, "overwrite")
     now_ms = int(time.time() * 1000)
     adds = _stage_files(df, table_dir, version, partition_by, True, now_ms)
+    if versions:
+        _validate_constraints(
+            df.sparkSession, table_dir, prior["meta"], adds,
+            schema_json, partition_by,
+        )
 
     actions: list[dict] = [
         _commit_info(
@@ -903,7 +1087,13 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    # table properties (constraints, appendOnly, ...)
+                    # survive schema evolution / overwrite re-pins
+                    "configuration": (
+                        dict(prior["meta"].get("configuration") or {})
+                        if versions
+                        else {}
+                    ),
                     "createdTime": now_ms,
                 }
             }
@@ -1243,6 +1433,7 @@ def delete_where(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     state = _replay(table_dir)
     _require_writable(state, table_dir)
+    _require_dml_allowed(state, table_dir, "DELETE")
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     candidates = _prune_files(spark, state, partition_predicate, table_dir)
@@ -1435,6 +1626,7 @@ def merge_delta_scd1(
     size."""
     state = _replay(table_dir)
     _require_writable(state, table_dir)
+    _require_dml_allowed(state, table_dir, "MERGE")
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     # names + types must match the pinned schema exactly; nullability is
@@ -1494,6 +1686,9 @@ def merge_delta_scd1(
     else:
         new_data = _align_to(source, out_schema)
     adds = _stage_files(new_data, table_dir, version, parts, True, now_ms)
+    _validate_constraints(
+        spark, table_dir, state["meta"], adds, out_schema.json(), parts
+    )
     actions: list[dict] = [
         _commit_info(
             "MERGE",
@@ -1515,7 +1710,9 @@ def merge_delta_scd1(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": out_schema.json(),
                     "partitionColumns": parts,
-                    "configuration": {},
+                    "configuration": dict(
+                        state["meta"].get("configuration") or {}
+                    ),
                     "createdTime": now_ms,
                 }
             }
@@ -1960,6 +2157,7 @@ def restore_table(
         version = version_at_timestamp(table_dir, timestamp_ms)
     cur = _replay(table_dir)
     _require_writable(cur, table_dir)
+    _require_dml_allowed(cur, table_dir, "RESTORE")
     if version == cur["version"]:
         raise ValueError(f"already at version {version}")
     old = _replay(table_dir, version)  # validates horizon + gaps

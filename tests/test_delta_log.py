@@ -1290,3 +1290,111 @@ def test_delta_restore_below_vacuum_horizon_fails_fast(spark, tmp_path):
     vacuum_table(t, keep_versions=1)                     # horizon = v2
     with pytest.raises(ValueError, match="vacuumed"):
         restore_table(t, version=0)
+
+
+def test_delta_check_constraints_enforced_on_writes(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data and bumps the writer
+    version; subsequent appends and merges validate their staged batch
+    and abort (reclaiming staged files) on violation; NULL satisfies
+    (SQL CHECK semantics); DROP CONSTRAINT lifts enforcement."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _replay,
+        drop_check_constraint,
+        merge_delta_scd1,
+        set_check_constraint,
+        table_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, None)], "id long, v long"), t,
+        mode="overwrite",
+    )
+    # existing NULL passes (CHECK semantics); a violating constraint
+    # on existing data refuses
+    with pytest.raises(ValueError, match="existing rows"):
+        set_check_constraint(spark, t, "v_big", "v > 15")
+    set_check_constraint(spark, t, "v_pos", "v > 0")
+    state = _replay(t)
+    assert table_constraints(state["meta"]) == {"v_pos": "v > 0"}
+    assert state["protocol"]["minWriterVersion"] >= 3
+
+    before_files = set(_replay(t)["files"])
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_delta(
+            spark.createDataFrame([(3, -5)], "id long, v long"), t,
+            mode="append",
+        )
+    # nothing committed, staged files reclaimed
+    assert set(_replay(t)["files"]) == before_files
+    leftovers = [
+        f for f in os.listdir(t)
+        if f.endswith(".parquet") and f not in {
+            os.path.basename(p) for p in before_files
+        }
+    ]
+    assert leftovers == []
+    # valid append (with a NULL, which satisfies) lands
+    write_delta(
+        spark.createDataFrame([(3, None), (4, 4)], "id long, v long"), t,
+        mode="append",
+    )
+    # merge validates too
+    bad_src = spark.createDataFrame([(1, -1)], "id long, v long")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        merge_delta_scd1(spark, t, bad_src, keys=["id"])
+    # constraint survives schema evolution (configuration carried)
+    evolved = spark.createDataFrame(
+        [(5, 5, "x")], "id long, v long, tag string"
+    )
+    merge_delta_scd1(spark, t, evolved, keys=["id"], merge_schema=True)
+    assert table_constraints(_replay(t)["meta"]) == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_delta(
+            spark.createDataFrame(
+                [(6, -6, "y")], "id long, v long, tag string"
+            ),
+            t,
+            mode="append",
+        )
+    drop_check_constraint(t, "v_pos")
+    write_delta(
+        spark.createDataFrame([(7, -7, "z")], "id long, v long, tag string"),
+        t,
+        mode="append",
+    )
+    assert read_delta(spark, t).where("v = -7").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_check_constraint(t, "v_pos")
+
+
+def test_delta_append_only_tables_refuse_dml(spark, tmp_path):
+    from stadvdb_olap_spark.sources.delta_log import (
+        compact_table,
+        delete_where,
+        merge_delta_scd1,
+        restore_table,
+        set_table_properties,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(6).select("id"), t, mode="overwrite")
+    set_table_properties(t, {"delta.appendOnly": "true"})
+    write_delta(spark.range(6, 9).select("id"), t, mode="append")  # fine
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_where(spark, t, "id = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(spark.range(2).select("id"), t, mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        merge_delta_scd1(
+            spark, t, spark.range(1).select("id"), keys=["id"]
+        )
+    with pytest.raises(ValueError, match="appendOnly"):
+        restore_table(t, version=0)
+    # content-preserving OPTIMIZE is allowed
+    compact_table(spark, t, target_files=1)
+    assert read_delta(spark, t).count() == 9
+    # unset lifts the gate
+    set_table_properties(t, {"delta.appendOnly": None})
+    delete_where(spark, t, "id = 1")
+    assert read_delta(spark, t).count() == 8

@@ -1707,38 +1707,15 @@ def _ivfadc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivfadc_topk", oracle=_ivfadc_oracle())
-def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC — the FULL billion-scale ANN composition (Jégou et al.
-    2011; FAISS IndexIVFPQ), every stage hash-certified AND every stage
-    now FITTED (round-12): the coarse quantizer is a real k-means fit
-    (tools/fit_ivf_cells.py — certified Lloyd step, pinned literals in
-    plans/ivf_cells.py) pruning the corpus to the query's 3 nearest of
-    16 cells (~21% scanned), the FITTED product quantizer ranks only
-    those candidates from their 2-byte codes (8 lookups + 7 adds each —
-    the `ann_pq_fitted_rerank_topk` device), and exact squared-L2
-    re-ranks the top-400 shortlist into the published top-20.
-
-    HONESTY NOTE superseding the round-11 claim: the r11 "recall 0.95
-    at ~15% scanned" was an artifact — the demo coarse cells were the
-    first 16 corpus vectors, INCLUDING the query (vec_id 0), so 17-18
-    of the true top-20 landed in the cell whose centroid WAS the query:
-    the quantizer had memorized the benchmark. With honestly fitted
-    cells the fixture's embeddings (isotropic random unit vectors — no
-    cluster structure, the known worst case for space partitioning)
-    yield recall ~= scan fraction, as theory predicts; the measured,
-    certified numbers live in `ann_ivfadc_recall_audit` together with
-    the scan accounting and the coverage decomposition. On clusterable
-    production embeddings the same fitted pipeline recovers the usual
-    IVF trade-off; on isotropic data the real I/O win is the PQ code
-    scan itself (32x fewer bytes at recall 0.9-1.0 —
-    `ann_pq_fitted_rerank_topk`). 100 TB shape: assignment is a
-    broadcast argmin aggregate (one narrow pass); the ADC scan reads
-    codes of probed cells only; rerank is bounded by R."""
+def _ivfadc_topk_from(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """The ADC-shortlist + exact-rerank tail of IVFADC over an
+    already-computed candidate set (so the audit can share ONE coarse
+    assignment pass with the retrieval instead of running it twice)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
-    cand = _ivfadc_candidates(spark, sf_dir)
     d = cand.select(
         "vec_id",
         *[_pqf_d_col("embedding", m).alias(f"d_{m}") for m in range(_PQF_M)],
@@ -1793,6 +1770,39 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.withColumn(
         "rank", F.row_number().over(w2).cast("long")
     ).filter(F.col("rank") <= _IVFADC_K)
+
+
+@query("ann_ivfadc_topk", oracle=_ivfadc_oracle())
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FULL billion-scale ANN composition (Jégou et al.
+    2011; FAISS IndexIVFPQ), every stage hash-certified AND every stage
+    now FITTED (round-12): the coarse quantizer is a real k-means fit
+    (tools/fit_ivf_cells.py — certified Lloyd step, pinned literals in
+    plans/ivf_cells.py) pruning the corpus to the query's 3 nearest of
+    16 cells (~21% scanned), the FITTED product quantizer ranks only
+    those candidates from their 2-byte codes (8 lookups + 7 adds each —
+    the `ann_pq_fitted_rerank_topk` device), and exact squared-L2
+    re-ranks the top-400 shortlist into the published top-20.
+
+    HONESTY NOTE superseding the round-11 claim: the r11 "recall 0.95
+    at ~15% scanned" was an artifact — the demo coarse cells were the
+    first 16 corpus vectors, INCLUDING the query (vec_id 0), so 17-18
+    of the true top-20 landed in the cell whose centroid WAS the query:
+    the quantizer had memorized the benchmark. With honestly fitted
+    cells the fixture's embeddings (isotropic random unit vectors — no
+    cluster structure, the known worst case for space partitioning)
+    yield recall ~= scan fraction, as theory predicts; the measured,
+    certified numbers live in `ann_ivfadc_recall_audit` together with
+    the scan accounting and the coverage decomposition. On clusterable
+    production embeddings the same fitted pipeline recovers the usual
+    IVF trade-off; on isotropic data the real I/O win is the PQ code
+    scan itself (32x fewer bytes at recall 0.9-1.0 —
+    `ann_pq_fitted_rerank_topk`). 100 TB shape: assignment is a
+    broadcast argmin aggregate (one narrow pass); the ADC scan reads
+    codes of probed cells only; rerank is bounded by R."""
+    return _ivfadc_topk_from(
+        spark, sf_dir, _ivfadc_candidates(spark, sf_dir)
+    )
 
 
 @query(
@@ -1866,13 +1876,18 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVFADC_K)
         .select("neighbor_id")
     )
-    cand = _ivfadc_candidates(spark, sf_dir)
+    # ONE coarse-assignment pass feeds the scan accounting, the
+    # coverage join AND the retrieval (localCheckpoint materializes the
+    # candidate set instead of re-running the argmin scan three times)
+    cand = _ivfadc_candidates(spark, sf_dir).localCheckpoint(eager=True)
     n_scanned = cand.count()
     n_total = emb.filter(F.col("vec_id") != _IVFADC_QUERY).count()
     n_covered = exact_topk.join(
         cand, exact_topk["neighbor_id"] == cand["vec_id"]
     ).count()
-    approx_topk = ann_ivfadc_topk(spark, sf_dir).select("neighbor_id")
+    approx_topk = _ivfadc_topk_from(spark, sf_dir, cand).select(
+        "neighbor_id"
+    )
     overlap = approx_topk.join(exact_topk, "neighbor_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap")
     )

@@ -129,6 +129,22 @@ def _check_reader_protocol(protocol: dict, meta: dict, table_dir: str) -> None:
             )
 
 
+def _temporal_skipping_ok() -> bool:
+    """Timestamp/date stats are rendered as naive UTC strings
+    (parquet's storage form); comparing them against a predicate's
+    session-LOCAL literals is only sound when the session timezone is
+    UTC. Non-UTC (or no active session): keep files instead of
+    skipping on temporal columns."""
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return False
+    try:
+        tz = sess.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return False
+    return tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+
+
 def _stats_col_map(state: dict) -> dict | None:
     """logical -> physical column map for stats skipping on
     column-mapped tables (their stats JSON keys are physical)."""
@@ -139,15 +155,68 @@ def _stats_col_map(state: dict) -> dict | None:
     )
 
 
+#: Writer obligations this engine satisfies (protocol v7 feature
+#: names): appendOnly (_require_dml_allowed), checkConstraints
+#: (_validate_constraints), deletionVectors (copy-on-write DML reads
+#: THROUGH DVs before rewriting, so no rewrite can resurrect deleted
+#: rows, and removes retire the (path, dv) pair together),
+#: columnMapping and invariants (each gated by a more precise check in
+#: _require_writable: enabled mapping and actual delta.invariants
+#: metadata refuse regardless of the feature list).
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "checkConstraints",
+        "deletionVectors",
+        "columnMapping",
+        "invariants",
+    }
+)
+
+
 def _require_writable(state: dict, table_dir: str) -> None:
-    """Write paths call this: column-mapped tables are READ-ONLY here —
-    this writer stages files under logical column names, which a
-    name-mapped table's other readers would not find."""
+    """Write paths call this. Refused outright:
+
+    - column-mapped tables (this writer stages files under logical
+      column names, which a mapped table's other readers would not
+      find);
+    - tables whose protocol demands writer obligations this engine
+      does not implement — minWriterVersion > 3, or v7 writerFeatures
+      outside {appendOnly, checkConstraints} — committing onto such a
+      table would silently break the features its other writers
+      maintain (PROTOCOL.md requires writers to refuse);
+    - schema-embedded invariants (``delta.invariants`` field metadata,
+      the v2 obligation) that this writer would not enforce."""
     if _mapping_mode(state["meta"]) != "none":
         raise ValueError(
             f"{table_dir} is column-mapped; this engine reads such "
             "tables but never writes them (its files would carry "
             "logical, not physical, column names)"
+        )
+    proto = state["protocol"]
+    wv = proto.get("minWriterVersion", 2)
+    feats = set(proto.get("writerFeatures") or [])
+    if wv == 7:
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"{table_dir} requires writer features "
+                f"{sorted(unsupported)} this engine does not implement "
+                f"(supported: {sorted(_SUPPORTED_WRITER_FEATURES)}) — "
+                "writing would break the invariants its other writers "
+                "maintain"
+            )
+    elif wv > 3:
+        raise ValueError(
+            f"{table_dir} requires minWriterVersion {wv}; this engine "
+            "implements writer obligations up to version 3 "
+            "(appendOnly, CHECK constraints)"
+        )
+    if '"delta.invariants"' in state["schema_json"]:
+        raise ValueError(
+            f"{table_dir} declares schema invariants "
+            "(delta.invariants), which this writer does not enforce — "
+            "refusing to write"
         )
 
 
@@ -199,20 +268,34 @@ def _validate_constraints(
         "meta": meta,
     }
     df = _read_adds(spark, table_dir, probe_state, sorted(a["path"] for a in adds))
-    violated = None
-    for name, expr in sorted(constraints.items()):
-        cond = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-        violated = cond if violated is None else (violated | cond)
-    if df.where(violated).limit(1).count() > 0:
+    # ONE aggregation pass over the staged files counts every
+    # constraint's violations, so the error names the actual offenders
+    counts = df.agg(
+        *[
+            F.count(
+                F.when(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+                    1,
+                )
+            ).alias(name)
+            for name, expr in sorted(constraints.items())
+        ]
+    ).collect()[0]
+    broken = {
+        name: counts[name] for name in sorted(constraints) if counts[name]
+    }
+    if broken:
         for a in adds:
             try:
                 os.remove(os.path.join(table_dir, a["path"]))
             except OSError:
                 pass
+        detail = ", ".join(
+            f"{n} ({constraints[n]!r}): {c} row(s)" for n, c in broken.items()
+        )
         raise ValueError(
-            f"batch violates CHECK constraint(s) "
-            f"{sorted(constraints)} on {table_dir}; commit aborted and "
-            "staged files reclaimed"
+            f"batch violates CHECK constraint(s) on {table_dir} — "
+            f"{detail}; commit aborted and staged files reclaimed"
         )
 
 
@@ -1165,7 +1248,8 @@ def live_files(
     paths = _prune_files(spark, state, partition_predicate, table_dir)
     if data_predicate is not None:
         paths = prune_by_stats(
-            state["files"], paths, data_predicate, _stats_col_map(state)
+            state["files"], paths, data_predicate, _stats_col_map(state),
+            temporal_ok=_temporal_skipping_ok(),
         )
     return paths
 
@@ -1289,7 +1373,8 @@ def _read_adds(
     dv_paths = [
         p for p in paths if state["files"][p].get("deletionVector")
     ]
-    plain = [p for p in paths if p not in set(dv_paths)]
+    dv_set = set(dv_paths)
+    plain = [p for p in paths if p not in dv_set]
     data_schema, part_types = _partition_schemas(read_schema, read_parts)
     read_names = [f.name for f in read_schema.fields]
 
@@ -1367,7 +1452,8 @@ def read_delta(
     paths = _prune_files(spark, state, partition_predicate, table_dir)
     if data_predicate is not None:
         paths = prune_by_stats(
-            state["files"], paths, data_predicate, _stats_col_map(state)
+            state["files"], paths, data_predicate, _stats_col_map(state),
+            temporal_ok=_temporal_skipping_ok(),
         )
     df = _read_adds(spark, table_dir, state, paths)
     if data_predicate is not None:
@@ -1680,11 +1766,13 @@ def merge_delta_scd1(
         hit_rows = _read_adds(spark, table_dir, state, hits)
         cond = [hit_rows[k].eqNullSafe(src_keys[k]) for k in keys]
         survivors = hit_rows.join(F.broadcast(src_keys), cond, "left_anti")
+        # source was already aligned in the merge_schema branch; in the
+        # exact-schema path _align_to is an order-preserving projection
         new_data = _align_to(survivors, out_schema).unionByName(
-            _align_to(source, out_schema)
+            source.select(*[f.name for f in out_schema.fields])
         )
     else:
-        new_data = _align_to(source, out_schema)
+        new_data = source.select(*[f.name for f in out_schema.fields])
     adds = _stage_files(new_data, table_dir, version, parts, True, now_ms)
     _validate_constraints(
         spark, table_dir, state["meta"], adds, out_schema.json(), parts

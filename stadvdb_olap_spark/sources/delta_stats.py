@@ -61,9 +61,12 @@ def _json_safe(v):
     if isinstance(v, str):
         return v if len(v) <= _MAX_STR_STAT_LEN else None
     if isinstance(v, datetime.datetime):
-        # naive, space-separated — compares lexicographically with SQL
-        # timestamp literals ('2024-03-01 12:30:00')
-        return v.replace(tzinfo=None).isoformat(sep=" ")
+        # naive, space-separated, ALWAYS microsecond-padded so temporal
+        # strings of any origin compare lexicographically (see
+        # _expand_temporal, which also normalizes the predicate side)
+        return v.replace(tzinfo=None).isoformat(
+            sep=" ", timespec="microseconds"
+        )
     if isinstance(v, datetime.date):
         return v.isoformat()
     return None  # bytes / Decimal / nested: omitted (conservative)
@@ -375,8 +378,35 @@ def parse_predicate(sql: str):
 # ---------------------------------------------------------------------------
 
 
-def _ordered(a, b):
-    """-1/0/1 if ``a`` and ``b`` are comparable (same kind), else None."""
+import re as _re
+
+_TEMPORAL_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$"
+)
+
+
+def _expand_temporal(s: str) -> str:
+    """Canonical 26-char form of a temporal string so lexicographic
+    order equals temporal order across mixed precisions: date-only
+    gains midnight, fractional seconds right-pad to microseconds."""
+    if len(s) == 10:
+        return s + " 00:00:00.000000"
+    if "." not in s:
+        return s + ".000000"
+    head, frac = s.split(".", 1)
+    return f"{head}.{frac.ljust(6, '0')}"
+
+
+def _ordered(a, b, temporal_ok: bool = True):
+    """-1/0/1 if ``a`` and ``b`` are comparable (same kind), else None.
+
+    Temporal-patterned strings are canonicalized to one precision
+    first — '2024-03-01' vs '2024-03-01 00:00:00' must compare EQUAL,
+    not '<' (a boundary miscompare there skips files that match, which
+    breaks the soundness contract). When ``temporal_ok`` is False
+    (non-UTC session: the stats' naive-UTC rendering no longer lines up
+    with the predicate's session-local literals) temporal strings are
+    treated as incomparable, which keeps the file."""
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         if isinstance(a, bool) and isinstance(b, bool):
@@ -385,13 +415,22 @@ def _ordered(a, b):
     if isinstance(a, num) and isinstance(b, num):
         return (a > b) - (a < b)
     if isinstance(a, str) and isinstance(b, str):
+        a_t, b_t = _TEMPORAL_RE.match(a), _TEMPORAL_RE.match(b)
+        if a_t and b_t:
+            if not temporal_ok:
+                return None
+            a, b = _expand_temporal(a), _expand_temporal(b)
+        elif a_t or b_t:
+            return None  # temporal vs plain string: incomparable
         return (a > b) - (a < b)
     return None
 
 
-def file_might_match(node, stats: dict) -> bool:
+def file_might_match(node, stats: dict, temporal_ok: bool = True) -> bool:
     """Could ANY row of a file with ``stats`` satisfy ``node``? False
-    is a proof (skip the file); un-analyzable anything returns True."""
+    is a proof (skip the file); un-analyzable anything returns True.
+    ``temporal_ok=False`` disables timestamp/date string comparisons
+    (see ``_ordered`` — the non-UTC-session guard)."""
     n_rows = stats.get("numRecords")
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
@@ -425,7 +464,8 @@ def file_might_match(node, stats: dict) -> bool:
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             return True  # no bounds recorded — keep
-        clo, chi = _ordered(lo, v), _ordered(hi, v)
+        clo = _ordered(lo, v, temporal_ok)
+        chi = _ordered(hi, v, temporal_ok)
         if clo is None or chi is None:
             return True  # incomparable types — keep
         if op == "=":
@@ -490,6 +530,7 @@ def prune_by_stats(
     paths: list[str],
     data_predicate: str,
     col_map: dict | None = None,
+    temporal_ok: bool = True,
 ) -> list[str]:
     """Subset of ``paths`` whose add-action stats admit a match for
     ``data_predicate``. Files without a stats field are always kept; a
@@ -517,6 +558,6 @@ def prune_by_stats(
         except (ValueError, TypeError):
             kept.append(p)
             continue
-        if file_might_match(node, stats):
+        if file_might_match(node, stats, temporal_ok):
             kept.append(p)
     return kept

@@ -91,7 +91,11 @@ def _adds_in_range(
     table_dir: str, after_version: int, to_version: int
 ) -> list[dict]:
     """dataChange add actions committed in (after_version, to_version],
-    ascending by (version, path) for a deterministic partition order."""
+    ascending by (version, path) for a deterministic partition order.
+    Adds carrying a deletion vector are REFUSED (clear error, planning
+    time): the stream readers scan raw parquet and would resurrect the
+    DV's logically-deleted rows — consume DV tables through the batch
+    readers (read_delta / read_delta_cdf), which apply them."""
     out: list[dict] = []
     for v in range(after_version + 1, to_version + 1):
         with open(_commit_path(table_dir, v)) as f:
@@ -101,6 +105,14 @@ def _adds_in_range(
                     continue
                 action = json.loads(line)
                 if "add" in action and action["add"].get("dataChange", True):
+                    if action["add"].get("deletionVector"):
+                        raise ValueError(
+                            f"delta_tail: commit {v} of {table_dir} adds "
+                            f"{action['add']['path']} with a deletion "
+                            "vector; streaming would resurrect its "
+                            "deleted rows — use the batch readers "
+                            "(read_delta / read_delta_cdf) for DV tables"
+                        )
                     adds.append(action["add"])
             out.extend(sorted(adds, key=lambda a: a["path"]))
     return out
@@ -305,7 +317,10 @@ class _DeltaTailStreamReader(DataSourceStreamReader):
 
 
 def _cdf_changes_in_commit(table_dir: str, v: int) -> tuple[list, list]:
-    """dataChange add and remove actions of commit ``v``."""
+    """dataChange add and remove actions of commit ``v``. Actions
+    carrying deletion vectors are refused — the executor-side diff
+    reads raw parquet and would mis-diff DV-masked rows; use the batch
+    ``read_delta_cdf`` for DV tables."""
     adds: list[dict] = []
     removes: list[dict] = []
     with open(_commit_path(table_dir, v)) as f:
@@ -313,12 +328,20 @@ def _cdf_changes_in_commit(table_dir: str, v: int) -> tuple[list, list]:
             if not line.strip():
                 continue
             action = json.loads(line)
-            if "add" in action and action["add"].get("dataChange", True):
-                adds.append(action["add"])
-            elif "remove" in action and action["remove"].get(
-                "dataChange", True
-            ):
-                removes.append(action["remove"])
+            kind = "add" if "add" in action else (
+                "remove" if "remove" in action else None
+            )
+            if kind is None or not action[kind].get("dataChange", True):
+                continue
+            if action[kind].get("deletionVector"):
+                raise ValueError(
+                    f"delta_tail readChangeFeed: commit {v} of "
+                    f"{table_dir} carries a deletion vector on "
+                    f"{action[kind]['path']}; the streaming diff would "
+                    "mis-count its masked rows — use the batch "
+                    "read_delta_cdf for DV tables"
+                )
+            (adds if kind == "add" else removes).append(action[kind])
     return adds, removes
 
 

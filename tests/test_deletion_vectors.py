@@ -334,3 +334,78 @@ def test_u_descriptor_uuid_split_is_length_based(spark, tmp_path):
         entries[0], storageType="u", pathOrInlineDv="ab/" + z85_encode(u.bytes)
     )
     assert deleted_positions(desc2, t) == [1, 5]
+
+
+def test_delta_tail_refuses_dv_tables(spark, tmp_path):
+    """Round-12 review fix: the stream readers scan raw parquet, so a
+    DV'd add must be refused at planning time — silently streaming it
+    resurrected deleted rows."""
+    from stadvdb_olap_spark.sources.delta_stream import (
+        _adds_in_range,
+        _cdf_changes_in_commit,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(20).sort("id").coalesce(1), t, mode="overwrite")
+    _external_dv_commit(spark, t, [[0, 3]], "i")
+    with pytest.raises(ValueError, match="deletion vector"):
+        _adds_in_range(t, -1, 1)
+    with pytest.raises(ValueError, match="deletion vector"):
+        _cdf_changes_in_commit(t, 1)
+
+
+def test_writer_feature_gate_refuses_unknown_obligations(spark, tmp_path):
+    """Writes onto tables whose protocol demands unimplemented writer
+    obligations must refuse (reads stay fine)."""
+    from stadvdb_olap_spark.sources.delta_log import _commit_path, table_versions
+
+    t = str(tmp_path / "tbl")
+    write_delta(spark.range(3).select("id"), t, mode="overwrite")
+
+    def set_protocol(proto):
+        v = table_versions(t)[-1] + 1
+        with open(_commit_path(t, v), "x") as f:
+            f.write(json.dumps({"protocol": proto}) + "\n")
+
+    set_protocol(
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "rowTracking"],
+        }
+    )
+    assert read_delta(spark, t).count() == 3  # reading is fine
+    with pytest.raises(ValueError, match="rowTracking"):
+        write_delta(spark.range(2).select("id"), t, mode="append")
+
+    t2 = str(tmp_path / "tbl2")
+    write_delta(spark.range(3).select("id"), t2, mode="overwrite")
+    v = table_versions(t2)[-1] + 1
+    with open(_commit_path(t2, v), "x") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minWriterVersion 5"):
+        write_delta(spark.range(2).select("id"), t2, mode="append")
+    # v7 with only supported features writes fine
+    t3 = str(tmp_path / "tbl3")
+    write_delta(spark.range(3).select("id"), t3, mode="overwrite")
+    v = table_versions(t3)[-1] + 1
+    with open(_commit_path(t3, v), "x") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["appendOnly", "checkConstraints"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    write_delta(spark.range(3, 5).select("id"), t3, mode="append")
+    assert read_delta(spark, t3).count() == 5

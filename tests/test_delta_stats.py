@@ -289,3 +289,67 @@ def test_stats_survive_checkpoint_roundtrip(spark, tmp_path):
     assert all("stats" in a for a in state["files"].values())
     scanned = live_files(t, data_predicate="id >= 25")
     assert len(scanned) == 1
+
+
+def test_temporal_literals_compare_soundly():
+    """Round-12 review fix: mixed-precision temporal strings must
+    compare by TIME VALUE, not lexicographically — '2024-03-01' equals
+    '2024-03-01 00:00:00.000000', and '.5' equals '.500000'."""
+    stats = {
+        "numRecords": 2,
+        "minValues": {"ts": "2024-03-01 00:00:00.000000"},
+        "maxValues": {"ts": "2024-03-05 10:00:00.000000"},
+        "nullCount": {"ts": 0},
+    }
+
+    def m(sql, temporal_ok=True):
+        return file_might_match(parse_predicate(sql), stats, temporal_ok)
+
+    # date-only literal hits the midnight boundary
+    assert m("ts = TIMESTAMP '2024-03-01'")
+    assert m("ts <= TIMESTAMP '2024-03-01'")
+    assert not m("ts < TIMESTAMP '2024-03-01'")
+    assert not m("ts > TIMESTAMP '2024-03-05 10:00:00'")
+    assert m("ts >= TIMESTAMP '2024-03-05 10:00:00.0'")
+    # fractional-second padding
+    half = {
+        "numRecords": 1,
+        "minValues": {"ts": "2024-03-01 12:30:00.500000"},
+        "maxValues": {"ts": "2024-03-01 12:30:00.500000"},
+        "nullCount": {"ts": 0},
+    }
+    assert file_might_match(
+        parse_predicate("ts <= TIMESTAMP '2024-03-01 12:30:00.5'"), half
+    )
+    assert not file_might_match(
+        parse_predicate("ts < TIMESTAMP '2024-03-01 12:30:00.5'"), half
+    )
+    # temporal vs plain string: incomparable -> keep
+    assert m("ts = 'hello'")
+    # non-UTC session guard: temporal comparisons keep the file
+    assert m("ts > TIMESTAMP '2024-03-05 10:00:00'", temporal_ok=False)
+
+
+def test_skipping_disabled_under_non_utc_session(spark, tmp_path):
+    """With a non-UTC session timezone the naive-UTC stats strings no
+    longer line up with session-local literals — temporal skipping must
+    disable (keep files), while the residual .where still filters."""
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-01-01 05:00:00' AS ts, 1L AS id"
+    )
+    write_delta(df.coalesce(1), t, mode="overwrite")
+    pred = "ts >= TIMESTAMP '2024-01-01 00:00:00'"
+    assert live_files(t, data_predicate=pred) == live_files(t)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Manila")
+    try:
+        # a predicate that WOULD skip under UTC must keep the file now
+        skip_pred = "ts > TIMESTAMP '2030-01-01 00:00:00'"
+        assert live_files(t, data_predicate=skip_pred) == live_files(t)
+        # and results stay correct (residual filter applies)
+        from stadvdb_olap_spark.sources.delta_log import read_delta
+
+        assert read_delta(spark, t, data_predicate=skip_pred).count() == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -154,6 +154,46 @@ def main() -> None:
         out["part_files_total"] = total
         out["part_files_scanned_selective"] = pruned
         out["part_skip_ratio"] = round(1 - pruned / total, 3) if total else None
+
+        # --- 4: stats-based data skipping (round 12) ----------------------
+        # a z-ordered table's payoff, consumed from the LOG ALONE: a
+        # selective range predicate prunes the file list from per-add
+        # stats with zero parquet I/O, then the (identical-result) scan
+        # touches only the kept files
+        from stadvdb_olap_spark.sources.delta_log import (
+            compact_table,
+            read_delta,
+        )
+
+        t_skip = os.path.join(root, "skip")
+        df = spark.range(200_000).select(
+            F.col("id"), (F.col("id") % 97).alias("v")
+        )
+        write_delta(df.repartition(8), t_skip, mode="overwrite")
+        compact_table(spark, t_skip, target_files=64, zorder_by=["id"])
+        skip_pred = "id >= 100000 AND id < 103000"
+        t0 = time.perf_counter()
+        kept = live_files(t_skip, data_predicate=skip_pred)
+        prune_s = time.perf_counter() - t0
+        out["skip_files_total"] = len(live_files(t_skip))
+        out["skip_files_scanned"] = len(kept)
+        out["skip_prune_wall_s"] = round(prune_s, 4)
+
+        def time_agg(**kw) -> float:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                read_delta(spark, t_skip, **kw).where(skip_pred).agg(
+                    F.count(F.lit(1))
+                ).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        out["skip_scan_full_s"] = round(time_agg(), 3)
+        out["skip_scan_pruned_s"] = round(
+            time_agg(data_predicate=skip_pred), 3
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))

@@ -1523,6 +1523,15 @@ def delete_where(
     schema = StructType.fromJson(json.loads(state["schema_json"]))
     parts = state["partition_columns"]
     candidates = _prune_files(spark, state, partition_predicate, table_dir)
+    if isinstance(predicate, str):
+        # stats pre-prune (sound, log-only): a file whose stats exclude
+        # every predicate-TRUE row cannot be a hit file, so the
+        # hit-detection scan skips it — the point-delete (GDPR erasure)
+        # then touches only stats-matching files before any parquet I/O
+        candidates = prune_by_stats(
+            state["files"], candidates, predicate, _stats_col_map(state),
+            temporal_ok=_temporal_skipping_ok(),
+        )
     if not state["files"]:
         raise ValueError(f"nothing live to delete from in {table_dir}")
     now_ms = int(time.time() * 1000)

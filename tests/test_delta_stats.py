@@ -353,3 +353,40 @@ def test_skipping_disabled_under_non_utc_session(spark, tmp_path):
         assert read_delta(spark, t, data_predicate=skip_pred).count() == 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_delete_where_pre_prunes_hit_scan_from_stats(spark, tmp_path):
+    """A string-predicate DELETE skips stats-excluded files before the
+    hit-detection scan — and still deletes exactly the right rows."""
+    from unittest import mock
+
+    from stadvdb_olap_spark.sources import delta_log
+    from stadvdb_olap_spark.sources.delta_log import delete_where
+
+    t = str(tmp_path / "tbl")
+    for b in range(4):  # disjoint id ranges -> disjoint stats
+        write_delta(
+            spark.range(b * 100, (b + 1) * 100).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            t,
+            mode="append" if b else "overwrite",
+        )
+    seen = {}
+    orig = delta_log._tagged_live
+
+    def spy(spark_, table_dir_, state_, paths_):
+        seen["candidates"] = list(paths_)
+        return orig(spark_, table_dir_, state_, paths_)
+
+    with mock.patch.object(delta_log, "_tagged_live", side_effect=spy):
+        delete_where(spark, t, "id >= 150 AND id < 170")
+    # only the file holding ids 100-199 was scanned for hits
+    assert len(seen["candidates"]) == 1
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(400) if not (150 <= i < 170)]
+    # a Column predicate (not analyzable) still deletes correctly
+    with mock.patch.object(delta_log, "_tagged_live", side_effect=spy):
+        delete_where(spark, t, F.col("id") == 399)
+    assert len(seen["candidates"]) >= 1
+    assert read_delta(spark, t).where("id = 399").count() == 0

@@ -88,8 +88,13 @@ CHECKPOINT_INTERVAL = 10
 
 #: Reader features this engine implements (protocol v3 gating).
 #: columnMapping here means 'name' mode — 'id' mode is still refused by
-#: the mode check in _check_reader_protocol.
-_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+#: the mode check in _check_reader_protocol. timestampNtz needs no
+#: special handling: the pinned schemaString round-trips
+#: TimestampNTZType and Spark's parquet reader consumes
+#: isAdjustedToUTC=false natively.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "timestampNtz"}
+)
 
 
 def _mapping_mode(meta: dict) -> str:
@@ -170,6 +175,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "deletionVectors",
         "columnMapping",
         "invariants",
+        "timestampNtz",  # staged natively as isAdjustedToUTC=false micros
     }
 )
 

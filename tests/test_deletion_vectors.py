@@ -409,3 +409,42 @@ def test_writer_feature_gate_refuses_unknown_obligations(spark, tmp_path):
         )
     write_delta(spark.range(3, 5).select("id"), t3, mode="append")
     assert read_delta(spark, t3).count() == 5
+
+
+def test_timestamp_ntz_reader_feature(spark, tmp_path):
+    """v3 tables gated on timestampNtz read natively: the pinned
+    schemaString round-trips TimestampNTZType and the scan returns
+    wall-clock values regardless of session timezone."""
+    from stadvdb_olap_spark.sources.delta_log import (
+        _commit_path,
+        table_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 05:00:00' AS tn, 1L AS id"
+    )
+    write_delta(df, t, mode="overwrite")
+    v = table_versions(t)[-1] + 1
+    with open(_commit_path(t, v), "x") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                        "writerFeatures": ["timestampNtz"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = read_delta(spark, t)
+    assert got.schema["tn"].dataType.typeName() == "timestamp_ntz"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Manila")
+    try:
+        assert str(got.collect()[0].tn) == "2024-01-01 05:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -37,14 +37,35 @@ def _canonical(cols: Iterable[Column | str]) -> Column:
     return F.concat_ws(_SEP, *parts)
 
 
+import re as _re
+
+_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _canonical_spark_sql(cols: list[str]) -> str:
+    # _SEP/_NULL are control characters — legal raw chars inside a Spark
+    # SQL string literal, and they contain no backslash to re-escape.
+    parts = ", ".join(
+        f"coalesce(CAST(`{c}` AS STRING), '{_NULL}')" for c in cols
+    )
+    return f"concat_ws('{_SEP}', {parts})"
+
+
 def surrogate_key(cols: Iterable[Column | str], method: str = "xxhash64") -> Column:
-    """Deterministic surrogate key over the business-key columns."""
+    """Deterministic surrogate key over the business-key columns.
+
+    Plain column names build via one ``F.expr`` parse (identical tree —
+    each py4j Column op costs ~1 ms of driver time per query build, and the
+    star builds call this 4x per query); Column inputs keep the
+    Column-builder path."""
     cols = list(cols)
+    if method not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown surrogate key method {method!r}")
+    if all(isinstance(c, str) and _IDENT.match(c) for c in cols):
+        return F.expr(f"{method}({_canonical_spark_sql(cols)})")
     if method == "xxhash64":
         return F.xxhash64(_canonical(cols))
-    if method == "md5":
-        return F.md5(_canonical(cols))
-    raise ValueError(f"unknown surrogate key method {method!r}")
+    return F.md5(_canonical(cols))
 
 
 def surrogate_key_sql(cols: Iterable[str], dialect: str = "duckdb") -> str:

@@ -22,6 +22,24 @@ from pyspark.sql import functions as F
 _WS = r"[ \t\n\x0b\f\r]+"
 _WS_SQL = r"[ \t\n\x0b\f\r]+"  # RE2 understands the same escapes
 
+# Spark-SQL string-literal form of _WS: the SQL parser unescapes
+# backslash sequences in literals, so they are doubled here; after
+# unescaping the Java regex receives exactly the _WS pattern.
+_WS_SPARK = _WS.replace("\\", "\\\\")
+
+# Simple-identifier test: column names that can be safely backtick-quoted
+# into a Spark SQL expression string. Anything else (Column objects,
+# composed expressions) keeps the Column-builder path.
+import re as _re
+
+_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ident(col) -> str | None:
+    if isinstance(col, str) and _IDENT.match(col):
+        return f"`{col}`"
+    return None
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -40,8 +58,21 @@ def let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def tokens_spark_sql(expr: str) -> str:
+    """Spark-SQL-dialect twin of :func:`tokens` (same tree, one parse)."""
+    return f"split(trim(lower({expr})), '{_WS_SPARK}')"
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the trimmed, lowercased text."""
+    """Whitespace tokens of the trimmed, lowercased text.
+
+    Plain column names go through one ``F.expr`` parse instead of a py4j
+    round trip per function call — identical expression, measurably less
+    DRIVER time per query build (guide §1: the build is inside the timed
+    region of every bench/driver run)."""
+    ident = _ident(col)
+    if ident is not None:
+        return F.expr(tokens_spark_sql(ident))
     return F.split(F.trim(F.lower(_c(col))), _WS)
 
 
@@ -78,10 +109,27 @@ def bpe_ish_token_count_sql(expr: str) -> str:
     )
 
 
+def word_shingles_spark_sql(expr: str, n: int = 3) -> str:
+    """Spark-SQL-dialect twin of :func:`word_shingles`: the identical
+    let-bound transform tree, emitted as one parseable string."""
+    t = tokens_spark_sql(expr)
+    body = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), "
+        f"i -> array_join(slice(t, i + 1, {n}), ' ')) "
+        f"ELSE array(array_join(t, ' ')) END"
+    )
+    return f"element_at(transform(array({t}), t -> {body}), 1)"
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>), the MinHash input unit.
     Documents shorter than ``n`` tokens yield their full token join as the
-    single shingle so no document is dropped."""
+    single shingle so no document is dropped. Plain column names take the
+    one-parse ``F.expr`` path (same tree; see :func:`tokens`)."""
+    ident = _ident(col)
+    if ident is not None:
+        return F.expr(word_shingles_spark_sql(ident, n))
     return let(
         tokens(col),
         lambda t: F.when(

@@ -22,8 +22,35 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+import re as _re
+
+_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ident(col) -> str | None:
+    """Backtick-quoted name when ``col`` is a plain column name, else None
+    (Column objects keep the Column-builder path)."""
+    if isinstance(col, str) and _IDENT.match(col):
+        return f"`{col}`"
+    return None
+
+
+def dot_spark_sql(a: str, b: str) -> str:
+    """Spark-SQL twin of :func:`dot` — identical tree, one parse. Used to
+    cut per-query plan-build driver time (each py4j Column op costs ~1 ms;
+    a dot/cosine tree is dozens of them)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Left-to-right dot product in double precision."""
+    ia, ib = _ident(a), _ident(b)
+    if ia is not None and ib is not None:
+        return F.expr(dot_spark_sql(ia, ib))
     prods = F.zip_with(
         _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
     )
@@ -38,7 +65,14 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
+def l2_norm_spark_sql(a: str) -> str:
+    return f"sqrt({dot_spark_sql(a, a)})"
+
+
 def l2_norm(a: Column | str) -> Column:
+    ia = _ident(a)
+    if ia is not None:
+        return F.expr(l2_norm_spark_sql(ia))
     return F.sqrt(dot(a, a))
 
 
@@ -46,8 +80,15 @@ def l2_norm_sql(a: str) -> str:
     return f"sqrt({dot_sql(a, a)})"
 
 
+def cosine_spark_sql(a: str, b: str) -> str:
+    return f"({dot_spark_sql(a, b)} / ({l2_norm_spark_sql(a)} * {l2_norm_spark_sql(b)}))"
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity = dot(a,b) / (||a|| * ||b||), all IEEE-ordered."""
+    ia, ib = _ident(a), _ident(b)
+    if ia is not None and ib is not None:
+        return F.expr(cosine_spark_sql(ia, ib))
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -55,10 +96,22 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
 
 
+def l2_sq_spark_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def l2_sq(a: Column | str, b: Column | str) -> Column:
     """Squared euclidean distance, left-to-right double fold (the
     k-means/IVF assignment metric; squared form skips the sqrt without
     changing any argmin/argsort)."""
+    ia, ib = _ident(a), _ident(b)
+    if ia is not None and ib is not None:
+        return F.expr(l2_sq_spark_sql(ia, ib))
     diffs = F.zip_with(
         _c(a),
         _c(b),

@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.vectors import cosine, l2_sq
+from stadvdb_olap_spark.functions.vectors import cosine, dot, l2_norm, l2_sq
 
 #: Hard ceiling on how many query rows the pandas/IVF paths will pull onto
 #: the driver. ANN query sets are small by contract (the corpus is the big
@@ -66,12 +66,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: for every query row, the k most similar
     candidate rows (self-matches excluded). Query side is broadcast."""
+    # Materialize each side's norm ONCE per row instead of re-folding it
+    # per pair: cosine = dot/(||q||*||c||) is 3 array aggregates; with
+    # the norms precomputed the O(Q*N) pair stage pays 1. Bit-identical —
+    # sqrt(dot(v,v)) is the same IEEE value wherever it is evaluated.
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm("__qv"))
     c = candidates.select(
         F.col(cand_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm("__cv"))
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
@@ -79,7 +83,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine("__qv", "__cv").alias("cosine"),
+            (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

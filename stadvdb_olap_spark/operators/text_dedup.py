@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stadvdb_olap_spark.functions.text import let, tokens, word_shingles
+from stadvdb_olap_spark.functions.text import (
+    let,
+    tokens,
+    word_shingles,
+    word_shingles_spark_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -77,22 +82,22 @@ def minhash_signatures(
     # (array_intersect treats NULL elements as equal), merging
     # unrelated empty docs into one near-dup cluster. No content, no
     # near-dup relation: they are excluded up front.
-    df = df.where(F.col(text_col).isNotNull() & (F.trim(text_col) != ""))
-    sh = word_shingles(text_col, shingle_n)
+    df = df.where(f"`{text_col}` IS NOT NULL AND trim(`{text_col}`) != ''")
+    sh_sql = word_shingles_spark_sql(f"`{text_col}`", shingle_n)
     n_groups = -(-num_hashes // 16)
 
-    # NB: closure factories, not default-arg lambdas — PySpark interprets a
-    # two-parameter HOF lambda as (element, index) and would silently bind
-    # the array index over the default.
-    def salted_digests(g: int):
-        salt = F.lit(f"#{g}")
+    # Whole digest projection as parsed SQL strings (same trees the
+    # previous Column-object construction produced; values identical).
+    def salted_digest_sql(g: int) -> str:
         if g == 0:
-            return F.transform(sh, lambda s: F.sha2(s, 256))
-        return F.transform(sh, lambda s: F.sha2(F.concat(s, salt), 256))
+            return f"transform({sh_sql}, s -> sha2(s, 256)) AS __dg{g}"
+        return (
+            f"transform({sh_sql}, s -> sha2(concat(s, '#{g}'), 256)) AS __dg{g}"
+        )
 
-    out = df.select(
-        F.col(id_col),
-        *[salted_digests(g).alias(f"__dg{g}") for g in range(n_groups)],
+    out = df.selectExpr(
+        f"`{id_col}`",
+        *[salted_digest_sql(g) for g in range(n_groups)],
     )
     # One selectExpr call for all hash columns: the per-column
     # Column-object construction (array_min/transform/lambda per hash)

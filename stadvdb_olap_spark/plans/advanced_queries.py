@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.compat import dec, money_sum, money_sum_sql
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 # ---------------------------------------------------------------------------
@@ -185,7 +185,7 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily event-value totals, one column per event type. With an
     explicit value list the pivot is a single hash aggregate — no extra
     pass to discover the domain."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .pivot("event_type", _EVENT_TYPES)
@@ -294,7 +294,7 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' segment-tree vs running implementations; decimal is
     order-insensitive). The window is over the tiny post-aggregate daily
     series, not the fact table."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         money_sum("o_totalprice").alias("revenue")
     )
@@ -331,7 +331,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form under cube/rollup): revenue
     by (region, nation), by region, and grand total in one aggregate pass
     with the expand operator."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -372,7 +372,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     string and aggregate on it. ``get_json_object`` evaluates JVM-side; at
     scale prefer parsing once with ``from_json`` into a struct column when
     several properties are read."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     return (
         ev.select(
             F.get_json_object("props", "$.k").cast("long").alias("prop_k"), "value"
@@ -406,7 +406,7 @@ def skew_twophase_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative monoids the merged result is provably identical to the
     direct group-by (which is exactly what the oracle runs)."""
     _N_SALT = 8
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     partial = (
         ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(_N_SALT)))
         .groupBy("user_id", "__salt")
@@ -477,7 +477,7 @@ def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the built-in ``stddev``/``covar_samp`` (float accumulation order
     varies with partitioning), the moment sums are order-insensitive, so
     the result is deterministic and oracle-checkable at any parallelism."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     sq = F.sum(dec("l_quantity")).cast("double")
     sqq = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)")).cast(
@@ -509,7 +509,7 @@ GROUP BY l_returnflag
 )
 def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per group (expand + two-phase aggregate)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -533,7 +533,7 @@ def approx_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     the bound is ~5 sigma) as a boolean the oracle asserts per group.
     Mergeable one-pass sketches are the scale path when the exact expand
     is too expensive; at 100 TB only the sketch half runs."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     n_exact = F.count_distinct("l_partkey")
     n_approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return li.groupBy("l_returnflag").agg(
@@ -723,7 +723,7 @@ def min_price_row_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, min). Keeps ALL tying rows — set semantics identical to the
     correlated-subquery form. The aggregate side is small post-groupBy, so
     AQE broadcasts it back against the fact scan."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     mins = (
         li.groupBy("l_partkey")
         .agg(F.min("l_extendedprice").alias("__min_price"))
@@ -776,7 +776,7 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is TakeOrdered (no global sort)."""
     from stadvdb_olap_spark.functions.text import tokens
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -800,7 +800,7 @@ def order_keys_concat_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     sort in-engine (collect_list order is nondeterministic under
     parallelism — array_sort fixes it), and serialize. Nested-type surface
     with an order-insensitive, engine-portable result."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
         F.array_join(
             F.array_sort(F.collect_list("o_orderkey")), ","
@@ -839,7 +839,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.profile.profile_columns), |columns| output rows."""
     from stadvdb_olap_spark.operators.profile import profile_columns
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     return profile_columns(orders, [c for c, _ in _PROFILE_COLS])
 
 
@@ -877,7 +877,7 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-observation-carried-forward (ignore-nulls window). The spine is
     post-aggregate sized (one row per day), so the window is tiny
     regardless of fact-table scale."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         money_sum("o_totalprice").alias("revenue")
     )
@@ -921,7 +921,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice but shuffled only on user_id and the final group keys. Week
     arithmetic stays exact: both engines truncate weeks to Monday, so the
     day difference is always a multiple of 7."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts")).cast("date")
     firsts = (
         ev.select("user_id", week.alias("w"))
@@ -966,7 +966,7 @@ def zscore_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline): group moments from exact decimal sums, then a
     broadcast join back and a pure-scalar normalization per row — two
     passes, one tiny broadcast, deterministic at any parallelism."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     stats = li.groupBy("l_returnflag").agg(
         n.alias("n"),
@@ -1194,7 +1194,7 @@ def debounce_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is a row-local array op after ONE user-keyed exchange; an
     unbounded-history user would stream through the stateful variant
     instead."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     us_arr = F.sort_array(F.collect_list(F.unix_micros("ts")))
     t = ev.groupBy("user_id").agg(us_arr.alias("us"))
     init = F.struct(

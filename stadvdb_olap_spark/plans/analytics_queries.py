@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.compat import dec, mean_round, mean_round_sql, money_sum, money_sum_sql
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table, spread
 from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
 # ---------------------------------------------------------------------------
@@ -48,7 +48,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation — the plan Catalyst picks automatically.
     ``spread`` parallelizes the partial aggregate when the scan yields fewer
     partitions than cores (single-row-group fixture files)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -118,8 +118,12 @@ GROUP BY r_name, n_name
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style multi-way star join: one big fact shuffle, three
-    broadcast dims, aggregate on the dim attributes."""
-    li = load_table(spark, sf_dir, "lineitem")
+    broadcast dims, aggregate on the dim attributes. The fact scan is
+    spread so the probe + decimal partial-aggregate stage runs at full
+    parallelism when the fixture is a single file (at scale the scan
+    already parallelizes and spread() is a no-op, leaving the classic
+    one-fact-shuffle star)."""
+    li = load_spread(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -272,7 +276,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping id to disambiguate NULL group labels from NULL data. The fact
     scan is spread so the Expand (3x rows) + decimal partial aggregate run
     at full parallelism when the fixture is a single file."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -435,7 +439,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dimension (nation) enters twice under different roles. All dims
     broadcast; lineitem joins orders on the one real shuffle; the
     inequality filter runs post-join on broadcast attributes."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -478,7 +482,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy, since the fixtures have no partsupp cost table) by supplier
     nation and order year. Part/supplier/nation broadcast; the measure is
     computed pre-aggregation so the decimal sum stays one pass."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
@@ -554,7 +558,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     the counts. Two shuffles total; the second is over the tiny
     counts-per-customer relation."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     per_cust = (
         cust.join(
             orders,
@@ -673,7 +677,7 @@ def ols_price_vs_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     per group) with zero Python and one shuffle. Same moments pattern as
     the stddev/covariance query; Spark's built-in regr_slope would sum
     doubles in partition order and drift from the oracle."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -854,7 +858,7 @@ def share_within_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands. 100 TB shape: one fact aggregation to nation grain
     (dims broadcast), then all parent math runs on |nations| rows; the
     shares come from a 25-row broadcast join + 1-row scalar cross."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )

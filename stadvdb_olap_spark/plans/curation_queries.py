@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions.text import tokens, tokens_sql, word_shingles_sql
 from stadvdb_olap_spark.operators import curation as CU
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 _SEG_LEN = 3
 _SEG_MIN_DF = 5
@@ -58,7 +58,7 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassemble the survivors in original order. Three key-partitioned
     shuffles at any scale — segment doc-frequency aggregate, the
     same-keyed frequency join, and the per-document reassembly regroup."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return CU.segment_dedup(
         docs, "doc_id", "text", seg_len=_SEG_LEN, min_doc_freq=_SEG_MIN_DF
     )
@@ -106,7 +106,7 @@ def setjoin_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shingle, with |A∩B| counted by join-and-group rather than list
     intersection (|A∪B| = |A|+|B|-|A∩B|) — so agreement certifies the
     prefix filter's completeness, not just the verify arithmetic."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return CU.prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", _SETJOIN_T, shingle_n=_SETJOIN_SHINGLE_N
     )
@@ -147,7 +147,7 @@ def bigram_lm_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1); the vocabulary size is a 1-row broadcast. Per compat.py, each
     per-bigram ln is rounded then decimal-summed so the mean is a
     deterministic function of the bigram multiset."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -241,7 +241,7 @@ def vocab_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global over the VOCABULARY (bounded, ~10^6 at web scale), never over
     the corpus — one hash aggregate on the token stream does all the
     heavy lifting."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return _vocab_df(docs)
 
 
@@ -275,7 +275,7 @@ def encode_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (certified outputs carry no ARRAY columns — a list cell crashes the
     driver's pandas canonicalizer); downstream packing consumes the
     array form directly from the operator."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     vocab = _vocab_df(docs).select("word", "word_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
@@ -442,7 +442,7 @@ def intra_doc_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stadvdb_olap_spark.operators.curation import doc_segments
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     segs = doc_segments(docs, "doc_id", "text", _SEG_LEN)
     w = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
     ranked = segs.withColumn("occ", F.row_number().over(w))
@@ -542,7 +542,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent witness."""
     from stadvdb_olap_spark.operators.bpe import bpe_train
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return bpe_train(spark, docs, n_merges=_BPE_TRAIN_N)
 
 
@@ -561,7 +561,7 @@ def bpe_merges_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property tests (tests/test_text_stats.py)."""
     from stadvdb_olap_spark.operators.bpe import bpe_train_frontier
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return bpe_train_frontier(spark, docs, n_merges=_BPE_TRAIN_N)
 
 
@@ -637,7 +637,7 @@ def bpe_encode_replay_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     work — zero shuffles, parallelism = input partitions."""
     from stadvdb_olap_spark.operators.bpe import bpe_encode
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     enc = bpe_encode(docs, list(_PINNED_MERGES))
     return enc.select(
         "doc_id",
@@ -700,7 +700,7 @@ def bpe_merge_step_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized work (Heaps' law) and a TakeOrdered(10)."""
     from stadvdb_olap_spark.operators.bpe import pair_frontier_after
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return pair_frontier_after(docs, list(_PINNED_MERGES[:_STEP_K]), top=10)
 
 
@@ -750,7 +750,7 @@ def padding_waste_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float op is the final waste fraction. 100 TB shape: one
     narrow projection per doc, a 3x literal explode, and a hash
     aggregate to |contexts| rows — no shuffle of text bytes."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n")
     )
@@ -805,7 +805,7 @@ def dup_ngram_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the corpus (multiplicity counted). One span-keyed
     frequency shuffle + a same-keyed join + per-doc regroup — see
     operators/curation.py:duplicate_ngram_spans for the 100 TB shape."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return CU.duplicate_ngram_spans(
         docs, "doc_id", "text", n=_DUPSPAN_N, min_count=_DUPSPAN_MIN
     )
@@ -871,7 +871,7 @@ def domain_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions) and the blocklist is a literal/broadcast lookup."""
     from stadvdb_olap_spark.functions.text import token_count
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     domain = F.regexp_extract(
         _inject_url(F.col("doc_id"), F.col("text")), r"https://([a-z0-9.]+)/", 1
     )
@@ -944,7 +944,7 @@ def bpe_encode_pinned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     face of operators/bpe.py:bpe_encode, same device as the pinned
     IVF/SemDeDup/z-order queries). Narrow per-row projection: no
     shuffle, scan-bound at any corpus size."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
 
     def symcount(tok):
         s = F.concat(
@@ -1039,7 +1039,7 @@ def span_corrupt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-accumulator fold rebinds fields sequentially (compat.py
     device list) while a scalar fold is safe in both engines. No
     shuffle; scan-bound at any corpus size."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = tokens("text")
 
     def masked(i):  # i is 0-based in Spark's transform; oracle is 1-based
@@ -1175,7 +1175,7 @@ def dedup_recall_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts reduce to one row."""
     from stadvdb_olap_spark.operators.text_dedup import jaccard_verified_pairs
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     exact = CU.prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", _AUDIT_T, shingle_n=_SETJOIN_SHINGLE_N
     ).select("id_a", "id_b")
@@ -1234,7 +1234,7 @@ def curriculum_phases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_global_rank,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
@@ -1291,7 +1291,7 @@ def sentence_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     width) -> one same-keyed join back -> one doc-keyed aggregate; the
     flagged sentences feed a removal pass exactly like the segment
     variant."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     s1 = (
         docs.select(
             "doc_id",
@@ -1362,7 +1362,7 @@ def blocklist_screen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row verdict."""
     from stadvdb_olap_spark.functions.screens import blocklist_hits
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     blocked = blocklist_hits("text")
     return docs.select(
         "doc_id",

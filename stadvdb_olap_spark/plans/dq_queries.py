@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.operators.joins import broadcast_if_small
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 _STATUS_DOMAIN = ("O", "F", "P")
 
@@ -154,7 +154,7 @@ def json_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse — NULL for malformed instead of a poisoned task — and
     ``try_variant_get`` extracts from the parsed VARIANT without
     re-parsing. One conditional-aggregate pass; no row-at-a-time Python."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     corrupted = (
         F.when(
             F.col("event_id") % 37 == 0, F.concat(F.lit("x"), F.col("props"))

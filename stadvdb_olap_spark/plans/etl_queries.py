@@ -498,11 +498,18 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.o_custkey == cust_lookup.c_custkey,
         )
         .join(
-            broadcast_if_small(part_lookup),
+            # gate on the base part table: the lookup is a narrower
+            # projection of it (3 columns + a 32-char key vs the full
+            # row), so part's estimate bounds the lookup's — and part is
+            # the session-cached scan whose optimized stats are computed
+            # once, not per query build
+            broadcast_if_small(part_lookup, size_proxy=part),
             base.l_partkey == part_lookup.p_partkey,
         )
         .withColumn("revenue", ceil_to_cents(F.col("quantity") * F.col("p_retailprice")))
-        .join(broadcast_if_small(date_map), "order_date")
+        # gate on orders: the date map is a distinct projection of one
+        # orders column (+ fixed-width key), so orders' estimate bounds it
+        .join(broadcast_if_small(date_map, size_proxy=orders), "order_date")
     )
 
     return resolved.select(

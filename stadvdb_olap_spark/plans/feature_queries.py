@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions.text import tokens, tokens_sql
 from stadvdb_olap_spark.operators.rank import global_row_number
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 
 @query(
@@ -100,7 +100,7 @@ def tv_distance_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) is engine-independent. State per group is vocabulary-sized;
     for open vocabularies fold per hash-bucket of words first, then sum
     buckets in bucket order."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(tokens("text")).alias("word"))
     cnt = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
     stot = cnt.groupBy("source").agg(F.sum("c").alias("st"))
@@ -961,7 +961,7 @@ def quantile_normalize_order_totals(
     runs over the |buckets| offset rows; determinism rationale in the
     operator's docstring). Final mapping is one hash equi-join on the
     computed index — no theta join, no driver collect."""
-    o = spread(load_table(spark, sf_dir, "orders")).select(
+    o = load_spread(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)

@@ -29,7 +29,7 @@ from stadvdb_olap_spark.operators.graph import (
     pagerank_fixed,
 )
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread
 
 _ITERS = 3
 _DAMPING = 0.85
@@ -100,11 +100,11 @@ FROM {last}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spread(load_table(spark, sf_dir, "orders")).select(
+    orders = load_spread(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"),
         F.col("o_custkey").cast("long").alias("c"),
     )
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_suppkey").cast("long").alias("s"),
     )
@@ -238,7 +238,7 @@ def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one (node, label) count argmax — the vertex-centric shape."""
     from stadvdb_olap_spark.operators.graph import label_propagation
 
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_partkey").cast("long").alias("pk"),
     )
@@ -305,7 +305,7 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct."""
     from stadvdb_olap_spark.functions.text import tokens
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select(tokens("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -356,7 +356,7 @@ e0 AS MATERIALIZED (
 
 
 def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_partkey").cast("long").alias("pk"),
     )
@@ -671,11 +671,11 @@ def pagerank_weighted_copurchase_3iter(
     exact integers once, so the sorted fold still sees engine-identical
     doubles. Weights come from the same orders⋈lineitem pass that built
     the edge list — no extra scan."""
-    orders = spread(load_table(spark, sf_dir, "orders")).select(
+    orders = load_spread(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"),
         F.col("o_custkey").cast("long").alias("c"),
     )
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_suppkey").cast("long").alias("s"),
     )
@@ -754,11 +754,11 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one edges-to-scores hash join plus one key-grouped
     integer aggregate; edge relation partitions once per join key,
     max-score scalars broadcast."""
-    orders = spread(load_table(spark, sf_dir, "orders")).select(
+    orders = load_spread(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"),
         F.col("o_custkey").cast("long").alias("c"),
     )
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_suppkey").cast("long").alias("s"),
     )
@@ -847,7 +847,7 @@ def triangle_census_copurchase_parts(
     on vertex ids, and the production refinement (orient edges
     low-DEGREE -> high-degree, splitting high-degree hubs) composes
     without changing semantics."""
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).filter(F.col("pk") % 10 == 0)
     a = li.select("ok", F.col("pk").alias("pa"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions.text import word_shingles_sql
 from stadvdb_olap_spark.operators import mixture as MX
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread
 
 _SHINGLE_N = 5
 _RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
@@ -60,7 +60,7 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash (the held-out side is distinct benchmark shingles —
     small, broadcast); work scales with actual collisions, never
     |train| x |heldout|."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     with_split = docs.withColumn("split", MX.split_column("doc_id"))
     train = with_split.filter(F.col("split") == "train")
     heldout = with_split.filter(F.col("split") != "train")
@@ -89,7 +89,7 @@ def mixture_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-recipe step that upsamples curated sources and downsamples
     crawl. Membership is a pure function of the salted key hash: narrow
     map + filter, no shuffle, reproducible across engines and runs."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return MX.weighted_source_sample(docs, _RATES, _DEFAULT_RATE).select(
         "doc_id", "source"
     )
@@ -123,7 +123,7 @@ def token_budget_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) until the budget fills. One exchange on the source key; the
     prefix scan inside a source is sequential BY DEFINITION of "first
     documents under the budget" — sources are the parallel unit."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return MX.token_budget_take(docs, _BUDGET).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
@@ -156,7 +156,7 @@ def training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized as {n} independently-ordered files this gives trainers a
     deterministic global shuffle WITHOUT a global sort: the only exchange
     is on the shard id and each shard orders its own rows."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return MX.training_shards(docs, _N_SHARDS).select("doc_id", "shard", "shard_pos")
 
 
@@ -210,7 +210,7 @@ def pack_concat_offsets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import token_count
     from stadvdb_olap_spark.operators.packing import concat_pack
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     items = docs.select("doc_id", token_count("text").alias("n_tokens"))
     return concat_pack(items, ctx_len=_CTX_LEN, n_shards=_N_SHARDS)
 
@@ -254,7 +254,7 @@ def training_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import token_count
     from stadvdb_olap_spark.operators.mixture import salted_md5
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     h = salted_md5("doc_id", "shard:")
     shard = (
         F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _N_SHARDS
@@ -330,7 +330,7 @@ def epoch_shuffle_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel and typically materialized lazily one epoch ahead."""
     from stadvdb_olap_spark.operators.mixture import training_shards
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     parts = [
         training_shards(docs, _N_SHARDS, salt=f"epoch{e}:")
         .select(
@@ -386,7 +386,7 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus + a content-addressed uniform per doc — no corpus shuffle."""
     from stadvdb_olap_spark.plans.scale_queries import _key_uniform
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n_s")
     )
@@ -442,7 +442,7 @@ def rendezvous_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it as an unnested argmax window."""
     from stadvdb_olap_spark.operators.mixture import rendezvous_shard
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", rendezvous_shard("doc_id", _HRW_SHARDS).alias("shard")
     )
@@ -490,7 +490,7 @@ def contamination_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The body is the SHARED ``mixture.contamination_scores`` — the same
     definition the curation pipeline's decontaminate stage runs, so the
     app-embedded scores can never drift from this certified one."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     with_split = docs.withColumn("split", MX.split_column("doc_id"))
     return MX.contamination_scores(
         with_split.filter(F.col("split") == "train"),
@@ -552,7 +552,7 @@ def dsir_importance_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     looks like Wikipedia' screen."""
     from stadvdb_olap_spark.functions.text import word_shingles
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     w_arr = F.array(*[F.lit(w) for w in _DSIR_W])
     sh = word_shingles("text", 2)
     score = F.aggregate(
@@ -603,7 +603,7 @@ def decontaminate_bloom_gated_docs(
     false positives only cost verify work on surviving shingles. Same
     pattern as Spark's own runtime bloom join pruning, expressed at
     the operator level."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     with_split = docs.withColumn("split", MX.split_column("doc_id"))
     train = with_split.filter(F.col("split") == "train")
     heldout = with_split.filter(F.col("split") != "train")

@@ -47,7 +47,7 @@ from stadvdb_olap_spark.plans.text_queries import (
     _shingled_sql,
     _sigs_sql,
 )
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 # ---------------------------------------------------------------------------
 # Deterministic weighted sampling (priority sampling)
@@ -277,7 +277,7 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS against the corpus bands (size-gated), so the corpus is
     probed in place — the per-batch cost is O(batch + collisions), the
     pattern that keeps continuous ingestion dedup affordable at 100 TB."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     bucket = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
@@ -356,7 +356,7 @@ def bfs_depth_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and takes MIN(d). Near-dup clusters have tiny diameters by
     construction (similar-to-common ⇒ similar-to-each-other), so the cap
     is slack, never a truncation."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = jaccard_verified_pairs(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     ).select("id_a", "id_b").localCheckpoint()
@@ -386,7 +386,7 @@ def minhash_wide_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests per shingle."""
     from stadvdb_olap_spark.operators.text_dedup import minhash_signatures
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return minhash_signatures(docs, "doc_id", "text", 24, _SHINGLE_N)
 
 
@@ -421,7 +421,7 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver collect). At 100 TB the same plan writes term-bucketed
     parquet so lookups prune to one bucket; a df cap (stopword guard)
     bounds the largest list."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     from stadvdb_olap_spark.functions.text import tokens
 
     postings = (
@@ -476,7 +476,7 @@ def term_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import tokens
     from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
     )
@@ -533,7 +533,7 @@ def term_lift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import tokens
     from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
     )
@@ -603,7 +603,7 @@ def inverted_index_merged_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import tokens
     from stadvdb_olap_spark.operators.joins import broadcast_if_small
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     bucket = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
     )
@@ -926,7 +926,7 @@ def rcte_min_label_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round convergence pruning), so the iterative operator with
     lineage cuts stays the 100 TB path; this query certifies the two
     agree and pins the new SQL surface."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = jaccard_verified_pairs(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     ).select("id_a", "id_b").localCheckpoint()
@@ -1014,7 +1014,7 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key_pinned,
     )
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     price_dim = (
         F.col("o_totalprice"),
         [float(c) for c in _Z_PRICE_CUTS],

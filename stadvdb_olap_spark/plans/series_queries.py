@@ -76,7 +76,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions.text import tokens, tokens_sql
 from stadvdb_olap_spark.plans.catalog import query
 from stadvdb_olap_spark.plans.compat import money_sum, money_sum_sql
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 
 @query(
@@ -110,7 +110,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability divides two exact BIGINTs in one IEEE division:
     engine-independent. Mirrors the reference's ordered event scan
     (reference ``app.py:13-21`` report loop) as a declarative plan."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -165,7 +165,7 @@ def user_first_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how long the user's history is. Two exchanges total (user
     window + path count); ``concat_ws`` skips NULLs, so users with <3
     events get their short path, same in both engines."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
@@ -210,7 +210,7 @@ def simpson_diversity_source_unigrams(spark: SparkSession, sf_dir: str) -> DataF
     ops are correctly-rounded IEEE division/multiply, so the hash
     oracle is stable. Two hash aggregates keyed on (source, word) then
     source — both keys grow with the corpus, no hot partition."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(tokens("text")).alias("word"))
     cnt = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
     moments = cnt.groupBy("source").agg(
@@ -329,7 +329,7 @@ def autocorr_daily_revenue_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments as in ``corr_matrix_lineitem``). For thousands of
     independent series, add the series key to the groupBy and the
     same plan parallelizes."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -417,7 +417,7 @@ def acf_panel_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar; fact-sized series would use `_quantized` moments. 100 TB
     shape: one fact shuffle for the daily rollup; everything after runs
     on ≤ days·14 rows."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -528,7 +528,7 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal struct array over the 1-row moments frame — ONE scan and
     ONE aggregate in the physical plan (a union of per-pair selects
     re-scans per branch; pinned by the plan test)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     scaled = li.select(
         *[
             _quantized(c, s).alias(f"x_{c}")
@@ -617,7 +617,7 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines, where double→string or log10-based digit
     extraction is not. One hash aggregate to 9 rows + a broadcast
     1-row total: nothing here grows with the fact table."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     digits = orders.where(F.col("o_totalprice") >= 1).select(
         F.substring(
             F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
@@ -699,7 +699,7 @@ def interpolate_hourly_signup_value(spark: SparkSession, sf_dir: str) -> DataFra
     float op correctly rounded, hash-stable. Single series ⇒ one
     window partition; for per-key grids add the key to partitionBy and
     build per-key bounds, same plan."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     obs = (
         ev.where(F.col("event_type") == "signup")
         .groupBy(F.date_trunc("hour", "ts").alias("h"))
@@ -775,7 +775,7 @@ def decile_bins_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-depth edges aren't required."""
     from stadvdb_olap_spark.operators.rank import global_ntile
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     binned = global_ntile(
         orders.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
@@ -843,7 +843,7 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op correctly rounded ⇒ hash-stable, with no >2^53 decimal
     conversions anywhere. Uses the grouped-ties rank identity
     Σrank·x = Σ_levels v·(c·F_prev + c(c+1)/2)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         money_sum("o_totalprice").alias("revenue")
     )
@@ -924,7 +924,7 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     few huge groups, swap in a two-pass bucketed search (histogram on
     price buckets, then resolve inside the straddling bucket) — same
     exact-comparison semantics, no global sort."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
     wcum = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -1001,7 +1001,7 @@ def survival_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the week-ordered factor array, filter preserves order — every
     float op correctly rounded, identical in both engines) are
     resolution-bounded, not data-bounded."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     span = ev.groupBy("user_id").agg(
         (
             F.floor(
@@ -1097,7 +1097,7 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation twin ``term_lift_scores``). Lift divides exact BIGINT
     counts in a fixed double expression — hash-stable with no decimal
     machinery."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").alias("n")
@@ -1173,7 +1173,7 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUSTOMER table (dimension-sized). At extreme scale swap ntile for
     approx_percentile bucket edges + a broadcast range join, keeping
     the same output contract."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("md"))
     rfm = (
         orders.crossJoin(F.broadcast(maxd))
@@ -1251,7 +1251,7 @@ def seasonal_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     the daily rollup. The additive decomposition identity
     (residual = revenue − trend − seasonal in exact decimal) is pinned
     by construction."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -1353,7 +1353,7 @@ def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression tree in the identical order, so even an
     inherently sequential statistic stays hash-checkable. For per-key
     forecasting, the same fold runs per group in a grouped aggregate."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -1441,7 +1441,7 @@ def max_concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     is the honest single-order cost (boundary stream = 2 rows per
     session); at extreme scale, sweep per shard-key then merge per-hour
     maxima with per-shard boundary offsets."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
@@ -1523,7 +1523,7 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable. One fact aggregate + one part-table-sized total-order
     window (the honest Pareto cost; at extreme part counts, bucket by
     approx-quantile revenue bands first and rank within bands)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
@@ -1604,7 +1604,7 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline note: ROUND(double, n) itself is engine-divergent on true
     decimal ties). Two fact-keyed aggregates + a broadcast cohort-size
     join; cohorts parallelize the window."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     first = orders.groupBy("o_custkey").agg(
         F.date_trunc("week", F.min("o_orderdate")).alias("cohort_week")
     )
@@ -1689,7 +1689,7 @@ def scalable_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     input value — bit-identical to the oracle's order-statistic
     formulation, which DOES pay the global sort. The bucket selection
     stays declarative (1-row broadcast join, no driver collect)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     bucket = F.floor(F.col("l_extendedprice") / 1000).alias("bucket")
     hist = li.select(bucket).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c")
@@ -1777,7 +1777,7 @@ def holt_forecast_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent series each pay their own calendar-sized fold, keyed
     shuffle only. Same binary-exact constants and DOUBLE[2]-state twin
     as ``holt_forecast_daily_revenue``."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(money_sum("value").alias("v"))
@@ -1836,7 +1836,7 @@ def wow_growth_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     — correctly-rounded ops only, so no ROUND-tie hazard (see
     cohort_ltv_weekly for why that matters). Calendar-sized lag
     window after one fact aggregate."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     weekly = orders.groupBy(
         F.date_trunc("week", "o_orderdate").alias("wk")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -1874,7 +1874,7 @@ def share_of_total_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole. Exact decimal numerator and denominator, one double
     division each — the 1-row total broadcasts, so the share is a
     narrow projection after a single fact aggregate."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     seg = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
@@ -1948,7 +1948,7 @@ def cusum_changepoints_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     total broadcasts."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     # DATE-typed day key on BOTH sides (Spark date_trunc returns
     # TIMESTAMP where DuckDB's returns DATE — cast is the convention).
     daily = orders.groupBy(
@@ -2132,7 +2132,7 @@ def episode_triples_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the ≤|types|³ triple key — all integer counting, hash-exact.
     At 100 TB: one exchange on user_id feeds both the session window
     and the leads (same ordering key), then a tiny aggregate."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -2208,7 +2208,7 @@ def hampel_outliers_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     convention)."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
@@ -2288,7 +2288,7 @@ def mase_seasonal_naive_daily_revenue(
     on the calendar-bounded daily aggregate, never the fact table."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
@@ -2368,7 +2368,7 @@ def decile_qq_drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per half ever dominates."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     b = ev.agg(
         ((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
@@ -2468,7 +2468,7 @@ def mann_whitney_value_click_purchase(
     with weight c1(v))."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_type", "value"
     )
@@ -2559,7 +2559,7 @@ def purchase_streaks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning reused end-to-end)."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     months = orders.select(
         "o_custkey",
         (
@@ -2629,7 +2629,7 @@ def twap_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, day) drives the ordering window and the aggregate."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     d = F.col("ts").cast("date")
     us = F.unix_micros(F.col("ts"))
     seq = ev.select(
@@ -2753,7 +2753,7 @@ def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then a single 8-column fold to one row."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -2854,7 +2854,7 @@ def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     without changing the certification shape."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -2960,7 +2960,7 @@ def mann_kendall_trend_daily_revenue(
     correction (∓1) follows the published statistic."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -3080,7 +3080,7 @@ def decayed_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight table; each count·weight term is one exact multiply and the
     per-type sum folds over the sorted term array. One narrow aggregate
     on (type, day-age), a 30-row broadcast join, a tiny fold."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     d = F.col("ts").cast("date")
     mx = ev.agg(F.max(d).alias("dmax"))
     cnt = (
@@ -3236,8 +3236,8 @@ def recsys_eval_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production recsys teams run nightly."""
     from pyspark.sql import Window
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    orders = load_spread(spark, sf_dir, "orders")
+    li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), "l_partkey"
     )
     wlast = Window.partitionBy("o_custkey").orderBy(
@@ -3405,7 +3405,7 @@ def fano_burstiness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample variance computes from them with a PINNED op order —
     divisions of exact operands only, hash-exact. One (type, day)
     aggregate, then arithmetic on a 5-row table."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -3500,7 +3500,7 @@ def littles_law_audit_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity-planning readout (and its self-audit) in one query."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -3647,7 +3647,7 @@ def holt_winters_forecast_daily_revenue(
     seasonals). Forecast ŷ(h) = l + h·b + s[(n−1+h) mod 7]. Like all
     the calendar folds: one fact-sized rollup, then one row of
     state."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("revenue"))
@@ -3762,7 +3762,7 @@ def session_engagement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     session family; the final fold is one row."""
     from pyspark.sql import Window
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -3866,7 +3866,7 @@ def abc_xyz_matrix_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     abc = abc_classification_parts(spark, sf_dir).select(
         "l_partkey", "abc_class"
     )
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     wk = li.groupBy(
         "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
     ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
@@ -3957,7 +3957,7 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE[3] list (the Holt-Winters list-fold device, init prepended),
     so both engines replay the identical recurrence. One fact-sized
     filtered rollup, one row of state."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     demand = (
         li.filter(F.col("l_quantity") >= _CROSTON_QMIN)
         .groupBy(F.col("l_shipdate").cast("date").alias("d"))
@@ -4048,7 +4048,7 @@ def price_index_laspeyres_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base-year basket broadcasts at any scale."""
     from pyspark.sql import Window  # noqa: F401
 
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     py = li.groupBy(
         F.year("l_shipdate").cast("long").alias("y"), "l_partkey"
     ).agg(
@@ -4090,7 +4090,7 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily revenue as exact integer cents with a dense day rank —
     shared base of the trend estimators (exact: decimal sum, *100,
     BIGINT)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
@@ -4347,7 +4347,7 @@ def stratified_ate_priority_value(
     join on the customer key, ONE hash aggregate to stratum grain
     (map-side combinable conditional sums), then driver-trivial
     35-row arithmetic."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
         customer, orders["o_custkey"] == customer["c_custkey"]
@@ -4607,7 +4607,7 @@ def arc_price_elasticity_brand_yearly(
     would throw). 100 TB shape: one fact-side double join (part/orders
     dims broadcast-eligible), ONE hash aggregate to brand x year grain,
     then a lag window over the tiny aggregate."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_spread(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("y")
     )
@@ -4725,7 +4725,7 @@ def ewma_control_chart_daily_revenue(
     *, /, sqrt correctly rounded), so even this stateful chart
     hash-matches. 100 TB shape: one fact shuffle to the calendar grain;
     the recursion is resolution-bounded (≤ a few thousand days)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").alias("d")
     ).agg(money_sum("o_totalprice").alias("x"))
@@ -4965,7 +4965,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition count (one hash aggregate); the model solve is 4 rows x
     a closed expression, and thousands of variants/segments would
     parallelize as ordinary rows."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -5178,7 +5178,7 @@ def ccf_leadlag_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (date + integer-lag equi-key), and per-lag Pearson moments fold
     over the date-sorted pair list. 100 TB shape: one fact shuffle for
     the daily rollup; everything after runs on ≤ days·15 rows."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("long")
@@ -5261,7 +5261,7 @@ def new_vs_returning_daily_revenue(
     when the customer dimension fits), one calendar-grain aggregate.
     Counts are BIGINT; the split revenues are exact decimal sums with
     one double conversion each."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     first = orders.groupBy("o_custkey").agg(
         F.min(d).alias("first_d")
@@ -5342,7 +5342,7 @@ def ks_test_value_click_purchase(
     on that post-aggregation relation, and the max folds to one row.
     100 TB: value-grain cumsum — band per hash-bucket of values past
     ~1e8 distincts (documented mann_whitney convention)."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_type", "value"
     )
@@ -5798,7 +5798,7 @@ def jackknife_ratio_se_revenue_per_order(
     clustering unit, so the SE is valid under within-customer
     correlation. 100 TB shape: ONE map-side-combinable 16-group
     aggregate over the fact; everything else is 16-row arithmetic."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     bk = (
         F.expr(
             "conv(substring(md5(CAST(CAST(o_custkey AS STRING) AS BINARY)),"
@@ -5977,7 +5977,7 @@ def forecast_baselines_daily_revenue(
     shuffle to the calendar grain; split, lookups, and scoring all run
     on resolution-bounded relations (the forecasting-family
     convention)."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
     ).agg(
@@ -6330,7 +6330,7 @@ def rolling_ols_slope_daily_revenue(
     shuffle to the calendar grain, then a resolution-bounded sliding
     window (the documented calendar-grain single-partition window);
     per-series variants add the key to partitionBy."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_spread(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d"),
         F.datediff(
@@ -6418,7 +6418,7 @@ def watermark_lateness_audit_events(
     counts — hash-exact. 100 TB shape: one user-keyed window (the
     sessionization exchange) and one per-type aggregate; this audit is
     the empirical input the streaming twins' watermark settings cite."""
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table
 
 
 @query(
@@ -283,7 +283,7 @@ def countmin_term_frequency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.text import tokens
     from stadvdb_olap_spark.sources.parquet import spread
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("term")).filter(
         F.length("term") > 0
     )
@@ -406,7 +406,7 @@ def bloom_filter_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hash-checkable.)"""
     from stadvdb_olap_spark.sources.parquet import spread
 
-    cust = spread(load_table(spark, sf_dir, "customer"))
+    cust = load_spread(spark, sf_dir, "customer")
     setbit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BF_BITS} AS INT))")
     word_of = F.expr(f"p DIV {_BF_BITS}")
     positions = cust.select(
@@ -518,9 +518,8 @@ def hll_registers_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the corrected estimate driver-side from these registers
     and bounds it against the exact count instead."""
     from stadvdb_olap_spark.operators.mixture import salted_md5
-    from stadvdb_olap_spark.sources.parquet import spread
 
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_spread(spark, sf_dir, "events")
     h = salted_md5("user_id", "hll:")
     s = F.substring(h, 3, _HLL_RHO_HEX)
     df = ev.select(

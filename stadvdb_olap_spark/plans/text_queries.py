@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from stadvdb_olap_spark.functions import text as T
 from stadvdb_olap_spark.operators import text_dedup as TD
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread, load_table, spread
 
 STOPWORDS = ("the", "a")
 
@@ -85,7 +85,7 @@ FROM documents
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation —
     the budget metric for LLM corpus curation."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -112,7 +112,7 @@ FROM t
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals (length / punctuation / stopword ratios) —
     the filter stage of a pretraining data pipeline."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     stats = T.quality_stats("text", STOPWORDS)
     return docs.select(
         "doc_id",
@@ -180,7 +180,7 @@ def quality_logit_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit_keep,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         quality_logit("text").alias("logit"),
@@ -212,7 +212,7 @@ SELECT doc_id, {case} AS lang_pred FROM s
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword hit-rates
     (ties -> alphabetically first language)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", T.lang_scores("text", LANG_PROFILES).alias("lang_pred")
     )
@@ -225,7 +225,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of sorted distinct token
     set)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -242,7 +242,7 @@ GROUP BY content_hash
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized content hash."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.exact_dedup_groups(docs, "doc_id", "text")
 
 
@@ -254,7 +254,7 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signatures (16 hashes = 16 disjoint slices of
     ONE sha256 digest per shingle, over word 3-shingles) — computed
     row-locally, no shuffle."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, _SHINGLE_N)
 
 
@@ -271,7 +271,7 @@ WHERE a.doc_id < b.doc_id
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: shuffle on band keys only — near-dup
     discovery without the n^2 comparison."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.lsh_candidate_pairs(
         docs, "doc_id", "text", _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -301,7 +301,7 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard similarity —
     the verify stage runs only on colliding pairs."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.jaccard_verified_pairs(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -315,7 +315,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (sign-of-bit-sums over token md5s) —
     near-dup docs land on nearby hashes; bucket on the hash for candidate
     generation."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", TD.simhash("text", 16).alias("simhash16"))
 
 
@@ -367,7 +367,7 @@ def dedup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's full reachable set and taking the minimum label — both sides
     converge to component = min reachable id, so the hash oracle holds. A
     unit test additionally verifies against a driver-side union-find."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.dedup_clusters(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -436,7 +436,7 @@ def dedup_survivor_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_dedup.survivor_longest`` — the same definition the curation
     pipeline's near-dedup stage runs, so the app policy can never drift
     from this certified one."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return TD.survivor_longest(
         docs, "doc_id", "text", _JACCARD_T, _NUM_HASHES, _BAND_SIZE, _SHINGLE_N
     )
@@ -520,7 +520,7 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants are additionally pinned by unit tests."""
     from stadvdb_olap_spark.operators.pipeline import curate_corpus
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     return curate_corpus(
         docs, min_tokens=5, jaccard_threshold=_JACCARD_T,
         lang_profiles=LANG_PROFILES,
@@ -560,7 +560,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stadvdb_olap_spark.functions.text import tokens
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -662,7 +662,7 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n/stride), so the final short tail chunk is kept."""
     from stadvdb_olap_spark.functions.text import tokens
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     step = F.lit(_CHUNK_STRIDE).cast("long")
     out = (
         docs.select("doc_id", tokens("text").alias("toks"))
@@ -851,7 +851,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score with doc_id tiebreak so ordering is engine-independent."""
     from pyspark.sql import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select("doc_id", T.tokens("text").alias("toks"))
     dl = toked.select("doc_id", F.size("toks").cast("long").alias("dl"))
     stats = dl.agg(
@@ -981,7 +981,7 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered caps the output — every key grows with the corpus, no
     driver loop. The degree/freq ratio divides exact BIGINTs; the
     per-phrase sum folds <= 4 doubles in list order: hash-stable."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(T.tokens("text")).alias("pos", "word"),
@@ -1113,7 +1113,7 @@ def rrf_fusion_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.operators.similarity import brute_force_topk
 
     bm = bm25_topk_docs(spark, sf_dir).select("doc_id", "rank")
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     dn = (
         brute_force_topk(
             emb.filter(F.col("vec_id") == _RRF_QVEC), emb, k=_RRF_TOPK
@@ -1203,7 +1203,7 @@ def tree_ensemble_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a literal threshold and every leaf is an integer, so the
     summed score is exact on both engines. Scan-bound, no shuffle; the
     ensemble is data (swap thresholds without replanning)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     stats = T.quality_stats("text", STOPWORDS)
     feats = {
         "n_tokens": stats["n_tokens"].cast("double"),
@@ -1268,7 +1268,7 @@ def readability_fk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in a PINNED op order over two exact-integer divisions with
     the published constants as literals — hash-exact. Scan-bound row-
     local projection; fuses with any other per-document screen."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     t = T.tokens("text")
     n_words = F.size(t).cast("long")
     n_sent = F.greatest(
@@ -1330,7 +1330,7 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates keyed on (source, token) then source; at 100 TB
     the (source, token) aggregate is the only real shuffle and is
     exactly the TF pass the certified TF-IDF queries already run."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     tf = (
         docs.select("source", F.explode(T.tokens("text")).alias("tok"))
         .groupBy("source", "tok")
@@ -1399,7 +1399,7 @@ def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram stream and two model-key joins (the margins are dictionary-
     sized); the final top-k is a single bounded window over the
     support-filtered candidate set."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     toked = docs.select(T.tokens("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -1480,7 +1480,7 @@ def chao1_vocab_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator spends two divisions on exact-integer operands. 100 TB
     shape: one vocabulary-keyed aggregate (map-side combinable), then a
     1-row reduce — the same plan as any word count."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(T.tokens("text")).alias("w"))
         .groupBy("w")

@@ -23,7 +23,7 @@ from stadvdb_olap_spark.operators.similarity import (
     near_dup_pairs_blocked,
 )
 from stadvdb_olap_spark.plans.catalog import query
-from stadvdb_olap_spark.sources.parquet import load_table, spread
+from stadvdb_olap_spark.sources.parquet import load_spread
 
 _N_QUERIES = 5
 _K = 10
@@ -55,7 +55,7 @@ WHERE rn <= {_K}
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k}: broadcast query set x all candidates, windowed
     top-k per query. The correctness baseline for ANN variants."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return brute_force_topk(queries, emb, k=_K)
 
@@ -73,7 +73,7 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEAR_DUP_T}
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs blocked on the label column — the
     shuffle key is the block, never the n^2 pair space."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     return near_dup_pairs_blocked(emb, "label", _NEAR_DUP_T)
 
 
@@ -142,7 +142,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal) hyperplanes make even this approximate query
     hash-checkable: the DuckDB twin buckets with identical literals and
     deduplicates multi-table collisions the same way."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_bucketed_topk(
         queries, emb, k=_K, n_planes=6, n_tables=_LSH_TABLES
@@ -195,7 +195,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md. Deterministic pinned hyperplanes keep even the probed
     variant hash-certifiable — the oracle replays the flipped-signature
     fan-out bit-for-bit."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_bucketed_topk(
         queries,
@@ -217,7 +217,7 @@ def ann_topk_pandas_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing (broadcast queries, per-batch top-k, global merge). The
     raw-BLAS variant of the operator (``exact_fold=False``) stays the
     throughput path; a unit test pins its rank agreement."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_pandas(queries, emb, k=_K, exact_fold=True)
 
@@ -230,7 +230,7 @@ def ann_topk_arrow_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ``exact_fold=True`` device as ``ann_topk_pandas_gemm``."""
     from stadvdb_olap_spark.operators.similarity import cosine_topk_arrow
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_arrow(queries, emb, k=_K, exact_fold=True)
 
@@ -297,7 +297,7 @@ def hard_negatives_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label rows cost nothing). Scale path: swap the crossJoin for the
     LSH-bucketed candidate generator unchanged — the label filter
     composes with either."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
 
     from stadvdb_olap_spark.functions.vectors import cosine
@@ -399,7 +399,7 @@ def ann_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pinned-order cosine fold."""
     from stadvdb_olap_spark.operators.similarity import binary_quant_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return binary_quant_topk(queries, emb, k=_K, prefilter=_BQ_PREFILTER)
 
@@ -460,7 +460,7 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking exactly."""
     from stadvdb_olap_spark.operators.similarity import ivf_fixed_topk
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < _IVF_C).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -510,7 +510,7 @@ def semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the cluster id, never the n^2 pair space."""
     from stadvdb_olap_spark.operators.similarity import semdedup_fixed
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < _SEM_C).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -555,7 +555,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_lloyd_step,
     )
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     cents0 = emb.filter(F.col("vec_id") < _IVF_C).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -603,7 +603,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale n_clusters with the corpus, the knob the paper uses)."""
     from stadvdb_olap_spark.operators.similarity import semdedup_refined
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     cents0 = emb.filter(F.col("vec_id") < _SEM_C).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -653,7 +653,7 @@ def pca_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     visualization-map primitive (and the first stage of PCA-whitened
     indexing). Scan-bound: one narrow projection, no shuffle, no
     Python; 128 fused multiply-adds stay inside whole-stage codegen."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
 
     def proj(vec: tuple):
         acc = None
@@ -732,7 +732,7 @@ def embedding_centroid_drift_labels(
     the plain per-dim map-side-combinable `F.sum`, one hash aggregate
     over (label, dim) — and the pair stage is |labels|^2/2 = 45 rows,
     driver-trivial either way."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     e = emb.select(
         "label", F.posexplode("embedding").alias("dim", "val")
     ).select("label", "dim", F.col("val").cast("double").alias("val"))
@@ -884,7 +884,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is one windowed rank. The exact-cosine sibling
     `ann_cosine_topk` is the recall baseline."""
     books = _pq_codebooks()
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
 
     def dist_col(vec_col: str, m: int, k: int):
         expr = F.lit(0.0)
@@ -989,7 +989,7 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the exact side is one scan + per-query top-k (same as
     ann_cosine_topk); the PQ side reads codes only; the overlap is a
     join of two k-row relations."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
     q = emb.filter(F.col("vec_id") == _PQ_QUERY).select(
@@ -1111,7 +1111,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale; everything after operates on the 20-row candidate
     pool (20x20 pair sims, 10 tiny argmax sorts) — re-ranking cost is
     O(k·|cands|), independent of corpus size."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     from stadvdb_olap_spark.functions.vectors import cosine
 
     q = emb.filter(F.col("vec_id") == _MMR_QUERY).select(
@@ -1250,7 +1250,7 @@ def ann_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stadvdb_olap_spark.functions.vectors import cosine
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
     )
@@ -1415,7 +1415,7 @@ def _pqf_d_col(vec_col: str, m: int):
 def _pqf_fitted_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC shortlist: top-R neighbor ids by the fitted 2-byte codes.
     Shared by the rerank query and the recall audit."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     d = emb.select(
         "vec_id",
         *[_pqf_d_col("embedding", m).alias(f"d_{m}") for m in range(_PQF_M)],
@@ -1480,7 +1480,7 @@ def ann_pq_fitted_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfitted codebooks are not enough. 100 TB shape: the ADC scan is
     one narrow pass over codes; the re-rank is a broadcast semi-join
     bounded by R."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     short = _pqf_fitted_shortlist(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == _PQF_QUERY).select(
         F.col("embedding").alias("qv")
@@ -1538,7 +1538,7 @@ def ann_pq_fitted_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.05 that `ann_pq_recall_audit` keeps as the cautionary baseline).
     Both rankings replay in the oracle, so the measured recall itself
     is certified, not eyeballed from a probe tool."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _PQF_QUERY).select(
         F.col("embedding").alias("qv")
     )
@@ -1684,7 +1684,7 @@ def _ivfadc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stadvdb_olap_spark.functions.vectors import l2_sq
     from stadvdb_olap_spark.operators.similarity import _assign_min_l2
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     cents = _ivf_cells_df(spark)
     ca = _assign_min_l2(emb, cents, "vec_id", "embedding", "cid", "cv")
     q = emb.filter(F.col("vec_id") == _IVFADC_QUERY).select(
@@ -1713,7 +1713,7 @@ def _ivfadc_topk_from(
     """The ADC-shortlist + exact-rerank tail of IVFADC over an
     already-computed candidate set (so the audit can share ONE coarse
     assignment pass with the retrieval instead of running it twice)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
     d = cand.select(
@@ -1855,7 +1855,7 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     earns its prune. Both rankings, the candidate set, and the coverage
     all replay in the oracle, so every number is signed, not
     eyeballed."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = load_spread(spark, sf_dir, "embeddings")
     from stadvdb_olap_spark.functions.vectors import l2_sq
 
     q = emb.filter(F.col("vec_id") == _IVFADC_QUERY).select(

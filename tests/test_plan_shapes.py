@@ -59,14 +59,16 @@ def test_q5_star_join_broadcasts_all_dims(spark, registry):
 def test_chunking_has_no_exchange(spark, registry):
     plan = _formatted_plan(registry["chunk_documents_sliding"].fn(spark, SF))
     body = plan.split("== Physical Plan ==")[-1]
-    # the only exchange allowed is spread()'s round-robin widening
+    # the only exchange allowed is spread()'s fixture-widening repartition
+    # (keyed hash since r12 — REPARTITION_BY_NUM tags it; a required
+    # ENSURE_REQUIREMENTS exchange would mean the chunking itself shuffles)
     n_exchange = sum(
         1
         for ln in body.splitlines()
         if ln.strip().startswith("(") and ") Exchange" in ln
     )
-    roundrobin = body.count("RoundRobinPartitioning")
-    assert n_exchange == roundrobin  # narrow-only besides spread()
+    widen = body.count("REPARTITION_BY_NUM")
+    assert n_exchange == widen  # narrow-only besides spread()
 
 
 def test_sample_orders_is_scan_plus_filter_only(spark, registry):
@@ -246,8 +248,13 @@ def test_training_shards_single_exchange(spark, registry):
     )
     body = df._jdf.queryExecution().explainString(jmode)
     assert "Exchange SinglePartition" not in body
-    n_hash_exchange = body.count("Exchange hashpartitioning")
-    # (spread()'s round-robin fixture mitigation may add a non-hash exchange)
+    # spread()'s fixture widening is a keyed REPARTITION_BY_NUM exchange
+    # since r12 — count only the exchanges the query's semantics REQUIRE
+    n_hash_exchange = sum(
+        1
+        for ln in body.splitlines()
+        if "Exchange hashpartitioning" in ln and "REPARTITION_BY_NUM" not in ln
+    )
     assert n_hash_exchange == 1, body
 
 
@@ -278,7 +285,18 @@ def test_inverted_index_two_hash_exchanges(spark, registry):
     )
     body = df._jdf.queryExecution().explainString(jmode)
     assert "Exchange SinglePartition" not in body
-    assert body.count("Exchange hashpartitioning") == 2, body
+    n_required = sum(
+        1
+        for ln in body.splitlines()
+        if "Exchange hashpartitioning" in ln and "REPARTITION_BY_NUM" not in ln
+    )
+    # r12: spread()'s doc_id-keyed widening exchange now SATISFIES the
+    # per-(term, doc) distinct's clustering requirement (hash on a subset
+    # of the group keys clusters the full key), so Catalyst plans only
+    # the per-term aggregate exchange on the single-file fixture. On a
+    # real multi-file scan spread() is a no-op and the distinct pays its
+    # own exchange again — still exactly two, never a global sort.
+    assert n_required == 1, body
 
 
 def test_interval_overlap_is_an_equi_join(spark, registry):

@@ -45,6 +45,19 @@ def get_session(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) caps the parallelism of
+        # small-shuffle stages: a 12 MB post-shuffle stage coalesces to
+        # ~12 tasks no matter how many cores are idle (measured -15..30%
+        # on the window/merge/sessionize headliners at sf0.1 with 64k).
+        # Scale-neutral: once per-partition bytes exceed the floor —
+        # always true at production shuffle sizes, where advisory sizing
+        # governs — the floor is inert; it also still bounds the
+        # partition count of an N-byte shuffle at N/minPartitionSize.
+        # Env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime row-level pruning: inject bloom filters from the small
         # side of selective joins into the big side's scan — a large-scan

@@ -340,13 +340,20 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # Two-level: one exact-decimal aggregate at the finest (r, n) grain,
+    # then Expand over those ~|r x n| rows instead of every order row.
+    # Decimal sums re-aggregate exactly, so the rounded double is
+    # identical (same oracle; see rollup_revenue_region_nation).
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.sum(dec("o_totalprice")).alias("__rev_exact")
+    )
     return (
-        joined.groupingSets(
+        base.groupingSets(
             [["r_name", "n_name"], ["r_name"], []], "r_name", "n_name"
         )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            money_sum("o_totalprice").alias("revenue"),
+            F.round(F.sum("__rev_exact"), 2).cast("double").alias("revenue"),
         )
         .select("r_name", "n_name", "gid", "revenue")
     )

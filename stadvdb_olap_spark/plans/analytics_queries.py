@@ -273,9 +273,16 @@ GROUP BY ROLLUP(r_name, n_name)
 )
 def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (region -> nation -> grand total) with a
-    grouping id to disambiguate NULL group labels from NULL data. The fact
-    scan is spread so the Expand (3x rows) + decimal partial aggregate run
-    at full parallelism when the fixture is a single file."""
+    grouping id to disambiguate NULL group labels from NULL data.
+
+    Two-level shape (guide §2.3 "aggregate before you shuffle"): the fact
+    is first aggregated ONCE at the finest (r_name, n_name) grain in
+    exact decimal, and ROLLUP's Expand runs over those ~|regions x
+    nations| rows instead of tripling every fact row. Decimal sums are
+    exactly associative, so re-aggregating the per-(r, n) exact sums and
+    rounding at the end is provably the same value the direct rollup
+    produces — re-certified against the unchanged DuckDB oracle. At 100
+    TB this removes an Expand over the whole fact (3x map-side rows)."""
     li = load_spread(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -288,9 +295,15 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.sum(dec(revenue)).alias("__rev_exact")
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg(money_sum(revenue).alias("revenue"), F.grouping_id().alias("gid"))
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("__rev_exact"), 2).cast("double").alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
         .select("r_name", "n_name", F.col("gid").cast("long").alias("gid"), "revenue")
     )
 
@@ -308,11 +321,16 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 )
 def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two categorical dims: all 2^2 grouping combinations in one
-    pass (Spark expands to a union of aggregates under AQE)."""
+    pass. Two-level (see rollup_revenue_region_nation): counts are
+    exactly additive, so the cube's Expand runs over the ~|status x
+    priority| base aggregate instead of 4x every order row."""
     orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("__n").alias("n"), F.grouping_id().alias("gid"))
         .select(
             "o_orderstatus", "o_orderpriority",
             F.col("gid").cast("long").alias("gid"), "n",

@@ -26,6 +26,7 @@ Three tiers, trading exactness for scale:
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,6 +34,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stadvdb_olap_spark.functions.vectors import cosine, dot, l2_norm, l2_sq
+
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 #: Hard ceiling on how many query rows the pandas/IVF paths will pull onto
 #: the driver. ANN query sets are small by contract (the corpus is the big
@@ -102,13 +105,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def lsh_signature_expr_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Spark-SQL text of :func:`lsh_signature` — the identical tree in one
+    parse. The hyperplane literals alone are n_planes x dim Column ops on
+    the py4j path (~1 ms each of driver wall per QUERY BUILD; the 8-table
+    multiprobe plan embeds 3072 of them), so the string form cuts seconds
+    off every LSH plan construction."""
+    dim = len(planes[0])
+    guard = (
+        f"CAST(CASE WHEN size({vec_expr}) != {dim} THEN "
+        f"raise_error(concat('lsh_signature: vector length (', "
+        f"CAST(size({vec_expr}) AS STRING), ') != plane dim ({dim})')) "
+        f"ELSE 0 END AS BIGINT)"
+    )
+    terms = [guard]
+    for r, plane in enumerate(planes):
+        lit = "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_expr}, {lit}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"CAST(CASE WHEN {d} > 0 THEN {2 ** r} ELSE 0 END AS BIGINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_signature(vec_col, planes: list[list[float]]):
     """Bit-signature column: bit r = 1 iff dot(vec, plane_r) > 0.
 
     FAILS LOUDLY on a vector whose length differs from the plane
     dimension: ``zip_with`` would null-pad the shorter side, every dot
     product would go NULL, and EVERY row would land in bucket 0 — a
-    silent O(Q*N) single-bucket skew cliff instead of an error."""
+    silent O(Q*N) single-bucket skew cliff instead of an error.
+
+    Plain column names take the one-parse ``F.expr`` path (identical
+    tree; see :func:`lsh_signature_expr_sql`)."""
+    if isinstance(vec_col, str) and _IDENT_RE.match(vec_col):
+        return F.expr(lsh_signature_expr_sql(f"`{vec_col}`", planes))
     dim_guard = F.raise_error(
         F.concat(
             F.lit("lsh_signature: vector length ("),
@@ -173,7 +206,7 @@ def lsh_bucketed_topk(
     def with_sigs(df, id_alias, id_src, vec_alias, probe_flips=False):
         entries = []
         for t in range(n_tables):
-            s = lsh_signature(F.col(vec_col), tables[t])
+            s = lsh_signature(vec_col, tables[t])
             entries.append(
                 F.struct(F.lit(t).cast("int").alias("t"), s.alias("s"))
             )

@@ -64,6 +64,19 @@ def get_session(
         # saver at 100 TB, harmless locally.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # PySpark 4's DataFrame error-context capture wraps EVERY Column
+        # function in a user-stack walk plus ~11 extra py4j round trips
+        # (getActiveSession + conf.get + PySparkCurrentOrigin.set per
+        # call): measured 6.0 ms -> 0.8 ms per F.col with it off, ~25% of
+        # headline plan-build driver wall. The cost is per expression
+        # CONSTRUCTION, so it taxes every query build in the timed bench
+        # region and every driver-sim sweep. Trade-off: error messages
+        # lose the per-call-site enrichment (plans and results are
+        # unaffected); flip the env to re-enable while debugging.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch Python UDTF row transfer (functions/udtfs.py) —
         # the pickled fallback is correct but slower.

@@ -29,3 +29,12 @@ def test_spread_keyed_form_skips_the_presort(spark):
     keyless = spread(li)
     plan2 = keyless._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan2
+
+
+def test_dataframe_debugging_off_by_default(spark):
+    """PySpark's per-Column-call error-context capture (~11 py4j round
+    trips per expression construction) is disabled in the performance
+    posture; SPARK_GRAFT_DF_DEBUGGING=true restores it for debugging."""
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    )

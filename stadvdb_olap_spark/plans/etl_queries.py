@@ -448,14 +448,12 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc_map = nation.select(
         "n_nationkey", surrogate_key(["n_name"], method="md5").alias("location_sk")
     )
-    cust_lookup = (
-        cust.select(
-            "c_custkey",
-            "c_nationkey",
-            surrogate_key(["c_name"], method="md5").alias("user_sk"),
-        )
-        .join(F.broadcast(loc_map), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "user_sk", "location_sk")
+    cust_lookup = cust.join(
+        F.broadcast(loc_map), cust.c_nationkey == loc_map.n_nationkey
+    ).select(
+        "c_custkey",
+        surrogate_key(["c_name"], method="md5").alias("user_sk"),
+        "location_sk",
     )
     part_lookup = part.select(
         "p_partkey",
@@ -506,15 +504,19 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast_if_small(part_lookup, size_proxy=part),
             base.l_partkey == part_lookup.p_partkey,
         )
-        .withColumn("revenue", ceil_to_cents(F.col("quantity") * F.col("p_retailprice")))
         # gate on orders: the date map is a distinct projection of one
         # orders column (+ fixed-width key), so orders' estimate bounds it
         .join(broadcast_if_small(date_map, size_proxy=orders), "order_date")
     )
 
     return resolved.select(
-        "order_number", "quantity", "revenue", "user_sk", "product_sk",
-        "location_sk", "date_sk",
+        "order_number",
+        "quantity",
+        ceil_to_cents(F.col("quantity") * F.col("p_retailprice")).alias("revenue"),
+        "user_sk",
+        "product_sk",
+        "location_sk",
+        "date_sk",
     )
 
 

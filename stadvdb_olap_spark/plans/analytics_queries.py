@@ -47,8 +47,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table. One hash-shuffle on (returnflag, linestatus) with
     map-side partial aggregation — the plan Catalyst picks automatically.
     ``spread`` parallelizes the partial aggregate when the scan yields fewer
-    partitions than cores (single-row-group fixture files)."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    partitions than cores (single-row-group fixture files); it keys on a
+    high-cardinality measure the query already reads, so the widening
+    exchange adds no scan columns."""
+    li = load_spread(spark, sf_dir, "lineitem", "l_extendedprice")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -123,7 +125,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism when the fixture is a single file (at scale the scan
     already parallelizes and spread() is a no-op, leaving the classic
     one-fact-shuffle star)."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -283,7 +285,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding at the end is provably the same value the direct rollup
     produces — re-certified against the unchanged DuckDB oracle. At 100
     TB this removes an Expand over the whole fact (3x map-side rows)."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

@@ -132,7 +132,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scan-level parquet pushdown (range on shipdate/discount/quantity),
     then a single global decimal sum. No shuffle beyond the final 1-row
     reduce; at 100 TB this is min/max row-group skipping territory."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_extendedprice")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -281,7 +281,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin over one row); the per-part agg is the only
     real shuffle. Both comparison sides are exact decimal sums cast to
     double; the distinct-part count is exact."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    # spread on the group key: the widening exchange then SATISFIES the
+    # per-part aggregate's clustering, so no second exchange is planned
+    li = load_spread(spark, sf_dir, "lineitem", "l_partkey")
     pv = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("val"))
     total = li.agg(
         (

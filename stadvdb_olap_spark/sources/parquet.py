@@ -131,11 +131,21 @@ SPREAD_KEYS = {
 }
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
     """``load_table`` + keyed ``spread`` on the table's natural key — the
     standard way catalog queries widen a single-file fixture scan without
-    paying the round-robin pre-sort."""
-    return spread(load_table(spark, sf_dir, name), *SPREAD_KEYS[name])
+    paying the round-robin pre-sort.
+
+    Explicit ``keys`` override the natural key: pass a high-cardinality
+    column the query ALREADY reads so the exchange adds no extra scan
+    columns or shuffle bytes (e.g. q1 spreads lineitem on
+    l_extendedprice instead of the otherwise-unused orderkey pair —
+    measured ~0.1 s at sf0.1); a key the downstream joins or groups on
+    additionally lets the widening exchange satisfy that operator's
+    clustering requirement outright."""
+    return spread(load_table(spark, sf_dir, name), *(keys or SPREAD_KEYS[name]))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -11,10 +11,12 @@ formulation every LLM tokenizer descends from), shaped for Spark:
 2. Each of ``n_merges`` rounds: explode adjacent symbol pairs from the
    word vocabulary (weighted by word count), aggregate pair counts,
    pick the argmax pair (count desc, then lexicographic pair — fully
-   deterministic), and rewrite every word's symbol array merging that
-   pair (left-to-right, non-overlapping — the pandas step; the vocab is
-   small, so the per-round cost is a vocabulary-sized map + a
-   vocabulary-sized aggregate).
+   deterministic), and rewrite every word's symbol state merging that
+   pair (left-to-right, non-overlapping — ONE literal ``replace`` over
+   the CHR(31)-wrapped state string, a pure JVM expression; the vocab
+   is small, so the per-round cost is a vocabulary-sized projection +
+   a vocabulary-sized aggregate, with no Python boundary anywhere in
+   the training loop).
 3. The merge list IS the tokenizer; ``bpe_encode`` applies the merges
    in learned order to any text.
 
@@ -52,36 +54,64 @@ def _merge_symbols(symbols: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+_US = "\x1f"  # unit-separator symbol wrapper; never appears in tokens
+
+
+def _wrap(sym: str) -> str:
+    return f"{_US}{sym}{_US}"
+
+
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus pass: (word, count) with words split to character symbols
-    + the end-of-word sentinel. The ONLY fact-sized aggregation."""
+    """Corpus pass: (word, n, state) where ``state`` is the word's
+    symbol sequence (character symbols + the end-of-word sentinel) as a
+    CHR(31)-wrapped, space-joined string — the representation in which
+    one literal ``replace`` IS one left-to-right non-overlapping merge
+    (identical semantics to ``_merge_symbols``; the same device as
+    :func:`pair_frontier_after` and the DuckDB replay oracle). The ONLY
+    fact-sized aggregation."""
     words = docs.select(F.explode(tokens(text_col)).alias("word")).where(
         F.col("word") != ""
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    symbols = F.concat(
-        F.split(F.col("word"), ""), F.array(F.lit(END))
+    state = F.concat(
+        F.regexp_replace("word", "(.)", f"{_US}$1{_US} "),
+        F.lit(_wrap(END)),
     )
-    return counts.select("word", "n", symbols.alias("symbols"))
+    return counts.select("word", "n", state.alias("state"))
+
+
+def _apply_merge(state_col, a: str, b: str):
+    """One merge as one literal replace over the wrapped state string —
+    a JVM expression, so merge application never crosses the Python
+    boundary (guide §4: the trainers previously rewrote every word's
+    symbol list in per-round ``mapInPandas`` stages)."""
+    return F.replace(
+        state_col, F.lit(f"{_wrap(a)} {_wrap(b)}"), F.lit(_wrap(a + b))
+    )
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    idx = F.sequence(F.lit(0), F.size("symbols") - 2)
+    arr = F.split(F.col("state"), " ")
+    idx = F.sequence(F.lit(0), F.size("arr") - 2)
     return (
-        vocab.where(F.size("symbols") >= 2)
+        vocab.select("n", arr.alias("arr"))
+        .where(F.size("arr") >= 2)
         .select(
             "n",
             F.explode(
                 F.transform(
                     idx,
                     lambda i: F.struct(
-                        F.col("symbols")[i].alias("a"),
-                        F.col("symbols")[i + 1].alias("b"),
+                        F.col("arr")[i].alias("a"),
+                        F.col("arr")[i + 1].alias("b"),
                     ),
                 )
             ).alias("p"),
         )
-        .groupBy("p.a", "p.b")
+        .groupBy(
+            F.btrim(F.col("p.a"), F.lit(_US)).alias("a"),
+            F.btrim(F.col("p.b"), F.lit(_US)).alias("b"),
+        )
         .agg(F.sum("n").alias("cnt"))
     )
 
@@ -98,7 +128,7 @@ def bpe_train(
 
     Stops early when no pair reaches ``min_pair_count`` (nothing left
     worth merging). The returned rank order is the application order."""
-    vocab = word_vocab(docs, text_col).localCheckpoint()
+    vocab = word_vocab(docs, text_col).select("n", "state").localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -111,18 +141,8 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
         merges.append((rank, a, b, int(cnt)))
-
-        def apply_merge(pdf, a=a, b=b):
-            pdf["symbols"] = [
-                _merge_symbols(list(s), a, b) for s in pdf["symbols"]
-            ]
-            return pdf
-
-        vocab = vocab.mapInPandas(
-            lambda it, a=a, b=b: (
-                apply_merge(pdf, a, b) for pdf in it
-            ),
-            vocab.schema,
+        vocab = vocab.select(
+            "n", _apply_merge(F.col("state"), a, b).alias("state")
         )
         if (rank + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
@@ -145,9 +165,14 @@ def _created_pair_bounds(
     only removes instances, never adds). One vocabulary-sized aggregate
     for the whole candidate batch; candidates ride a broadcast join."""
     cand_df = spark.createDataFrame(list(cands), "ca string, cb string")
+    arr = F.split(F.col("state"), " ")
+    unwrapped = vocab.select(
+        "n",
+        F.transform(arr, lambda s: F.btrim(s, F.lit(_US))).alias("symbols"),
+    )
     idx = F.sequence(F.lit(0), F.size("symbols") - 3)
     triples = (
-        vocab.where(F.size("symbols") >= 3)
+        unwrapped.where(F.size("symbols") >= 3)
         .select(
             "n",
             F.explode(
@@ -228,10 +253,11 @@ def bpe_train_frontier(
     skips the bounds job — exact parity with the sequential trainer);
     typical English-like corpora batch 2-6 disjoint top pairs per
     round. All distributed work stays vocabulary-sized (Heaps' law)."""
-    vocab = word_vocab(docs, text_col).localCheckpoint()
+    vocab = word_vocab(docs, text_col).select("n", "state").localCheckpoint()
     alphabet = {
         r["s"]
-        for r in vocab.select(F.explode("symbols").alias("s"))
+        for r in vocab.select(F.explode(F.split("state", " ")).alias("s"))
+        .select(F.btrim("s", F.lit(_US)).alias("s"))
         .distinct()
         .collect()
     }
@@ -286,15 +312,10 @@ def bpe_train_frontier(
         )
         alphabet.update(a + b for a, b in batch)
 
-        def apply_batch(pdfs, batch=batch):
-            for pdf in pdfs:
-                syms = pdf["symbols"]
-                for a, b in batch:
-                    syms = [_merge_symbols(list(s), a, b) for s in syms]
-                pdf["symbols"] = syms
-                yield pdf
-
-        vocab = vocab.mapInPandas(apply_batch, vocab.schema)
+        state = F.col("state")
+        for a, b in batch:
+            state = _apply_merge(state, a, b)
+        vocab = vocab.select("n", state.alias("state"))
         rounds += 1
         if rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()

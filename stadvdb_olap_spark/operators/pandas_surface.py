@@ -60,32 +60,58 @@ def asof_join_cogrouped(
     date. For non-integral keys/values, map to surrogate longs first
     (functions/keys.py) — the declarative twin in advanced_queries has
     no such restriction.
-    """
-    import numpy as np
+
+    The cogroup key is a KEY-HASH BUCKET, not the raw key (guide §4:
+    coarsen Python groups so Arrow batches are large): cogrouped
+    applyInPandas invokes the Python function once per group, so keying
+    on the raw user key costs one interpreter crossing + two pandas
+    frame constructions per key (~10⁴ calls on the fixture — measured
+    ~3x the whole join's useful work). Each bucket's as-of matching is
+    one vectorized ``pd.merge_asof(..., by=key)`` — the same
+    backward/exact-allowed, greatest-ts-wins semantics, grouped in C.
+    Bucket count scales with the session's parallelism, so batches stay
+    large while every core gets work at any data size."""
+
+    n_buckets = left.sparkSession.sparkContext.defaultParallelism * 2
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame({left_id: [], left_key: [], out_col: []})
-        lts = pd.to_datetime(lpdf[left_ts]).to_numpy()
+        l = lpdf.assign(__ts=pd.to_datetime(lpdf[left_ts])).sort_values(
+            "__ts", kind="mergesort"
+        )
         if rpdf.empty:
-            matched = np.full(len(lpdf), None, dtype=object)
+            matched = pd.array([None] * len(l), dtype="Int64")
         else:
-            rpdf = rpdf.sort_values(right_ts)
-            rts = pd.to_datetime(rpdf[right_ts]).to_numpy()
-            rval = rpdf[right_val].to_numpy()
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            matched = np.where(idx >= 0, rval[np.clip(idx, 0, None)], None)
+            r = rpdf.assign(
+                __ts=pd.to_datetime(rpdf[right_ts]),
+                __val=rpdf[right_val].astype("Int64"),
+            )[[right_key, "__val", "__ts"]].sort_values(
+                "__ts", kind="mergesort"
+            )
+            m = pd.merge_asof(
+                l[[left_id, left_key, "__ts"]],
+                r,
+                on="__ts",
+                left_by=left_key,
+                right_by=right_key,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            matched = m["__val"].astype("Int64")
         return pd.DataFrame(
             {
-                left_id: lpdf[left_id].to_numpy(),
-                left_key: lpdf[left_key].to_numpy(),
-                out_col: pd.array(matched, dtype="Int64"),
+                left_id: l[left_id].to_numpy(),
+                left_key: l[left_key].to_numpy(),
+                out_col: matched,
             }
         )
 
+    lb = left.withColumn("__b", F.pmod(F.col(left_key), F.lit(n_buckets)))
+    rb = right.withColumn("__b", F.pmod(F.col(right_key), F.lit(n_buckets)))
     return (
-        left.groupBy(left_key)
-        .cogroup(right.groupBy(right_key))
+        lb.groupBy("__b")
+        .cogroup(rb.groupBy("__b"))
         .applyInPandas(
             merge,
             schema=f"{left_id} long, {left_key} long, {out_col} long",

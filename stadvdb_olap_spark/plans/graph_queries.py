@@ -395,14 +395,20 @@ FROM tr CROSS JOIN w
 )
 def triangle_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
-    co-occurrence graph — the classic cohesion analytic. Triangles
-    enumerate over ID-ORDERED edges only (a<b<c: each triangle counted
-    once, the standard orientation trick), so the wedge join is bounded
-    by ordered out-degrees, never deg² of hubs in both directions; the
-    closing membership check is an equi-join back to the edge list.
-    All integers until one final division — hash-exact. At 100 TB the
-    same plan holds with degree-ordered orientation (point the edges
-    from low- to high-degree endpoints) when hub skew matters."""
+    co-occurrence graph — the classic cohesion analytic. Triangles are
+    counted by DEGREE-ORDERED adjacency intersection
+    (operators/graph.py:triangle_count_oriented): edges orient from the
+    lower-(degree, id) endpoint to the higher, per-node out-neighbor
+    arrays are bounded by O(sqrt(|E|)) even at a hub, and one pass over
+    the oriented edges sums |N+(u) ∩ N+(w)| — each triangle counted
+    exactly once at its base edge. The same integer n_triangles as the
+    id-ordered wedge self-join the oracle replays, WITHOUT materializing
+    the Σ out-deg² wedge relation as join input (tens of millions of
+    rows at sf0.1 — an OOM at local[32] on the default heap, and the
+    hub-skew scale-killer at 100 TB). All integers until one final
+    division — hash-exact."""
+    from stadvdb_olap_spark.operators.graph import triangle_count_oriented
+
     e0 = _part_pairs(spark, sf_dir)
     deg = (
         e0.select(F.col("src").alias("v"))
@@ -413,14 +419,7 @@ def triangle_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
     )
-    p1 = e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    p2 = e0.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    closing = e0.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = (
-        p1.join(p2, "b")
-        .join(closing, ["a", "c"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    tri = triangle_count_oriented(e0)
     return tri.crossJoin(F.broadcast(wedges)).select(
         "n_triangles",
         "n_wedges",
@@ -836,17 +835,16 @@ def triangle_census_copurchase_parts(
     """TRIANGLE CENSUS + global clustering coefficient over the
     part-copurchase projection (parts co-ordered in the same order;
     thinned to every-10th part so the projection's density stays
-    scale-proportional, the orphan-audit thinning precedent). Edges are
-    oriented low-id -> high-id, so each triangle is counted EXACTLY
-    once by the two-join closure (e1: a<b, e2: b<c, e3: a<c) — the
-    standard distributed node-iterator formulation, all-integer and
-    hash-exact; wedges = sum over nodes of deg-choose-2 (BIGINT DIV),
-    and 3*triangles/wedges is the one final float. 100 TB shape: the
-    pair-generation shuffle keys on the order id (within-order
-    quadratic only — basket sizes are bounded), the closure joins key
-    on vertex ids, and the production refinement (orient edges
-    low-DEGREE -> high-degree, splitting high-degree hubs) composes
-    without changing semantics."""
+    scale-proportional, the orphan-audit thinning precedent). Triangles
+    are counted by degree-ordered adjacency intersection
+    (operators/graph.py:triangle_count_oriented) — each triangle counted
+    EXACTLY once at its base edge, the same integer the oracle's
+    id-ordered two-join closure produces, with hub out-degrees bounded
+    by the orientation; wedges = sum over nodes of deg-choose-2 (BIGINT
+    DIV), and 3*triangles/wedges is the one final float. 100 TB shape:
+    the pair-generation shuffle keys on the order id (within-order
+    quadratic only — basket sizes are bounded), the orientation and
+    adjacency joins key on vertex ids."""
     li = load_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).filter(F.col("pk") % 10 == 0)
@@ -858,14 +856,9 @@ def triangle_census_copurchase_parts(
         .select("pa", "pb")
         .distinct()
     )
-    e1 = pp.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = pp.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    e3 = pp.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    from stadvdb_olap_spark.operators.graph import triangle_count_oriented
+
+    tri = triangle_count_oriented(pp, src="pa", dst="pb")
     deg = (
         pp.select(F.col("pa").alias("node"))
         .unionAll(pp.select(F.col("pb").alias("node")))

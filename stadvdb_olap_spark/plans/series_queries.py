@@ -3282,8 +3282,23 @@ def recsys_eval_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_partkey")
         .distinct()
     )
+    # Repartition the scored pairs by CUSTOMER before aggregating
+    # (guide §2.5/§5): the profile⋈covisit output is part-partitioned,
+    # so every map-side partial-agg map would hold a near-global mix of
+    # the ~|customers|·|cands| group space (32 concurrent ~0.5M-entry
+    # hash maps OOM a default local[32] heap; the same blow-up is the
+    # 100 TB scale-killer). Keyed on o_custkey each task's map holds
+    # only its own customers' groups. The partition count is pinned
+    # (parallelism-proportional, scale-adaptive) rather than left to
+    # AQE byte-based coalescing: 64 MB of (cust, cand, w) rows expands
+    # to ~1.5 M aggregation groups — far past a task's share of
+    # execution memory — because the advisory sizing cannot see the
+    # aggregation-state blow-up behind the exchange.
     scores0 = (
         profile.join(covisit, profile["l_partkey"] == covisit["pa"])
+        .repartition(
+            spark.sparkContext.defaultParallelism * 4, "o_custkey"
+        )
         .groupBy("o_custkey", F.col("pb").alias("cand"))
         .agg(F.sum("w").cast("long").alias("score"))
     )

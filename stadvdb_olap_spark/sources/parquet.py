@@ -107,7 +107,16 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     form (sort included) is kept: correct for any input, and the sort is
     negligible on the small frames that use it."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    # The partition probe converts the plan to an RDD (one py4j
+    # round-trip + a javaToPython plan per call — pure driver wall, guide
+    # §1/§5). A DataFrame is an immutable plan, so its scan split count
+    # is a constant: memoize it ON the df object and pay the conversion
+    # once per distinct plan per session.
+    n_parts = getattr(df, "_stadvdb_scan_num_partitions", None)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        df._stadvdb_scan_num_partitions = n_parts
+    if n_parts < sc.defaultParallelism:
         if keys:
             return df.repartition(sc.defaultParallelism, *keys)
         return df.repartition(sc.defaultParallelism)
@@ -144,8 +153,23 @@ def load_spread(
     l_extendedprice instead of the otherwise-unused orderkey pair —
     measured ~0.1 s at sf0.1); a key the downstream joins or groups on
     additionally lets the widening exchange satisfy that operator's
-    clustering requirement outright."""
-    return spread(load_table(spark, sf_dir, name), *(keys or SPREAD_KEYS[name]))
+    clustering requirement outright.
+
+    The spread result is memoized per (path, keys) alongside the base
+    plan cache: repartition() is an eagerly analyzed DataFrame op
+    (~5-8 ms of py4j driver wall), and the ~200 catalog call sites
+    re-request the same handful of (table, keys) combinations."""
+    df = load_table(spark, sf_dir, name)
+    k = tuple(keys or SPREAD_KEYS[name])
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:  # load_table(use_cache=True) always sets it
+        return spread(df, *k)
+    skey = ("spread", os.path.join(sf_dir, f"{name}.parquet"), k)
+    got = per_session.get(skey)
+    if got is None:
+        got = spread(df, *k)
+        per_session[skey] = got
+    return got
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

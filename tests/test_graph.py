@@ -358,6 +358,38 @@ def test_triangle_stats_by_hand(spark):
     assert wedges == 4 * 1 + 2 * 3  # four deg-2 nodes + two deg-3 nodes
 
 
+def test_triangle_count_oriented_equals_wedge_join(spark):
+    """The degree-ordered adjacency-intersection count (r13: replaces
+    the wedge self-join inside triangle queries) equals the naive
+    id-ordered wedge-join count on a random graph WITH A HUB — the
+    exact case the orientation exists for — and on hand graphs."""
+    import itertools
+    import random
+
+    from stadvdb_olap_spark.operators.graph import triangle_count_oriented
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    edges = {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.2}
+    edges |= {(0, b) for b in nodes[1:]}  # node 0 is a hub
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    e0 = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = triangle_count_oriented(e0).collect()[0]["n_triangles"]
+    assert got == want and want > 50
+
+    # triangle-free graph -> 0 (coalesced, not null)
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count_oriented(path).collect()[0]["n_triangles"] == 0
+
+
 def test_kcore_peel_keeps_clique_drops_tail(spark):
     from stadvdb_olap_spark.operators.graph import kcore_peel
 

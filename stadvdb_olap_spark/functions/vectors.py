@@ -57,7 +57,28 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot_sql(a: str, b: str) -> str:
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """DuckDB dot product. With ``dim`` (statically known vector width)
+    the fold is UNROLLED into the left-associative sum
+    ``0.0 + a[1]*b[1] + a[2]*b[2] + ...`` — the exact IEEE op sequence
+    of the list_reduce left fold (r13 A/B: bit-identical over every
+    fixture row) without DuckDB's per-element lambda interpretation,
+    which dominated the vector oracles' sweep wall (~75x on a 64-dim
+    signature pass). Pass dim ONLY when every row provably has that
+    width: a shorter list would index to NULL and poison the sum (a
+    loud certification failure, not a silent drift)."""
+    if dim is not None:
+        return (
+            "("
+            + " + ".join(
+                ["CAST(0.0 AS DOUBLE)"]
+                + [
+                    f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                    for i in range(1, dim + 1)
+                ]
+            )
+            + ")"
+        )
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
@@ -76,8 +97,8 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def l2_norm_sql(a: str) -> str:
-    return f"sqrt({dot_sql(a, a)})"
+def l2_norm_sql(a: str, dim: int | None = None) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"
 
 
 def cosine_spark_sql(a: str, b: str) -> str:
@@ -92,8 +113,11 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+def cosine_sql(a: str, b: str, dim: int | None = None) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"({l2_norm_sql(a, dim)} * {l2_norm_sql(b, dim)}))"
+    )
 
 
 def l2_sq_spark_sql(a: str, b: str) -> str:
@@ -121,7 +145,21 @@ def l2_sq(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_sq_sql(a: str, b: str) -> str:
+def l2_sq_sql(a: str, b: str, dim: int | None = None) -> str:
+    """DuckDB squared-L2. Same dim-unrolling contract as :func:`dot_sql`."""
+    if dim is not None:
+        return (
+            "("
+            + " + ".join(
+                ["CAST(0.0 AS DOUBLE)"]
+                + [
+                    f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+                    f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+                    for i in range(1, dim + 1)
+                ]
+            )
+            + ")"
+        )
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({a}, (x, i) -> "

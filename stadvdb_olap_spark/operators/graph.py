@@ -209,8 +209,6 @@ def label_propagation(
     labels = e.select(F.col("__src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql import Window
-
     for _ in range(n_iters):
         votes = (
             e.join(labels, e["__src"] == labels["node"])
@@ -218,13 +216,19 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("__cnt").desc(), F.col("label").asc()
-        )
+        # Per-node argmax (count desc, smallest label on ties) as ONE
+        # hash aggregate: max of the struct (cnt, -label) is exactly
+        # that ordering (labels are non-negative node ids), so the
+        # per-round row_number window — a full sort of the vote relation
+        # per iteration — becomes a sort-free aggregation (guide §2.4).
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__cnt"), (-F.col("label")).alias("__nl"))
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.__nl")).alias("label"))
         )
     return labels
 
@@ -251,8 +255,15 @@ def oriented_edges(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    da = deg.select(F.col("v").alias("src"), F.col("d").alias("ds"))
-    db = deg.select(F.col("v").alias("dst"), F.col("d").alias("dd"))
+    # shuffled-hash for the degree attach (guide §3.1): deg is the
+    # |V|-bounded build side; sort-merge would sort the |E|-sized edge
+    # relation twice just to look up two integers per edge.
+    da = deg.select(F.col("v").alias("src"), F.col("d").alias("ds")).hint(
+        "shuffle_hash"
+    )
+    db = deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")).hint(
+        "shuffle_hash"
+    )
     fwd = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )

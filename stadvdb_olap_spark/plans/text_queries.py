@@ -261,8 +261,8 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_pairs",
     oracle=f"""
-WITH sigs AS ({_sigs_sql()}),
-bands AS ({_bands_sql()})
+WITH sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id
@@ -280,14 +280,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_jaccard_verified",
     oracle=f"""
-WITH sigs AS ({_sigs_sql()}),
-bands AS ({_bands_sql()}),
-cands AS (
+WITH sigs AS MATERIALIZED ({_sigs_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),
+cands AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band_id, band_key)
     WHERE a.doc_id < b.doc_id
 ),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()}))
+sets_ AS MATERIALIZED (
+    SELECT doc_id, list_distinct(sh) AS sh FROM ({_shingled_sql()})
+)
 SELECT id_a, id_b,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
            / len(list_distinct(sa.sh || sb.sh)) AS jaccard
@@ -1068,7 +1070,7 @@ def _dense_topk_sql() -> str:
     return f"""
 SELECT e.vec_id AS doc_id,
        row_number() OVER (
-           ORDER BY {cosine_sql('q.qv', 'e.embedding')} DESC, e.vec_id) AS rank
+           ORDER BY {cosine_sql('q.qv', 'e.embedding', 64)} DESC, e.vec_id) AS rank
 FROM embeddings e
 CROSS JOIN (SELECT embedding AS qv FROM embeddings
             WHERE vec_id = {_RRF_QVEC}) q

@@ -38,7 +38,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < {_N_QUERIES}),
 pairs AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
-           {cosine_sql('q.qv', 'e.embedding')} AS cosine
+           {cosine_sql('q.qv', 'e.embedding', 64)} AS cosine
     FROM q CROSS JOIN embeddings e
     WHERE q.query_id <> e.vec_id
 )
@@ -64,10 +64,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_blocked",
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {cosine_sql('a.embedding', 'b.embedding')} AS cosine
+       {cosine_sql('a.embedding', 'b.embedding', 64)} AS cosine
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEAR_DUP_T}
+WHERE {cosine_sql('a.embedding', 'b.embedding', 64)} >= {_NEAR_DUP_T}
 """,
 )
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,19 +81,24 @@ def _lsh_sig_sql(vec: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> 
     # DuckDB twin of operators/similarity.py:lsh_signature. The hyperplanes
     # are DETERMINISTIC (seeded generator, rounded to 6 decimals) and enter
     # the Spark plan as float literals, so the twin embeds the identical
-    # literals; both sides left-fold the dot product in IEEE order, so the
-    # sign (and hence the bucket id) is bit-identical.
+    # literals. Each dot product is the UNROLLED left-associative sum
+    # 0.0 + v[1]*p1 + v[2]*p2 + ... — the exact IEEE op sequence of the
+    # previous list_reduce left fold (r13 A/B: bit-identical signatures
+    # over every fixture row), minus DuckDB's per-element lambda
+    # interpretation, which dominated the LSH oracles' sweep wall
+    # (one 6-plane signature pass over sf0.1: 8.1 s -> 0.1 s).
     from stadvdb_olap_spark.operators.similarity import _hyperplanes
 
     terms = []
     for r, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
-        d = (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * ({lit})[i])), "
-            f"(p, q) -> p + q)"
+        d = " + ".join(
+            ["CAST(0.0 AS DOUBLE)"]
+            + [
+                f"CAST({vec}[{i + 1}] AS DOUBLE) * {float(v)!r}"
+                for i, v in enumerate(plane)
+            ]
         )
-        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** r} ELSE 0 END)")
+        terms.append(f"(CASE WHEN ({d}) > 0 THEN {2 ** r} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -115,12 +120,12 @@ def _lsh_multi_sigs_sql() -> str:
 @query(
     "ann_lsh_topk",
     oracle=f"""
-WITH sigs AS ({_lsh_multi_sigs_sql()}),
+WITH sigs AS MATERIALIZED ({_lsh_multi_sigs_sql()}),
 q AS (SELECT vec_id AS query_id, embedding AS qv, t, sig
       FROM sigs WHERE vec_id < {_N_QUERIES}),
 pairs AS (
     SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
-           {cosine_sql('q.qv', 'c.embedding')} AS cosine
+           {cosine_sql('q.qv', 'c.embedding', 64)} AS cosine
     FROM q JOIN sigs c USING (t, sig)
     WHERE q.query_id <> c.vec_id
 )
@@ -173,7 +178,7 @@ WITH sigs AS MATERIALIZED ({_lsh_multi_sigs_sql()}),
 q AS ({_lsh_probe_sigs_sql(6)}),
 pairs AS (
     SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
-           {cosine_sql('q.qv', 'c.embedding')} AS cosine
+           {cosine_sql('q.qv', 'c.embedding', 64)} AS cosine
     FROM q JOIN sigs c USING (t, sig)
     WHERE q.query_id <> c.vec_id
 )
@@ -249,7 +254,7 @@ a1 AS (
     SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {l2_sq_sql('e.embedding', 'c0.cv')}, c0.cid) AS rn
+                   ORDER BY {l2_sq_sql('e.embedding', 'c0.cv', 64)}, c0.cid) AS rn
         FROM embeddings e CROSS JOIN c0
     ) WHERE rn = 1
 ),
@@ -277,7 +282,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
            FROM embeddings WHERE vec_id < {_N_QUERIES}),
 pairs AS (
     SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
-           {cosine_sql('q.qv', 'e.embedding')} AS cosine
+           {cosine_sql('q.qv', 'e.embedding', 64)} AS cosine
     FROM q CROSS JOIN embeddings e
     WHERE q.query_id <> e.vec_id AND q.qlabel <> e.label
 )
@@ -374,10 +379,10 @@ ham AS (
 ),
 rerank AS (
     SELECT query_id, neighbor_id, hamming,
-           {cosine_sql('qv', 'cv')} AS cosine,
+           {cosine_sql('qv', 'cv', 64)} AS cosine,
            row_number() OVER (
                PARTITION BY query_id
-               ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id) AS rn
+               ORDER BY {cosine_sql('qv', 'cv', 64)} DESC, neighbor_id) AS rn
     FROM ham WHERE hrn <= {_BQ_PREFILTER}
 )
 SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
@@ -422,7 +427,7 @@ def _argnear_sql(probe_limit: int, extra_where: str = "") -> str:
     SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv')}, c.cid) AS rn
+                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv', 64)}, c.cid) AS rn
         FROM embeddings e CROSS JOIN c {extra_where}
     ) WHERE rn <= {probe_limit}
 """
@@ -437,7 +442,7 @@ ca AS ({_argnear_sql(1)}),
 qp AS ({_argnear_sql(_IVF_PROBE, f"WHERE e.vec_id < {_N_QUERIES}")}),
 pairs AS (
     SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
-           {cosine_sql('qp.embedding', 'ca.embedding')} AS cosine
+           {cosine_sql('qp.embedding', 'ca.embedding', 64)} AS cosine
     FROM qp JOIN ca USING (cell)
     WHERE qp.vec_id <> ca.vec_id
 )
@@ -480,7 +485,7 @@ WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
 scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+               ORDER BY {cosine_sql('e.embedding', 'c.cv', 64)} DESC, c.cid) AS rn
     FROM embeddings e CROSS JOIN c
 ),
 assigned AS (
@@ -490,7 +495,7 @@ dropped AS (
     SELECT DISTINCT a.vec_id
     FROM assigned a JOIN assigned b
       ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEM_T}
+    WHERE {cosine_sql('a.embedding', 'b.embedding', 64)} >= {_SEM_T}
 )
 SELECT a.vec_id,
        CAST(a.cluster AS BIGINT) AS cluster,
@@ -525,7 +530,7 @@ ca AS ({_argnear_sql(1)}),
 qp AS ({_argnear_sql(_IVF_PROBE, f"WHERE e.vec_id < {_N_QUERIES}")}),
 pairs AS (
     SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
-           {cosine_sql('qp.embedding', 'ca.embedding')} AS cosine
+           {cosine_sql('qp.embedding', 'ca.embedding', 64)} AS cosine
     FROM qp JOIN ca USING (cell)
     WHERE qp.vec_id <> ca.vec_id
 )
@@ -572,7 +577,7 @@ assigned AS MATERIALIZED (
     SELECT vec_id, embedding, cid AS cluster FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv')}, c.cid) AS rn
+                   ORDER BY {l2_sq_sql('e.embedding', 'c.cv', 64)}, c.cid) AS rn
         FROM embeddings e CROSS JOIN c
     ) WHERE rn = 1
 ),
@@ -580,7 +585,7 @@ dropped AS (
     SELECT DISTINCT a.vec_id
     FROM assigned a JOIN assigned b
       ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEM_T}
+    WHERE {cosine_sql('a.embedding', 'b.embedding', 64)} >= {_SEM_T}
 )
 SELECT a.vec_id,
        CAST(a.cluster AS BIGINT) AS cluster,
@@ -959,7 +964,7 @@ ex AS MATERIALIZED (
     SELECT neighbor_id FROM (
         SELECT e.vec_id AS neighbor_id,
                row_number() OVER (
-                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv')}, e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv', 64)}, e.vec_id
                ) AS rn
         FROM embeddings e
         CROSS JOIN (SELECT embedding AS qv FROM embeddings
@@ -1075,7 +1080,7 @@ sel{i} AS MATERIALIZED (
     )
     return f"""
 WITH cands AS MATERIALIZED (
-    SELECT e.vec_id, {cosine_sql('q.qv', 'e.embedding')} AS rel
+    SELECT e.vec_id, {cosine_sql('q.qv', 'e.embedding', 64)} AS rel
     FROM embeddings e
     CROSS JOIN (SELECT embedding AS qv FROM embeddings
                 WHERE vec_id = {_MMR_QUERY}) q
@@ -1085,7 +1090,7 @@ WITH cands AS MATERIALIZED (
 ),
 pairs AS MATERIALIZED (
     SELECT a.vec_id AS a, b.vec_id AS b,
-           {cosine_sql('ea.embedding', 'eb.embedding')} AS sim
+           {cosine_sql('ea.embedding', 'eb.embedding', 64)} AS sim
     FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
     JOIN embeddings ea ON ea.vec_id = a.vec_id
     JOIN embeddings eb ON eb.vec_id = b.vec_id
@@ -1223,10 +1228,10 @@ coarse AS (
 ),
 rerank AS (
     SELECT query_id, neighbor_id, prefix_cosine,
-           {cosine_sql('qv', 'cv')} AS cosine,
+           {cosine_sql('qv', 'cv', 64)} AS cosine,
            row_number() OVER (
                PARTITION BY query_id
-               ORDER BY {cosine_sql('qv', 'cv')} DESC, neighbor_id) AS rn
+               ORDER BY {cosine_sql('qv', 'cv', 64)} DESC, neighbor_id) AS rn
     FROM coarse WHERE prn <= {_MRL_PREFILTER}
 )
 SELECT query_id, neighbor_id, prefix_cosine, cosine,
@@ -1335,7 +1340,7 @@ def _pqf_oracle() -> str:
     # 16 separate fold expressions — plan size stays linear in M
     d_cols = ", ".join(
         f"list_transform({_pqf_books_sql(m)}, "
-        f"cb -> {l2_sq_sql(_pqf_sub_sql('embedding', m), 'cb')}) AS d_{m}"
+        f"cb -> {l2_sq_sql(_pqf_sub_sql('embedding', m), 'cb', _PQF_D)}) AS d_{m}"
         for m in range(_PQF_M)
     )
     code_cols = ", ".join(
@@ -1344,7 +1349,7 @@ def _pqf_oracle() -> str:
     )
     qd_cols = ", ".join(
         f"list_transform({_pqf_books_sql(m)}, "
-        f"cb -> {l2_sq_sql(_pqf_sub_sql('qv', m), 'cb')}) AS qd_{m}"
+        f"cb -> {l2_sq_sql(_pqf_sub_sql('qv', m), 'cb', _PQF_D)}) AS qd_{m}"
         for m in range(_PQF_M)
     )
     pick = "CAST(0 AS DOUBLE)"
@@ -1374,7 +1379,7 @@ short AS (
 rer AS (
     SELECT CAST({_PQF_QUERY} AS BIGINT) AS query_id,
            e.vec_id AS neighbor_id,
-           {l2_sq_sql('e.embedding', 'q.qv')} AS exact_dist_sq
+           {l2_sq_sql('e.embedding', 'q.qv', 64)} AS exact_dist_sq
     FROM embeddings e
     JOIN short ON e.vec_id = short.neighbor_id
     CROSS JOIN (SELECT embedding AS qv FROM embeddings
@@ -1514,7 +1519,7 @@ ex AS MATERIALIZED (
     SELECT neighbor_id FROM (
         SELECT e.vec_id AS neighbor_id,
                row_number() OVER (
-                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv')}, e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv', 64)}, e.vec_id
                ) AS rn
         FROM embeddings e
         CROSS JOIN (SELECT embedding AS qv FROM embeddings
@@ -1624,7 +1629,7 @@ cand AS (
 def _ivfadc_oracle() -> str:
     d_cols = ", ".join(
         f"list_transform({_pqf_books_sql(m)}, "
-        f"cb -> {l2_sq_sql(_pqf_sub_sql('embedding', m), 'cb')}) AS d_{m}"
+        f"cb -> {l2_sq_sql(_pqf_sub_sql('embedding', m), 'cb', _PQF_D)}) AS d_{m}"
         for m in range(_PQF_M)
     )
     code_cols = ", ".join(
@@ -1633,7 +1638,7 @@ def _ivfadc_oracle() -> str:
     )
     qd_cols = ", ".join(
         f"list_transform({_pqf_books_sql(m)}, "
-        f"cb -> {l2_sq_sql(_pqf_sub_sql('qv', m), 'cb')}) AS qd_{m}"
+        f"cb -> {l2_sq_sql(_pqf_sub_sql('qv', m), 'cb', _PQF_D)}) AS qd_{m}"
         for m in range(_PQF_M)
     )
     pick = "CAST(0 AS DOUBLE)"
@@ -1662,7 +1667,7 @@ short AS (
 rer AS (
     SELECT CAST({_IVFADC_QUERY} AS BIGINT) AS query_id,
            e.vec_id AS neighbor_id,
-           {l2_sq_sql('e.embedding', 'q.qv')} AS exact_dist_sq
+           {l2_sq_sql('e.embedding', 'q.qv', 64)} AS exact_dist_sq
     FROM embeddings e
     JOIN short ON e.vec_id = short.neighbor_id
     CROSS JOIN (SELECT embedding AS qv FROM embeddings
@@ -1816,7 +1821,7 @@ ex AS MATERIALIZED (
     SELECT neighbor_id FROM (
         SELECT e.vec_id AS neighbor_id,
                row_number() OVER (
-                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv')}, e.vec_id
+                   ORDER BY {l2_sq_sql('e.embedding', 'q.qv', 64)}, e.vec_id
                ) AS rn
         FROM embeddings e
         CROSS JOIN (SELECT embedding AS qv FROM embeddings

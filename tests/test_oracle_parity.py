@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
-from tests.conftest import SF_DIR, assert_frames_match
+from tests.conftest import SF_DIR, assert_frames_match, query_df
 
 _ensure_loaded()
 _WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
@@ -16,15 +16,14 @@ _ROWS_ONLY = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
+    sdf = query_df(spark, name)
     rel = duck.execute(spec.oracle)
     assert_frames_match(sdf, rel, query_name=name)
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
-    spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
+    sdf = query_df(spark, name)
     assert sdf.count() >= 0
 
 

@@ -37,7 +37,7 @@ import duckdb
 import pytest
 
 from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, query_df
 
 _ensure_loaded()
 
@@ -84,6 +84,8 @@ _ORACLE_SPECS = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
+    con.execute("SET memory_limit='4GB'")
+    con.execute("SET threads=8")
     for t in _TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield con
@@ -93,7 +95,7 @@ def duck():
 @pytest.mark.parametrize("name", _ORACLE_SPECS)
 def test_certified_output_types(spark, duck, name):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
+    sdf = query_df(spark, name)
 
     spark_types: dict[str, str] = {}
     for f in sdf.schema.fields:

@@ -27,7 +27,7 @@ from __future__ import annotations
 import pytest
 
 from stadvdb_olap_spark.plans.catalog import REGISTRY, _ensure_loaded
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, query_df
 
 _ensure_loaded()
 
@@ -215,8 +215,7 @@ def _walk(node):
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_has_no_antipatterns(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
+    df = query_df(spark, name)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"

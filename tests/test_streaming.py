@@ -16,6 +16,27 @@ from stadvdb_olap_spark.streaming.windowed import windowed_event_aggregate
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _poll_rows(spark, q, table, ready, deadline_s=120.0):
+    """Collect a memory-sink table once ``ready(rows)`` holds, then stop
+    the query. For stateful queries whose processing-time timeouts keep
+    availableNow scheduling empty batches forever, this replaces an
+    awaitTermination(deadline) that always slept out the full budget."""
+    import time
+
+    t0 = time.time()
+    rows = []
+    try:
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql(f"SELECT * FROM {table}").collect()
+            if ready(rows):
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return rows
+
+
 @pytest.fixture()
 def events_stream_dir(spark, tmp_path):
     """Events re-materialized as a two-file stream source directory."""
@@ -239,8 +260,14 @@ def test_stateful_sessionize_batch_shape(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM sessions").collect()
+    # applyInPandasWithState + processing-time timeouts keeps scheduling
+    # empty batches, so availableNow never self-terminates — poll for
+    # the expected emission instead of sleeping out the full timeout
+    # (the old awaitTermination(120) burnt exactly 120 s per test).
+    rows = _poll_rows(
+        spark, q, "sessions",
+        lambda rs: any((r["user_id"], r["n_events"]) == (1, 2) for r in rs),
+    )
     # One closed session for user 1 (00:00-00:10, 2 events); the 02:00
     # event and user 2's single event stay in open state (no timeout fires
     # within an availableNow run).
@@ -293,10 +320,14 @@ def test_stateful_sessionize_agrees_with_batch_twin(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # poll-then-stop: see test_stateful_sessionize_batch_shape — the
+    # stateful query never self-terminates under availableNow. Both
+    # in-batch-closable sessions (user 1's first, user 2's first) land
+    # together once the data batch commits.
+    rows = _poll_rows(spark, q, "agree_sessions", lambda rs: len(rs) >= 2)
     closed = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.sql("SELECT * FROM agree_sessions").collect()
+        for r in rows
     }
     batch = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])

@@ -123,6 +123,13 @@ def main() -> int:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Bounded oracle working set: DuckDB's default limit (80% of RAM)
+    # lets one operator balloon exactly when the shared host is under an
+    # external memory squeeze — observed as transient 8KB-malloc
+    # failures mid-sweep (never value mismatches). The oracles need a
+    # few GB at most even at sf0.1.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

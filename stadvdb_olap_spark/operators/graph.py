@@ -68,11 +68,17 @@ def pagerank_fixed(
         if weight is not None
         else F.lit(1).cast("long")
     )
+    # Pinned parallelism-proportional width (not bare repartition(col):
+    # AQE byte-coalescing shrinks a ~40 MB edge relation to ~1 partition,
+    # serializing EVERY unrolled iteration's join and concentrating its
+    # build memory on one task — guide §2.2/§5).
     e = edges.select(
         F.col(src).alias("__src"),
         F.col(dst).alias("__dst"),
         wcol.alias("__w"),
-    ).repartition("__src")
+    ).repartition(
+        edges.sparkSession.sparkContext.defaultParallelism * 2, "__src"
+    )
     deg = e.groupBy("__src").agg(
         F.sum("__w").cast("double").alias("__outdeg")
     )
@@ -202,10 +208,14 @@ def label_propagation(
     edge list: synchronous updates on bipartite graphs oscillate
     between the two sides (a documented LPA failure mode, not a bug
     here)."""
+    # pinned width: see pagerank_fixed — bare repartition(col) lets AQE
+    # coalesce the edge relation to ~1 partition and serialize rounds
     e = edges.select(
         F.col(src).cast("long").alias("__src"),
         F.col(dst).cast("long").alias("__dst"),
-    ).repartition("__src")
+    ).repartition(
+        edges.sparkSession.sparkContext.defaultParallelism * 2, "__src"
+    )
     labels = e.select(F.col("__src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -3302,13 +3302,25 @@ def recsys_eval_covisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", F.col("pb").alias("cand"))
         .agg(F.sum("w").cast("long").alias("score"))
     )
+    # SHUFFLE_HASH for the seen-item anti join (guide §3.1): the build
+    # side is the |profile| relation (bounded per-customer fan-out);
+    # sort-merge would sort the ~20x larger scored-candidate stream on
+    # (custkey, cand) — measured as the straw that OOMs a default
+    # local[32] heap once the window machinery runs alongside.
     scores = scores0.join(
         profile.select(
             "o_custkey", F.col("l_partkey").alias("cand")
-        ),
+        ).hint("shuffle_hash"),
         ["o_custkey", "cand"],
         "left_anti",
-    )
+    # Pin the top-k window's input partitioning the same way as
+    # scores0 above: the ~10M-row candidate relation sorted in a few
+    # AQE byte-coalesced partitions blows task sort memory (spill-file
+    # reader buffers OOM a default local[32] heap); keyed on o_custkey
+    # at parallelism-proportional width the window's per-task sorts
+    # stay bounded and the exchange doubles as the window's required
+    # clustering.
+    ).repartition(spark.sparkContext.defaultParallelism * 4, "o_custkey")
     wtop = Window.partitionBy("o_custkey").orderBy(
         F.col("score").desc(), F.col("cand").asc()
     )
